@@ -1,0 +1,66 @@
+"""Table catalog: load the driver's synthetic parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (they grow
+# sub-linearly or are bounded): used by plans to decide broadcast hints.
+BOUNDED_DIMS = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as INT64 TIMESTAMP(NANOS) in the parquet footer.
+
+    Spark has no nanosecond timestamp type; with
+    `spark.sql.legacy.parquet.nanosAsLong=true` they surface as LongType
+    and we down-convert to microsecond timestamps (driver-side footer
+    read only — cheap at any scale).
+    """
+    schema = pq.read_schema(path)
+    return tuple(
+        n for n, t in zip(schema.names, schema.types)
+        if isinstance(t, pa.TimestampType) and t.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — columnar, filter/column pushdown handled by Catalyst."""
+    path = table_path(sf_dir, name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Testdata timestamps are naive-UTC; collected values and date_format
+    # rendering must not shift if the driver's session tz isn't UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        # integer nanos -> micros (exact: `div` is integral division)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so SQL-first plans can run."""
+    for name in tables:
+        if os.path.exists(table_path(sf_dir, name)):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on local[N]; the same conf is what we would ship to a
+1000-executor cluster (AQE, skew-join handling, partition-size targets are
+cluster-safe — only master/memory are local-mode specific).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB posture:
+#  - AQE on: runtime coalescing + skew-join splitting replaces hand-tuning
+#    shuffle partition counts per query.
+#  - shuffle.partitions is a *starting* parallelism; AQE coalesces down.
+#  - 64 MiB target advisory partition size keeps post-shuffle partitions
+#    comfortably in executor memory at high SF.
+#  - Arrow on: every pandas_udf / toPandas crossing is vectorized.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "mc_ns_data_pipeline_spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session. `SPARK_GRAFT_CPUS` sets local parallelism."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_BASE_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    # shuffle parallelism should track cores in local mode
+    conf.setdefault("spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32")
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
