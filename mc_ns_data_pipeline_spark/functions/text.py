@@ -1,0 +1,108 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side) — language ID, quality scoring,
+token counting, fingerprinting, normalization, and shingling. Each has a
+DuckDB-SQL twin in plans/extensions.py so the driver's oracle gate can
+verify byte-identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A compact multilingual stopword/marker table for the n-gram language
+# heuristic. Deterministic CASE-priority: zh (CJK chars) > en > es > de > fr.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "en"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "les", "et", "des", "une"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish tokenization: letter runs, digit runs, punctuation runs.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+PUNCT_CLASS = "[.,;:!?]"
+
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+
+def norm_text(c: Column) -> Column:
+    """Canonical text normalization: lower, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+
+
+def words(c: Column) -> Column:
+    """Split normalized text into words (single-space separated)."""
+    return F.split(norm_text(c), " ")
+
+
+def word_count(c: Column) -> Column:
+    return F.size(words(c))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count BPE-ish tokens (letter/digit/punct runs)."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def marker_hits(c: Column, markers: tuple[str, ...]) -> Column:
+    """How many words of the text are in the marker list."""
+    return F.size(F.filter(words(c), lambda w: w.isin(*markers)))
+
+
+def cjk_count(c: Column) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(CJK_PATTERN), F.lit(0)))
+
+
+def predict_lang(c: Column) -> Column:
+    """Marker-count language heuristic with fixed priority ordering.
+
+    zh wins if any CJK character is present; otherwise the language with
+    the strictly-highest marker count in priority order en>es>de>fr;
+    'unknown' when all scores are zero.
+    """
+    scores = {lang: marker_hits(c, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.when(cjk_count(c) > 0, F.lit("zh"))
+    for lang in ("en", "es", "de", "fr"):
+        expr = expr.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        )
+    return expr.otherwise(F.lit("unknown"))
+
+
+def punct_count(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def stopword_count(c: Column) -> Column:
+    return F.size(F.filter(words(c), lambda w: w.isin(*EN_STOPWORDS)))
+
+
+def fingerprint_full(c: Column) -> Column:
+    """Exact-dedup fingerprint: md5 of normalized text."""
+    return F.md5(norm_text(c))
+
+
+def fingerprint_bow(c: Column) -> Column:
+    """Order-insensitive bag-of-words fingerprint."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(c)))))
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-gram shingles; whole normalized text when shorter than k.
+
+    The k<len fallback keeps short docs dedup-able instead of dropping
+    them. Matches the DuckDB twin (1-indexed ranges) exactly.
+    """
+    w = words(c)
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(w) >= k, grams).otherwise(F.array(norm_text(c)))

@@ -1,0 +1,203 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+deterministic hyperplane-LSH bucketing (the scale path).
+
+Vectors are `array<float>` columns; all math is promoted to double and
+kept JVM-side via higher-order functions (zip_with/aggregate) — no
+Python UDFs in the hot path. Cosines are rounded to 6 decimals before
+ranking so ordering is stable across engines and partitionings (FP
+accumulation differences live far below 1e-6).
+
+At 100 TB: brute-force is candidates ⨯ broadcast(query-set) — linear in
+the corpus and embarrassingly parallel. The LSH variant buckets the
+corpus once (8 deterministic hyperplanes -> 256 buckets) and joins
+queries to their bucket only, cutting the scan fan-out ~256× at some
+recall cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product (zip_with + aggregate, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        "*", v.alias("_v"), l2_norm(v).alias("_norm")
+    )
+
+
+def cosine_topk(emb: DataFrame, query_pred: Column, k: int = 5,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: rows matching `query_pred` are the query
+    set (broadcast); every other row is a candidate.
+
+    Returns (query_id, neighbor_id, cos_r, rank). Rank ties broken by
+    neighbor id for full determinism.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos_r.alias("cos_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_weight(plane: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane weights from md5 — reproducible in SQL."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def lsh_bucket(v: Column, n_dims: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-of-projection bucket key: one char per hyperplane."""
+    chars = []
+    for p in range(n_planes):
+        weights = F.array(*[
+            F.lit(float(hyperplane_weight(p, d))) for d in range(n_dims)
+        ])
+        proj = dot(v, weights)
+        chars.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*chars)
+
+
+def cosine_topk_lsh(emb: DataFrame, query_pred: Column, k: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_dims: int = 64) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (approximate).
+
+    Bucket equi-join replaces the full cross product: at corpus scale
+    each query touches ~corpus/2^planes candidates.
+    """
+    base = with_norm(emb, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("_v"), n_dims)
+    )
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"),
+        "bucket",
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+        "bucket",
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos_r.alias("cos_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.4,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute-force baseline).
+
+    O(n^2)/2 — correct at any n, affordable to ~10^5 vectors per
+    executor-group; beyond that use `embedding_neardup_pairs` (LSH).
+    """
+    base = with_norm(emb, vec_col)
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("v_a"),
+        F.col("_norm").alias("n_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("v_b"),
+        F.col("_norm").alias("n_b"),
+    )
+    cos_r = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos_r.alias("cos_r"))
+        .filter(F.col("cos_r") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_dims: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + verify.
+
+    Same-bucket pairs only (scale-safe); exact cosine verifies against
+    the threshold. For the exact variant use a full self-join at small n.
+    """
+    base = with_norm(emb, vec_col).withColumn(
+        "bucket", lsh_bucket(F.col("_v"), n_dims)
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("_v").alias("v_a"),
+        F.col("_norm").alias("n_a"), "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("_v").alias("v_b"),
+        F.col("_norm").alias("n_b"), "bucket",
+    )
+    cos_r = F.round(
+        dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos_r.alias("cos_r"))
+        .filter(F.col("cos_r") >= threshold)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,436 @@
+"""Extension query suite: training-data-pipeline operators over the
+`documents` and `embeddings` tables, with generated DuckDB oracles.
+
+These go beyond the reference's surface (SURVEY.md §2) — dedup,
+similarity search, text analysis — but follow the same discipline:
+every SQL-expressible operator has a byte-exact DuckDB twin. Hashing is
+md5-based precisely so the oracle can reproduce signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mc_ns_data_pipeline_spark.catalog import load_table
+from mc_ns_data_pipeline_spark.functions.text import (
+    BPE_PATTERN,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    bpe_token_count,
+    fingerprint_bow,
+    fingerprint_full,
+    norm_text,
+    predict_lang,
+    stopword_count,
+    word_count,
+)
+from mc_ns_data_pipeline_spark.operators import dedup as D
+from mc_ns_data_pipeline_spark.operators import similarity as S
+
+# ---------------------------------------------------------------------------
+# Spark plans
+# ---------------------------------------------------------------------------
+
+
+def x01_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count(F.col("text"))
+    return docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.when(
+            n_bpe > 0, F.length("text").cast("double") / n_bpe.cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+def x02_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/punct ratios, word stats, blended score."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = word_count(F.col("text"))
+    n_stop = stopword_count(F.col("text"))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), PUNCT_CLASS, "")
+    )
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    punct_ratio = F.when(
+        F.length("text") > 0,
+        n_punct.cast("double") / F.length("text").cast("double"),
+    )
+    avg_word_len = (
+        (F.length(norm_text(F.col("text"))) - (n_words - 1)).cast("double")
+        / n_words.cast("double")
+    )
+    score = (
+        stop_ratio * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+        + F.least(n_words, F.lit(100)).cast("double") / F.lit(100.0) * F.lit(0.5)
+    )
+    return docs.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def x03_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-count language-ID heuristic vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = predict_lang(F.col("text"))
+    return docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def x04_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (normalized md5) + bag-of-words."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        fingerprint_full(F.col("text")).alias("fp_full"),
+        fingerprint_bow(F.col("text")).alias("fp_bow"),
+    )
+
+
+def x05_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+def x06_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidate pairs, exact-Jaccard >= 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def x07_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.3 via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+def x08_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_signatures(docs)
+
+
+def x09_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 20."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, F.col("vec_id") < 20, k=5)
+
+
+def x10_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 for query vectors vec_id < 20."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, F.col("vec_id") < 20, k=3)
+
+
+def x11_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (>= 0.4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_exact(emb, threshold=0.4)
+
+
+EXT_QUERIES = {
+    "x01_text_tokens": x01_text_tokens,
+    "x02_text_quality": x02_text_quality,
+    "x03_text_langid": x03_text_langid,
+    "x04_text_fingerprint": x04_text_fingerprint,
+    "x05_dedup_exact": x05_dedup_exact,
+    "x06_dedup_minhash": x06_dedup_minhash,
+    "x07_dedup_ngram": x07_dedup_ngram,
+    "x08_simhash_signatures": x08_simhash_signatures,
+    "x09_ann_cosine_topk": x09_ann_cosine_topk,
+    "x10_ann_cosine_lsh": x10_ann_cosine_lsh,
+    "x11_embed_neardup": x11_embed_neardup,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (generated to mirror the Spark expressions exactly)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter(string_split({_NORM}, ' '), "
+        f"x -> x IN ({_in_list(markers)})))"
+    )
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: _marker_hits_sql(m) for lang, m in LANG_MARKERS.items()
+    }
+    score_cols = ",\n               ".join(
+        f"{expr} AS s_{lang}" for lang, expr in scores.items()
+    )
+    best = "greatest(s_en, s_es, s_de, s_fr)"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+               len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk,
+               {score_cols}
+            FROM documents
+        ), pred AS (
+            SELECT doc_id, lang,
+                CASE WHEN cjk > 0 THEN 'zh'
+                     WHEN s_en = {best} AND {best} > 0 THEN 'en'
+                     WHEN s_es = {best} AND {best} > 0 THEN 'es'
+                     WHEN s_de = {best} AND {best} > 0 THEN 'de'
+                     WHEN s_fr = {best} AND {best} > 0 THEN 'fr'
+                     ELSE 'unknown' END AS predicted_lang
+            FROM scored
+        )
+        SELECT doc_id, lang, predicted_lang,
+               predicted_lang = lang AS is_match
+        FROM pred
+    """
+
+
+_SHINGLES_CTE = f"""
+        norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+        w AS (SELECT doc_id, n, string_split(n, ' ') AS ws FROM norm),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= 3
+                      THEN list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                      ELSE [n] END AS sl
+               FROM w),
+        shx AS (SELECT DISTINCT doc_id, s FROM sh, UNNEST(sl) AS t(s))
+"""
+
+
+def _minhash_sql() -> str:
+    mins = ",\n                 ".join(
+        f"min(md5('{s}|' || s)) AS mh{s}" for s in range(D.N_HASHES)
+    )
+    bands = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws('|', mh{b*4}, mh{b*4+1}, mh{b*4+2}, mh{b*4+3})) AS band_key FROM sig"
+        for b in range(D.N_BANDS)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id,
+                 {mins}
+                FROM shx GROUP BY doc_id),
+        bands AS (
+{bands}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+        shared AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS sh
+            FROM pairs p
+            JOIN shx a ON a.doc_id = p.doc_a
+            JOIN shx b ON b.doc_id = p.doc_b AND b.s = a.s
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT s.doc_a, s.doc_b,
+               CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) AS jaccard
+        FROM shared s
+        JOIN sizes na ON s.doc_a = na.doc_id
+        JOIN sizes nb ON s.doc_b = nb.doc_id
+        WHERE CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) >= 0.5
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _ngram_sql() -> str:
+    return f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh
+            FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT s.doc_a, s.doc_b,
+               CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) AS jaccard
+        FROM shared s
+        JOIN sizes na ON s.doc_a = na.doc_id
+        JOIN sizes nb ON s.doc_b = nb.doc_id
+        WHERE CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) >= 0.3
+        ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_sql() -> str:
+    sums = ",\n                ".join(
+        f"sum(CASE WHEN ((instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
+        f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    bits = ", ".join(
+        f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(64)
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+        wx AS (SELECT doc_id, md5(s) AS h
+               FROM norm, UNNEST(string_split(n, ' ')) AS t(s)),
+        agg AS (SELECT doc_id,
+                {sums}
+                FROM wx GROUP BY doc_id)
+        SELECT doc_id, concat({bits}) AS simhash FROM agg
+    """
+
+
+_EMB_NORM_CTE = """
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nv FROM e)
+"""
+
+
+def _ann_topk_sql() -> str:
+    return f"""
+        WITH {_EMB_NORM_CTE},
+        p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v) / (q.nv * c.nv), 6) AS cos_r
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20
+        ),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+              FROM p)
+        SELECT query_id, neighbor_id, cos_r, rank
+        FROM r WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+def _lsh_bucket_sql_expr() -> str:
+    parts = []
+    for p in range(S.N_PLANES):
+        weights = ", ".join(
+            repr(float(S.hyperplane_weight(p, d))) for d in range(64)
+        )
+        parts.append(
+            f"CASE WHEN list_inner_product(v, [{weights}]::DOUBLE[]) >= 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _ann_lsh_sql() -> str:
+    return f"""
+        WITH {_EMB_NORM_CTE},
+        b AS (SELECT vec_id, v, nv, {_lsh_bucket_sql_expr()} AS bucket FROM n),
+        p AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_inner_product(q.v, c.v) / (q.nv * c.nv), 6) AS cos_r
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20
+        ),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+              FROM p)
+        SELECT query_id, neighbor_id, cos_r, rank
+        FROM r WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
+
+
+def _neardup_sql() -> str:
+    return f"""
+        WITH {_EMB_NORM_CTE},
+        p AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_inner_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_r
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_r FROM p
+        WHERE cos_r >= 0.4
+        ORDER BY vec_a, vec_b
+    """
+
+
+EXT_ORACLES: dict[str, str] = {
+    "x01_text_tokens": f"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+               length(text) AS n_chars_actual,
+               CASE WHEN len(regexp_extract_all(text, '{BPE_PATTERN}')) > 0
+                    THEN CAST(length(text) AS DOUBLE)
+                         / len(regexp_extract_all(text, '{BPE_PATTERN}'))
+                    END AS chars_per_token
+        FROM documents
+    """,
+    "x02_text_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   string_split({_NORM}, ' ') AS ws,
+                   length({_NORM}) AS norm_len,
+                   length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                       AS n_punct
+            FROM documents
+        ), m AS (
+            SELECT doc_id, text, norm_len, n_punct,
+                   len(ws) AS n_words,
+                   len(list_filter(ws, x -> x IN ({_in_list(EN_STOPWORDS)})))
+                       AS n_stop
+            FROM base
+        )
+        SELECT doc_id,
+               n_words,
+               CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stopword_ratio,
+               CASE WHEN length(text) > 0
+                    THEN CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                    END AS punct_ratio,
+               CAST(norm_len - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   AS avg_word_len,
+               (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.3
+               + (1.0 - CASE WHEN length(text) > 0
+                             THEN CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                             END) * 0.2
+               + CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5
+                   AS quality_score
+        FROM m
+    """,
+    "x03_text_langid": _langid_sql(),
+    "x04_text_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM}) AS fp_full,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split({_NORM}, ' '))), ' ')) AS fp_bow
+        FROM documents
+    """,
+    "x05_dedup_exact": f"""
+        SELECT doc_id, fp,
+               min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+        FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+    """,
+    "x06_dedup_minhash": _minhash_sql(),
+    "x07_dedup_ngram": _ngram_sql(),
+    "x08_simhash_signatures": _simhash_sql(),
+    "x09_ann_cosine_topk": _ann_topk_sql(),
+    "x10_ann_cosine_lsh": _ann_lsh_sql(),
+    "x11_embed_neardup": _neardup_sql(),
+}
