@@ -143,6 +143,39 @@ def x11_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_exact(emb, threshold=0.4)
 
 
+def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
+
+    Runs an actual Structured Streaming query (watermark + window) to
+    completion against the events parquet, then returns the sink table.
+    The oracle is the static SQL equivalent — at end-of-input they must
+    agree exactly (T1+T2 semantics, SURVEY.md §2.8).
+    """
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_incremental,
+    )
+
+    sink = f"qs1_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="qs1_ckpt_")
+    return run_incremental(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
+def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing (stubbed codec) — rows-only check:
+    mapInPandas output isn't SQL-expressible in DuckDB."""
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        multimodal_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal_features(docs)
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -155,6 +188,8 @@ EXT_QUERIES = {
     "x09_ann_cosine_topk": x09_ann_cosine_topk,
     "x10_ann_cosine_lsh": x10_ann_cosine_lsh,
     "x11_embed_neardup": x11_embed_neardup,
+    "x12_multimodal_features": x12_multimodal_features,
+    "xs1_stream_tumbling": xs1_stream_tumbling,
 }
 
 # ---------------------------------------------------------------------------
@@ -433,4 +468,14 @@ EXT_ORACLES: dict[str, str] = {
     "x09_ann_cosine_topk": _ann_topk_sql(),
     "x10_ann_cosine_lsh": _ann_lsh_sql(),
     "x11_embed_neardup": _neardup_sql(),
+    # xs1: static twin of the streaming tumbling-window aggregate.
+    # time_bucket's epoch origin is 21600s-aligned, matching F.window.
+    "xs1_stream_tumbling": """
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
 }

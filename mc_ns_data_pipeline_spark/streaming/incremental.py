@@ -1,0 +1,146 @@
+"""Incremental pipeline as Structured Streaming — SURVEY.md §2.8.
+
+The reference hand-rolls micro-batch processing: hour-aligned 6-hour
+epoch windows with a 6-hour completeness lag, a window-accounting CSV,
+a status log for cross-run dedup, and per-lot delete+insert replacement
+(reference: mastercontrol_pipeline/data_fetch_system/incremental_fetch.py:
+20-22,129-155,182-198; data_load_system/processors/file_processor.py:
+95-102). Structured Streaming absorbs all of it:
+
+  T1 tumbling window      -> F.window(ts, '6 hours')  (epoch-aligned)
+  T2 completeness lag     -> withWatermark(ts, '6 hours')
+  T3 exactly-once windows -> checkpointLocation offset log
+  T4 change capture       -> incremental file source + dropDuplicates
+  T5 cross-run dedup      -> left-anti vs audit table / dropDuplicates
+  T6 micro-batching       -> trigger(availableNow=True) / maxFilesPerTrigger
+  T7 dead-lettering       -> foreachBatch audit writes
+  T8 per-key replace      -> foreachBatch dynamic partition overwrite
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "6 hours"
+WATERMARK = "6 hours"
+
+
+def windowed_event_aggregate(events: DataFrame) -> DataFrame:
+    """The QS1 aggregation: 6-hour tumbling count/sum per event_type.
+
+    Works on both batch and streaming DataFrames (same logical plan —
+    that's the point of declaring it once).
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _events_stream(spark: SparkSession, events_path: str,
+                   schema=None) -> DataFrame:
+    """readStream over the events parquet, handling INT64(NANOS) ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if schema is None:
+        schema = spark.read.parquet(events_path).schema
+    # The streaming file source requires a *directory*. When given a
+    # single parquet file, stage a symlink to it inside a temp dir (a
+    # local-test convenience only — real deployments stream directories).
+    import os
+    import shutil
+    import tempfile
+
+    path = events_path
+    if os.path.isfile(path):
+        # deterministic staging dir so checkpoint offsets stay valid
+        import hashlib
+
+        digest = hashlib.md5(path.encode()).hexdigest()[:12]
+        staged = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
+        os.makedirs(staged, exist_ok=True)
+        link = os.path.join(staged, os.path.basename(path))
+        if not os.path.exists(link):
+            try:
+                os.symlink(path, link)
+            except OSError:
+                shutil.copy(path, link)
+        path = staged
+    stream = spark.readStream.schema(schema).parquet(path)
+    types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    if types.get("ts") == "bigint":  # INT64(NANOS) surfaced as long
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def run_incremental(spark: SparkSession, events_path: str,
+                    checkpoint_dir: str, sink_table: str = "qs1_sink",
+                    schema=None) -> DataFrame:
+    """Run QS1 in availableNow mode against a parquet events source.
+
+    Output mode `complete` re-emits closed-and-open windows each batch —
+    matching the static oracle exactly at end-of-input (append mode would
+    withhold windows newer than the final watermark). Returns the result
+    as a DataFrame read back from the in-memory sink.
+    """
+    agg = windowed_event_aggregate(_events_stream(spark, events_path, schema))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+def replace_partitions_sink(batch_df: DataFrame, target_dir: str,
+                            key_col: str = "event_type") -> None:
+    """T8 per-key replacement: dynamic partition overwrite.
+
+    The reference's delete-then-insert per lot (file_processor.py:95-102)
+    becomes an idempotent partition overwrite — re-processing a window
+    replaces exactly the partitions it owns, nothing else.
+    """
+    (
+        batch_df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(key_col)
+        .parquet(target_dir)
+    )
+
+
+def run_incremental_with_replace(spark: SparkSession, events_path: str,
+                                 checkpoint_dir: str,
+                                 target_dir: str) -> None:
+    """QS1 + T8: stream the windowed aggregate into a partitioned parquet
+    table via foreachBatch dynamic-partition overwrite (idempotent under
+    micro-batch retry)."""
+    agg = windowed_event_aggregate(_events_stream(spark, events_path))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _epoch: replace_partitions_sink(df, target_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

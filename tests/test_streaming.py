@@ -1,0 +1,76 @@
+"""Streaming semantics: QS1 vs static oracle, restart + replace idempotency."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from mc_ns_data_pipeline_spark.streaming.incremental import (
+    run_incremental,
+    run_incremental_with_replace,
+    windowed_event_aggregate,
+)
+from mc_ns_data_pipeline_spark.catalog import load_table
+from mc_ns_data_pipeline_spark.testing import canonicalize
+
+
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def test_stream_matches_static(spark, sf_dir, tmp_path):
+    """availableNow streaming result == same aggregation run as batch."""
+    sink = f"s_{uuid.uuid4().hex[:8]}"
+    streamed = run_incremental(
+        spark, _events_path(sf_dir), str(tmp_path / "ckpt"), sink_table=sink
+    )
+    static = windowed_event_aggregate(load_table(spark, sf_dir, "events"))
+    s = canonicalize(streamed.columns, [tuple(r) for r in streamed.collect()])
+    t = canonicalize(static.columns, [tuple(r) for r in static.collect()])
+    assert s == t and len(s) > 0
+
+
+def test_stream_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Re-running with the same checkpoint reprocesses nothing (T3)."""
+    ckpt = str(tmp_path / "ckpt2")
+    sink1 = f"s_{uuid.uuid4().hex[:8]}"
+    first = run_incremental(
+        spark, _events_path(sf_dir), ckpt, sink_table=sink1
+    ).collect()
+    sink2 = f"s_{uuid.uuid4().hex[:8]}"
+    second = run_incremental(
+        spark, _events_path(sf_dir), ckpt, sink_table=sink2
+    )
+    # offsets exhausted -> no new batch -> empty memory sink
+    assert second.count() == 0
+    assert len(first) > 0
+
+
+def test_replace_sink_idempotent(spark, sf_dir, tmp_path):
+    """T8: foreachBatch dynamic-partition overwrite; rerun from scratch
+    (new checkpoint) converges to the same table state."""
+    target = str(tmp_path / "sink_table")
+    run_incremental_with_replace(
+        spark, _events_path(sf_dir), str(tmp_path / "c1"), target
+    )
+    once = spark.read.parquet(target)
+    rows1 = canonicalize(once.columns, [tuple(r) for r in once.collect()])
+
+    run_incremental_with_replace(
+        spark, _events_path(sf_dir), str(tmp_path / "c2"), target
+    )
+    twice = spark.read.parquet(target)
+    rows2 = canonicalize(twice.columns, [tuple(r) for r in twice.collect()])
+    assert rows1 == rows2 and len(rows1) > 0
+    shutil.rmtree(target, ignore_errors=True)
+
+
+def test_windowed_aggregate_is_epoch_aligned(spark, sf_dir):
+    agg = windowed_event_aggregate(load_table(spark, sf_dir, "events"))
+    starts = [r[0] for r in agg.select("window_start").distinct().collect()]
+    assert all(
+        s.hour % 6 == 0 and s.minute == 0 and s.second == 0 for s in starts
+    )
