@@ -1,0 +1,81 @@
+"""Join operators — SURVEY.md §2.4 (J1-J9).
+
+All reference joins are equi-joins against tiny dimensions, so every
+join here defaults to broadcast. The interesting semantics are J4 (the
+join-failure fallback: a missing/empty dim yields '' labels instead of
+failing) and J9 (the already-processed anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_left_join(fact: DataFrame, dim: DataFrame | None,
+                        on: list[str], label_col: str,
+                        out_col: str) -> DataFrame:
+    """J1-J4: left join a (possibly missing/empty) dim; '' on miss.
+
+    Reference bulk-mode semantics (bulk_fetch.py:114-137): each level
+    falls back independently — a missing phase dim doesn't blank the
+    unit label (the incremental mode's all-or-nothing variant at
+    incremental_fetch.py:98-107 was a divergence; SURVEY.md §2.4 J4
+    resolves to per-level fallback).
+    """
+    if dim is None or not set(on) <= set(dim.columns) or label_col not in dim.columns:
+        return fact.withColumn(out_col, F.lit(""))
+    d = dim.select(*on, F.col(label_col).alias(out_col))
+    joined = fact.join(F.broadcast(d), on=on, how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+
+
+def enrich_with_structure(facts: DataFrame, unit: DataFrame | None,
+                          operation: DataFrame | None,
+                          phase: DataFrame | None) -> DataFrame:
+    """J1+J2+J3 chain: 2-, 3-, 4-key composite left joins to the
+    unit/operation/phase dims (bulk_fetch.py:115-125)."""
+    out = broadcast_left_join(
+        facts, unit, ["masterTemplateId", "unitProcedureId"], "title", "Unit"
+    )
+    out = broadcast_left_join(
+        out, operation,
+        ["masterTemplateId", "unitProcedureId", "operationId"],
+        "title", "Operation",
+    )
+    out = broadcast_left_join(
+        out, phase,
+        ["masterTemplateId", "unitProcedureId", "operationId", "phaseId"],
+        "title", "Phase",
+    )
+    return out
+
+
+def scalar_enrich(df: DataFrame, meta: DataFrame,
+                  cols: dict[str, str]) -> DataFrame:
+    """J5: attach scalar metadata (first row of a 1-row-ish dim) as columns.
+
+    The reference took `.unique()[0]` per column (bulk_fetch.py:106-109)
+    — order-sensitive. Here: deterministic min-first via a 1-row
+    broadcast cross join; multiplicity is the caller's diagnostic (A2).
+    """
+    one = meta.select(*[
+        F.min(src).alias(dst) for dst, src in cols.items()
+    ])
+    return df.crossJoin(F.broadcast(one))
+
+
+def anti_join_processed(ids: DataFrame, status_log: DataFrame,
+                        id_col: str = "production_record_id",
+                        on_col: str | None = None) -> DataFrame:
+    """J9: drop IDs already marked Success in the status log
+    (status_tracker.py:34-41 `is_already_processed`)."""
+    done = (
+        status_log.filter(F.col("status") == "Success")
+        .select(F.col(id_col).alias("_done_id"))
+        .distinct()
+    )
+    key = on_col or id_col
+    return ids.join(
+        F.broadcast(done), ids[key] == done["_done_id"], "left_anti"
+    )

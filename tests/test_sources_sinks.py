@@ -1,0 +1,137 @@
+"""Sources/sinks/operators unit tests (S1-S9, K1-K11, J9 semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mc_ns_data_pipeline_spark.operators.joins import anti_join_processed
+from mc_ns_data_pipeline_spark.operators.projections import (
+    contract_project,
+    id_range,
+)
+from mc_ns_data_pipeline_spark.sinks.files import write_per_lot, write_report
+from mc_ns_data_pipeline_spark.sources import rest
+from mc_ns_data_pipeline_spark.sources.state import (
+    last_processed_epoch,
+    read_checkpoint,
+    read_status_log,
+    write_checkpoint,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+])
+
+_PAGES = [
+    {"content": [{"id": i, "name": f"r{i}"} for i in range(1000)]},
+    {"pageResult": {"content": [{"id": 1000, "name": "r1000"}]}, "last": True},
+]
+
+
+def _fetch_page(page: int) -> dict:
+    return _PAGES[page] if page < len(_PAGES) else {"content": []}
+
+
+def test_fetch_paginated_both_shapes():
+    rows = rest.fetch_paginated(_fetch_page)
+    assert len(rows) == 1001
+    assert rows[-1] == {"id": 1000, "name": "r1000"}
+
+
+def test_fetch_retries():
+    calls = {"n": 0}
+
+    def flaky(page: int) -> dict:
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return {"content": [], "last": True}
+
+    assert rest.fetch_paginated(flaky) == []
+    assert calls["n"] == 3
+
+    def always_fails(page: int) -> dict:
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        rest.with_retries(always_fails, 0, delay_s=0.0)
+
+
+def test_fetch_distributed(spark):
+    pages = _PAGES  # captured by value (cloudpickle) for executors
+    df = rest.fetch_distributed(
+        spark, n_pages=2,
+        fetch_page=lambda p: pages[p] if p < len(pages) else {"content": []},
+        schema=SCHEMA,
+    )
+    assert df.count() == 1001
+    assert df.schema == SCHEMA
+    assert df.agg(F.max("id")).first()[0] == 1000
+
+
+def test_records_to_df_empty_and_nested(spark):
+    assert rest.records_to_df(spark, [], SCHEMA).count() == 0
+    df = rest.records_to_df(spark, [{"id": 1, "name": "x", "extra": True}], SCHEMA)
+    assert [tuple(r) for r in df.collect()] == [(1, "x")]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.json")
+    assert read_checkpoint(path) == {"last_processed_id": -1, "timestamp": None}
+    write_checkpoint(path, 42, "2026-01-01T00:00:00")
+    assert read_checkpoint(path)["last_processed_id"] == 42
+
+
+def test_status_log_fallback_and_anti_join(spark, tmp_path):
+    log = read_status_log(spark, str(tmp_path / "nope.csv"))
+    assert log.count() == 0  # empty-with-schema fallback
+    status = spark.createDataFrame(
+        [(1, "L1", "Success", ""), (2, "L2", "Fail", "err"), (3, "L3", "Success", "")],
+        "production_record_id long, lot_number string, status string, reason string",
+    )
+    ids = id_range(spark, 1, 5, "production_record_id")
+    remaining = anti_join_processed(ids, status)
+    assert sorted(r[0] for r in remaining.collect()) == [2, 4, 5]
+
+
+def test_window_log_epoch(spark, tmp_path):
+    assert last_processed_epoch(spark, str(tmp_path / "nope.csv"), 1741564801) \
+        == 1741564801
+    p = tmp_path / "win.csv"
+    p.write_text(
+        "start_datetime,end_datetime,start_epoch,end_epoch\n"
+        "a,b,100,200\nc,d,200,300\n"
+    )
+    assert last_processed_epoch(spark, str(p), 0) == 300
+
+
+def test_write_per_lot_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("L1", "x"), ("L2", "y")], "`Lot Number` string, v string"
+    )
+    out = str(tmp_path / "lots_out")
+    write_per_lot(df, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("lot_number=")}
+    assert dirs == {"lot_number=L1", "lot_number=L2"}
+
+
+def test_write_report_sanitizes(spark, tmp_path):
+    df = spark.createDataFrame([("a,b", 1)], "msg string, n int")
+    out = str(tmp_path / "report")
+    write_report([df], out)
+    files = [f for f in os.listdir(f"{out}/section_0") if f.endswith(".csv")]
+    body = open(f"{out}/section_0/{files[0]}").read()
+    assert "a;b" in body and "a,b" not in body
+
+
+def test_contract_project_padding(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    out = contract_project(df, ("a", "b", "c"), pad="")
+    assert [tuple(r) for r in out.collect()] == [("x", "", "")]
+    out_null = contract_project(df, ("a", "b"), pad=None)
+    assert [tuple(r) for r in out_null.collect()] == [("x", None)]
