@@ -29,13 +29,30 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Universal-hash family over a md5-derived base integer:
+#   sig_s(x) = (A[s] * (x % P) + B[s]) % P,  P = 2^31 - 1 (Mersenne)
+# One md5 per shingle (not one per seed) — 16× fewer digests on the hot
+# path; products stay < 2^62 so int64 arithmetic is exact and portable
+# to any SQL oracle.
+MERSENNE_P = 2_147_483_647
+HASH_A = tuple((1_103_515_245 * (s + 1)) % MERSENNE_P for s in range(N_HASHES))
+HASH_B = tuple((12_345 * (s + 1) + 7) % MERSENNE_P for s in range(N_HASHES))
 
-def _seed_hash(seed: int, c: Column) -> Column:
-    """Deterministic per-seed hash: md5('<seed>|<shingle>') (hex string).
 
-    Min over hex strings is lexicographic min — identical in any engine.
+def shingle_id(c: Column) -> Column:
+    """60-bit integer shingle id: first 15 hex chars of md5.
+
+    Oracle twin: ('0x' || substr(md5(s),1,15))::BIGINT. Collision odds at
+    2^60 are negligible for any realistic corpus partition.
     """
-    return F.md5(F.concat_ws("|", F.lit(str(seed)), c))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _seed_hash(seed: int, base: Column) -> Column:
+    """Universal hash of a shingle-id for one MinHash seed (exact int64)."""
+    return (
+        F.lit(HASH_A[seed]) * (base % F.lit(MERSENNE_P)) + F.lit(HASH_B[seed])
+    ) % F.lit(MERSENNE_P)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -59,10 +76,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def doc_shingles(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the base relation for MinHash and
-    n-gram Jaccard. Explode keeps each row small regardless of doc size."""
+    """Distinct (id, shingle-id) pairs — the base relation for MinHash
+    and n-gram Jaccard. Shingles are hashed to int64 immediately: the
+    explode/distinct/join shuffles move 8-byte keys, not strings."""
     return (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), k)).alias("sh"),
+        )
+        .select(F.col(id_col), shingle_id(F.col("sh")).alias("sh_id"))
         .distinct()
     )
 
@@ -72,7 +94,8 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
     """MinHash signature per doc: for each seed, the min seeded-md5 over
     the doc's shingles. Single hash-aggregate (one shuffle on id)."""
     mins = [
-        F.min(_seed_hash(s, F.col("sh"))).alias(f"mh{s}") for s in range(n_hashes)
+        F.min(_seed_hash(s, F.col("sh_id"))).alias(f"mh{s}")
+        for s in range(n_hashes)
     ]
     return shingled.groupBy(id_col).agg(*mins)
 
@@ -89,7 +112,10 @@ def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id",
             F.md5(
                 F.concat_ws(
                     "|",
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             ).alias("band_key"),
         )
@@ -129,7 +155,7 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
     collect_set is bounded by per-document shingle count (not corpus
     size), so rows stay small; the pair join ships only candidate docs.
     """
-    sets = shingled.groupBy(id_col).agg(F.collect_set("sh").alias("ss"))
+    sets = shingled.groupBy(id_col).agg(F.collect_set("sh_id").alias("ss"))
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("ss").alias("ss_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("ss").alias("ss_b"))
     inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
@@ -169,16 +195,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     postings = shingled
     if max_shingle_df is not None:
         small = (
-            shingled.groupBy("sh").count()
+            shingled.groupBy("sh_id").count()
             .filter(F.col("count") <= max_shingle_df)
-            .select("sh")
+            .select("sh_id")
         )
-        postings = shingled.join(small, "sh")
+        postings = shingled.join(small, "sh_id")
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = postings.select(F.col(id_col).alias("doc_a"), "sh")
-    b = postings.select(F.col(id_col).alias("doc_b"), "sh")
+    a = postings.select(F.col(id_col).alias("doc_a"), "sh_id")
+    b = postings.select(F.col(id_col).alias("doc_b"), "sh_id")
     shared = (
-        a.join(b, "sh")
+        a.join(b, "sh_id")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))

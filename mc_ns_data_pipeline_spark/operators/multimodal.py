@@ -72,6 +72,9 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode + feature extraction over binary payloads."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -249,13 +249,16 @@ _SHINGLES_CTE = f"""
                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
                       ELSE [n] END AS sl
                FROM w),
-        shx AS (SELECT DISTINCT doc_id, s FROM sh, UNNEST(sl) AS t(s))
+        shx AS (SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh_id
+                FROM sh, UNNEST(sl) AS t(s))
 """
 
 
 def _minhash_sql() -> str:
     mins = ",\n                 ".join(
-        f"min(md5('{s}|' || s)) AS mh{s}" for s in range(D.N_HASHES)
+        f"min(({a} * (sh_id % {D.MERSENNE_P}) + {b}) % {D.MERSENNE_P}) AS mh{s}"
+        for s, (a, b) in enumerate(zip(D.HASH_A, D.HASH_B))
     )
     bands = "\n            UNION ALL\n".join(
         f"            SELECT doc_id, {b} AS band_id, "
@@ -281,7 +284,7 @@ def _minhash_sql() -> str:
             SELECT p.doc_a, p.doc_b, count(*) AS sh
             FROM pairs p
             JOIN shx a ON a.doc_id = p.doc_a
-            JOIN shx b ON b.doc_id = p.doc_b AND b.s = a.s
+            JOIN shx b ON b.doc_id = p.doc_b AND b.sh_id = a.sh_id
             GROUP BY p.doc_a, p.doc_b
         )
         SELECT s.doc_a, s.doc_b,
@@ -300,7 +303,7 @@ def _ngram_sql() -> str:
         sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
         shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh
-            FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shx a JOIN shx b ON a.sh_id = b.sh_id AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT s.doc_a, s.doc_b,

@@ -33,6 +33,35 @@ _BASE_CONF: dict[str, str] = {
 }
 
 
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    Any closure shipped via mapInPandas/pandas_udf that references a
+    module-level name from this package is cloudpickled *by reference*
+    (module path), so the worker must be able to import it. When the
+    driver put the repo on sys.path manually (e.g. an external harness
+    importing `__spark_entry__`), workers spawned in another cwd can't —
+    so zip the package once and addPyFile it. Idempotent per context.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_mcns_pyfiles_added", False):
+        return
+    import shutil
+    import tempfile
+
+    import mc_ns_data_pipeline_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="mcns_pyfiles_"), "mc_ns_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zpath)
+    sc._mcns_pyfiles_added = True
+
+
 def get_spark(app_name: str = "mc_ns_data_pipeline_spark",
               master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
