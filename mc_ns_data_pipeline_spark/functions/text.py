@@ -93,16 +93,30 @@ def fingerprint_bow(c: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(c)))))
 
 
-def shingles(c: Column, k: int = 3) -> Column:
-    """Word k-gram shingles; whole normalized text when shorter than k.
+def shingles_from_words(ws: Column, k: int = 3) -> Column:
+    """Word k-gram shingles from a word-array column; the whole
+    re-joined text when shorter than k (keeps short docs dedup-able).
 
-    The k<len fallback keeps short docs dedup-able instead of dropping
-    them. Matches the DuckDB twin (1-indexed ranges) exactly.
+    `ws` MUST be a *bound column reference* (select the word array into
+    a column first), not a raw `words(text)` expression tree: Catalyst
+    does not CSE subexpressions referenced inside lambda bodies, so an
+    unbound tree re-normalizes and re-splits the full document once per
+    gram element — O(len^2) regex work per doc (~10x slowdown measured).
     """
-    w = words(c)
-    idx = F.sequence(F.lit(0), F.size(w) - k)
+    idx = F.sequence(F.lit(0), F.size(ws) - k)
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]),
+        lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(k)]),
     )
-    return F.when(F.size(w) >= k, grams).otherwise(F.array(norm_text(c)))
+    return F.when(F.size(ws) >= k, grams).otherwise(
+        F.array(F.array_join(ws, " "))
+    )
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-gram shingles straight from a text column.
+
+    Convenience/compat form; hot paths should bind `words(c)` to a
+    column and use `shingles_from_words` (see its lambda-CSE warning).
+    """
+    return shingles_from_words(words(c), k)

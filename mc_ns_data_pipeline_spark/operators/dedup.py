@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from mc_ns_data_pipeline_spark.functions.text import (
     fingerprint_full,
     norm_text,
-    shingles,
+    shingles_from_words,
+    words,
 )
 
 N_HASHES = 16
@@ -37,6 +38,23 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 MERSENNE_P = 2_147_483_647
 HASH_A = tuple((1_103_515_245 * (s + 1)) % MERSENNE_P for s in range(N_HASHES))
 HASH_B = tuple((12_345 * (s + 1) + 7) % MERSENNE_P for s in range(N_HASHES))
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a relation once and cut its lineage (localCheckpoint).
+
+    Two jobs in one: (a) self-joins and multi-consumer plans physically
+    reuse the computed blocks instead of re-running the (expensive)
+    shingle projection per consumer; (b) it is an optimizer fence — the
+    join's inferred `isnotnull`/`size>0` predicates otherwise push down
+    THROUGH the explode and collapse into the lambda-bearing projection,
+    where Catalyst does no subexpression elimination, re-evaluating the
+    full O(len^2) gram expression up to 3x per row (measured ~10x
+    slowdown). Blocks live on executors (MEMORY_AND_DISK, spill-safe);
+    on a real cluster swap for reliable checkpoint / an explicit parquet
+    stage if executor loss matters.
+    """
+    return df.localCheckpoint(eager=False)
 
 
 def shingle_id(c: Column) -> Column:
@@ -74,30 +92,54 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct (id, shingle-id) pairs — the base relation for MinHash
-    and n-gram Jaccard. Shingles are hashed to int64 immediately: the
-    explode/distinct/join shuffles move 8-byte keys, not strings."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), k)).alias("sh"),
-        )
-        .select(F.col(id_col), shingle_id(F.col("sh")).alias("sh_id"))
-        .distinct()
+def doc_shingle_sets(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, sh_ids array<long>) — one row per doc, map-only.
+
+    A document's shingle set depends only on that document, so it is
+    computed entirely within the row (transform + array_distinct) — no
+    explode, no shuffle. At 100 TB this is the difference between a
+    map-only stage and a corpus-wide exchange. The word array is bound
+    to a real column before the gram transform (lambda-CSE hazard — see
+    `shingles_from_words`).
+    """
+    bound = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+    grams = shingles_from_words(F.col("_ws"), k)
+    return bound.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(grams, shingle_id)).alias("sh_ids"),
     )
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+def doc_shingles(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle-id) pairs — the inverted-index base relation.
+
+    Dedup happens row-locally (array_distinct) before the explode, so no
+    corpus-wide distinct shuffle is ever needed; rows carry 8-byte keys.
+    """
+    return doc_shingle_sets(df, text_col, id_col, k).select(
+        F.col(id_col), F.explode("sh_ids").alias("sh_id")
+    )
+
+
+def minhash_signatures(sets: DataFrame, id_col: str = "doc_id",
                        n_hashes: int = N_HASHES) -> DataFrame:
-    """MinHash signature per doc: for each seed, the min seeded-md5 over
-    the doc's shingles. Single hash-aggregate (one shuffle on id)."""
+    """MinHash signature per doc from its row-local shingle set.
+
+    Each seed's signature is array_min over the universal-hashed set —
+    a pure projection; the whole signature stage is map-only (the
+    reference-scale alternative, explode + groupBy, shuffles the entire
+    shingle relation just to come back to one row per doc).
+    """
+    def seeded(s: int):
+        return lambda x: _seed_hash(s, x)
+
     mins = [
-        F.min(_seed_hash(s, F.col("sh_id"))).alias(f"mh{s}")
+        F.array_min(F.transform(F.col("sh_ids"), seeded(s))).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*mins)
+    return sets.select(F.col(id_col), *mins)
 
 
 def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id",
@@ -147,17 +189,17 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
+def jaccard_verify(pairs: DataFrame, sets: DataFrame,
                    id_col: str = "doc_id",
                    threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard for candidate pairs via per-doc shingle sets.
+    """Exact Jaccard for candidate pairs via per-doc shingle-set arrays.
 
-    collect_set is bounded by per-document shingle count (not corpus
-    size), so rows stay small; the pair join ships only candidate docs.
+    `sets` is the map-only (id, sh_ids) relation; rows are bounded by
+    per-document shingle count, and with AQE the small candidate-pair
+    side broadcasts at runtime.
     """
-    sets = shingled.groupBy(id_col).agg(F.collect_set("sh_id").alias("ss"))
-    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("ss").alias("ss_a"))
-    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("ss").alias("ss_b"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_ids").alias("ss_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_ids").alias("ss_b"))
     inter = F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
     union = (F.size("ss_a") + F.size("ss_b")).cast("double") - inter
     return (
@@ -171,11 +213,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
-    bucket-join -> exact-verify."""
-    shingled = doc_shingles(df, text_col, id_col)
-    sig = minhash_signatures(shingled, id_col)
+    bucket-join -> exact-verify. Shingling and signing are map-only;
+    the only shuffles are the band bucket-join and the pair verify.
+    The shingle-set relation is materialized once and shared by the
+    signature and verify stages (see _materialize)."""
+    sets = _materialize(doc_shingle_sets(df, text_col, id_col))
+    sig = minhash_signatures(sets, id_col)
     pairs = lsh_candidate_pairs(lsh_band_keys(sig, id_col), id_col)
-    return jaccard_verify(pairs, shingled, id_col, threshold).orderBy(
+    return jaccard_verify(pairs, sets, id_col, threshold).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -190,32 +235,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     complexity follows posting-list sizes. `max_shingle_df` caps hot
     postings (frequent-shingle filtering) to keep the join skew-free at
     corpus scale; None = exact.
+
+    Per-doc set sizes ride along as an int column through the join (the
+    size is just array length — map-only), so no sizes relation and no
+    post-join enrichment joins are needed.
     """
-    shingled = doc_shingles(df, text_col, id_col)
-    postings = shingled
+    sets = doc_shingle_sets(df, text_col, id_col, k=3)
+    # explode_outer, not explode: a plain explode makes Catalyst infer a
+    # `size(sh_ids)>0 AND isnotnull(sh_ids)` filter below the Generate,
+    # which re-evaluates the whole gram expression on raw text (twice).
+    # sh_ids is never empty, so outer semantics only admits NULL rows
+    # for NULL text — dropped right after the checkpoint, where the
+    # filter runs against materialized longs instead.
+    postings = _materialize(
+        sets.select(
+            F.col(id_col),
+            F.size("sh_ids").alias("n"),
+            F.explode_outer("sh_ids").alias("sh_id"),
+        )
+    ).filter(F.col("sh_id").isNotNull())
     if max_shingle_df is not None:
         small = (
-            shingled.groupBy("sh_id").count()
+            postings.groupBy("sh_id").count()
             .filter(F.col("count") <= max_shingle_df)
             .select("sh_id")
         )
-        postings = shingled.join(small, "sh_id")
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = postings.select(F.col(id_col).alias("doc_a"), "sh_id")
-    b = postings.select(F.col(id_col).alias("doc_b"), "sh_id")
+        postings = postings.join(small, "sh_id")
+    a = postings.select(
+        F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "sh_id"
+    )
+    b = postings.select(
+        F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "sh_id"
+    )
     shared = (
         a.join(b, "sh_id")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("shared").cast("double") / (
         (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
     )
     return (
-        shared.join(na, "doc_a").join(nb, "doc_b")
+        shared
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
@@ -228,26 +290,53 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
     Per-word hash = md5(word); bit b of the hash is extracted from hex
     nibble b//4 (bit b%4, LSB-first) — pure string/arithmetic ops an SQL
-    oracle can mirror. Word multiplicity is the weight. One explode +
-    one aggregate.
+    oracle can mirror. Word multiplicity is the weight.
+
+    Entirely map-only: a document's signature depends only on its own
+    words, so per-word hashes (one md5 pass) and the bit-sums are
+    computed inside the row — no explode, no shuffle (the naive shape
+    shuffles every word in the corpus).
+
+    All `bits` sums live in ONE aggregate with an array<int> accumulator
+    (zip_with add of a per-word ±1 vector) rather than `bits` separate
+    aggregate expressions: 64 large near-identical trees cost ~7 s of
+    one-time plan/codegen work per query shape and ~10x steady-state
+    throughput (measured); one compact lambda costs neither.
     """
-    w = df.select(
+    hashed = df.select(
         F.col(id_col),
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("w"),
-    ).withColumn("h", F.md5(F.col("w")))
+        F.transform(
+            F.split(norm_text(F.col(text_col)), " "), F.md5
+        ).alias("_hs"),
+    )
 
-    def bit(b: int) -> Column:
-        # nibble value of hex char b//4 (1-indexed substring), LSB-first bit b%4
-        nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), 1 + b // 4, 1)) - 1
-        return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+    def contrib(h: Column) -> Column:
+        # hex digest -> nibble values -> LSB-first ±1 bit contributions
+        nibs = F.transform(
+            F.sequence(F.lit(1), F.lit(bits // 4)),
+            lambda i: F.instr(
+                F.lit("0123456789abcdef"), F.substring(h, i, F.lit(1))
+            ) - 1,
+        )
+        return F.flatten(
+            F.transform(
+                nibs,
+                lambda nib: F.array(*[
+                    F.shiftright(nib, j).bitwiseAND(F.lit(1)) * 2 - 1
+                    for j in range(4)
+                ]),
+            )
+        )
 
-    sums = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    agg = w.groupBy(id_col).agg(*sums)
+    sums = F.aggregate(
+        F.col("_hs"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda x, y: x + y),
+    )
+    agg = hashed.select(F.col(id_col), sums.alias("_s"))
     bitchars = [
-        F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.element_at(F.col("_s"), b + 1) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
         for b in range(bits)
     ]
     return agg.select(F.col(id_col), F.concat(*bitchars).alias("simhash"))
