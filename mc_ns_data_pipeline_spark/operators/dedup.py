@@ -353,6 +353,22 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
     """
     bits = 64
     block = bits // n_blocks
+    # Two consumers of the signature relation (band sides + verify sides)
+    # -> compute once. Hamming is bit_count(xor) over two 32-bit halves
+    # (conv base-2) — pure codegen'd integer ops, ~100x cheaper per pair
+    # than the per-character compare it replaces.
+    halves = _materialize(
+        sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.conv(F.substring("simhash", 1, 32), 2, 10)
+            .cast("long")
+            .alias("h_hi"),
+            F.conv(F.substring("simhash", 33, 32), 2, 10)
+            .cast("long")
+            .alias("h_lo"),
+        )
+    )
     blocks = F.array(*[
         F.struct(
             F.lit(i).alias("block_id"),
@@ -360,7 +376,7 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
         )
         for i in range(n_blocks)
     ])
-    long_ = sig.select(
+    long_ = halves.select(
         F.col(id_col), F.explode(blocks).alias("b")
     ).select(id_col, "b.block_id", "b.block_key")
     a = long_.select(F.col(id_col).alias("doc_a"), "block_id", "block_key")
@@ -371,14 +387,20 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("h_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("h_b"))
-    hamming = F.expr(
-        f"size(filter(sequence(1, {bits}), i -> substr(h_a, i, 1) <> substr(h_b, i, 1)))"
+    sa = halves.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("h_hi").alias("hi_a"), F.col("h_lo").alias("lo_a"),
     )
+    sb = halves.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("h_hi").alias("hi_b"), F.col("h_lo").alias("lo_b"),
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )

@@ -110,3 +110,67 @@ def resize_spec(df: DataFrame, max_side: int = 64) -> DataFrame:
 def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end: attach payload -> decode -> resize spec."""
     return resize_spec(decode_media(attach_binary_payload(df)))
+
+
+FRAME_FEATURE_DIM = 4
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame_features", T.ArrayType(T.FloatType()), True),
+])
+
+
+def _probe_video_stub(payload: bytes) -> int:
+    """Deterministic fake container probe: frame count from byte length.
+
+    Production swap-point: ffprobe/pyav stream inspection.
+    """
+    return (len(payload) % 241) + 1
+
+
+def _decode_frame_stub(payload: bytes, idx: int) -> list[float]:
+    """Deterministic fake frame decode: features from strided byte sums.
+
+    Production swap-point: pyav seek + decode + model features.
+    """
+    return [
+        float(sum(payload[(idx + i) :: FRAME_FEATURE_DIM]) % 1000) / 1000.0
+        for i in range(FRAME_FEATURE_DIM)
+    ]
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  every_n: int = 10, fps: float = 30.0) -> DataFrame:
+    """Sample every Nth frame of video payloads; one row per kept frame.
+
+    Arrow-batched mapInPandas: the batch yields a variable number of
+    output rows per input row (frame explosion happens executor-side,
+    never through the driver). Timestamps assume constant `fps` — the
+    stub contract; a real decoder would read PTS per frame. Output rows
+    carry fixed-length feature vectors so downstream similarity/dedup
+    operators apply unchanged to frames.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    ms_per_frame = 1000.0 / fps
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, feats = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for fi in range(0, _probe_video_stub(payload), every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    tss.append(int(fi * ms_per_frame))
+                    feats.append(_decode_frame_stub(payload, fi))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "ts_ms": pd.Series(tss, dtype="int64"),
+                "frame_features": feats,
+            })
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

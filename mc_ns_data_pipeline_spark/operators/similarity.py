@@ -141,6 +141,84 @@ def cosine_topk_lsh(emb: DataFrame, query_pred: Column, k: int = 3,
     )
 
 
+def ivf_topk(emb: DataFrame, query_pred: Column, k: int = 3,
+             n_centroids: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN top-k: coarse centroids -> cluster assignment ->
+    probe the query's nearest `n_probe` clusters -> exact re-rank.
+
+    Centroids are deterministic (the vectors with id < n_centroids — a
+    stand-in for a trained codebook; swap in k-means output without
+    changing the dataflow). They are collected (tiny: n_centroids × d
+    doubles) and inlined as literals, so cluster assignment is a pure
+    map-only expression over the corpus — no shuffle, no join — exactly
+    how an IVF build should look on a 1000-executor cluster. The only
+    shuffles are the candidates join (keyed by cluster id, fan-out
+    bounded by cluster sizes) and the final per-query top-k window.
+
+    Ties everywhere break toward the lower id for cross-engine
+    determinism (cosines rounded to 6 decimals first).
+    """
+    base = with_norm(emb, vec_col)
+    cent_rows = (
+        base.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), "_v", "_norm")
+        .collect()
+    )
+    # struct(cos, -cent_id): array_max/sort_array order lexicographically,
+    # so max == highest cosine, ties -> highest -cent_id == lowest cent_id.
+    scored = F.array(*[
+        F.struct(
+            F.round(
+                dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]]))
+                / (F.col("_norm") * F.lit(float(r["_norm"]))),
+                6,
+            ).alias("cos"),
+            F.lit(-int(r["cent_id"])).alias("neg_cent_id"),
+        )
+        for r in cent_rows
+    ])
+    with_best = base.select(
+        F.col(id_col), F.col("_v"), F.col("_norm"),
+        F.sort_array(scored, asc=False).alias("_ranked"),
+    )
+    assign = with_best.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+        (-F.col("_ranked")[0]["neg_cent_id"]).alias("cent_id"),
+    )
+    probes = (
+        with_best.filter(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("q_v"),
+            F.col("_norm").alias("q_norm"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_ranked"), 1, n_probe),
+                    lambda s: -s["neg_cent_id"],
+                )
+            ).alias("cent_id"),
+        )
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos_r.alias("cos_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.4,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -176,6 +176,34 @@ def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features(docs)
 
 
+def x13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 coarse centroids, probe 2 clusters, exact re-rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, F.col("vec_id") < 20, k=3, n_centroids=16, n_probe=2
+    )
+
+
+def x14_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole block join + exact Hamming."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        D.simhash_signatures(docs), max_hamming=3, n_blocks=4
+    )
+
+
+def x15_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample plumbing (stubbed codec) — rows-only check:
+    variable-fanout mapInPandas isn't SQL-expressible in DuckDB."""
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -189,6 +217,9 @@ EXT_QUERIES = {
     "x10_ann_cosine_lsh": x10_ann_cosine_lsh,
     "x11_embed_neardup": x11_embed_neardup,
     "x12_multimodal_features": x12_multimodal_features,
+    "x13_ann_ivf": x13_ann_ivf,
+    "x14_simhash_neardup": x14_simhash_neardup,
+    "x15_multimodal_frames": x15_multimodal_frames,
     "xs1_stream_tumbling": xs1_stream_tumbling,
 }
 
@@ -316,7 +347,7 @@ def _ngram_sql() -> str:
     """
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
     sums = ",\n                ".join(
         f"sum(CASE WHEN ((instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
         f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -326,13 +357,65 @@ def _simhash_sql() -> str:
         f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(64)
     )
     return f"""
-        WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+        norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
         wx AS (SELECT doc_id, md5(s) AS h
                FROM norm, UNNEST(string_split(n, ' ')) AS t(s)),
         agg AS (SELECT doc_id,
                 {sums}
-                FROM wx GROUP BY doc_id)
-        SELECT doc_id, concat({bits}) AS simhash FROM agg
+                FROM wx GROUP BY doc_id),
+        sig AS (SELECT doc_id, concat({bits}) AS simhash FROM agg)
+    """
+
+
+def _simhash_sql() -> str:
+    return f"""
+        WITH {_simhash_cte()}
+        SELECT doc_id, simhash FROM sig
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, n_blocks: int = 4) -> str:
+    block = 64 // n_blocks
+    vals = ", ".join(f"({i})" for i in range(n_blocks))
+    hi = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (31 - b)}"
+        for b in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN s{32 + j} >= 0 THEN 1 ELSE 0 END)::BIGINT * {1 << (31 - j)}"
+        for j in range(32)
+    )
+    return f"""
+        WITH {_simhash_cte()},
+        halves AS (
+            SELECT a.doc_id, s.simhash,
+                   {hi} AS h_hi,
+                   {lo} AS h_lo
+            FROM agg a JOIN sig s ON s.doc_id = a.doc_id
+        ),
+        blocks AS (
+            SELECT doc_id, b AS block_id,
+                   substr(simhash, b * {block} + 1, {block}) AS block_key
+            FROM halves, (VALUES {vals}) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocks a JOIN blocks b
+              ON a.block_id = b.block_id AND a.block_key = b.block_key
+             AND a.doc_id < b.doc_id
+        ),
+        ham AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(sa.h_hi, sb.h_hi))
+                        + bit_count(xor(sa.h_lo, sb.h_lo)) AS INTEGER)
+                       AS hamming
+            FROM cand c
+            JOIN halves sa ON sa.doc_id = c.doc_a
+            JOIN halves sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= {max_hamming}
+        ORDER BY doc_a, doc_b
     """
 
 
@@ -390,6 +473,43 @@ def _ann_lsh_sql() -> str:
               FROM p)
         SELECT query_id, neighbor_id, cos_r, rank
         FROM r WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
+
+
+def _ann_ivf_sql(k: int = 3, n_centroids: int = 16, n_probe: int = 2) -> str:
+    return f"""
+        WITH {_EMB_NORM_CTE},
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nv AS cnv
+                  FROM n WHERE vec_id < {n_centroids}),
+        scored0 AS (
+            SELECT n.vec_id, n.v, n.nv, c.cent_id,
+                   round(list_inner_product(n.v, c.cv) / (n.nv * c.cnv), 6)
+                       AS ccos
+            FROM n, cents c
+        ),
+        scored AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+            FROM scored0
+        ),
+        assign AS (SELECT vec_id AS neighbor_id, v AS c_v, nv AS c_nv, cent_id
+                   FROM scored WHERE crank = 1),
+        probes AS (SELECT vec_id AS query_id, v AS q_v, nv AS q_nv, cent_id
+                   FROM scored WHERE vec_id < 20 AND crank <= {n_probe}),
+        p AS (
+            SELECT pr.query_id, a.neighbor_id,
+                   round(list_inner_product(pr.q_v, a.c_v)
+                         / (pr.q_nv * a.c_nv), 6) AS cos_r
+            FROM probes pr JOIN assign a
+              ON pr.cent_id = a.cent_id AND a.neighbor_id <> pr.query_id
+        ),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+              FROM p)
+        SELECT query_id, neighbor_id, cos_r, rank
+        FROM r WHERE rank <= {k}
         ORDER BY query_id, rank
     """
 
@@ -471,6 +591,8 @@ EXT_ORACLES: dict[str, str] = {
     "x09_ann_cosine_topk": _ann_topk_sql(),
     "x10_ann_cosine_lsh": _ann_lsh_sql(),
     "x11_embed_neardup": _neardup_sql(),
+    "x13_ann_ivf": _ann_ivf_sql(),
+    "x14_simhash_neardup": _simhash_pairs_sql(),
     # xs1: static twin of the streaming tumbling-window aggregate.
     # time_bucket's epoch origin is 21600s-aligned, matching F.window.
     "xs1_stream_tumbling": """
