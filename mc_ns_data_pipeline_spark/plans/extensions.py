@@ -165,6 +165,44 @@ def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS2 — custom stateful operator (applyInPandasWithState).
+
+    Per-user running (count, max ts) state updated per micro-batch;
+    emissions are monotone so the final reduced state equals the static
+    per-user aggregate regardless of batching (module contract in
+    streaming/stateful.py).
+    """
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_stateful_user_activity,
+    )
+
+    sink = f"xs2_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs2_ckpt_")
+    return run_stateful_user_activity(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
+def xs3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS3 — streaming dropDuplicates (T5 cross-run dedup) + rollup."""
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_stream_dedup,
+    )
+
+    sink = f"xs3_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs3_ckpt_")
+    return run_stream_dedup(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
 def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload decode plumbing (stubbed codec) — rows-only check:
     mapInPandas output isn't SQL-expressible in DuckDB."""
@@ -221,6 +259,8 @@ EXT_QUERIES = {
     "x14_simhash_neardup": x14_simhash_neardup,
     "x15_multimodal_frames": x15_multimodal_frames,
     "xs1_stream_tumbling": xs1_stream_tumbling,
+    "xs2_stream_stateful": xs2_stream_stateful,
+    "xs3_stream_dedup": xs3_stream_dedup,
 }
 
 # ---------------------------------------------------------------------------
@@ -602,5 +642,20 @@ EXT_ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    # xs2: static twin of the stateful per-user running aggregate — the
+    # final state after end-of-input equals the batch answer (monotone
+    # emission contract, streaming/stateful.py).
+    "xs2_stream_stateful": """
+        SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    """,
+    # xs3: static twin of streaming dropDuplicates + rollup.
+    "xs3_stream_dedup": """
+        SELECT event_type, count(*) AS n_unique_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }
