@@ -404,3 +404,59 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id),
+    cluster_id = min doc id reachable through the pair graph.
+
+    The canonical last step of a dedup pipeline — near-dup PAIRS must
+    become GROUPS before one representative per group can be kept.
+    Iterative min-label propagation: each round every node adopts the
+    min label among itself and its neighbors; converges in O(graph
+    diameter) rounds (near-dup clusters are near-cliques, so 2-3 rounds
+    in practice). Each round is one keyed join + aggregate;
+    localCheckpoint truncates the growing lineage (the classic iterative
+    -algorithm-on-Spark requirement) and bounds replanning cost. Early
+    exit on a converged round; `max_iter` caps pathological chains.
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("doc_a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["doc_b"] == labels["id"])
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["id"] == nb_min["doc_a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nb_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -79,3 +79,32 @@ def anti_join_processed(ids: DataFrame, status_log: DataFrame,
     return ids.join(
         F.broadcast(done), ids[key] == done["_done_id"], "left_anti"
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: explode the small side across salt buckets.
+
+    A hash-partitioned join puts every row of a hot key on one reducer;
+    at corpus scale one key can stall a stage for hours. Salting splits
+    each big-side key across `salt_buckets` reducers (deterministic
+    pmod of the row hash) and replicates the small side once per bucket,
+    so the join key becomes (key, salt) and hot keys parallelize.
+    Complements AQE skew-join (which splits oversized partitions but not
+    a single oversized key-group inside a sort-merge join).
+
+    The small side grows `salt_buckets`x — keep it the dimension side.
+    Result equals the unsalted join (tested property).
+    """
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return (
+        big_s.join(small_s, [key, "_salt"], how)
+        .drop("_salt")
+    )

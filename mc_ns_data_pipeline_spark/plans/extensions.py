@@ -165,6 +165,17 @@ def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate groups (connected components).
+
+    MinHash+LSH pairs (x06) fed through iterative min-label propagation;
+    cluster_id = min doc_id of the component.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    return D.duplicate_clusters(pairs)
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -258,6 +269,7 @@ EXT_QUERIES = {
     "x13_ann_ivf": x13_ann_ivf,
     "x14_simhash_neardup": x14_simhash_neardup,
     "x15_multimodal_frames": x15_multimodal_frames,
+    "x16_dedup_clusters": x16_dedup_clusters,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
@@ -326,7 +338,8 @@ _SHINGLES_CTE = f"""
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_body() -> str:
+    """Shared CTE chain ending in `mh_pairs` (verified >= 0.5 pairs)."""
     mins = ",\n                 ".join(
         f"min(({a} * (sh_id % {D.MERSENNE_P}) + {b}) % {D.MERSENNE_P}) AS mh{s}"
         for s, (a, b) in enumerate(zip(D.HASH_A, D.HASH_B))
@@ -336,8 +349,7 @@ def _minhash_sql() -> str:
         f"md5(concat_ws('|', mh{b*4}, mh{b*4+1}, mh{b*4+2}, mh{b*4+3})) AS band_key FROM sig"
         for b in range(D.N_BANDS)
     )
-    return f"""
-        WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
         sig AS (SELECT doc_id,
                  {mins}
                 FROM shx GROUP BY doc_id),
@@ -357,14 +369,45 @@ def _minhash_sql() -> str:
             JOIN shx a ON a.doc_id = p.doc_a
             JOIN shx b ON b.doc_id = p.doc_b AND b.sh_id = a.sh_id
             GROUP BY p.doc_a, p.doc_b
-        )
-        SELECT s.doc_a, s.doc_b,
-               CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) AS jaccard
-        FROM shared s
-        JOIN sizes na ON s.doc_a = na.doc_id
-        JOIN sizes nb ON s.doc_b = nb.doc_id
-        WHERE CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) >= 0.5
+        ),
+        mh_pairs AS (
+            SELECT s.doc_a, s.doc_b,
+                   CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) AS jaccard
+            FROM shared s
+            JOIN sizes na ON s.doc_a = na.doc_id
+            JOIN sizes nb ON s.doc_b = nb.doc_id
+            WHERE CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) >= 0.5
+        )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+        WITH {_minhash_body()}
+        SELECT doc_a, doc_b, jaccard FROM mh_pairs
         ORDER BY doc_a, doc_b
+    """
+
+
+def _clusters_sql() -> str:
+    """Connected components over mh_pairs via recursive reachability;
+    cluster_id = min reachable doc id (mirrors min-label propagation to
+    convergence)."""
+    return f"""
+        WITH RECURSIVE {_minhash_body()},
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM sym),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY id
+        ORDER BY doc_id
     """
 
 
@@ -633,6 +676,7 @@ EXT_ORACLES: dict[str, str] = {
     "x11_embed_neardup": _neardup_sql(),
     "x13_ann_ivf": _ann_ivf_sql(),
     "x14_simhash_neardup": _simhash_pairs_sql(),
+    "x16_dedup_clusters": _clusters_sql(),
     # xs1: static twin of the streaming tumbling-window aggregate.
     # time_bucket's epoch origin is 21600s-aligned, matching F.window.
     "xs1_stream_tumbling": """

@@ -61,3 +61,21 @@ def test_strip_suffix(spark):
 def test_window_start_6h_alignment(spark):
     v = _one(spark, S.window_start_6h(F.to_timestamp(F.lit("2024-01-01 07:30:00"))))
     assert str(v) == "2024-01-01 06:00:00"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change join results, only key distribution."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    salted = salted_join(li, part, "l_partkey", salt_buckets=4)
+    plain = li.join(part, "l_partkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
