@@ -1,0 +1,78 @@
+"""K9/K10 warehouse DDL + S6 JDBC reader construction."""
+
+from __future__ import annotations
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sources.jdbc import (
+    JdbcPartitioning,
+    jdbc_options,
+    jdbc_reader,
+)
+from mc_ns_data_pipeline_spark.warehouse import create_warehouse, insert_select
+
+
+def test_jdbc_query_pushdown_options():
+    opts = jdbc_options("jdbc:postgresql://h/db", "SELECT a FROM t WHERE x=1")
+    assert opts["query"] == "SELECT a FROM t WHERE x=1"
+    assert opts["fetchsize"] == "10000"
+    assert "dbtable" not in opts
+
+
+def test_jdbc_partitioned_scan_options():
+    opts = jdbc_options(
+        "jdbc:postgresql://h/db",
+        "SELECT id, v FROM t",
+        properties={"user": "u"},
+        partitioning=JdbcPartitioning("id", 0, 60_000, 32),
+    )
+    # query + partitioning must be presented as a dbtable subquery
+    assert opts["dbtable"] == "(SELECT id, v FROM t) src"
+    assert "query" not in opts
+    assert opts["numPartitions"] == "32"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "60000"
+    assert opts["user"] == "u"
+
+
+def test_jdbc_reader_is_lazy(spark):
+    # building the reader must not touch the (absent) driver/network
+    jdbc_reader(spark, "jdbc:postgresql://h/db", "SELECT 1")
+
+
+@pytest.fixture()
+def warehouse_db(spark, tmp_path):
+    db = "wh_test"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path / 'wh'}'"
+    )
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_create_warehouse_idempotent(spark, warehouse_db):
+    create_warehouse(spark, warehouse_db)
+    create_warehouse(spark, warehouse_db)  # IF NOT EXISTS: no error
+    tables = {
+        r.tableName for r in spark.sql(f"SHOW TABLES IN {warehouse_db}").collect()
+    }
+    assert {"lots", "lot_data", "file_processing_history"} <= tables
+
+
+def test_insert_select_enrichment(spark, warehouse_db):
+    create_warehouse(spark, warehouse_db)
+    spark.sql(
+        "SELECT 'L1' AS lot_number, 'tmpl' AS product_name, 'P1' AS product_id,"
+        " 'ok' AS status, current_timestamp() AS created_at,"
+        " current_timestamp() AS last_updated"
+    ).createOrReplaceTempView("staged_lots")
+    insert_select(
+        spark, f"{warehouse_db}.lots", "SELECT * FROM staged_lots"
+    )
+    assert spark.table(f"{warehouse_db}.lots").count() == 1
+    # K8 full refresh: INSERT OVERWRITE replaces, not appends
+    insert_select(
+        spark, f"{warehouse_db}.lots", "SELECT * FROM staged_lots",
+        overwrite=True,
+    )
+    assert spark.table(f"{warehouse_db}.lots").count() == 1
