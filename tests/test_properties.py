@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): Spark scalar expressions vs pure
+Python reference implementations over generated batches.
+
+Each property evaluates ONE Spark job per hypothesis example (the whole
+generated batch rides in a single DataFrame), keeping runtime sane while
+still exploring edge cases — DST boundaries, empty strings, sentinel
+values, unicode.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+from zoneinfo import ZoneInfo
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mc_ns_data_pipeline_spark.functions import scalar as S
+
+SETTINGS = settings(max_examples=12, deadline=None)
+
+UTC = ZoneInfo("UTC")
+EASTERN = ZoneInfo("America/New_York")
+
+
+def _py_format_eastern(ts: dt.datetime) -> str:
+    local = ts.replace(tzinfo=UTC).astimezone(EASTERN)
+    # non-zero-padded M/D/YYYY H:MM (reference utils.py:29)
+    return (
+        f"{local.month}/{local.day}/{local.year} "
+        f"{local.hour}:{local.minute:02d}"
+    )
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1990, 1, 1),
+            max_value=dt.datetime(2035, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_format_eastern_matches_zoneinfo(spark, timestamps):
+    """F1 must agree with Python zoneinfo across DST boundaries."""
+    df = spark.createDataFrame([(t,) for t in timestamps], "ts timestamp")
+    got = [r[0] for r in df.select(S.format_eastern(F.col("ts"))).collect()]
+    want = [_py_format_eastern(t) for t in timestamps]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(st.none(), st.integers(-10**6, 10**6)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_md5_row_hash_matches_hashlib(spark, rows):
+    """F6 null contract: NULL==''; digest byte-equal to hashlib."""
+    df = spark.createDataFrame(rows, "a string, b string, c long")
+    got = [
+        r[0]
+        for r in df.select(
+            S.md5_row_hash(F.col("a"), F.col("b"), F.col("c"))
+        ).collect()
+    ]
+    want = [
+        hashlib.md5(
+            "|".join(
+                "" if v is None else str(v) for v in (a, b, c)
+            ).encode()
+        ).hexdigest()
+        for a, b, c in rows
+    ]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=10), st.integers(-10**5, 10**5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_conditional_concat_matches_reference_rule(spark, rows):
+    """F2: label unchanged when label=='0' or iteration is the sentinel."""
+    rows = [(label, it) for label, it in rows]
+    df = spark.createDataFrame(rows, "label string, it int")
+    got = [
+        r[0]
+        for r in df.select(
+            S.conditional_concat(F.col("label"), F.col("it"))
+        ).collect()
+    ]
+    want = [
+        label if (label == "0" or it == S.ITERATION_SENTINEL)
+        else f"{label} - {it}"
+        for label, it in rows
+    ]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(max_size=30), min_size=1, max_size=40),
+    st.text(min_size=1, max_size=5),
+)
+def test_strip_suffix_property(spark, values, suffix):
+    """F10: endswith -> stripped; otherwise unchanged."""
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [
+        r[0] for r in df.select(S.strip_suffix(F.col("v"), suffix)).collect()
+    ]
+    want = [
+        v[: len(v) - len(suffix)] if v.endswith(suffix) else v for v in values
+    ]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=dt.datetime(2020, 1, 1),
+            max_value=dt.datetime(2030, 1, 1),
+        ).map(lambda d: d.replace(microsecond=0)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_window_start_6h_alignment_property(spark, timestamps):
+    """F8: window start is the greatest 6h-aligned epoch <= ts."""
+    df = spark.createDataFrame([(t,) for t in timestamps], "ts timestamp")
+    got = [
+        r[0] for r in df.select(S.window_start_6h(F.col("ts"))).collect()
+    ]
+    for ts, start in zip(timestamps, got):
+        epoch = ts.replace(tzinfo=UTC).timestamp()
+        want_epoch = (int(epoch) // 21600) * 21600
+        assert start.replace(tzinfo=UTC).timestamp() == want_epoch
