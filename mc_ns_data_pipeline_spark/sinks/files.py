@@ -51,3 +51,36 @@ def write_report(sections: list[DataFrame], out_dir: str) -> None:
         safe.coalesce(1).write.mode("overwrite").option("header", True).csv(
             f"{out_dir}/section_{i}"
         )
+
+
+def archive_processed(src_path: str, processed_dir: str, archive_root: str,
+                      *, delete_original: bool = False,
+                      now: "datetime | None" = None) -> tuple[str, str]:
+    """K12: post-batch archival bookkeeping (file_utils.py:19-45).
+
+    Copy the processed file into `processed_dir`, copy a timestamped
+    duplicate into a dated archive directory (`archive_root/YYYY-MM-DD/
+    name.HHMMSS.ext`), and optionally delete the original (the
+    reference's incremental mode). Driver-side filesystem bookkeeping,
+    not a relational op — in production this runs inside foreachBatch.
+    Returns (processed_path, archive_path).
+    """
+    import os
+    import shutil
+    from datetime import datetime
+
+    ts = now or datetime.now()
+    os.makedirs(processed_dir, exist_ok=True)
+    dated = os.path.join(archive_root, ts.strftime("%Y-%m-%d"))
+    os.makedirs(dated, exist_ok=True)
+    name = os.path.basename(src_path)
+    stem, ext = os.path.splitext(name)
+    processed_path = os.path.join(processed_dir, name)
+    archive_path = os.path.join(
+        dated, f"{stem}.{ts.strftime('%H%M%S')}{ext}"
+    )
+    shutil.copy2(src_path, processed_path)
+    shutil.copy2(src_path, archive_path)
+    if delete_original:
+        os.remove(src_path)
+    return processed_path, archive_path

@@ -135,3 +135,21 @@ def test_contract_project_padding(spark):
     assert [tuple(r) for r in out.collect()] == [("x", "", "")]
     out_null = contract_project(df, ("a", "b"), pad=None)
     assert [tuple(r) for r in out_null.collect()] == [("x", None)]
+
+
+def test_archive_processed_bookkeeping(tmp_path):
+    """K12: processed copy + dated archive copy + optional delete."""
+    from datetime import datetime
+
+    from mc_ns_data_pipeline_spark.sinks.files import archive_processed
+
+    src = tmp_path / "LOT-1.csv"
+    src.write_text("a,b\n1,2\n")
+    when = datetime(2026, 8, 13, 12, 34, 56)
+    processed, archived = archive_processed(
+        str(src), str(tmp_path / "processed"), str(tmp_path / "archive"),
+        delete_original=True, now=when,
+    )
+    assert (tmp_path / "processed" / "LOT-1.csv").read_text().startswith("a,b")
+    assert archived.endswith("archive/2026-08-13/LOT-1.123456.csv")
+    assert not src.exists()
