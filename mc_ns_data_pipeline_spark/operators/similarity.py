@@ -251,9 +251,9 @@ def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.4,
         norms = np.sqrt((m * m).sum(axis=1))
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy()
-            a = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            # vstack over the arrow-backed arrays: one C-level copy, no
+            # per-row python conversion loop
+            a = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a * a).sum(axis=1))
             cos = (a @ m.T) / np.outer(a_norms, norms)
             cos = np.round(cos, 6)
@@ -278,9 +278,7 @@ def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
 
     pdf = emb.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    mat = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-    )
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
 
 

@@ -1,0 +1,66 @@
+"""Data-quality gate + dead-letter policy — SURVEY.md §2.8 T7.
+
+The reference logs failures as reason strings and skips the record
+forever (bulk_fetch.py:56-81; incremental_fetch.py:59-68) — the
+dead-letter decision is buried in imperative control flow. Here it is a
+relational operator: declare named boolean rules, split the batch into
+(valid, dead) in one pass, and append dead rows with their violation
+list + timestamp to an audit table. Replay = re-reading the dead-letter
+table once the rule or upstream data is fixed, which the reference
+cannot do (its failures leave no row behind).
+
+Scale: the rule battery is a map-only projection; the split is two
+filters over one cached/materialized pass (Catalyst shares the scan);
+dead-letter writes are append-mode partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VIOLATIONS_COL = "_violations"
+
+
+def with_violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Append an array column naming every failed rule (empty = valid).
+
+    A rule PASSES when its predicate is true; NULL predicate results
+    count as failures (unknown is not valid) — hence the explicit
+    coalesce instead of relying on three-valued logic.
+    """
+    checks = [
+        F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+        for name, pred in rules.items()
+    ]
+    return df.withColumn(
+        VIOLATIONS_COL,
+        F.array_compact(F.array(*checks)) if checks else F.array(),
+    )
+
+
+def split_valid(df: DataFrame,
+                rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """(valid rows without the marker column, dead rows with it)."""
+    marked = with_violations(df, rules)
+    valid = marked.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
+    dead = marked.filter(F.size(VIOLATIONS_COL) > 0)
+    return valid, dead
+
+
+def write_dead_letter(dead: DataFrame, path: str) -> None:
+    """T7: append failed rows + violations + timestamp for replay."""
+    (
+        dead.withColumn("_dead_lettered_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def apply_gate(df: DataFrame, rules: dict[str, Column],
+               dead_letter_path: str | None = None) -> DataFrame:
+    """Gate a batch: optionally persist rejects, return only valid rows."""
+    valid, dead = split_valid(df, rules)
+    if dead_letter_path is not None:
+        write_dead_letter(dead, dead_letter_path)
+    return valid
