@@ -37,6 +37,14 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     and we down-convert to microsecond timestamps (driver-side footer
     read only — cheap at any scale).
     """
+    if os.path.isdir(path):
+        # multi-file table: any part file carries the footer schema
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         n for n, t in zip(schema.names, schema.types)
@@ -52,9 +60,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rendering must not shift if the driver's session tz isn't UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in _nanos_ts_columns(path):
-        # integer nanos -> micros (exact: `div` is integral division)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # integer nanos -> micros (exact: `div` is integral division).
+        # Guard on the surfaced type: with nanosAsLong the ns column
+        # arrives as bigint, but a table rewritten with µs timestamps
+        # (multi-file copies) needs no conversion.
+        if types.get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
 
 

@@ -256,12 +256,19 @@ def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.4,
             a = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             a_norms = np.sqrt((a * a).sum(axis=1))
             cos = (a @ m.T) / np.outer(a_norms, norms)
-            cos = np.round(cos, 6)
-            ai, bj = np.nonzero((cos >= thr) & (a_ids[:, None] < all_ids[None, :]))
+            # prefilter with an epsilon guard, round only the candidates:
+            # np.round over the full n_block x n matrix costs more than
+            # the GEMM itself (measured at 20k vectors). The 1e-6 slack
+            # admits every value that could round up across the
+            # threshold; the exact rounded compare then decides.
+            mask = (cos >= thr - 1e-6) & (a_ids[:, None] < all_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            cr = np.round(cos[ai, bj], 6)
+            keep = cr >= thr
             yield pd.DataFrame({
-                "vec_a": a_ids[ai],
-                "vec_b": all_ids[bj],
-                "cos_r": cos[ai, bj],
+                "vec_a": a_ids[ai[keep]],
+                "vec_b": all_ids[bj[keep]],
+                "cos_r": cr[keep],
             })
 
     return (
