@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the plans we shipped are the plans
+we keep. A correctness-green change that silently drops a pushed filter,
+un-broadcasts a dimension, or adds an exchange should fail here."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from mc_ns_data_pipeline_spark.plans import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def n_ops(plan: str, op: str) -> int:
+    """Count physical operators by their detail-section headers
+    (`(N) OpName`) — the tree summary would double-count."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_q01_is_scan_only_with_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_filter_project")
+    assert "Exchange" not in plan  # map-only: no shuffle at all
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("GreaterThan(value,5.0)" in p for p in pushed)
+
+
+def test_q02_broadcasts_every_dimension(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_left_join_chain")
+    assert n_ops(plan, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_pushes_literal_filter_and_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q13_inventory_extract")
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("EqualTo(r_name,ASIA)" in p for p in pushed)
+
+
+def test_q14_aggregates_on_join_partitioning(spark, sf_dir):
+    """The groupBy includes the join key: partial+final aggregation must
+    reuse the join's distribution, adding at most the final ORDER BY
+    exchange on top of the join exchanges."""
+    plan = plan_of(spark, sf_dir, "q14_sales_extract")
+    assert "HashAggregate" in plan
+    # dims broadcast: customer, supplier, nation x2
+    assert n_ops(plan, "BroadcastHashJoin") >= 4
+
+
+def test_map_only_operators_have_no_exchange(spark, sf_dir):
+    for name in (
+        "x01_text_tokens",
+        "x02_text_quality",
+        "x04_text_fingerprint",
+        "x08_simhash_signatures",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:800]}"
+
+
+def test_scans_prune_columns(spark, sf_dir):
+    """x01 reads only what it projects — ReadSchema must not include the
+    unused lang/source columns."""
+    plan = plan_of(spark, sf_dir, "x01_text_tokens")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols
