@@ -120,3 +120,33 @@ def shingles(c: Column, k: int = 3) -> Column:
     column and use `shingles_from_words` (see its lambda-CSE warning).
     """
     return shingles_from_words(words(c), k)
+
+
+# PII scrubbing patterns (RE2/Java-compatible subset so the SQL oracle
+# evaluates the identical regex): emails and NNN-NNN-NNNN phones.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_PATTERN = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+def scrub_pii(c: Column) -> Column:
+    """Redact emails then phones with typed placeholders."""
+    scrubbed = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(c: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text."""
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), F.lit(0))),
+    )
+
+
+def hash_sample_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic sampling bucket from md5(key) — reproducible across
+    engines and runs, unlike rand()-based sampling. Keep rows where
+    bucket < rate*buckets for a stable rate% sample."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("long") % buckets
+    )

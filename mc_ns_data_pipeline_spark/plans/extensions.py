@@ -176,6 +176,53 @@ def x16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(pairs)
 
 
+def x17_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: synthetic emails/phones injected deterministically
+    (the corpus has none), then scrubbed and counted. Exercises the
+    regex battery both engines must evaluate identically."""
+    from mc_ns_data_pipeline_spark.functions.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567 ok")
+        ).otherwise(F.lit("")),
+    )
+    n_emails, n_phones = pii_counts(salted)
+    return docs.select(
+        F.col("doc_id"),
+        scrub_pii(salted).alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def x18_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% hash sample — reproducible across engines/runs
+    (rand()-based sampling cannot be oracle-checked; md5-bucket can)."""
+    from mc_ns_data_pipeline_spark.functions.text import hash_sample_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_sample_bucket(F.col("doc_id"))
+    return (
+        docs.select(F.col("doc_id"), F.col("lang"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < 20)
+        .orderBy("doc_id")
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -270,6 +317,8 @@ EXT_QUERIES = {
     "x14_simhash_neardup": x14_simhash_neardup,
     "x15_multimodal_frames": x15_multimodal_frames,
     "x16_dedup_clusters": x16_dedup_clusters,
+    "x17_pii_scrub": x17_pii_scrub,
+    "x18_hash_sample": x18_hash_sample,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
@@ -677,6 +726,37 @@ EXT_ORACLES: dict[str, str] = {
     "x13_ann_ivf": _ann_ivf_sql(),
     "x14_simhash_neardup": _simhash_pairs_sql(),
     "x16_dedup_clusters": _clusters_sql(),
+    "x17_pii_scrub": """
+        WITH salted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || doc_id || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call 555-123-4567 ok' ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')
+                   AS clean_text,
+               len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(t,
+                   '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones
+        FROM salted
+    """,
+    "x18_hash_sample": """
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
+                   AS bucket
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 20
+        ORDER BY doc_id
+    """,
     # xs1: static twin of the streaming tumbling-window aggregate.
     # time_bucket's epoch origin is 21600s-aligned, matching F.window.
     "xs1_stream_tumbling": """
