@@ -223,6 +223,36 @@ def x18_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x19_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign docs to fixed-budget packs
+    (training-batch construction). Deterministic streaming-fill by
+    doc_id within md5-derived buckets — the window is PARTITIONED, so
+    packing parallelizes across buckets instead of forcing a global
+    single-partition sort (the classic scale trap of naive packing).
+    A doc whose tokens straddle the boundary spills into the next pack
+    (cumsum-before-self // budget)."""
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.functions.text import (
+        bpe_token_count,
+        hash_sample_bucket,
+    )
+
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id"),
+        bpe_token_count(F.col("text")).alias("n_tokens"),
+        hash_sample_bucket(F.col("doc_id"), 32).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    pack_id = F.floor((cum - F.col("n_tokens")) / F.lit(float(budget)))
+    return base.select(
+        "doc_id", "bucket", "n_tokens", pack_id.cast("long").alias("pack_id")
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -319,6 +349,7 @@ EXT_QUERIES = {
     "x16_dedup_clusters": x16_dedup_clusters,
     "x17_pii_scrub": x17_pii_scrub,
     "x18_hash_sample": x18_hash_sample,
+    "x19_token_packing": x19_token_packing,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
@@ -759,6 +790,20 @@ EXT_ORACLES: dict[str, str] = {
     """,
     # xs1: static twin of the streaming tumbling-window aggregate.
     # time_bucket's epoch origin is 21600s-aligned, matching F.window.
+    "x19_token_packing": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 32
+                       AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY doc_id)
+                    - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        FROM t
+    """,
     "xs1_stream_tumbling": """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
                event_type,
