@@ -8,6 +8,7 @@ cluster-safe — only master/memory are local-mode specific).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +32,34 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
 }
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set session confs (restored on exit).
+
+    Used to pin per-query runtime knobs — e.g. the number of state-store
+    partitions a streaming query is born with (`spark.sql.shuffle.
+    partitions` is read once at stream start and baked into the
+    checkpoint). State-store commit cost is per-partition, so a
+    low-cardinality stateful op should run with partitions sized to its
+    key count, not the session-wide batch parallelism.
+    """
+    saved: dict[str, str | None] = {}
+    for key, v in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:

@@ -98,16 +98,22 @@ def run_incremental(spark: SparkSession, events_path: str,
     withhold windows newer than the final watermark). Returns the result
     as a DataFrame read back from the in-memory sink.
     """
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
     agg = windowed_event_aggregate(_events_stream(spark, events_path, schema))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State cardinality = #windows × #event_types (small). Size the
+    # state-store partition count to that, not the batch parallelism:
+    # store commit cost is per-partition (SURVEY.md §2.8 scale note).
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_table)
 
 

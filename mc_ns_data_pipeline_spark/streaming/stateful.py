@@ -86,16 +86,23 @@ def run_stateful_user_activity(
         _events_stream,
     )
 
-    updates = user_activity_updates(_events_stream(spark, events_path))
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    updates = user_activity_updates(
+        _events_stream(spark, events_path).select("user_id", "ts")
     )
-    q.awaitTermination()
+    # Per-user state is low-cardinality; state-store commit cost is
+    # per-partition, so pin partitions to the key scale (see scoped_conf).
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink_table)
         .groupBy("user_id")
@@ -124,17 +131,20 @@ def run_stream_dedup(
         _events_stream,
     )
 
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
     keys = _events_stream(spark, events_path).select("user_id", "event_type")
     deduped = keys.dropDuplicates(["user_id", "event_type"])
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink_table)
         .groupBy("event_type")
