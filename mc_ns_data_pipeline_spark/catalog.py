@@ -52,8 +52,34 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan — columnar, filter/column pushdown handled by Catalyst."""
+def ensure_fan_out(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism when the scan cannot split.
+
+    Parquet scans parallelize per row group; the local fixtures are
+    single-file single-row-group tables, so every scan stage — and any
+    compute-bound map pipeline fused onto it — runs as ONE task no
+    matter how many cores exist. When the scan is clearly under-parallel
+    (< 1/4 of the cluster's default parallelism) insert a round-robin
+    repartition so the expensive work above it fans out; the decode of
+    the unsplittable file stays serial but everything downstream scales.
+    On any real multi-row-group dataset this is a no-op (the guard
+    fails), so compute-heavy plans can use it unconditionally without
+    paying a shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               fan_out: bool = False) -> DataFrame:
+    """Parquet scan — columnar, filter/column pushdown handled by Catalyst.
+
+    `fan_out=True` marks the table as feeding a compute-bound pipeline
+    (heavy per-row expressions or Python stages): see `ensure_fan_out`.
+    """
     path = table_path(sf_dir, name)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Testdata timestamps are naive-UTC; collected values and date_format
@@ -70,7 +96,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
-    return df
+    return ensure_fan_out(df) if fan_out else df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -36,7 +36,7 @@ from mc_ns_data_pipeline_spark.operators import similarity as S
 
 def x01_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     n_bpe = bpe_token_count(F.col("text"))
     return docs.select(
         F.col("doc_id"),
@@ -51,7 +51,7 @@ def x01_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x02_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword/punct ratios, word stats, blended score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     n_words = word_count(F.col("text"))
     n_stop = stopword_count(F.col("text"))
     n_punct = F.length("text") - F.length(
@@ -83,7 +83,7 @@ def x02_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x03_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-count language-ID heuristic vs the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pred = predict_lang(F.col("text"))
     return docs.select(
         F.col("doc_id"),
@@ -95,7 +95,7 @@ def x03_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x04_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact (normalized md5) + bag-of-words."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         F.col("doc_id"),
         fingerprint_full(F.col("text")).alias("fp_full"),
@@ -104,24 +104,24 @@ def x04_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x05_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.exact_dedup(docs)
 
 
 def x06_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4x4) candidate pairs, exact-Jaccard >= 0.5."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.minhash_dedup_pairs(docs, threshold=0.5)
 
 
 def x07_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.3 via inverted-index join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.ngram_jaccard_pairs(docs, threshold=0.3)
 
 
 def x08_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.simhash_signatures(docs)
 
 
@@ -171,7 +171,7 @@ def x16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash+LSH pairs (x06) fed through iterative min-label propagation;
     cluster_id = min doc_id of the component.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
     return D.duplicate_clusters(pairs)
 
@@ -185,7 +185,7 @@ def x17_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_pii,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     salted = F.concat(
         F.col("text"),
         F.when(
@@ -312,7 +312,7 @@ def x13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x14_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: pigeonhole block join + exact Hamming."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.simhash_near_pairs(
         D.simhash_signatures(docs), max_hamming=3, n_blocks=4
     )
@@ -326,7 +326,7 @@ def x15_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return sample_frames(attach_binary_payload(docs))
 
 

@@ -181,7 +181,7 @@ def q06_sales_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; AQE coalesces the small post-agg partitions.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     ext = _dec(F.col("l_extendedprice"))
     net = _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     disc = _dec(F.col("l_extendedprice") * F.col("l_discount"))
@@ -374,7 +374,7 @@ def q14_sales_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     effective.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

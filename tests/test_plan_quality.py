@@ -56,7 +56,11 @@ def test_q14_aggregates_on_join_partitioning(spark, sf_dir):
     assert n_ops(plan, "BroadcastHashJoin") >= 4
 
 
-def test_map_only_operators_have_no_exchange(spark, sf_dir):
+def test_map_only_operators_have_no_key_shuffle(spark, sf_dir):
+    """Map-only ops must never shuffle BY KEY (hash/range). A RoundRobin
+    exchange is permitted: that is the guarded fan-out repartition that
+    spreads compute off an unsplittable single-row-group scan (a local-
+    fixture artifact; `ensure_fan_out` no-ops on well-split inputs)."""
     for name in (
         "x01_text_tokens",
         "x02_text_quality",
@@ -64,7 +68,12 @@ def test_map_only_operators_have_no_exchange(spark, sf_dir):
         "x08_simhash_signatures",
     ):
         plan = plan_of(spark, sf_dir, name)
-        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:800]}"
+        assert "hashpartitioning" not in plan, (
+            f"{name} gained a key shuffle:\n{plan[:800]}"
+        )
+        assert "rangepartitioning" not in plan, (
+            f"{name} gained a sort shuffle:\n{plan[:800]}"
+        )
 
 
 def test_scans_prune_columns(spark, sf_dir):
