@@ -420,7 +420,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     -algorithm-on-Spark requirement) and bounds replanning cost. Early
     exit on a converged round; `max_iter` caps pathological chains.
     """
-    edges = pairs.select("doc_a", "doc_b")
+    # Materialize the pair relation BEFORE the symmetric union: both
+    # union branches otherwise re-run the (expensive) upstream pair
+    # pipeline — e.g. a full MinHash band-join — once each.
+    edges = _materialize(pairs.select("doc_a", "doc_b"))
     sym = edges.union(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -437,24 +440,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
+        # Carry the convergence flag in the same relation: the eager
+        # checkpoint below materializes it, so the `changed` probe is a
+        # scan of cached blocks — not an extra join+shuffle per round.
+        stepped = (
             labels.join(nb_min, labels["id"] == nb_min["doc_a"], "left")
             .select(
                 labels["id"],
                 F.least(
                     F.col("label"), F.coalesce("nb_min", F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce("nb_min", F.col("label")) < F.col("label")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).limit(1).count()
+        labels = stepped.drop("chg")
         if changed == 0:
             break
     return labels.select(

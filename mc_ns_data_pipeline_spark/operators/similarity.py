@@ -26,6 +26,20 @@ def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def lit_vec(xs) -> Column:
+    """Literal double-array column built as ONE parsed SQL expression.
+
+    `F.array(*[F.lit(x) ...])` issues one py4j round-trip per element —
+    ~1.7 s of pure driver time for 16×64 centroid literals (measured).
+    A single `F.expr("array(...)")` string is one call; `repr(float)`
+    is the shortest round-trip form, which the JVM parses back to the
+    identical double.
+    """
+    return F.expr(
+        "array({})".format(",".join(f"{float(x)!r}D" for x in xs))
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right double dot product (zip_with + aggregate, codegen'd)."""
     return F.aggregate(
@@ -94,9 +108,9 @@ def lsh_bucket(v: Column, n_dims: int, n_planes: int = N_PLANES) -> Column:
     """Sign-of-projection bucket key: one char per hyperplane."""
     chars = []
     for p in range(n_planes):
-        weights = F.array(*[
-            F.lit(float(hyperplane_weight(p, d))) for d in range(n_dims)
-        ])
+        weights = lit_vec(
+            hyperplane_weight(p, d) for d in range(n_dims)
+        )
         proj = dot(v, weights)
         chars.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*chars)
@@ -171,7 +185,7 @@ def ivf_topk(emb: DataFrame, query_pred: Column, k: int = 3,
     scored = F.array(*[
         F.struct(
             F.round(
-                dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]]))
+                dot(F.col("_v"), lit_vec(r["_v"]))
                 / (F.col("_norm") * F.lit(float(r["_norm"]))),
                 6,
             ).alias("cos"),
