@@ -253,6 +253,56 @@ def x19_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (F.percentile ~ SQL percentile_cont).
+
+    Training-data curation constantly needs distribution cuts (length /
+    score quantiles for filtering thresholds). Exact percentile is a
+    full sort per group — the scale path swaps in approx_percentile
+    (t-digest, mergeable sketch) with identical plan shape; the exact
+    form is what an oracle can check. Values rounded to 6 decimals:
+    linear interpolation may differ between engines in the last ulp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_qty"),
+            F.round(F.percentile("l_extendedprice", 0.5), 6).alias(
+                "p50_price"
+            ),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias(
+                "p90_price"
+            ),
+            F.round(F.percentile("l_extendedprice", 0.99), 6).alias(
+                "p99_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def xs4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS4 — streaming session windows (4-hour inactivity gap).
+
+    Dynamic data-driven windows with cross-batch state merge — the
+    session analogue of xs1's fixed tumbling windows. Oracle: static
+    gaps-and-islands SQL (lag + cumulative new-session flags).
+    """
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_session_windows,
+    )
+
+    sink = f"xs4_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs4_ckpt_")
+    return run_session_windows(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -350,7 +400,9 @@ EXT_QUERIES = {
     "x17_pii_scrub": x17_pii_scrub,
     "x18_hash_sample": x18_hash_sample,
     "x19_token_packing": x19_token_packing,
+    "x20_percentiles": x20_percentiles,
     "xs1_stream_tumbling": xs1_stream_tumbling,
+    "xs4_stream_session": xs4_stream_session,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
 }
@@ -803,6 +855,39 @@ EXT_ORACLES: dict[str, str] = {
                         PARTITION BY bucket ORDER BY doc_id)
                     - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         FROM t
+    """,
+    "x20_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6)      AS p50_qty,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    # xs4: static gaps-and-islands twin of streaming session windows.
+    # New session when the inactivity gap is >= 4h (Spark merges windows
+    # that strictly overlap, i.e. diff < gap); session_end = last + gap.
+    "xs4_stream_session": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 4 HOUR AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
     """,
     "xs1_stream_tumbling": """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

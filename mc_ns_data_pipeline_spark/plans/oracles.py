@@ -219,4 +219,13 @@ ORACLES: dict[str, str] = {
                  strftime(o.o_orderdate, '%Y-%m-%d')
         ORDER BY order_date, c_name, supp_nation
     """,
+    "q15_rollup_aggregate": """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
 }

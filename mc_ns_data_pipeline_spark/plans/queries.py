@@ -422,6 +422,27 @@ def q14_sales_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — ROLLUP grouping sets: subtotals + grand total in one pass.
+
+    The reference has no grouping sets (SURVEY.md §2.5 confirms by
+    grep); this extends the aggregate family with the standard
+    subtotal/grand-total report shape. Scale: Catalyst expands rollup
+    into one Expand + single hash aggregate — one shuffle, not one scan
+    per grouping set.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice")))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "q01_filter_project": q01_filter_project,
     "q02_left_join_chain": q02_left_join_chain,
@@ -437,4 +458,5 @@ QUERIES = {
     "q12_enrich_select": q12_enrich_select,
     "q13_inventory_extract": q13_inventory_extract,
     "q14_sales_extract": q14_sales_extract,
+    "q15_rollup_aggregate": q15_rollup_aggregate,
 }

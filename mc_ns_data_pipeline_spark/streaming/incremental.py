@@ -117,6 +117,57 @@ def run_incremental(spark: SparkSession, events_path: str,
     return spark.table(sink_table)
 
 
+def session_event_aggregate(events: DataFrame,
+                            gap: str = "4 hours") -> DataFrame:
+    """Per-user session windows: events within `gap` of each other merge.
+
+    Beyond the reference's fixed 6-hour tumbling windows (SURVEY.md §2.8
+    notes it has no session semantics) — `F.session_window` gives
+    dynamic, data-driven windows with state merged across micro-batches.
+    session_end = last event + gap (Spark's close-of-session contract).
+    """
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window("ts", gap).alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_windows(spark: SparkSession, events_path: str,
+                        checkpoint_dir: str,
+                        sink_table: str = "xs4_sink",
+                        gap: str = "4 hours") -> DataFrame:
+    """Run the session-window aggregate to end-of-input (availableNow).
+
+    Complete output mode re-emits the fully-merged session set each
+    batch, so at end-of-input the sink equals the static gaps-and-
+    islands computation — no watermark truncation of trailing sessions.
+    """
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    agg = session_event_aggregate(
+        _events_stream(spark, events_path).select("user_id", "ts"), gap
+    )
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def replace_partitions_sink(batch_df: DataFrame, target_dir: str,
                             key_col: str = "event_type") -> None:
     """T8 per-key replacement: dynamic partition overwrite.
