@@ -32,6 +32,11 @@ def main() -> None:
     QUERIES["q06_sales_aggregate"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Arrow python-worker pool so the first pandas-stage query
+    # in the suite isn't charged the one-time worker spawn (~2-3 s).
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
