@@ -346,15 +346,38 @@ def xs3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_sig(col: F.Column) -> F.Column:
+    """array<float> -> canonical integer-signature string.
+
+    Stub features are k/1000 (k in 0..999) stored as float32; round(x *
+    1000) recovers k exactly (float32 relative error 2^-24 -> absolute
+    error <= 6e-5 after the multiply, far from the .5 rounding
+    boundary). The joined-int string is hashable by the harness
+    canonicalizer AND byte-reproducible in DuckDB, unlike raw float
+    arrays (unhashable in pandas sort) or formatted floats (engine-
+    dependent rendering)."""
+    return F.concat_ws(
+        ",", F.transform(col, lambda x: F.round(x * 1000).cast("int").cast("string"))
+    )
+
+
 def x12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload decode plumbing (stubbed codec) — rows-only check:
-    mapInPandas output isn't SQL-expressible in DuckDB."""
+    """Binary-payload decode plumbing (stubbed codec).
+
+    The operator keeps its array<float> feature column for real
+    consumers; this declared query projects it through `_feature_sig`
+    so the result is canonicalizer-safe and oracle-checkable (the stub
+    decode is deterministic byte arithmetic, expressible in SQL)."""
     from mc_ns_data_pipeline_spark.operators.multimodal import (
         multimodal_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal_features(docs)
+    return multimodal_features(docs).select(
+        "doc_id", "media_type", "width", "height", "n_bytes",
+        _feature_sig(F.col("features")).alias("features_sig"),
+        "target_width", "target_height",
+    )
 
 
 def x13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,15 +397,21 @@ def x14_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x15_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sample plumbing (stubbed codec) — rows-only check:
-    variable-fanout mapInPandas isn't SQL-expressible in DuckDB."""
+    """Video frame-sample plumbing (stubbed codec).
+
+    Variable-fanout mapInPandas (one row per sampled frame); the
+    array<float> frame features are projected through `_feature_sig`
+    for the same canonicalizer/oracle reasons as x12."""
     from mc_ns_data_pipeline_spark.operators.multimodal import (
         attach_binary_payload,
         sample_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return sample_frames(attach_binary_payload(docs))
+    return sample_frames(attach_binary_payload(docs)).select(
+        "doc_id", "frame_idx", "ts_ms",
+        _feature_sig(F.col("frame_features")).alias("features_sig"),
+    )
 
 
 EXT_QUERIES = {
@@ -748,6 +777,87 @@ def _neardup_sql() -> str:
     """
 
 
+# Shared byte-extraction CTEs for the multimodal stub oracles: the stub
+# "decode" (operators/multimodal.py:_decode_image_stub/_decode_frame_stub)
+# is deterministic arithmetic over the UTF-8 payload bytes, reproduced
+# here via hex(encode(text)) two-char slices.
+_PAYLOAD_CTE = """
+        h AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, i AS j,
+                   ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::BIGINT AS byte
+            FROM h, UNNEST(range(0, n)) AS t(i)
+        )
+"""
+
+
+def _multimodal_features_sql() -> str:
+    """x12 twin: per-stride byte sums (i::8) % 1000 as the feature ints,
+    dims from payload length, aspect-preserving resize spec."""
+    return f"""
+        WITH {_PAYLOAD_CTE},
+        strides AS (SELECT UNNEST(range(0, 8)) AS stride),
+        sums AS (
+            SELECT h.doc_id, s.stride,
+                   coalesce(sum(CASE WHEN y.j % 8 = s.stride THEN y.byte END), 0)
+                       % 1000 AS f
+            FROM h CROSS JOIN strides s
+            LEFT JOIN bytes y ON y.doc_id = h.doc_id
+            GROUP BY h.doc_id, s.stride
+        ),
+        sig AS (
+            SELECT doc_id,
+                   string_agg(f::VARCHAR, ',' ORDER BY stride) AS features_sig
+            FROM sums GROUP BY doc_id
+        ),
+        dims AS (
+            SELECT doc_id, (n % 97) + 1 AS width, (n % 31) + 1 AS height,
+                   n AS n_bytes,
+                   least(64.0 / ((n % 97) + 1), 64.0 / ((n % 31) + 1), 1.0)
+                       AS scale
+            FROM h
+        )
+        SELECT d.doc_id, 'image/fake' AS media_type,
+               d.width, d.height, d.n_bytes, s.features_sig,
+               CAST(ceil(d.width * d.scale) AS INTEGER) AS target_width,
+               CAST(ceil(d.height * d.scale) AS INTEGER) AS target_height
+        FROM dims d JOIN sig s ON s.doc_id = d.doc_id
+    """
+
+
+def _multimodal_frames_sql(every_n: int = 10, fps: float = 30.0) -> str:
+    """x15 twin: every-Nth-frame sampling with per-frame strided byte
+    sums (payload[(fi+i)::4]); ts truncated like Python int()."""
+    f_exprs = ",\n                   ".join(
+        f"coalesce(sum(CASE WHEN y.j >= f.frame_idx + {i} "
+        f"AND (y.j - f.frame_idx - {i}) % 4 = 0 THEN y.byte END), 0) "
+        f"% 1000 AS f{i}"
+        for i in range(4)
+    )
+    return f"""
+        WITH {_PAYLOAD_CTE},
+        frames AS (
+            SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx
+            FROM h, UNNEST(range(0, (n % 241) + 1, {every_n})) AS t(fi)
+        ),
+        feat AS (
+            SELECT f.doc_id, f.frame_idx,
+                   {f_exprs}
+            FROM frames f LEFT JOIN bytes y ON y.doc_id = f.doc_id
+            GROUP BY f.doc_id, f.frame_idx
+        )
+        SELECT doc_id, frame_idx,
+               CAST(trunc(frame_idx * (1000.0 / {fps!r})) AS BIGINT) AS ts_ms,
+               f0::VARCHAR || ',' || f1::VARCHAR || ',' || f2::VARCHAR
+                   || ',' || f3::VARCHAR AS features_sig
+        FROM feat
+    """
+
+
 EXT_ORACLES: dict[str, str] = {
     "x01_text_tokens": f"""
         SELECT doc_id,
@@ -811,6 +921,8 @@ EXT_ORACLES: dict[str, str] = {
     "x09_ann_cosine_topk": _ann_topk_sql(),
     "x10_ann_cosine_lsh": _ann_lsh_sql(),
     "x11_embed_neardup": _neardup_sql(),
+    "x12_multimodal_features": _multimodal_features_sql(),
+    "x15_multimodal_frames": _multimodal_frames_sql(),
     "x13_ann_ivf": _ann_ivf_sql(),
     "x14_simhash_neardup": _simhash_pairs_sql(),
     "x16_dedup_clusters": _clusters_sql(),
