@@ -242,8 +242,9 @@ def embedding_neardup_exact(emb: DataFrame, threshold: float = 0.4,
     against the broadcast full matrix — the classic blocked-GEMM shape:
     O(n^2 d) flops but ~100× the throughput of per-element expression
     evaluation, and embarrassingly parallel across blocks. Broadcast
-    holds to ~10^6-10^7 vectors; past that, block BOTH sides (grid of
-    block-pairs) or switch to `embedding_neardup_pairs` (LSH).
+    holds to ~10^6-10^7 vectors; past that use `embedding_neardup_grid`
+    (both sides blocked, no driver matrix — same exact result) or
+    switch to `embedding_neardup_pairs` (LSH, approximate).
 
     Cosines are rounded to 6 decimals; FP summation-order differences
     (BLAS pairwise vs sequential) sit ~1e-16 relative, far below the
@@ -301,6 +302,95 @@ def _broadcast_matrix(emb: DataFrame, id_col: str, vec_col: str):
     ids = pdf[id_col].to_numpy()
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, mat
+
+
+def embedding_neardup_grid(emb: DataFrame, threshold: float = 0.4,
+                           n_blocks: int = 4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup via a GRID of block pairs — the
+    beyond-driver-memory path `embedding_neardup_exact` names.
+
+    Both sides are blocked: each vector hashes to one of `n_blocks`
+    blocks, and every unordered block pair (i <= j) becomes one cogroup
+    task that runs a float64 GEMM over just those two blocks. Per-task
+    memory is 2·(n/n_blocks)·d·8 bytes — size n_blocks so a block pair
+    fits an executor, and NOTHING is ever collected to the driver
+    (contrast `_broadcast_matrix`). Cost model: each row is shuffled to
+    ~n_blocks grid cells, so shuffle volume is n_blocks× the input —
+    the unavoidable price of exact all-pairs without a broadcast side;
+    recall-lossy LSH (`embedding_neardup_pairs`) stays the cheaper
+    option when approximate is acceptable.
+
+    Result is identical to `embedding_neardup_exact` (same float64 BLAS
+    dot products, same 6-decimal rounding; equality pinned by
+    test_properties.py::test_grid_neardup_equals_broadcast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    nb = int(n_blocks)
+    thr = float(threshold)
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("blk"),
+    )
+    # A-side feeds every cell in its block's row of the upper triangle;
+    # B-side feeds every cell in its block's column. The B-side columns
+    # are RENAMED: both sides share the same lineage, and cogroup's
+    # attribute dedup over identical (name, exprId) pairs can prune the
+    # right side's payload columns out of the Arrow batch entirely
+    # (observed: right pdf arrives with only the grouping keys).
+    a_side = base.select(
+        "vid", "v", F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("pj"),
+    )
+    b_side = base.select(
+        F.col("vid").alias("rvid"), F.col("v").alias("rv"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+    )
+
+    def gemm(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos_r": pd.Series(dtype="float64"),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        a_ids = left["vid"].to_numpy()
+        b_ids = right["rvid"].to_numpy()
+        a = np.vstack(left["v"].to_numpy()).astype(np.float64)
+        b = np.vstack(right["rv"].to_numpy()).astype(np.float64)
+        cos = (a @ b.T) / np.outer(
+            np.sqrt((a * a).sum(axis=1)), np.sqrt((b * b).sum(axis=1))
+        )
+        if key[0] == key[1]:
+            # diagonal cell: both sides are the same block — the id
+            # order filter dedupes the two orientations of each pair
+            mask = (cos >= thr - 1e-6) & (a_ids[:, None] < b_ids[None, :])
+        else:
+            # off-diagonal: blocks are disjoint, every cross pair is
+            # unique to this cell; canonicalize ids below
+            mask = cos >= thr - 1e-6
+        ai, bj = np.nonzero(mask)
+        cr = np.round(cos[ai, bj], 6)
+        keep = cr >= thr
+        u, w = a_ids[ai[keep]], b_ids[bj[keep]]
+        return pd.DataFrame({
+            "vec_a": np.minimum(u, w),
+            "vec_b": np.maximum(u, w),
+            "cos_r": cr[keep],
+        })
+
+    return (
+        a_side.groupBy("pi", "pj")
+        .cogroup(b_side.groupBy("pi", "pj"))
+        .applyInPandas(gemm, "vec_a long, vec_b long, cos_r double")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,

@@ -143,6 +143,17 @@ def x11_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_exact(emb, threshold=0.4)
 
 
+def x22_embed_neardup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup via grid block-pair GEMM (>= 0.4).
+
+    Same semantics (and same oracle) as x11, but blocked on BOTH sides
+    so no full corpus matrix ever touches the driver — the variant that
+    survives past ~10^7 vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_grid(emb, threshold=0.4, n_blocks=4)
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -282,6 +293,43 @@ def x20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_p")[0], 6).alias("p50_price"),
             F.round(F.col("_p")[1], 6).alias("p90_price"),
             F.round(F.col("_p")[2], 6).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def x21_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x20's 100 TB path: approx_percentile (Greenwald-Khanna sketch).
+
+    The sketch buffer is bounded and MERGEABLE, so the aggregate gets a
+    map-side partial combine and ships O(accuracy) state per partition
+    instead of buffering every value per group for a full sort — the
+    shape that survives a 100 TB column. Rank error is bounded by
+    n/accuracy (1e-4 of n here). A sketch's exact output depends on
+    merge order, so this query is deliberately NOT hash-checked against
+    a SQL oracle; the correctness contract is the relative-error bound
+    vs the exact x20, pinned by test_properties.py::
+    test_sketch_percentiles_within_tolerance.
+    """
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    acc = F.lit(10000)
+    pcts = F.approx_percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        acc,
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_quantity", F.lit(0.5), acc).alias("p50_qty"),
+            pcts.alias("_p"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_qty",
+            F.col("_p")[0].alias("p50_price"),
+            F.col("_p")[1].alias("p90_price"),
+            F.col("_p")[2].alias("p99_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -435,6 +483,8 @@ EXT_QUERIES = {
     "x18_hash_sample": x18_hash_sample,
     "x19_token_packing": x19_token_packing,
     "x20_percentiles": x20_percentiles,
+    "x21_percentiles_sketch": x21_percentiles_sketch,
+    "x22_embed_neardup_grid": x22_embed_neardup_grid,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs2_stream_stateful": xs2_stream_stateful,
@@ -923,6 +973,9 @@ EXT_ORACLES: dict[str, str] = {
     "x11_embed_neardup": _neardup_sql(),
     "x12_multimodal_features": _multimodal_features_sql(),
     "x15_multimodal_frames": _multimodal_frames_sql(),
+    # x22 computes the same exact result as x11 (grid GEMM vs broadcast
+    # GEMM) so it shares the same oracle.
+    "x22_embed_neardup_grid": _neardup_sql(),
     "x13_ann_ivf": _ann_ivf_sql(),
     "x14_simhash_neardup": _simhash_pairs_sql(),
     "x16_dedup_clusters": _clusters_sql(),

@@ -228,4 +228,14 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    # q16: seven-day report window anchored at max(ts) (deterministic
+    # stand-in for the reference's CURRENT_TIMESTAMP anchor).
+    "q16_recent_report": """
+        WITH mx AS (SELECT max(ts) AS as_of FROM events)
+        SELECT event_id, user_id, event_type, value,
+               ts AS processed_at
+        FROM events, mx
+        WHERE ts > mx.as_of - INTERVAL 7 DAY
+        ORDER BY processed_at DESC
+    """,
 }

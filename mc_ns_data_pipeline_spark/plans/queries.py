@@ -443,6 +443,30 @@ def q15_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q16_recent_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — seven-day activity report (P14 timestamp-interval filter +
+    O2 ORDER BY desc; reference sql/queries.py:45-56 + reporting.py).
+
+    `events` stands in for the file_processing_history audit table.
+    The reference anchors the window at CURRENT_TIMESTAMP (not
+    oracle-checkable); here as_of = max(ts), computed as a tiny
+    aggregate broadcast back over the scan — the standard Spark shape
+    for a scalar subquery. Scale: one map-only scan + one 1-row
+    broadcast; the window filter pushes to parquet row-group stats once
+    as_of is resolved at runtime by AQE's subquery reuse.
+    """
+    from mc_ns_data_pipeline_spark.sinks.audit import recent_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").alias("processed_at"),
+    )
+    as_of = ev.agg(F.max("processed_at").alias("_as_of"))
+    return recent_report(
+        ev.crossJoin(F.broadcast(as_of)), as_of=F.col("_as_of")
+    ).drop("_as_of")
+
+
 QUERIES = {
     "q01_filter_project": q01_filter_project,
     "q02_left_join_chain": q02_left_join_chain,
@@ -459,4 +483,5 @@ QUERIES = {
     "q13_inventory_extract": q13_inventory_extract,
     "q14_sales_extract": q14_sales_extract,
     "q15_rollup_aggregate": q15_rollup_aggregate,
+    "q16_recent_report": q16_recent_report,
 }

@@ -25,6 +25,25 @@ def append_status(spark: SparkSession, path: str, records: list[dict]) -> None:
     df.write.mode("append").parquet(path)
 
 
+def recent_report(df: DataFrame, ts_col: str = "processed_at",
+                  as_of: F.Column | None = None, days: int = 7) -> DataFrame:
+    """P14+O2: the reference's recent-activity report read
+    (sql/queries.py:45-56: `WHERE processed_at > CURRENT_TIMESTAMP -
+    INTERVAL '7 days' ORDER BY processed_at DESC`).
+
+    `as_of` defaults to current_timestamp() for reference parity; pass
+    a derived/literal timestamp to make the window reproducible (the
+    oracle-checked q16 pins as_of = max(ts)). Scale: the timestamp
+    predicate is a plain pushdown filter (parquet min/max row-group
+    pruning skips everything older than the window); the descending
+    sort is the report contract and is bounded by the window's rows,
+    not the table's.
+    """
+    anchor = as_of if as_of is not None else F.current_timestamp()
+    cutoff = anchor - F.expr(f"INTERVAL {int(days)} DAYS")
+    return df.filter(F.col(ts_col) > cutoff).orderBy(F.col(ts_col).desc())
+
+
 def append_history(spark: SparkSession, path: str, record: dict) -> None:
     """File-processing history row (operations.py:40-46)."""
     df = spark.createDataFrame(

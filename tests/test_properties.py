@@ -148,3 +148,48 @@ def test_window_start_6h_alignment_property(spark, timestamps):
         epoch = ts.replace(tzinfo=UTC).timestamp()
         want_epoch = (int(epoch) // 21600) * 21600
         assert start.replace(tzinfo=UTC).timestamp() == want_epoch
+
+
+def test_grid_neardup_equals_broadcast(spark, sf_dir):
+    """Grid block-pair GEMM == broadcast GEMM, row for row (both exact;
+    same float64 dot products, same 6-decimal rounding). Run at two
+    block counts so diagonal-cell dedup and off-diagonal canonical id
+    ordering are both exercised."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = sorted(
+        tuple(r) for r in S.embedding_neardup_exact(emb, 0.4).collect()
+    )
+    for nb in (1, 5):
+        got = sorted(
+            tuple(r)
+            for r in S.embedding_neardup_grid(emb, 0.4, n_blocks=nb).collect()
+        )
+        assert got == want, f"n_blocks={nb}: {len(got)} vs {len(want)} rows"
+
+
+def test_sketch_percentiles_within_tolerance(spark, sf_dir):
+    """x21 (approx_percentile sketch) tracks x20 (exact) per group.
+
+    A mergeable sketch can't be hash-checked (result depends on merge
+    order); its contract is bounded rank error — n/accuracy = 1e-4·n —
+    which for these distributions keeps values within 1% of exact.
+    """
+    from mc_ns_data_pipeline_spark.plans.extensions import (
+        x20_percentiles,
+        x21_percentiles_sketch,
+    )
+
+    exact = {r["l_returnflag"]: r.asDict() for r in
+             x20_percentiles(spark, sf_dir).collect()}
+    sketch = {r["l_returnflag"]: r.asDict() for r in
+              x21_percentiles_sketch(spark, sf_dir).collect()}
+    assert exact.keys() == sketch.keys()
+    for flag, e in exact.items():
+        s = sketch[flag]
+        for col in ("p50_qty", "p50_price", "p90_price", "p99_price"):
+            assert abs(s[col] - e[col]) <= 0.01 * abs(e[col]) + 1e-9, (
+                f"{flag}.{col}: sketch={s[col]} exact={e[col]}"
+            )

@@ -43,6 +43,27 @@ def test_fetch_paginated_both_shapes():
     assert rows[-1] == {"id": 1000, "name": "r1000"}
 
 
+def test_fetch_paginated_nested_last_stops():
+    """`last` inside pageResult must terminate pagination — a server
+    that 404s past the end would otherwise lose the accumulated rows."""
+    calls = {"n": 0}
+
+    def nested(page: int) -> dict:
+        calls["n"] += 1
+        if page > 0:
+            raise FileNotFoundError("404 past the end")
+        return {
+            "pageResult": {
+                "content": [{"id": i, "name": f"r{i}"} for i in range(1000)],
+                "last": True,
+            }
+        }
+
+    rows = rest.fetch_paginated(nested)
+    assert len(rows) == 1000
+    assert calls["n"] == 1  # stopped on nested last, no extra fetch
+
+
 def test_fetch_retries():
     calls = {"n": 0}
 
@@ -127,6 +148,36 @@ def test_write_report_sanitizes(spark, tmp_path):
     files = [f for f in os.listdir(f"{out}/section_0") if f.endswith(".csv")]
     body = open(f"{out}/section_0/{files[0]}").read()
     assert "a;b" in body and "a,b" not in body
+
+
+def test_recent_report_window_and_order(spark, tmp_path):
+    """P14+O2: 7-day as_of window + desc order, wired through the K11
+    report sink (reference reporting.py: GET_RECENT_PROCESSING_HISTORY
+    -> CSV report)."""
+    from datetime import datetime
+
+    from mc_ns_data_pipeline_spark.sinks.audit import recent_report
+
+    df = spark.createDataFrame(
+        [
+            ("old", datetime(2024, 1, 1, 12)),
+            ("edge_out", datetime(2024, 1, 8, 12)),   # exactly 7d before
+            ("in_a", datetime(2024, 1, 10, 0)),
+            ("in_b", datetime(2024, 1, 15, 11)),
+        ],
+        "name string, processed_at timestamp",
+    )
+    rep = recent_report(
+        df, as_of=F.lit(datetime(2024, 1, 15, 12)).cast("timestamp")
+    )
+    rows = [r["name"] for r in rep.collect()]
+    assert rows == ["in_b", "in_a"]  # > (not >=) cutoff, desc order
+
+    out = str(tmp_path / "recent_report")
+    write_report([rep], out)
+    files = [f for f in os.listdir(f"{out}/section_0") if f.endswith(".csv")]
+    body = open(f"{out}/section_0/{files[0]}").read()
+    assert "in_b" in body and "old" not in body
 
 
 def test_contract_project_padding(spark):
