@@ -80,11 +80,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     `fan_out=True` marks the table as feeding a compute-bound pipeline
     (heavy per-row expressions or Python stages): see `ensure_fan_out`.
     """
+    from mc_ns_data_pipeline_spark.session import ensure_read_confs
+
     path = table_path(sf_dir, name)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Testdata timestamps are naive-UTC; collected values and date_format
-    # rendering must not shift if the driver's session tz isn't UTC.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # One-time defensive pin for foreign sessions (the harness imports
+    # __spark_entry__ with a plain SparkSession); sessions from
+    # get_spark already carry these and are untouched.
+    ensure_read_confs(spark)
     df = spark.read.parquet(path)
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in _nanos_ts_columns(path):

@@ -94,8 +94,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     a single oversized key-group inside a sort-merge join).
 
     The small side grows `salt_buckets`x — keep it the dimension side.
-    Result equals the unsalted join (tested property).
+    Result equals the unsalted join (tested property) ONLY for join
+    types where replicated unmatched small-side rows can't leak into
+    the output: right/full-outer would emit one row per salt bucket for
+    each unmatched small-side key, so those fail fast here.
     """
+    allowed = ("inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"small-side rows {salt_buckets}x; use one of {allowed}"
+        )
     salt = F.pmod(
         F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
     ).cast("int")

@@ -34,19 +34,26 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     """K6: upsert by primary key (operations.py:14-28 SELECT-then-
     INSERT-or-UPDATE). Updated rows win; unmatched target rows survive.
 
-    Parquet emulation: target-anti-updates ∪ updates, overwritten
-    atomically via a staging dir. Idempotent: applying the same batch
-    twice yields identical state.
+    Parquet emulation: target-anti-updates ∪ updates, written to a
+    staging dir then swapped into place by directory rename (metadata-
+    only, no second data write, no window where the target is a
+    half-written overwrite). Idempotent: applying the same batch twice
+    yields identical state. On an object store without atomic rename
+    the Delta MERGE path is the real answer — the probe below catches
+    ONLY ImportError, so with Delta on the classpath a failing merge
+    (or a non-Delta target dir) raises instead of silently reading the
+    directory as parquet and ignoring the transaction log.
     """
     try:
         from delta.tables import DeltaTable  # type: ignore
+    except ImportError:
+        DeltaTable = None  # no Delta in this image -> parquet emulation
 
+    if DeltaTable is not None:
         DeltaTable.forPath(spark, path).alias("t").merge(
             updates.alias("u"), f"t.{key} = u.{key}"
         ).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
         return
-    except Exception:
-        pass  # no Delta in this image -> parquet emulation below
 
     if not os.path.exists(path):
         updates.write.mode("overwrite").parquet(path)
@@ -57,11 +64,14 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     merged = kept.unionByName(updates)
     staging = f"{path}__staging"
     merged.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(path)
+
     import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
+    backup = f"{path}__old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
 
 
 def replace_by_key(updates: DataFrame, path: str, key: str) -> None:

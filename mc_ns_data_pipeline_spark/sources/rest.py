@@ -64,7 +64,13 @@ def fetch_paginated(fetch_page: Callable[[int], dict]) -> list[dict]:
         payload = with_retries(fetch_page, page)
         content = extract_content(payload)
         rows.extend(content)
-        if len(content) < PAGE_SIZE or payload.get("last", False):
+        # `last` can live at either nesting level (mirrors
+        # extract_content's dual-shape handling); servers that 404 past
+        # the end would otherwise burn retries and lose accumulated rows
+        last = payload.get("last", False) or (
+            (payload.get("pageResult") or {}).get("last", False)
+        )
+        if len(content) < PAGE_SIZE or last:
             return rows
         page += 1
 

@@ -19,44 +19,34 @@ distributed instead of inside PostgreSQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
-LOTS_DDL = """
-CREATE TABLE IF NOT EXISTS {db}.lots (
-    lot_number STRING,
-    product_name STRING,
-    product_id STRING,
-    status STRING,
-    created_at TIMESTAMP,
-    last_updated TIMESTAMP
-) USING parquet
-"""
+from mc_ns_data_pipeline_spark.schemas import (
+    LOT_DATA_SCHEMA,
+    LOTS_SCHEMA,
+    PROCESSING_HISTORY_SCHEMA,
+)
 
-LOT_DATA_DDL = """
-CREATE TABLE IF NOT EXISTS {db}.lot_data (
-    lot_number STRING,
-    master_template_name STRING,
-    unit STRING,
-    operation STRING,
-    phase STRING,
-    data_capture_time TIMESTAMP,
-    structure_label STRING,
-    description STRING,
-    data_value STRING,
-    performed_by STRING,
-    data_hash STRING
-) USING parquet
-"""
 
-HISTORY_DDL = """
-CREATE TABLE IF NOT EXISTS {db}.file_processing_history (
-    file_name STRING,
-    lot_number STRING,
-    process_type STRING,
-    status STRING,
-    error_message STRING,
-    processed_at TIMESTAMP
-) USING parquet
-"""
+def _ddl(table: str, schema: T.StructType) -> str:
+    """DDL generated from the shared StructType contract — the schema in
+    schemas.py is the single source of truth, so the warehouse tables
+    can never drift from what pipelines/load.py emits (they had: the
+    hand-written lot_data DDL was missing 4 of to_lot_data's columns).
+    """
+    cols = ",\n    ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}"
+        for f in schema.fields
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {{db}}.{table} (\n    {cols}\n)"
+        " USING parquet"
+    )
+
+
+LOTS_DDL = _ddl("lots", LOTS_SCHEMA)
+LOT_DATA_DDL = _ddl("lot_data", LOT_DATA_SCHEMA)
+HISTORY_DDL = _ddl("file_processing_history", PROCESSING_HISTORY_SCHEMA)
 
 
 def create_warehouse(spark: SparkSession, db: str = "warehouse") -> None:

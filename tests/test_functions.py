@@ -79,3 +79,13 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+    # left join equivalence (unmatched big-side rows appear exactly once)
+    salted_l = salted_join(li, part, "l_partkey", salt_buckets=4, how="left")
+    plain_l = li.join(part, "l_partkey", "left")
+    assert salted_l.count() == plain_l.count()
+    assert salted_l.exceptAll(plain_l).count() == 0
+    # outer joins would duplicate replicated small-side rows: fail fast
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(li, part, "l_partkey", how="full")

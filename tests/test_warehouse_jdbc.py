@@ -59,11 +59,33 @@ def test_create_warehouse_idempotent(spark, warehouse_db):
     assert {"lots", "lot_data", "file_processing_history"} <= tables
 
 
+def test_lot_data_ddl_matches_load_contract(spark, warehouse_db):
+    """The lot_data DDL must accept exactly what to_lot_data emits —
+    both now derive from schemas.LOT_DATA_SCHEMA, so an insert of the
+    load pipeline's output cannot misalign."""
+    from mc_ns_data_pipeline_spark.pipelines.load import to_lot_data
+    from mc_ns_data_pipeline_spark.schemas import LOT_CSV_SCHEMA
+
+    create_warehouse(spark, warehouse_db)
+    exchange = spark.createDataFrame(
+        [tuple(f"v{i}" for i in range(14))], LOT_CSV_SCHEMA
+    )
+    rows = to_lot_data(exchange)
+    target_cols = [
+        f.name for f in spark.table(f"{warehouse_db}.lot_data").schema.fields
+    ]
+    assert [f.name for f in rows.schema.fields] == target_cols
+    rows.write.insertInto(f"{warehouse_db}.lot_data")
+    assert spark.table(f"{warehouse_db}.lot_data").count() == 1
+
+
 def test_insert_select_enrichment(spark, warehouse_db):
     create_warehouse(spark, warehouse_db)
+    # staged rows follow the shared LOTS_SCHEMA contract (INSERT ...
+    # SELECT is positional, so order matters)
     spark.sql(
-        "SELECT 'L1' AS lot_number, 'tmpl' AS product_name, 'P1' AS product_id,"
-        " 'ok' AS status, current_timestamp() AS created_at,"
+        "SELECT 'L1' AS lot_number, 'P1' AS product_id, 'tmpl' AS product_name,"
+        " 'ok' AS status, current_timestamp() AS first_loaded,"
         " current_timestamp() AS last_updated"
     ).createOrReplaceTempView("staged_lots")
     insert_select(
