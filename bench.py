@@ -3,23 +3,30 @@
 
 Prints ONE JSON line:
   {"metric": "suite_seconds", "value": N, "unit": "sec",
-   "queries": {"q01...": sec, ...}, "sf": "..."}
+   "queries": {"q01...": sec, ...}, "sf": ..., "reps": R,
+   "wall_seconds": W}
 
-Each query is executed with a count-style action (`collect` on already
-small results is avoided; we use `write.format("noop")` so the full
-plan runs without driver materialization cost dominating).
+Each query is executed with a `write.format("noop")` action so the full
+plan runs without driver materialization cost dominating. Per-query
+time is the MEDIAN of $SPARK_GRAFT_BENCH_REPS runs (default 3) —
+single runs wobble ±10% (BASELINE.md), which is enough to fake a
+regression or mask one; medians make round-over-round deltas
+trustworthy. `value` is the sum of medians (the comparable suite
+number); `wall_seconds` is what the whole benchmark actually took.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def main() -> None:
@@ -28,12 +35,12 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Warm up the JVM/codegen path once with the flagship query.
+    # Fixed warmup: JVM/codegen via the flagship query, then the Arrow
+    # python-worker pool so the first pandas-stage query isn't charged
+    # the one-time worker spawn (~2-3 s).
     QUERIES["q06_sales_aggregate"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
-    # Warm the Arrow python-worker pool so the first pandas-stage query
-    # in the suite isn't charged the one-time worker spawn (~2-3 s).
     spark.range(64).repartition(8).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
@@ -41,18 +48,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    suite = round(time.perf_counter() - t_suite, 3)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    wall = round(time.perf_counter() - t_suite, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_seconds",
-        "value": suite,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": REPS,
+        "wall_seconds": wall,
     }))
 
 

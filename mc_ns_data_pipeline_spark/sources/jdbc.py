@@ -8,9 +8,12 @@ remote engine) and adds what the reference cannot do: a partitioned
 parallel scan — `partitionColumn/lowerBound/upperBound/numPartitions`
 splits the remote read across executors, and `fetchsize` batches rows.
 
-No JDBC driver ships in this environment, so the reader construction is
-a pure function (unit-tested); `.load()` is the only call that touches
-the network.
+Reader construction is a pure function (unit-tested); `.load()` is the
+only call that touches the network. Spark's bundled Derby provides an
+in-process JDBC engine, so the pushdown path is ALSO exercised
+end-to-end (tests/test_warehouse_jdbc.py::test_jdbc_pushdown_roundtrip
+— the filtered row set coming back proves the statement executed
+remotely, not in Spark).
 """
 
 from __future__ import annotations

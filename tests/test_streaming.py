@@ -49,6 +49,75 @@ def test_stream_restart_is_exactly_once(spark, sf_dir, tmp_path):
     assert len(first) > 0
 
 
+def test_session_windows_resume_merges_state(spark, sf_dir, tmp_path):
+    """XS4 kill/resume: stream half the events, stop, resume from the
+    same checkpoint with the rest. Sessions that straddle the split must
+    merge with state restored from the checkpoint — the risky part of
+    cross-batch session windows — and the final result must equal the
+    static gaps-and-islands computation over all events."""
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        session_event_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    # µs precision so the staged files read back as Spark timestamps
+    # (ns-precision parquet needs the nanosAsLong long-surface path)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    mid = len(pdf) // 2
+    early, late = pdf.iloc[:mid], pdf.iloc[mid:]
+
+    # at least one user's session must straddle the split, else this
+    # test wouldn't exercise the cross-batch merge
+    last_early = early.groupby("user_id")["ts"].max()
+    first_late = late.groupby("user_id")["ts"].min()
+    joined = last_early.to_frame("a").join(first_late.to_frame("b"), how="inner")
+    straddling = (
+        (joined["b"] - joined["a"]).dt.total_seconds() < 4 * 3600
+    ).sum()
+    assert straddling > 0, "fixture has no session straddling the split"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_sess")
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(early), str(src / "part1.parquet"))
+
+    def run_once(sink: str):
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(src)
+        )
+        agg = session_event_aggregate(stream)
+        with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table(sink)
+
+    first = run_once(f"s_{uuid.uuid4().hex[:8]}")
+    n_first = first.count()
+    assert n_first > 0
+
+    # "crash" over; second file lands, resume from the same checkpoint
+    pq.write_table(pa.Table.from_pandas(late), str(src / "part2.parquet"))
+    second = run_once(f"s_{uuid.uuid4().hex[:8]}")
+
+    static = session_event_aggregate(ev)
+    s = canonicalize(second.columns, [tuple(r) for r in second.collect()])
+    t = canonicalize(static.columns, [tuple(r) for r in static.collect()])
+    assert s == t and len(s) > 0
+
+
 def test_replace_sink_idempotent(spark, sf_dir, tmp_path):
     """T8: foreachBatch dynamic-partition overwrite; rerun from scratch
     (new checkpoint) converges to the same table state."""

@@ -40,6 +40,41 @@ def test_jdbc_reader_is_lazy(spark):
     jdbc_reader(spark, "jdbc:postgresql://h/db", "SELECT 1")
 
 
+def test_jdbc_pushdown_roundtrip(spark):
+    """S6 end-to-end against a real JDBC engine (Spark's bundled Derby,
+    in-memory). The WHERE-filtered row set proves the pushed statement
+    executed inside Derby; the partitioned variant proves the
+    range-split scan produces the requested task layout."""
+    from mc_ns_data_pipeline_spark.sources.jdbc import (
+        JdbcPartitioning,
+        read_query,
+    )
+
+    url = "jdbc:derby:memory:s6e2e;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE items (id INT PRIMARY KEY, name VARCHAR(20), qty INT)"
+    )
+    for i in range(10):
+        st.execute(f"INSERT INTO items VALUES ({i}, 'n{i}', {i * 10})")
+    st.close()
+    conn.close()
+
+    df = read_query(
+        spark, url, "SELECT id, name, qty FROM items WHERE qty >= 50"
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (i, f"n{i}", i * 10) for i in range(5, 10)
+    ]
+
+    part = JdbcPartitioning("id", 0, 10, 3)
+    dfp = read_query(spark, url, "SELECT id, qty FROM items",
+                     partitioning=part)
+    assert dfp.rdd.getNumPartitions() == 3
+    assert dfp.count() == 10
+
+
 @pytest.fixture()
 def warehouse_db(spark, tmp_path):
     db = "wh_test"
