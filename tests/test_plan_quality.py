@@ -76,6 +76,39 @@ def test_map_only_operators_have_no_key_shuffle(spark, sf_dir):
         )
 
 
+def test_q16_broadcasts_asof_scalar(spark, sf_dir):
+    """q16's as_of anchor is a 1-row aggregate: it must come back as a
+    broadcast (nested-loop against one row), never a shuffled join, and
+    the fact side must stay un-shuffled below the final ORDER BY."""
+    plan = plan_of(spark, sf_dir, "q16_recent_report")
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # exactly one range exchange (the report's ORDER BY desc), one
+    # single-partition exchange (the scalar max) — no key shuffle
+    assert "hashpartitioning" not in plan
+
+
+def test_x22_grid_shuffles_once_per_side(spark, sf_dir):
+    """Grid GEMM: each side is exploded to its grid cells then shuffled
+    ONCE by (pi, pj) into the cogroup; no extra exchanges, no broadcast
+    of the corpus."""
+    plan = plan_of(spark, sf_dir, "x22_embed_neardup_grid")
+    assert n_ops(plan, "FlatMapCoGroupsInPandas") == 1
+    # one hash exchange per cogroup side + the final orderBy range
+    # exchange; anything more means a redundant reshuffle crept in
+    assert plan.count("hashpartitioning(pi") == 2
+    assert "BroadcastExchange" not in plan
+
+
+def test_x21_sketch_is_partial_aggregable(spark, sf_dir):
+    """The sketch percentile must keep the partial->final HashAggregate
+    split (mergeable state, map-side combine) — the property that makes
+    it the 100 TB path."""
+    plan = plan_of(spark, sf_dir, "x21_percentiles_sketch")
+    assert n_ops(plan, "ObjectHashAggregate") == 2  # partial + final
+    assert plan.count("partial_approx_percentile") >= 1
+
+
 def test_scans_prune_columns(spark, sf_dir):
     """x01 reads only what it projects — ReadSchema must not include the
     unused lang/source columns."""
