@@ -81,6 +81,75 @@ def anti_join_processed(ids: DataFrame, status_log: DataFrame,
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              ts_col: str = "ts",
+              right_cols: dict[str, str] | None = None,
+              strict: bool = False) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row at
+    or before (strict=True: strictly before) its timestamp, per key.
+    Left rows with no prior right row keep NULLs (left-join semantics).
+
+    Spark has no ASOF JOIN operator. The naive encoding — inequality
+    join + per-left-row max — explodes to |L|·|R| per key before the
+    aggregate prunes it, which dies on any hot key. The scale-safe
+    shape used here: UNION both sides with a side tag, shuffle ONCE by
+    key, and in a per-key (ts, side)-ordered window carry the latest
+    right payload forward with last(ignorenulls). Cost is one shuffle
+    of |L|+|R| rows — identical to a co-partitioned equi-join — and the
+    window is a single pass, so hot keys cost O(rows), not O(rows²).
+
+    `right_cols` maps output name -> right column; the payload rides in
+    ONE struct so exactly one last() accumulator runs regardless of how
+    many columns are carried. Rows of `right` must be unique per
+    (key, ts) — pre-aggregate duplicates (e.g. F.max_by) or the carried
+    row at a tied timestamp is nondeterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or {}
+    payload = F.struct(*[
+        F.col(src).alias(dst) for dst, src in right_cols.items()
+    ])
+    # side tag doubles as the tie rank: inclusive mode sorts right rows
+    # BEFORE left at equal ts (visible to the frame), strict mode after
+    left_pri, right_pri = (0, 1) if strict else (1, 0)
+    l_tagged = left.select(
+        "*",
+        F.lit(left_pri).alias("_pri"),
+        F.lit(None).cast(
+            right.select(payload.alias("_p")).schema["_p"].dataType
+        ).alias("_p"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in keys],
+        F.col(ts_col).alias(ts_col),
+        F.lit(right_pri).alias("_pri"),
+        payload.alias("_p"),
+    )
+    # align schemas: right side carries NULLs for left-only columns
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(dict(l_tagged.dtypes)[c])
+            )
+    u = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_pri").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_p", ignorenulls=True).over(w)
+    return (
+        u.withColumn("_carry", carried)
+        .filter(F.col("_pri") == left_pri)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_carry.{dst}").alias(dst) for dst in right_cols],
+        )
+    )
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt_buckets: int = 8, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: explode the small side across salt buckets.

@@ -1,0 +1,48 @@
+"""Deterministic sampling operators for training-data curation.
+
+Complements `functions/text.hash_sample_bucket` (the md5-bucket
+threshold sample, x18): that one is map-only and scales to any stratum
+size, but its per-stratum counts are only approximate (each row flips
+an independent deterministic coin). `stratified_sample` here delivers
+EXACT per-stratum counts — ceil(fraction · n_stratum) rows — which is
+what curation quotas ("exactly 20% of every language") actually need.
+
+Scale shape: one shuffle by the stratum key, then a per-stratum sort by
+md5 rank. Parallelism is bounded by the number of strata (a language
+column gives dozens of reducers, not thousands), so for very hot strata
+at extreme scale, either salt the stratum sort or fall back to the
+approximate bucket sample; both trade-offs are the standard exact-vs-
+approximate quota choice. Ranking by md5(id) makes the selection
+reproducible across engines, runs, and partitionings — rand()-based
+sampling can never be oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_rank(id_col: Column) -> Column:
+    """Deterministic per-row sort key, uniform over the id space."""
+    return F.md5(id_col.cast("string"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
+                      id_col: str) -> DataFrame:
+    """Exact-count stratified sample: the ceil(fraction·n) md5-lowest
+    rows of each stratum. Adds `n_stratum` (stratum size) and
+    `sample_rank` (1-based rank within the stratum) for auditability.
+    """
+    w_count = Window.partitionBy(strata_col)
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        md5_rank(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("n_stratum", F.count(F.lit(1)).over(w_count))
+        .withColumn("sample_rank", F.row_number().over(w_rank))
+        .filter(
+            F.col("sample_rank")
+            <= F.ceil(F.lit(float(fraction)) * F.col("n_stratum"))
+        )
+    )

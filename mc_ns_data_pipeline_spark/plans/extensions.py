@@ -154,6 +154,143 @@ def x22_embed_neardup_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_neardup_grid(emb, threshold=0.4, n_blocks=4)
 
 
+def x23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-same-time click (attribution — the classic as-of shape).
+
+    Click rows are pre-aggregated to one per (user, ts) with
+    max/max_by so the as-of carry is deterministic; the oracle is
+    DuckDB's native ASOF LEFT JOIN — a genuinely independent
+    implementation, not a transliteration of the Spark plan.
+    """
+    from mc_ns_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols={
+            "click_id": "click_id",
+            "click_value": "click_value",
+            "click_ts": "ts",
+        },
+    ).orderBy("event_id")
+
+
+def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count 20% stratified sample per language (curation quota).
+
+    One shuffle by stratum + per-stratum md5-rank sort; see
+    operators/sampling.py for the exact-vs-approximate trade-off against
+    the map-only bucket sample (x18).
+    """
+    from mc_ns_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"), "lang", 0.2, "doc_id"
+    ).orderBy("lang", "sample_rank")
+
+
+def x25_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document.
+
+    The textbook encoding (tf ⋈ df-aggregate on term) makes Catalyst
+    compute the explode+tf aggregate TWICE — once per join side — and
+    tempts it into broadcasting the vocabulary (unbounded at corpus
+    scale). Instead, document frequency is a count() window PARTITIONED
+    BY term over the tf relation itself: one scan, one explode, three
+    keyed shuffles ((doc,term) agg → term window → per-doc top-k
+    window), no join, nothing vocabulary-sized in memory. Corpus size
+    is the only broadcast (1 row). Scores are rounded to 6 decimals
+    BEFORE ranking so cross-engine log() ulp differences can't flip the
+    (score desc, term asc) order.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    words = docs.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def x26_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: compress each user's event_type sequence
+    into [valid_from, valid_to) versioned rows (change-data capture →
+    slowly-changing-dimension history — the warehouse-side extension of
+    the reference's data_hash change detection, file_processor.py:59-88).
+
+    Two windows over the SAME (user_id, ts, event_id) ordering — one
+    shuffle, change-row filter between them; valid_to = next change's
+    valid_from, open interval marks the current version.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "_chg", prev.isNull() | (F.col("event_type") != prev)
+        )
+        .filter(F.col("_chg"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        runs.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.row_number().over(w2).alias("version"),
+            F.lead("ts").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -485,6 +622,10 @@ EXT_QUERIES = {
     "x20_percentiles": x20_percentiles,
     "x21_percentiles_sketch": x21_percentiles_sketch,
     "x22_embed_neardup_grid": x22_embed_neardup_grid,
+    "x23_asof_join": x23_asof_join,
+    "x24_stratified_sample": x24_stratified_sample,
+    "x25_tfidf_topk": x25_tfidf_topk,
+    "x26_scd2_history": x26_scd2_history,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs2_stream_stateful": xs2_stream_stateful,
@@ -976,6 +1117,85 @@ EXT_ORACLES: dict[str, str] = {
     # x22 computes the same exact result as x11 (grid GEMM vs broadcast
     # GEMM) so it shares the same oracle.
     "x22_embed_neardup_grid": _neardup_sql(),
+    # x23: DuckDB's native ASOF LEFT JOIN — an independent engine
+    # implementation of the same semantics as the union+window carry.
+    "x23_asof_join": """
+        WITH p AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts, max(event_id) AS click_id,
+                   arg_max(value, event_id) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_id, c.click_value, c.ts AS click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    "x24_stratified_sample": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   count(*) OVER (PARTITION BY lang) AS n_stratum,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        SELECT doc_id, lang, n_stratum, sample_rank
+        FROM t
+        WHERE sample_rank <= CAST(ceil(0.2 * n_stratum) AS BIGINT)
+        ORDER BY lang, sample_rank
+    """,
+    "x25_tfidf_topk": f"""
+        WITH w AS (
+            SELECT doc_id, s AS term
+            FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws
+                  FROM documents), UNNEST(ws) AS t(s)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (dft.df + 1.0))
+                                  + 1.0), 6) AS tfidf
+            FROM tf JOIN dft ON tf.term = dft.term, n
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank
+        FROM r WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+    "x26_scd2_history": """
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_t
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type, ts, event_id FROM o
+            WHERE prev_t IS NULL OR event_type <> prev_t
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version
+    """,
     "x13_ann_ivf": _ann_ivf_sql(),
     "x14_simhash_neardup": _simhash_pairs_sql(),
     "x16_dedup_clusters": _clusters_sql(),

@@ -63,6 +63,49 @@ def test_window_start_6h_alignment(spark):
     assert str(v) == "2024-01-01 06:00:00"
 
 
+def test_asof_join_semantics(spark):
+    """As-of join: latest right row at-or-before each left ts per key;
+    strict mode excludes same-ts matches; keys with no prior right row
+    carry NULLs."""
+    from datetime import datetime
+
+    from mc_ns_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", datetime(2024, 1, 1, 10)),
+            (2, "u1", datetime(2024, 1, 1, 12)),
+            (3, "u2", datetime(2024, 1, 1, 9)),   # before any right row
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1, 10), 100),  # same-ts as event 1
+            ("u1", datetime(2024, 1, 1, 11), 101),
+            ("u2", datetime(2024, 1, 1, 9, 30), 102),
+        ],
+        "user_id string, ts timestamp, rid long",
+    )
+    out = {
+        r["event_id"]: r["rid"]
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols={"rid": "rid"},
+        ).collect()
+    }
+    assert out == {1: 100, 2: 101, 3: None}
+
+    strict = {
+        r["event_id"]: r["rid"]
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols={"rid": "rid"}, strict=True,
+        ).collect()
+    }
+    assert strict == {1: None, 2: 101, 3: None}
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     """Salting must not change join results, only key distribution."""
     from mc_ns_data_pipeline_spark.catalog import load_table

@@ -109,6 +109,28 @@ def test_x21_sketch_is_partial_aggregable(spark, sf_dir):
     assert plan.count("partial_approx_percentile") >= 1
 
 
+def test_x23_asof_is_single_keyed_shuffle(spark, sf_dir):
+    """The as-of join must stay the union+window shape: no inequality
+    join operator (nested-loop/cartesian — the naive encoding that
+    explodes per hot key), exactly one window pass."""
+    plan = plan_of(spark, sf_dir, "x23_asof_join")
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "Window") == 1
+
+
+def test_x25_tfidf_single_scan_no_vocab_join(spark, sf_dir):
+    """df must come from a term-partitioned window over the tf relation
+    — NOT a self-join, which recomputes the explode+aggregate per side
+    and tempts Catalyst into broadcasting the (unbounded) vocabulary.
+    One explode, one corpus-count broadcast (1 row), no hash join."""
+    plan = plan_of(spark, sf_dir, "x25_tfidf_topk")
+    assert n_ops(plan, "Generate") == 1  # explode computed once
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1  # 1-row n_docs
+    assert n_ops(plan, "BroadcastHashJoin") == 0
+    assert n_ops(plan, "SortMergeJoin") == 0
+
+
 def test_scans_prune_columns(spark, sf_dir):
     """x01 reads only what it projects — ReadSchema must not include the
     unused lang/source columns."""
