@@ -291,6 +291,62 @@ def x26_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x27_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-frame window family: per-user 3-row moving sum/avg,
+    running total, and inter-event gap (feature engineering over event
+    streams — frames beyond the plain rank/lag the core suite uses).
+
+    Numeric contract: frame sums run over DECIMAL(18,4) (exact,
+    order-independent) and only the final avg division happens in
+    double, rounded to 6 — so both engines produce bit-identical
+    values regardless of partitioning. One shuffle (user_id), all four
+    features share the same window ordering.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,4)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame3 = w.rowsBetween(-2, Window.currentRow)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov_sum = F.sum(val).over(frame3)
+    mov_n = F.count(F.lit(1)).over(frame3)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        mov_sum.cast("double").alias("mov_sum_3"),
+        F.round(mov_sum.cast("double") / mov_n, 6).alias("mov_avg_3"),
+        F.sum(val).over(cum).cast("double").alias("running_value"),
+        # floor the DIFFERENCE of microsecond epochs — flooring each
+        # side first (unix_timestamp) disagrees with the exact diff
+        # whenever the two fractional parts straddle a second boundary
+        F.floor(
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            )
+            / F.lit(1_000_000)
+        ).alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+def x28_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: user × event-type value matrix (wide feature table).
+
+    `pivot` with an EXPLICIT value list compiles to one hash aggregate
+    of conditional sums — no second pass to discover pivot values, no
+    extra shuffle beyond the groupBy. Decimal-exact sums, absent combos
+    stay NULL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,4)")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.sum(val).cast("double"))
+        .orderBy("user_id")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -493,6 +549,24 @@ def xs4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS5 — stream-stream interval join (purchase ⋈ clicks ≤ 1 h prior,
+    per user) run to end-of-input; oracle is the static interval join.
+    """
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_stream_join,
+    )
+
+    sink = f"xs5_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs5_ckpt_")
+    return run_stream_stream_join(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -626,8 +700,11 @@ EXT_QUERIES = {
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
     "x26_scd2_history": x26_scd2_history,
+    "x27_moving_window": x27_moving_window,
+    "x28_pivot_matrix": x28_pivot_matrix,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
+    "xs5_stream_stream_join": xs5_stream_stream_join,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
 }
@@ -1176,6 +1253,46 @@ EXT_ORACLES: dict[str, str] = {
         FROM r WHERE rank <= 3
         ORDER BY doc_id, rank
     """,
+    "x27_moving_window": """
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER f3 AS DOUBLE)
+                   AS mov_sum_3,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER f3 AS DOUBLE)
+                     / count(*) OVER f3, 6) AS mov_avg_3,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER cum AS DOUBLE)
+                   AS running_value,
+               CAST(floor((epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                          / 1000000.0) AS BIGINT) AS gap_seconds
+        FROM events
+        WINDOW
+            w AS (PARTITION BY user_id ORDER BY ts, event_id),
+            f3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+            cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+    """,
+    "x28_pivot_matrix": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS click,
+               CAST(sum(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS view,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'
+                        THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS signup,
+               CAST(sum(CASE WHEN event_type = 'error'
+                        THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS error
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "x26_scd2_history": """
         WITH o AS (
             SELECT user_id, event_type, ts, event_id,
@@ -1278,6 +1395,17 @@ EXT_ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM sessions
         GROUP BY user_id, sid
+    """,
+    # xs5: static twin of the streaming interval join — append-mode
+    # stream-stream inner join at end-of-input emits exactly the static
+    # pair set.
+    "xs5_stream_stream_join": """
+        SELECT p.event_id AS p_event_id, p.user_id AS p_user_id,
+               p.ts AS p_ts, c.event_id AS c_event_id, c.ts AS c_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
     """,
     "xs1_stream_tumbling": """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

@@ -168,6 +168,69 @@ def run_session_windows(spark: SparkSession, events_path: str,
     return spark.table(sink_table)
 
 
+def run_stream_stream_join(spark: SparkSession, events_path: str,
+                           checkpoint_dir: str,
+                           sink_table: str = "xs5_sink",
+                           sink_dir: str | None = None) -> DataFrame:
+    """XS5 — stream-stream interval join: each purchase joined to the
+    user's clicks in the preceding hour (streaming attribution).
+
+    Both sides carry watermarks AND the join carries an explicit time
+    range — the combination Structured Streaming needs to bound join
+    state: click state older than (watermark - 1 h) is evicted instead
+    of accumulating forever, which is what makes this shape viable on
+    an unbounded 100 TB/day stream. Append mode emits each matched pair
+    exactly once; at end-of-input the pair set equals the static
+    interval join (the DuckDB oracle).
+    """
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    purchases = (
+        _events_stream(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        _events_stream(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user_id = c_user_id "
+            "AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "inner",
+    ).select("p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts")
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        writer = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+        )
+        if sink_dir is not None:
+            # parquet sink: durable + supports checkpoint RECOVERY
+            # (append-mode memory sinks refuse to resume) — the shape a
+            # kill/resume deployment actually runs
+            q = writer.format("parquet").option("path", sink_dir).start()
+            q.awaitTermination()
+            return spark.read.parquet(sink_dir)
+        q = writer.format("memory").queryName(sink_table).start()
+        q.awaitTermination()
+        return spark.table(sink_table)
+
+
 def replace_partitions_sink(batch_df: DataFrame, target_dir: str,
                             key_col: str = "event_type") -> None:
     """T8 per-key replacement: dynamic partition overwrite.

@@ -118,6 +118,88 @@ def test_session_windows_resume_merges_state(spark, sf_dir, tmp_path):
     assert s == t and len(s) > 0
 
 
+def test_stream_stream_join_joins_across_batches(spark, sf_dir, tmp_path):
+    """XS5 kill/resume: click state checkpointed in batch 1 must still
+    match purchases arriving in batch 2, and the union of both runs'
+    append-mode emissions must equal the static interval join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_stream_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    p0 = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c0 = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    join_cond = F.expr(
+        "p_user_id = c_user_id "
+        "AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+    )
+    # choose the file split from a REAL matched pair (click strictly
+    # before purchase) so at least one match must cross the batch
+    # boundary — a blind median split can miss at small sf
+    seed = (
+        p0.join(c0, join_cond)
+        .filter(F.col("c_ts") < F.col("p_ts"))
+        .orderBy("p_event_id")
+        .first()
+    )
+    assert seed is not None, "fixture has no strictly-ordered join pair"
+    split_ts = seed["c_ts"]
+
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    # µs + UTC zone: watermarks require TIMESTAMP (ltz), and naive
+    # parquet timestamps surface as TIMESTAMP_NTZ
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]").dt.tz_localize("UTC")
+    mask = pdf["ts"].dt.tz_localize(None) <= split_ts
+    early, late = pdf[mask], pdf[~mask]
+    early_ids = set(early["event_id"])
+
+    src = tmp_path / "src5"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt5")
+    sink_dir = str(tmp_path / "sink5")
+    pq.write_table(pa.Table.from_pandas(early), str(src / "part1.parquet"))
+    first = run_stream_stream_join(
+        spark, str(src), ckpt, sink_dir=sink_dir
+    ).collect()
+    n_first = len(first)
+
+    pq.write_table(pa.Table.from_pandas(late), str(src / "part2.parquet"))
+    both = run_stream_stream_join(
+        spark, str(src), ckpt, sink_dir=sink_dir
+    ).collect()
+    new_pairs = [r for r in both if r not in first]
+    assert len(both) > n_first
+
+    # cross-batch evidence: some pair matched a batch-1 click to a
+    # batch-2 purchase via restored join state
+    crossed = [
+        r for r in new_pairs
+        if r["c_event_id"] in early_ids and r["p_event_id"] not in early_ids
+    ]
+    assert crossed, "no pair used click state restored from batch 1"
+
+    static = p0.join(c0, join_cond).select(
+        "p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts"
+    )
+    cols = ["p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts"]
+    streamed = canonicalize(cols, [tuple(r) for r in both])
+    want = canonicalize(cols, [tuple(r) for r in static.collect()])
+    assert streamed == want and len(streamed) > 0
+
+
 def test_replace_sink_idempotent(spark, sf_dir, tmp_path):
     """T8: foreachBatch dynamic-partition overwrite; rerun from scratch
     (new checkpoint) converges to the same table state."""
