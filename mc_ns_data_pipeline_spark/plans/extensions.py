@@ -347,6 +347,114 @@ def x28_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x29_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream into sessions at >30-minute silences, emit per-session stats.
+
+    The batch twin of xs4's streaming session windows — the shape a
+    backfill over historical data runs. Two logical steps share ONE
+    (user_id, ts, event_id) sort within a single shuffle: a lag() marks
+    session starts, a running sum of the marker numbers the islands;
+    the per-session groupBy then re-shuffles only (user, session) keys.
+    Value sums run over DECIMAL(18,4) and the gap test compares raw
+    microsecond epochs (no per-side flooring), so both engines agree
+    bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros("ts") - prev_us > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.col("value").cast("decimal(18,4)").alias("val"),
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_seq"),
+    )
+    return (
+        marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("val").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def x30_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type — q07's scale
+    path. Exact count-distinct shuffles every distinct (group, user)
+    pair; the HLL sketch is fixed-size per group and mergeable, so the
+    partial aggregate combines map-side and the shuffle carries only
+    #groups × sketch bytes no matter how many users exist.
+
+    Sketches are estimate-valued by design, so there is no hash oracle;
+    correctness is pinned by a relative-error tolerance test against
+    the exact count (tests/test_properties.py) at rsd=0.02.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_distinct_users"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def x31_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level time rollup: hourly pre-aggregate, daily derived by
+    MERGING the hourly relation (never re-reading raw rows) — the
+    continuous-aggregate pattern behind hypertable rollups.
+
+    Every measure is chosen mergeable: count and decimal SUM re-sum,
+    min/max re-min/re-max. At 100 TB the hourly relation is the only
+    full-data shuffle; the daily pass aggregates ~24× fewer rows per
+    group, and further levels (week/month) stack the same way. The
+    declared query emits the daily level with an `n_hours` provenance
+    column proving it was built from the hourly buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("bucket_hour")).alias("bucket_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("event_type", "bucket_day")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -702,6 +810,9 @@ EXT_QUERIES = {
     "x26_scd2_history": x26_scd2_history,
     "x27_moving_window": x27_moving_window,
     "x28_pivot_matrix": x28_pivot_matrix,
+    "x29_sessionize_batch": x29_sessionize_batch,
+    "x30_distinct_sketch": x30_distinct_sketch,
+    "x31_rollup_merge": x31_rollup_merge,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1292,6 +1403,56 @@ EXT_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "x29_sessionize_batch": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CAST(value AS DECIMAL(18,4)) AS val,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, event_id, val,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS INTEGER) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(sum(val) AS DOUBLE) AS total_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "x31_rollup_merge": """
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_hour,
+                   count(*) AS n_events,
+                   sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        )
+        SELECT event_type,
+               -- DuckDB's day-trunc yields DATE; Spark's yields TIMESTAMP
+               CAST(date_trunc('day', bucket_hour) AS TIMESTAMP) AS bucket_day,
+               count(*) AS n_hours,
+               sum(n_events) AS n_events,
+               CAST(sum(sum_value) AS DOUBLE) AS total_value,
+               min(min_value) AS min_value,
+               max(max_value) AS max_value
+        FROM hourly
+        GROUP BY event_type, date_trunc('day', bucket_hour)
+        ORDER BY event_type, bucket_day
     """,
     "x26_scd2_history": """
         WITH o AS (

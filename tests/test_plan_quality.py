@@ -119,6 +119,29 @@ def test_x23_asof_is_single_keyed_shuffle(spark, sf_dir):
     assert n_ops(plan, "Window") == 1
 
 
+def test_x29_sessionize_single_data_shuffle(spark, sf_dir):
+    """Sessionization: the lag-marker window, the island-numbering
+    window, and the per-session aggregate must all ride ONE user_id
+    hash exchange (agg keys (user_id, session_seq) extend the window
+    partitioning, so no re-shuffle before the groupBy); only the final
+    ORDER BY adds a range exchange."""
+    plan = plan_of(spark, sf_dir, "x29_sessionize_batch")
+    assert n_ops(plan, "Window") == 2
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert n_ops(plan, "HashAggregate") == 2  # partial + final, no mid-shuffle
+
+
+def test_x31_rollup_merges_partials(spark, sf_dir):
+    """Two-level rollup: hourly partial aggregation must fuse onto the
+    scan (map-side combine before the only full-data shuffle), and the
+    daily level must aggregate the hourly relation — so the second hash
+    exchange carries hour-grain rows, never raw events."""
+    plan = plan_of(spark, sf_dir, "x31_rollup_merge")
+    assert plan.count("partial_sum") >= 2  # hourly AND daily partials
+    # hourly keys + daily keys + final ORDER BY = 3 exchanges total
+    assert n_ops(plan, "Exchange") == 3
+
+
 def test_x25_tfidf_single_scan_no_vocab_join(spark, sf_dir):
     """df must come from a term-partitioned window over the tf relation
     — NOT a self-join, which recomputes the explode+aggregate per side

@@ -170,6 +170,38 @@ def test_grid_neardup_equals_broadcast(spark, sf_dir):
         assert got == want, f"n_blocks={nb}: {len(got)} vs {len(want)} rows"
 
 
+def test_distinct_sketch_within_tolerance(spark, sf_dir):
+    """x30 (HLL++ approx_count_distinct) tracks the exact distinct
+    count per event type.
+
+    A cardinality sketch is estimate-valued by design (no hash oracle);
+    its contract is the configured relative standard deviation
+    (rsd=0.02). Assert a 3-sigma band — 6% — plus a unit slack for
+    tiny groups.
+    """
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.plans.extensions import (
+        x30_distinct_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in x30_distinct_sketch(spark, sf_dir).collect()
+    }
+    assert exact.keys() == got.keys()
+    for etype, n in exact.items():
+        assert abs(got[etype] - n) <= 0.06 * n + 1, (
+            f"{etype}: sketch={got[etype]} exact={n}"
+        )
+
+
 def test_sketch_percentiles_within_tolerance(spark, sf_dir):
     """x21 (approx_percentile sketch) tracks x20 (exact) per group.
 
