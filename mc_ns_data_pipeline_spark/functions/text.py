@@ -113,6 +113,24 @@ def shingles_from_words(ws: Column, k: int = 3) -> Column:
     )
 
 
+def ngrams_or_empty(ws: Column, k: int) -> Column:
+    """Word k-grams, or an EMPTY array for docs shorter than k words.
+
+    Unlike `shingles_from_words` (whose whole-text fallback keeps short
+    docs dedup-able), repetition metrics want the true gram population,
+    so short docs contribute zero grams. Same lambda-CSE contract: `ws`
+    must be a bound column reference.
+    """
+    idx = F.sequence(F.lit(0), F.size(ws) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(ws) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(c: Column, k: int = 3) -> Column:
     """Word k-gram shingles straight from a text column.
 

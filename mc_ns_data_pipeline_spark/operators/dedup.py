@@ -284,6 +284,67 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def decontaminate_against(df: DataFrame, bench_filter: Column,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 4) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share any word
+    k-gram with a benchmark/eval set (the standard n-gram-overlap
+    contamination check used when assembling training corpora).
+
+    `bench_filter` selects the benchmark rows; everything else is the
+    corpus. Returns one row per corpus doc: its k-gram count, how many
+    of those k-grams appear anywhere in the benchmark, the contaminated
+    fraction, and a flag.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are ~1e6 n-grams vs ~1e12 corpus n-grams), so it is
+    distinct-ed and BROADCAST; corpus postings then tag hits map-side
+    via a broadcast LEFT join and the whole result needs exactly ONE
+    shuffle (the per-doc count groupBy, partial-aggregated map-side).
+    Zero-overlap docs survive because the left join keeps every posting
+    and every doc has >= 1 shingle (short-doc fallback in
+    shingles_from_words).
+    """
+    sets = doc_shingle_sets(df, text_col, id_col, k=k)
+    bench_ngrams = (
+        sets.filter(bench_filter)
+        # explode_outer: plain explode would infer `size(sh_ids)>0` and
+        # push the full gram lambda into the benchmark scan filter.
+        .select(F.explode_outer("sh_ids").alias("sh_id"))
+        .filter(F.col("sh_id").isNotNull())
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # Same explode_outer + materialize fence as ngram_jaccard_pairs:
+    # a plain explode would re-evaluate the gram lambda at the scan via
+    # InferFiltersFromGenerate pushdown.
+    postings = _materialize(
+        sets.filter(~bench_filter)
+        .select(
+            F.col(id_col),
+            F.size("sh_ids").alias("n_ngrams"),
+            F.explode_outer("sh_ids").alias("sh_id"),
+        )
+    ).filter(F.col("sh_id").isNotNull())
+    n_hit = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        postings.join(F.broadcast(bench_ngrams), "sh_id", "left")
+        .groupBy(id_col, "n_ngrams")
+        .agg(n_hit.alias("n_contaminated"))
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams"),
+            F.col("n_contaminated"),
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("contamination_frac"),
+            (F.col("n_contaminated") > 0).alias("is_contaminated"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document as a '0'/'1' bit string (bit 0 first).

@@ -25,6 +25,7 @@ from mc_ns_data_pipeline_spark.functions.text import (
     predict_lang,
     stopword_count,
     word_count,
+    words,
 )
 from mc_ns_data_pipeline_spark.operators import dedup as D
 from mc_ns_data_pipeline_spark.operators import similarity as S
@@ -455,6 +456,84 @@ def x31_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x32_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram
+    with the benchmark set (doc_id % 17 == 0 plays the eval suite).
+
+    Broadcast benchmark n-grams + one groupBy shuffle — see
+    operators.dedup.decontaminate_against for the 100 TB shape.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.decontaminate_against(
+        docs, F.col("doc_id") % 17 == 0, k=4
+    )
+
+
+def x33_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate 2-/3-gram fractions
+    and the top-word mass fraction, each computed ROW-LOCALLY (no
+    explode, no shuffle — a pure map stage at any corpus size).
+
+    The word array and both gram arrays are bound to real columns
+    before any lambda references them (Catalyst does no CSE inside
+    lambda bodies; an unbound tree re-splits the doc per element).
+    """
+    from mc_ns_data_pipeline_spark.functions.text import ngrams_or_empty
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    bound = docs.select("doc_id", words(F.col("text")).alias("_ws"))
+    grams = bound.select(
+        "doc_id",
+        "_ws",
+        ngrams_or_empty(F.col("_ws"), 2).alias("_g2"),
+        ngrams_or_empty(F.col("_ws"), 3).alias("_g3"),
+    )
+
+    def dup_frac(c):
+        return F.when(
+            F.size(c) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(c)).cast("double")
+            / F.size(c).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    n = F.size("_ws")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("_ws"),
+            lambda w: F.size(F.filter("_ws", lambda x: x == w)),
+        )
+    )
+    metrics = grams.select(
+        "doc_id",
+        n.alias("n_words"),
+        dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("_g3")).alias("dup_3gram_frac"),
+        F.when(
+            n > 0, top_count.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0)).alias("top_word_frac"),
+    )
+    return metrics.select(
+        "*",
+        (
+            (F.col("dup_2gram_frac") > 0.1) | (F.col("top_word_frac") > 0.2)
+        ).alias("is_repetitive"),
+    )
+
+
+def x34_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens per language with term + document frequency.
+
+    Row-local per-doc vocabulary aggregation (no distinct-Expand) and
+    two-level top-k (bucketed pre-rank caps the per-language window at
+    n_buckets*k rows) — see operators.frequency for the scale shape.
+    """
+    from mc_ns_data_pipeline_spark.operators.frequency import top_k_tokens
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return top_k_tokens(docs, k=10)
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -813,6 +892,9 @@ EXT_QUERIES = {
     "x29_sessionize_batch": x29_sessionize_batch,
     "x30_distinct_sketch": x30_distinct_sketch,
     "x31_rollup_merge": x31_rollup_merge,
+    "x32_decontaminate": x32_decontaminate,
+    "x33_repetition_quality": x33_repetition_quality,
+    "x34_heavy_hitters": x34_heavy_hitters,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -972,6 +1054,104 @@ def _ngram_sql() -> str:
         JOIN sizes nb ON s.doc_b = nb.doc_id
         WHERE CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) >= 0.3
         ORDER BY doc_a, doc_b
+    """
+
+
+def _shingles_cte_k(k: int) -> str:
+    """k-parameterized twin of _SHINGLES_CTE (word k-grams, short-doc
+    whole-text fallback, 60-bit md5 ids)."""
+    join = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return f"""
+        norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+        w AS (SELECT doc_id, n, string_split(n, ' ') AS ws FROM norm),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= {k}
+                      THEN list_transform(range(1, len(ws) - {k - 2}),
+                           i -> {join})
+                      ELSE [n] END AS sl
+               FROM w),
+        shx AS (SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh_id
+                FROM sh, UNNEST(sl) AS t(s))
+"""
+
+
+def _decontam_sql(k: int = 4, mod: int = 17) -> str:
+    return f"""
+        WITH {_shingles_cte_k(k)},
+        bench AS (SELECT DISTINCT sh_id FROM shx WHERE doc_id % {mod} = 0),
+        corpus AS (SELECT doc_id, count(*) AS n_ngrams FROM shx
+                   WHERE doc_id % {mod} <> 0 GROUP BY doc_id),
+        hits AS (SELECT s.doc_id, count(*) AS n_hit
+                 FROM shx s JOIN bench b USING (sh_id)
+                 WHERE s.doc_id % {mod} <> 0 GROUP BY s.doc_id)
+        SELECT c.doc_id, c.n_ngrams,
+               COALESCE(h.n_hit, 0) AS n_contaminated,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                   / CAST(c.n_ngrams AS DOUBLE) AS contamination_frac,
+               COALESCE(h.n_hit, 0) > 0 AS is_contaminated
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
+        ORDER BY c.doc_id
+    """
+
+
+def _repetition_sql() -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+        ),
+        m AS (SELECT doc_id, ws, len(ws) AS n_words,
+                CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i+1])
+                     ELSE [] END AS g2,
+                CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     ELSE [] END AS g3
+              FROM w),
+        r AS (SELECT doc_id, n_words,
+                CASE WHEN len(g2) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                              / CAST(len(g2) AS DOUBLE)
+                     ELSE 0.0 END AS dup_2gram_frac,
+                CASE WHEN len(g3) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                              / CAST(len(g3) AS DOUBLE)
+                     ELSE 0.0 END AS dup_3gram_frac,
+                CASE WHEN n_words > 0
+                     THEN CAST(list_max(list_transform(list_distinct(ws),
+                               w2 -> len(list_filter(ws, x -> x = w2))))
+                               AS DOUBLE)
+                          / CAST(n_words AS DOUBLE)
+                     ELSE 0.0 END AS top_word_frac
+              FROM m)
+        SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac,
+               top_word_frac,
+               dup_2gram_frac > 0.1 OR top_word_frac > 0.2 AS is_repetitive
+        FROM r
+    """
+
+
+def _heavy_hitters_sql(k: int = 10) -> str:
+    return f"""
+        WITH wx AS (
+            SELECT doc_id, lang, s AS word
+            FROM (SELECT doc_id, lang,
+                         string_split({_NORM}, ' ') AS ws
+                  FROM documents), UNNEST(ws) AS t(s)
+        ),
+        cnt AS (SELECT lang, word, count(*) AS n_occ,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM wx GROUP BY lang, word),
+        rk AS (SELECT lang, word, n_occ, n_docs,
+                      row_number() OVER (
+                          PARTITION BY lang ORDER BY n_occ DESC, word
+                      ) AS rnk
+               FROM cnt)
+        SELECT lang, word, n_occ, n_docs, rnk
+        FROM rk WHERE rnk <= {k}
+        ORDER BY lang, rnk
     """
 
 
@@ -1454,6 +1634,9 @@ EXT_ORACLES: dict[str, str] = {
         GROUP BY event_type, date_trunc('day', bucket_hour)
         ORDER BY event_type, bucket_day
     """,
+    "x32_decontaminate": _decontam_sql(k=4, mod=17),
+    "x33_repetition_quality": _repetition_sql(),
+    "x34_heavy_hitters": _heavy_hitters_sql(k=10),
     "x26_scd2_history": """
         WITH o AS (
             SELECT user_id, event_type, ts, event_id,

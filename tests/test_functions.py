@@ -132,3 +132,74 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(li, part, "l_partkey", how="full")
+
+
+def test_decontaminate_semantics(spark):
+    """A corpus doc sharing a 4-gram with the benchmark is flagged with
+    the right gram counts; an unrelated doc survives with zero hits;
+    benchmark docs themselves are excluded from the output."""
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        decontaminate_against,
+    )
+
+    rows = [
+        # doc 0 -> benchmark (id % 17 == 0)
+        (0, "alpha beta gamma delta epsilon"),
+        # doc 1 copies a 4-gram run from doc 0
+        (1, "x alpha beta gamma delta y"),
+        # doc 2 shares words but no 4-gram
+        (2, "alpha beta zeta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = decontaminate_against(df, F.col("doc_id") % 17 == 0, k=4)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {1, 2}
+    # doc 1: 3 grams total, 1 contaminated ("alpha beta gamma delta")
+    assert got[1]["n_ngrams"] == 3
+    assert got[1]["n_contaminated"] == 1
+    assert got[1]["is_contaminated"] is True
+    assert abs(got[1]["contamination_frac"] - 1 / 3) < 1e-12
+    assert got[2]["n_contaminated"] == 0
+    assert got[2]["is_contaminated"] is False
+
+
+def test_ngrams_or_empty_short_doc(spark):
+    """Docs shorter than k yield ZERO grams (no whole-text fallback)."""
+    from mc_ns_data_pipeline_spark.functions.text import (
+        ngrams_or_empty,
+        words,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three")], ["i", "text"]
+    )
+    bound = df.select("i", words(F.col("text")).alias("_ws"))
+    out = {
+        r["i"]: r["g"]
+        for r in bound.select(
+            "i", ngrams_or_empty(F.col("_ws"), 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["one two three"]
+
+
+def test_top_k_tokens_tie_break(spark):
+    """Equal counts rank alphabetically; doc frequency counts each doc
+    once regardless of in-doc multiplicity."""
+    from mc_ns_data_pipeline_spark.operators.frequency import top_k_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "b b a"),
+            (2, "en", "a c"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = [r.asDict() for r in top_k_tokens(df, k=2).collect()]
+    # a and b both occur twice -> 'a' wins rank 1 alphabetically
+    assert [(r["word"], r["rnk"]) for r in out] == [("a", 1), ("b", 2)]
+    a = next(r for r in out if r["word"] == "a")
+    b = next(r for r in out if r["word"] == "b")
+    assert a["n_occ"] == 2 and a["n_docs"] == 2
+    assert b["n_occ"] == 2 and b["n_docs"] == 1

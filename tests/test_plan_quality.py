@@ -154,6 +154,42 @@ def test_x25_tfidf_single_scan_no_vocab_join(spark, sf_dir):
     assert n_ops(plan, "SortMergeJoin") == 0
 
 
+def test_x32_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination must tag hits via a BROADCAST left join of the
+    (small) benchmark n-gram set — never a shuffled join of corpus
+    postings against benchmark postings — and the gram lambda must not
+    leak into any scan filter (InferFiltersFromGenerate pushdown)."""
+    plan = plan_of(spark, sf_dir, "x32_decontaminate")
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert n_ops(plan, "SortMergeJoin") == 0
+    for line in plan.splitlines():
+        if "FileScan" in line:
+            assert "transform" not in line  # gram expr stays post-scan
+
+
+def test_x33_repetition_is_map_only(spark, sf_dir):
+    """All three repetition metrics are row-local: the only exchanges
+    allowed are the guarded fan-out repartition off the single-row-group
+    fixture scan — no aggregation, window, or join shuffle."""
+    plan = plan_of(spark, sf_dir, "x33_repetition_quality")
+    assert n_ops(plan, "Window") == 0
+    assert n_ops(plan, "HashAggregate") == 0
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_x34_topk_cuts_before_shuffle(spark, sf_dir):
+    """Per-language top-k must plan a PARTIAL WindowGroupLimit below
+    the lang exchange (each map partition ships <= k rows per language,
+    so the per-lang window never sees the full vocabulary), and doc
+    frequency must come from the row-local vocabulary explode — no
+    distinct-aggregate Expand."""
+    plan = plan_of(spark, sf_dir, "x34_heavy_hitters")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert n_ops(plan, "Expand") == 0
+    assert n_ops(plan, "Window") == 1
+
+
 def test_scans_prune_columns(spark, sf_dir):
     """x01 reads only what it projects — ReadSchema must not include the
     unused lang/source columns."""
