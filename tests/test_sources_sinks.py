@@ -204,3 +204,87 @@ def test_archive_processed_bookkeeping(tmp_path):
     assert (tmp_path / "processed" / "LOT-1.csv").read_text().startswith("a,b")
     assert archived.endswith("archive/2026-08-13/LOT-1.123456.csv")
     assert not src.exists()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed on the same key with the same bucket count
+    must sort-merge-join with ZERO exchanges — the scans themselves
+    satisfy the join's distribution requirement (this is the point of
+    paying the write-side shuffle once)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.sinks.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "t_bkt_lineitem", "l_orderkey", 8)
+    write_bucketed(orders, "t_bkt_orders", "l_orderkey", 8)
+    try:
+        joined = bucketed_join(
+            spark, "t_bkt_lineitem", "t_bkt_orders", "l_orderkey"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+
+
+def test_clustered_write_enables_file_skipping(spark, sf_dir, tmp_path):
+    """Range-clustered parquet: per-file min/max footer stats must be
+    DISJOINT (repartitionByRange keeps equal keys together), so a
+    pushed-down point/range predicate can skip every other file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.sinks.layout import write_clustered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(ev, path, "user_id", 8)
+
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4  # range split actually produced many files
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint (equal keys never straddle files)
+
+    # the skipping predicate reaches the parquet reader
+    probe = spans[0][1]  # a key guaranteed inside exactly one span
+    df = spark.read.parquet(path).filter(F.col("user_id") == probe)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id," in buf.getvalue()
+    assert df.count() > 0
