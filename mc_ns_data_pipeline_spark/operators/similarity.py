@@ -424,3 +424,92 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+def classifier_weight(dim: int) -> float:
+    """Deterministic linear-classifier weight for dimension `dim`.
+
+    Plays the trained quality-classifier weight vector (fastText-style
+    doc filtering); a simple closed form both engines can inline as a
+    literal array.
+    """
+    return ((dim % 7) - 3) / 10.0
+
+
+def classifier_score(emb: DataFrame, threshold: float = 0.5,
+                     n_dims: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Linear-model scoring pass: sigmoid(w.v + b) + keep flag.
+
+    The quality-classifier filter step of an LLM data pipeline: a small
+    trained model scores every document embedding and a threshold
+    gates what enters the training set. The weight vector is a literal
+    (broadcast-free — it lives in the plan), the dot product is
+    JVM-side zip_with/aggregate, and the whole pass is MAP-ONLY: at
+    100 TB it pipelines with the scan, no shuffle, no Python.
+
+    Scores round to 6 decimals before the threshold so the keep
+    decision is reproducible across engines and partitionings.
+    """
+    w = lit_vec(classifier_weight(d) for d in range(n_dims))
+    v = _as_double(F.col(vec_col))
+    logit = dot(v, w) + F.lit(0.05)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return emb.select(
+        F.col(id_col),
+        F.col("label"),
+        score.alias("quality_score"),
+        (score >= threshold).alias("keep"),
+    )
+
+
+def ann_recall(emb: DataFrame, query_pred: Column, k: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the LSH path against exact brute force, per query.
+
+    "Measure, don't guess": before trusting an approximate index at
+    corpus scale, quantify its recall on a sampled query set. Both
+    sides reuse the declared operators (exact top-k is the ground
+    truth; same k, same tie-breaks), join on (query, neighbor), and a
+    tiny per-query aggregate yields hit counts and recall. The query
+    sample is small by construction, so every post-topk relation is
+    k-bounded — the expensive parts are exactly the two operators being
+    compared.
+    """
+    exact = cosine_topk(emb, query_pred, k=k, id_col=id_col,
+                        vec_col=vec_col)
+    approx = cosine_topk_lsh(emb, query_pred, k=k, id_col=id_col,
+                             vec_col=vec_col)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias("hit")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    return (
+        hits.join(n_approx, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -534,6 +534,21 @@ def x34_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_tokens(docs, k=10)
 
 
+def x35_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier filter: sigmoid(w.v + b) over embeddings with
+    a keep threshold — map-only, weights inlined in the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.classifier_score(emb, threshold=0.5)
+
+
+def x36_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN path vs exact brute force on the sampled
+    query set — the measurement that gates switching to the approximate
+    index at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, F.col("vec_id") < 20, k=3)
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -895,6 +910,8 @@ EXT_QUERIES = {
     "x32_decontaminate": x32_decontaminate,
     "x33_repetition_quality": x33_repetition_quality,
     "x34_heavy_hitters": x34_heavy_hitters,
+    "x35_classifier_score": x35_classifier_score,
+    "x36_ann_recall": x36_ann_recall,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1322,6 +1339,65 @@ def _ann_ivf_sql(k: int = 3, n_centroids: int = 16, n_probe: int = 2) -> str:
     """
 
 
+def _classifier_sql(threshold: float = 0.5, n_dims: int = 64) -> str:
+    weights = ", ".join(
+        repr(S.classifier_weight(d)) for d in range(n_dims)
+    )
+    score = (
+        f"round(1.0 / (1.0 + exp(-(list_inner_product(v, "
+        f"[{weights}]::DOUBLE[]) + 0.05))), 6)"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT vec_id, label,
+               {score} AS quality_score,
+               {score} >= {threshold} AS keep
+        FROM e
+    """
+
+
+def _ann_recall_sql(k: int = 3) -> str:
+    cos = "round(list_inner_product(q.v, c.v) / (q.nv * c.nv), 6)"
+    rank = ("row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_r DESC, neighbor_id ASC)")
+    return f"""
+        WITH {_EMB_NORM_CTE},
+        b AS (SELECT vec_id, v, nv, {_lsh_bucket_sql_expr()} AS bucket
+              FROM n),
+        ep AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      {cos} AS cos_r
+               FROM n q JOIN n c ON c.vec_id <> q.vec_id
+               WHERE q.vec_id < 20),
+        er AS (SELECT *, {rank} AS rank FROM ep),
+        ex AS (SELECT query_id, neighbor_id FROM er WHERE rank <= {k}),
+        lp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      {cos} AS cos_r
+               FROM b q JOIN b c
+                 ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+               WHERE q.vec_id < 20),
+        lr AS (SELECT *, {rank} AS rank FROM lp),
+        lx AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= {k}),
+        hits AS (
+            SELECT e.query_id, count(*) AS n_exact,
+                   sum(CASE WHEN l.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS n_hit
+            FROM ex e LEFT JOIN lx l
+              ON e.query_id = l.query_id
+             AND e.neighbor_id = l.neighbor_id
+            GROUP BY e.query_id
+        ),
+        ap AS (SELECT query_id, count(*) AS n_approx FROM lx
+               GROUP BY query_id)
+        SELECT h.query_id, h.n_exact,
+               COALESCE(a.n_approx, 0) AS n_approx, h.n_hit,
+               CAST(h.n_hit AS DOUBLE) / CAST(h.n_exact AS DOUBLE)
+                   AS recall
+        FROM hits h LEFT JOIN ap a USING (query_id)
+        ORDER BY h.query_id
+    """
+
+
 def _neardup_sql() -> str:
     return f"""
         WITH {_EMB_NORM_CTE},
@@ -1637,6 +1713,8 @@ EXT_ORACLES: dict[str, str] = {
     "x32_decontaminate": _decontam_sql(k=4, mod=17),
     "x33_repetition_quality": _repetition_sql(),
     "x34_heavy_hitters": _heavy_hitters_sql(k=10),
+    "x35_classifier_score": _classifier_sql(threshold=0.5),
+    "x36_ann_recall": _ann_recall_sql(k=3),
     "x26_scd2_history": """
         WITH o AS (
             SELECT user_id, event_type, ts, event_id,

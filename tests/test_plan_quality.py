@@ -190,6 +190,26 @@ def test_x34_topk_cuts_before_shuffle(spark, sf_dir):
     assert n_ops(plan, "Window") == 1
 
 
+def test_x35_classifier_is_map_only(spark, sf_dir):
+    """Classifier scoring must be a pure map stage: weights are plan
+    literals (no broadcast variable, no join) and nothing shuffles."""
+    plan = plan_of(spark, sf_dir, "x35_classifier_score")
+    assert n_ops(plan, "Exchange") == 0
+    assert "Join" not in plan
+    assert n_ops(plan, "HashAggregate") == 0
+
+
+def test_x36_recall_no_cartesian(spark, sf_dir):
+    """The recall harness reuses the two ANN operators: the only
+    all-pairs shape allowed is the exact side's broadcast nested loop
+    (query set × corpus); no un-broadcast CartesianProduct may appear,
+    and the LSH side must stay a bucket equi-join."""
+    plan = plan_of(spark, sf_dir, "x36_ann_recall")
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") >= 1  # exact side
+    assert n_ops(plan, "SortMergeJoin") + n_ops(plan, "BroadcastHashJoin") >= 1
+
+
 def test_scans_prune_columns(spark, sf_dir):
     """x01 reads only what it projects — ReadSchema must not include the
     unused lang/source columns."""
