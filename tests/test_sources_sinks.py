@@ -288,3 +288,48 @@ def test_clustered_write_enables_file_skipping(spark, sf_dir, tmp_path):
         df.explain("formatted")
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id," in buf.getvalue()
     assert df.count() > 0
+
+
+def test_zorder_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered layout must give TIGHT per-file min/max on every
+    participating column simultaneously: a median point-probe on either
+    column alone must be skippable for at least half the files (plain
+    single-column clustering gives the second column no skipping at
+    all)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.sinks.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(ev, path, ["user_id", "value"], n_files=16, bits=4)
+
+    def file_spans(colname):
+        spans = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            ci = names.index(colname)
+            spans.append((
+                min(md.row_group(r).column(ci).statistics.min
+                    for r in range(md.num_row_groups)),
+                max(md.row_group(r).column(ci).statistics.max
+                    for r in range(md.num_row_groups)),
+            ))
+        return spans
+
+    for colname in ("user_id", "value"):
+        spans = file_spans(colname)
+        assert len(spans) >= 8
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        probe = (lo + hi) / 2
+        containing = sum(1 for mn, mx in spans if mn <= probe <= mx)
+        assert containing <= len(spans) // 2, (colname, containing)
