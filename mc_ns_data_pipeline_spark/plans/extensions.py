@@ -769,6 +769,23 @@ def xs5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs6_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS6 — streaming CDC materialization of per-user latest state via
+    foreachBatch newer-wins merge; end-of-input table equals the batch
+    latest-per-key query (the oracle)."""
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_latest_state,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="xs6_ckpt_")
+    target = tempfile.mkdtemp(prefix="xs6_tgt_") + "/state"
+    return run_latest_state(
+        spark, f"{sf_dir}/events.parquet", ckpt, target
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -915,6 +932,7 @@ EXT_QUERIES = {
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
+    "xs6_stream_latest_state": xs6_stream_latest_state,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
 }
@@ -1828,6 +1846,19 @@ EXT_ORACLES: dict[str, str] = {
           ON p.user_id = c.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    # xs6: static twin of the CDC latest-state materialization — the
+    # merged table after end-of-input is the per-user event-time argmax.
+    "xs6_stream_latest_state": """
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (SELECT user_id, event_id, ts, event_type, value,
+                     row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                     ) AS r
+              FROM events)
+        WHERE r = 1
+        ORDER BY user_id
     """,
     "xs1_stream_tumbling": """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

@@ -264,3 +264,85 @@ def run_incremental_with_replace(spark: SparkSession, events_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def merge_latest_state(spark: SparkSession, incoming: DataFrame,
+                       target_dir: str) -> None:
+    """Newer-wins CDC merge: per user, keep the row with the greatest
+    (ts, event_id) across incoming ∪ existing, staged-swap into place.
+
+    Unlike merge_upsert (last-writer-wins on the batch), the winner is
+    chosen by EVENT TIME, so replayed/out-of-order micro-batches are
+    harmless: applying any batch twice, or two batches in either order,
+    converges to the same table. With Delta this is a conditional
+    `MERGE ... WHEN MATCHED AND u.ts > t.ts THEN UPDATE`; the parquet
+    emulation recomputes the per-key argmax, which at warehouse scale
+    should be bounded by partitioning the target on a user-id bucket.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    if os.path.exists(target_dir):
+        existing = spark.read.parquet(target_dir)
+        incoming = incoming.unionByName(existing)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        incoming.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    staging = f"{target_dir}__staging"
+    latest.write.mode("overwrite").parquet(staging)
+    backup = f"{target_dir}__old"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(target_dir):
+        os.rename(target_dir, backup)
+    os.rename(staging, target_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def run_latest_state(spark: SparkSession, events_path: str,
+                     checkpoint_dir: str, target_dir: str) -> DataFrame:
+    """XS6 — streaming CDC materialization: maintain the latest event
+    per user as a keyed table (the entity-state view every warehouse
+    keeps over a change stream).
+
+    Each micro-batch is reduced to its per-user latest row FIRST (a
+    batch-local WindowGroupLimit — map-side cut), then merged
+    newer-wins into the target. End-of-input state equals the batch
+    latest-per-key query, which is the DuckDB oracle; exactly-once
+    comes from the checkpoint plus the merge's event-time idempotency.
+    """
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    ev = _events_stream(spark, events_path).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+    def _merge(batch_df: DataFrame, _epoch: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        merge_latest_state(spark, latest, target_dir)
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            ev.writeStream.outputMode("append")
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(target_dir).orderBy("user_id")

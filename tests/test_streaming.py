@@ -225,3 +225,49 @@ def test_windowed_aggregate_is_epoch_aligned(spark, sf_dir):
     assert all(
         s.hour % 6 == 0 and s.minute == 0 and s.second == 0 for s in starts
     )
+
+
+def test_latest_state_merge_converges(spark, sf_dir, tmp_path):
+    """Newer-wins merge is idempotent AND order-insensitive: replaying
+    a batch, or applying two batches in either order, converges to the
+    same per-user latest state."""
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        merge_latest_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    older = ev.filter(F.col("event_id") % 2 == 0)
+    newer = ev.filter(F.col("event_id") % 2 == 1)
+
+    t1 = str(tmp_path / "fwd")
+    merge_latest_state(spark, older, t1)
+    merge_latest_state(spark, newer, t1)
+    merge_latest_state(spark, newer, t1)  # replay
+
+    t2 = str(tmp_path / "rev")
+    merge_latest_state(spark, newer, t2)
+    merge_latest_state(spark, older, t2)
+
+    da = spark.read.parquet(t1)
+    db = spark.read.parquet(t2)
+    a = canonicalize(da.columns, [tuple(r) for r in da.collect()])
+    b = canonicalize(db.columns, [tuple(r) for r in db.collect()])
+    assert a == b
+
+
+def test_latest_state_restart_is_noop(spark, sf_dir, tmp_path):
+    """Re-starting the xs6 stream with its checkpoint and no new input
+    must leave the materialized state untouched (offsets committed)."""
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_latest_state,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "state")
+    d1 = run_latest_state(spark, _events_path(sf_dir), ckpt, target)
+    first = canonicalize(d1.columns, [tuple(r) for r in d1.collect()])
+    d2 = run_latest_state(spark, _events_path(sf_dir), ckpt, target)
+    again = canonicalize(d2.columns, [tuple(r) for r in d2.collect()])
+    assert first == again
