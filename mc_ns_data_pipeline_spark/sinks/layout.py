@@ -141,3 +141,36 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 << 20) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. Returns the new file count.
+
+    Streaming sinks emit one file per micro-batch per partition; at
+    warehouse scale the resulting millions of KB-sized files make scan
+    cost track FILE COUNT (footer reads, task scheduling), not bytes.
+    Compaction is a plain round-robin repartition — no key assumptions,
+    safe for any table — written to staging and swapped in via rename
+    so readers never observe a half-compacted directory. Run it as the
+    maintenance pass after streaming appends (Delta OPTIMIZE's file-
+    binpacking, minus the transaction log).
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = f"{path}__compacting"
+    df.repartition(n).write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -225,3 +225,71 @@ def test_sketch_percentiles_within_tolerance(spark, sf_dir):
             assert abs(s[col] - e[col]) <= 0.01 * abs(e[col]) + 1e-9, (
                 f"{flag}.{col}: sketch={s[col]} exact={e[col]}"
             )
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=5),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ngrams_or_empty_counts(spark, word_lists):
+    """Gram population law: len(grams) == max(0, n_words - k + 1) and
+    every gram joins exactly k consecutive words."""
+    from mc_ns_data_pipeline_spark.functions.text import ngrams_or_empty
+
+    k = 3
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    bound = df.select(
+        "i", F.split(F.col("text"), " ").alias("_ws")
+    )
+    rows = {
+        r["i"]: r["g"]
+        for r in bound.select(
+            "i", ngrams_or_empty(F.col("_ws"), k).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split(" ")  # mirrors Spark split semantics ('' -> [''])
+        grams = rows[i]
+        assert len(grams) == max(0, len(ws) - k + 1)
+        for j, g in enumerate(grams):
+            assert g == " ".join(ws[j:j + k])
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_bounds(spark, points):
+    """The Morton key always fits in n_cols * bits bits, whatever the
+    data distribution or bounds sampling produced."""
+    from mc_ns_data_pipeline_spark.sinks.layout import zorder_key
+
+    bits = 4
+    df = spark.createDataFrame(points, "x double, y double")
+    xs = sorted(p[0] for p in points)
+    ys = sorted(p[1] for p in points)
+    bx = [xs[len(xs) // 2]]
+    by = [ys[len(ys) // 2]]
+    key = zorder_key([(F.col("x"), bx), (F.col("y"), by)], bits=bits)
+    got = [r[0] for r in df.select(key.alias("k")).collect()]
+    assert all(0 <= v < (1 << (2 * bits)) for v in got)

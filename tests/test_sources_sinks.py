@@ -333,3 +333,27 @@ def test_zorder_skips_on_both_columns(spark, sf_dir, tmp_path):
         probe = (lo + hi) / 2
         containing = sum(1 for mn, mx in spans if mn <= probe <= mx)
         assert containing <= len(spans) // 2, (colname, containing)
+
+
+def test_compact_files_preserves_content(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-small-files table to the computed
+    file count without changing a single row."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.sinks.layout import compact_files
+    from mc_ns_data_pipeline_spark.testing import canonicalize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 64
+    before = canonicalize(ev.columns, [tuple(r) for r in ev.collect()])
+
+    n_after = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert n_after == 1
+    got = spark.read.parquet(path)
+    after = canonicalize(got.columns, [tuple(r) for r in got.collect()])
+    assert before == after
