@@ -46,3 +46,37 @@ def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
             <= F.ceil(F.lit(float(fraction)) * F.col("n_stratum"))
         )
     )
+
+
+def weighted_mixture_sample(df: DataFrame, strata_col: str,
+                            fractions: dict[str, float],
+                            default_fraction: float,
+                            id_col: str) -> DataFrame:
+    """Dataset mixing: per-stratum sampling RATES that reshape the
+    corpus toward a target mixture (upweight curated sources, dampen
+    bulk ones) — the standard reweighting step before training-data
+    assembly. Strata missing from `fractions` get `default_fraction`.
+
+    Same exact-count, md5-ranked machinery as `stratified_sample`
+    (reproducible, oracle-checkable), with the fraction resolved per
+    row from a literal CASE — no join against a weights table, so the
+    plan stays one stratum shuffle regardless of how many strata exist.
+    """
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(
+            F.col(strata_col) == k, F.lit(float(v))
+        ).otherwise(frac)
+    w_count = Window.partitionBy(strata_col)
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        md5_rank(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("n_stratum", F.count(F.lit(1)).over(w_count))
+        .withColumn("sample_rank", F.row_number().over(w_rank))
+        .withColumn("target_frac", frac)
+        .filter(
+            F.col("sample_rank")
+            <= F.ceil(F.col("target_frac") * F.col("n_stratum"))
+        )
+    )

@@ -549,6 +549,26 @@ def x36_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(emb, F.col("vec_id") < 20, k=3)
 
 
+def x37_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing sample: per-source rates (src0 0.5, src1 0.4,
+    src2 0.05, others 0.2) reshape the corpus toward a target mixture —
+    exact counts, md5-ranked, one stratum shuffle."""
+    from mc_ns_data_pipeline_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_mixture_sample(
+        docs,
+        "source",
+        {"src0": 0.5, "src1": 0.4, "src2": 0.05},
+        default_fraction=0.2,
+        id_col="doc_id",
+    ).select(
+        "doc_id", "source", "n_stratum", "sample_rank", "target_frac"
+    ).orderBy("source", "sample_rank")
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -929,6 +949,7 @@ EXT_QUERIES = {
     "x34_heavy_hitters": x34_heavy_hitters,
     "x35_classifier_score": x35_classifier_score,
     "x36_ann_recall": x36_ann_recall,
+    "x37_mixture_sample": x37_mixture_sample,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1733,6 +1754,26 @@ EXT_ORACLES: dict[str, str] = {
     "x34_heavy_hitters": _heavy_hitters_sql(k=10),
     "x35_classifier_score": _classifier_sql(threshold=0.5),
     "x36_ann_recall": _ann_recall_sql(k=3),
+    "x37_mixture_sample": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   count(*) OVER (PARTITION BY source) AS n_stratum,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   ) AS sample_rank,
+                   CAST(CASE source
+                        WHEN 'src0' THEN 0.5
+                        WHEN 'src1' THEN 0.4
+                        WHEN 'src2' THEN 0.05
+                        ELSE 0.2 END AS DOUBLE) AS target_frac
+            FROM documents
+        )
+        SELECT doc_id, source, n_stratum, sample_rank, target_frac
+        FROM t
+        WHERE sample_rank <= CAST(ceil(target_frac * n_stratum) AS BIGINT)
+        ORDER BY source, sample_rank
+    """,
     "x26_scd2_history": """
         WITH o AS (
             SELECT user_id, event_type, ts, event_id,

@@ -174,3 +174,52 @@ def compact_files(spark: SparkSession, path: str,
     os.rename(staging, path)
     shutil.rmtree(backup)
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def write_shards(df: DataFrame, path: str, n_shards: int,
+                 id_col: str) -> dict:
+    """Training-data delivery: deterministic md5-bucket sharding with a
+    JSON manifest. Returns the manifest dict (also written to
+    `<path>/_MANIFEST.json`).
+
+    Shard assignment is a pure function of the row id (same id → same
+    shard across runs and engines), so downstream loaders can rely on
+    shard-stable ordering guarantees and resume partial downloads. One
+    hash shuffle on the shard key; each shard lands as one file via
+    partitioned write. The manifest records per-shard row counts and
+    bytes — the consumer-side integrity check every delivery format
+    (WebDataset, Mosaic MDS, TFRecord shards) builds in.
+    """
+    import glob
+    import json
+    import os
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(n_shards),
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest = {"n_shards": n_shards, "shards": {}}
+    total_rows = 0
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        sid = int(d.rsplit("=", 1)[1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        nbytes = sum(os.path.getsize(f) for f in files)
+        manifest["shards"][str(sid)] = {
+            "rows": rows, "bytes": nbytes, "files": len(files),
+        }
+        total_rows += rows
+    manifest["total_rows"] = total_rows
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
