@@ -806,6 +806,24 @@ def xs6_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs7_stream_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS7 — CEP on transformWithStateInPandas (Spark 4 arbitrary-state
+    API): purchases preceded by >= 3 clicks within 24 h, per user;
+    emission set equals the static interval-join oracle."""
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_pattern_detect,
+    )
+
+    sink = f"xs7_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs7_ckpt_")
+    return run_pattern_detect(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -954,6 +972,7 @@ EXT_QUERIES = {
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
     "xs6_stream_latest_state": xs6_stream_latest_state,
+    "xs7_stream_pattern_detect": xs7_stream_pattern_detect,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
 }
@@ -1887,6 +1906,20 @@ EXT_ORACLES: dict[str, str] = {
           ON p.user_id = c.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    # xs7: static twin of the CEP pattern stream — the emitted alert set
+    # is a deterministic function of per-user history (clicks processed
+    # in event-time order, BETWEEN-inclusive window on both ends).
+    "xs7_stream_pattern_detect": """
+        SELECT p.user_id, p.event_id, p.ts,
+               count(*) AS n_recent_clicks
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.user_id, p.event_id, p.ts
+        HAVING count(*) >= 3
+        ORDER BY p.event_id
     """,
     # xs6: static twin of the CDC latest-state materialization — the
     # merged table after end-of-input is the per-user event-time argmax.

@@ -151,3 +151,174 @@ def run_stream_dedup(
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# XS7 — CEP pattern detection: purchases preceded by >= N clicks within
+# a time window, per user. The walk itself is engine-agnostic; it runs
+# on transformWithStateInPandas (Spark 4's arbitrary-state API) when the
+# environment has google.protobuf (which that API's state protocol
+# requires), else on applyInPandasWithState — identical semantics, same
+# oracle.
+# ---------------------------------------------------------------------------
+
+PATTERN_WINDOW_HOURS = 24
+PATTERN_MIN_CLICKS = 3
+PATTERN_OUTPUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, n_recent_clicks bigint"
+)
+PATTERN_STATE_SCHEMA = "epochs string"
+
+
+def _pattern_walk(frames: list[pd.DataFrame],
+                  clicks: list[int]) -> tuple[pd.DataFrame | None, list[int]]:
+    """Event-time walk shared by both stateful APIs.
+
+    State is the comma-joined epoch-micros of clicks still inside the
+    window (pruned as the event-time frontier advances), so state size
+    is bounded by click rate × window, not history length. Rows are
+    processed in event-time order ('click' sorts before 'purchase' on
+    ties, matching the BETWEEN-inclusive oracle), which makes the
+    emission set a deterministic function of per-user history — the
+    monotone contract that lets the driver hash-compare the stream
+    against the static SQL twin.
+    """
+    window_us = PATTERN_WINDOW_HOURS * 3_600 * 1_000_000
+    df = pd.concat(frames, ignore_index=True)
+    df["us"] = pd.to_datetime(df["ts"]).astype("int64") // 1_000
+    df = df.sort_values(["us", "event_type", "event_id"])
+    out_id, out_ts, out_n = [], [], []
+    for r in df.itertuples():
+        if r.event_type == "click":
+            clicks.append(r.us)
+        else:  # purchase
+            lo = r.us - window_us
+            clicks = [c for c in clicks if c >= lo]
+            if len(clicks) >= PATTERN_MIN_CLICKS:
+                out_id.append(r.event_id)
+                out_ts.append(r.us)
+                out_n.append(len(clicks))
+    out = None
+    if out_id:
+        out = pd.DataFrame(
+            {
+                "event_id": out_id,
+                "ts": pd.to_datetime(pd.Series(out_ts) * 1_000),
+                "n_recent_clicks": out_n,
+            }
+        )
+    return out, clicks
+
+
+def _decode_clicks(stored: str | None) -> list[int]:
+    return [int(x) for x in stored.split(",") if x] if stored else []
+
+
+def _update_pattern(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    clicks = _decode_clicks(state.get[0]) if state.exists else []
+    out, clicks = _pattern_walk(list(pdfs), clicks)
+    state.update((",".join(str(c) for c in clicks),))
+    if out is not None:
+        out.insert(0, "user_id", key[0])
+        yield out
+
+
+def has_transform_with_state_runtime() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its state
+    protocol; absent that, the API crashes at stream start (not import
+    time), so probe the real dependency."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pattern_processor():
+    """StatefulProcessor wrapper over the shared walk (Spark 4 API)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PurchasePatternProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._clicks = handle.getValueState(
+                "recent_click_us", PATTERN_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            stored = self._clicks.get()
+            clicks = _decode_clicks(stored[0] if stored else None)
+            out, clicks = _pattern_walk(list(rows), clicks)
+            self._clicks.update((",".join(str(c) for c in clicks),))
+            if out is not None:
+                out.insert(0, "user_id", key[0])
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    return PurchasePatternProcessor()
+
+
+def purchase_pattern_alerts(events: DataFrame) -> DataFrame:
+    """Clicks/purchases → per-user CEP alerts.
+
+    The click/purchase filter runs MAP-SIDE before the key shuffle, so
+    state traffic carries only the two relevant event types.
+    """
+    from mc_ns_data_pipeline_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(events.sparkSession)
+    relevant = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    grouped = relevant.groupBy("user_id")
+    if has_transform_with_state_runtime():
+        return grouped.transformWithStateInPandas(
+            statefulProcessor=_pattern_processor(),
+            outputStructType=PATTERN_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    return grouped.applyInPandasWithState(
+        _update_pattern,
+        PATTERN_OUTPUT_SCHEMA,
+        PATTERN_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_pattern_detect(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "xs7_sink",
+) -> DataFrame:
+    """Run the CEP pattern stream to end-of-input (availableNow)."""
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        _events_stream,
+    )
+
+    alerts = purchase_pattern_alerts(_events_stream(spark, events_path))
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            alerts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_table).orderBy("event_id")
