@@ -271,3 +271,96 @@ def test_latest_state_restart_is_noop(spark, sf_dir, tmp_path):
     d2 = run_latest_state(spark, _events_path(sf_dir), ckpt, target)
     again = canonicalize(d2.columns, [tuple(r) for r in d2.collect()])
     assert first == again
+
+
+def test_pattern_detect_resume_carries_click_state(spark, sf_dir, tmp_path):
+    """XS7 kill/resume: stream half the events, stop, resume from the
+    same checkpoint with the rest. A purchase in the late half whose
+    qualifying clicks arrived in the early half must still alert — the
+    pruned click-window state has to survive the restart — and the
+    union of both runs' append emissions must equal the static
+    interval-join computation over all events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        PATTERN_MIN_CLICKS,
+        PATTERN_WINDOW_HOURS,
+        purchase_pattern_alerts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    # split right before an alerting purchase: the purchase lands in the
+    # late half while ALL its qualifying clicks are early, so the alert
+    # can only fire if the click-window state survives the restart
+    import pandas as pd
+
+    w = pd.Timedelta(hours=PATTERN_WINDOW_HOURS)
+    clicks = pdf[pdf["event_type"] == "click"]
+    split_at = None
+    for p in pdf[pdf["event_type"] == "purchase"].itertuples():
+        n_all = (
+            (clicks["user_id"] == p.user_id)
+            & (clicks["ts"] >= p.ts - w)
+            & (clicks["ts"] <= p.ts)
+        ).sum()
+        if n_all >= PATTERN_MIN_CLICKS and p.Index > 0:
+            split_at = p.Index
+            break
+    assert split_at is not None, "fixture has no alerting purchase"
+    early, late = pdf.iloc[:split_at], pdf.iloc[split_at:]
+
+    src = tmp_path / "src_xs7"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_xs7")
+    pq.write_table(pa.Table.from_pandas(early), str(src / "part1.parquet"))
+
+    out = str(tmp_path / "out_xs7")
+
+    def run_once():
+        # memory sink can't recover an append checkpoint; file sink can
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        ).parquet(str(src))
+        alerts = purchase_pattern_alerts(stream)
+        with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+            q = (
+                alerts.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(out)
+
+    n_first = run_once().count()
+
+    pq.write_table(pa.Table.from_pandas(late), str(src / "part2.parquet"))
+    merged = run_once().collect()
+    assert len(merged) > n_first  # the straddling purchase alerted
+
+    cols = ["user_id", "event_id", "ts", "n_recent_clicks"]
+    streamed = canonicalize(cols, [tuple(r) for r in merged])
+
+    e = ev.alias("p").join(
+        ev.alias("c"),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.event_type") == F.lit("click"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr(
+            f"INTERVAL {PATTERN_WINDOW_HOURS} HOURS"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    ).where(F.col("p.event_type") == "purchase").groupBy(
+        "p.user_id", "p.event_id", "p.ts"
+    ).agg(F.count(F.lit(1)).alias("n_recent_clicks")).where(
+        F.col("n_recent_clicks") >= PATTERN_MIN_CLICKS
+    )
+    static = canonicalize(cols, [tuple(r) for r in e.collect()])
+    assert streamed == static and len(streamed) > 0
