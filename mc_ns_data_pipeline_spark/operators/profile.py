@@ -1,0 +1,81 @@
+"""Column profiling: per-column null/distinct/min/max statistics.
+
+Data-quality profiling is the first pass any large ingest runs —
+schema drift, null explosions, and cardinality blow-ups show up here
+before they corrupt a training mix. The reference has no profiler
+(its quality checks are per-pipeline assertions, e.g.
+data_load_system/pipelines/inventory_data.py's row-count guards);
+this generalizes them into one declarative operator.
+
+Scale shape: ONE aggregation pass over the table computes every
+column's statistics simultaneously (map-side partial aggregation
+applies to all of them), then a `stack` unpivots the single result
+row into one row per column — driver-sized, no second scan. The
+only scale caveat is exact=True's distinct counts: k exact
+count-distincts plan an Expand that replicates every input row k
+times before the shuffle. That is the hash-checkable mode for the
+correctness gate; at 100 TB use exact=False, which swaps in
+approx_count_distinct (HyperLogLog++, relativeSD=0.01) — single
+pass, no Expand, fixed
+sketch memory per column (tolerance-tested
+against exact in tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _fmt(dt: T.DataType, col: Column) -> Column:
+    """Render a typed extremum as a deterministic string — the same
+    rendering DuckDB produces, so profiles hash-match the oracle.
+
+    Doubles round-trip through DECIMAL(18,4) (fixed-point, no
+    scientific notation); timestamps through a second-precision
+    format; everything else is a plain string cast.
+    """
+    if isinstance(dt, T.DoubleType):
+        return col.cast("decimal(18,4)").cast("string")
+    if isinstance(dt, T.TimestampType):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None,
+                    exact: bool = True) -> DataFrame:
+    """(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+    — one row per profiled column, ordered by column_name.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        distinct = (
+            F.count_distinct(F.col(c)) if exact
+            else F.approx_count_distinct(c, rsd=0.01)
+        )
+        dt = df.schema[c].dataType
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            distinct.alias(f"{c}__distinct"),
+            _fmt(dt, F.min(c)).alias(f"{c}__min"),
+            _fmt(dt, F.max(c)).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stacked}) AS "
+                "(column_name, n_nulls, n_distinct, min_value, max_value)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+                "min_value", "max_value")
+        .orderBy("column_name")
+    )

@@ -569,6 +569,19 @@ def x37_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "sample_rank")
 
 
+def x38_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of `orders` — null count, exact
+    distinct count, typed min/max — in one aggregation pass, unpivoted
+    to one row per column. exact=False is the 100 TB path (HLL++, no
+    count-distinct Expand); it is tolerance-tested in
+    tests/test_properties.py rather than declared here because sketch
+    estimates are not hash-stable by design."""
+    from mc_ns_data_pipeline_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(orders, exact=True)
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -968,6 +981,7 @@ EXT_QUERIES = {
     "x35_classifier_score": x35_classifier_score,
     "x36_ann_recall": x36_ann_recall,
     "x37_mixture_sample": x37_mixture_sample,
+    "x38_column_profile": x38_column_profile,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1415,6 +1429,30 @@ def _classifier_sql(threshold: float = 0.5, n_dims: int = 64) -> str:
     """
 
 
+def _profile_sql(table: str, cols: dict[str, str]) -> str:
+    """DuckDB twin of operators.profile.profile_columns: one branch per
+    column, union-all'd; extremum rendering matches profile._fmt
+    (DECIMAL(18,4) for doubles, second-precision for timestamps)."""
+    def fmt(c: str, typ: str, agg: str) -> str:
+        if typ == "double":
+            return f"CAST(CAST({agg}({c}) AS DECIMAL(18,4)) AS VARCHAR)"
+        if typ == "timestamp":
+            return f"strftime({agg}({c}), '%Y-%m-%d %H:%M:%S')"
+        return f"CAST({agg}({c}) AS VARCHAR)"
+
+    branches = [
+        f"""
+        SELECT '{c}' AS column_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               {fmt(c, typ, 'min')} AS min_value,
+               {fmt(c, typ, 'max')} AS max_value
+        FROM {table}"""
+        for c, typ in cols.items()
+    ]
+    return " UNION ALL ".join(branches) + " ORDER BY column_name"
+
+
 def _ann_recall_sql(k: int = 3) -> str:
     cos = "round(list_inner_product(q.v, c.v) / (q.nv * c.nv), 6)"
     rank = ("row_number() OVER (PARTITION BY query_id "
@@ -1773,6 +1811,11 @@ EXT_ORACLES: dict[str, str] = {
     "x34_heavy_hitters": _heavy_hitters_sql(k=10),
     "x35_classifier_score": _classifier_sql(threshold=0.5),
     "x36_ann_recall": _ann_recall_sql(k=3),
+    "x38_column_profile": _profile_sql("orders", {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "varchar", "o_totalprice": "double",
+        "o_orderdate": "timestamp", "o_orderpriority": "varchar",
+    }),
     "x37_mixture_sample": """
         WITH t AS (
             SELECT doc_id, source,

@@ -293,3 +293,27 @@ def test_zorder_key_bounds(spark, points):
     key = zorder_key([(F.col("x"), bx), (F.col("y"), by)], bits=bits)
     got = [r[0] for r in df.select(key.alias("k")).collect()]
     assert all(0 <= v < (1 << (2 * bits)) for v in got)
+
+
+def test_profile_approx_mode_matches_exact(spark, sf_dir):
+    """x38's exact=False scale path (HLL++ per column, no
+    count-distinct Expand) must agree with the exact profile on every
+    non-sketch statistic, and track exact distinct counts inside a
+    3-sigma band of its rsd=0.01 (3% + unit slack)."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r["column_name"]: r for r in
+             profile_columns(orders, exact=True).collect()}
+    approx = {r["column_name"]: r for r in
+              profile_columns(orders, exact=False).collect()}
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) \
+            == (e["n_rows"], e["n_nulls"], e["min_value"], e["max_value"]), c
+        assert abs(a["n_distinct"] - e["n_distinct"]) \
+            <= 0.03 * e["n_distinct"] + 1, (
+            f"{c}: sketch={a['n_distinct']} exact={e['n_distinct']}"
+        )
