@@ -582,6 +582,20 @@ def x38_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(orders, exact=True)
 
 
+def x39_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, stride 48) —
+    the corpus→training-shard step. Map-only except the deterministic
+    final ORDER BY (a real export replaces it with write_shards)."""
+    from mc_ns_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return chunk_documents(docs, chunk_size=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -982,6 +996,7 @@ EXT_QUERIES = {
     "x36_ann_recall": x36_ann_recall,
     "x37_mixture_sample": x37_mixture_sample,
     "x38_column_profile": x38_column_profile,
+    "x39_chunk_documents": x39_chunk_documents,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1816,6 +1831,30 @@ EXT_ORACLES: dict[str, str] = {
         "o_orderstatus": "varchar", "o_totalprice": "double",
         "o_orderdate": "timestamp", "o_orderpriority": "varchar",
     }),
+    # x39: sliding token windows; chunk_idx = start//stride because the
+    # starts are exactly the multiples of stride (mirrors posexplode).
+    "x39_chunk_documents": f"""
+        WITH ws AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+        ), sized AS (
+            SELECT doc_id, ws, len(ws) AS n_tokens FROM ws
+        ), starts AS (
+            SELECT doc_id, ws, n_tokens,
+                   unnest(generate_series(0, greatest(n_tokens - 1, 0), 48))
+                       AS start
+            FROM sized
+        ), chunks AS (
+            SELECT doc_id, (start // 48)::INT AS chunk_idx,
+                   n_tokens::INT AS n_tokens,
+                   list_slice(ws, start + 1, start + 64) AS chunk
+            FROM starts
+        )
+        SELECT doc_id, chunk_idx, n_tokens,
+               len(chunk)::INT AS n_chunk_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM chunks
+        ORDER BY doc_id, chunk_idx
+    """,
     "x37_mixture_sample": """
         WITH t AS (
             SELECT doc_id, source,

@@ -203,3 +203,62 @@ def test_top_k_tokens_tie_break(spark):
     b = next(r for r in out if r["word"] == "b")
     assert a["n_occ"] == 2 and a["n_docs"] == 2
     assert b["n_occ"] == 2 and b["n_docs"] == 1
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding windows: stride-spaced starts, final partial chunk kept,
+    short docs yield exactly one full-length chunk."""
+    import pytest
+
+    from mc_ns_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+            (2, "a b"),                    # shorter than chunk_size
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r.asDict()
+        for r in chunk_documents(
+            df, chunk_size=4, stride=3
+        ).collect()
+    }
+    # doc 1: starts 0,3,6 -> chunks [t0..t3], [t3..t6], [t6]
+    assert out[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"
+    assert out[(1, 2)]["chunk_text"] == "t6"
+    assert out[(1, 2)]["n_chunk_tokens"] == 1
+    assert out[(1, 0)]["n_tokens"] == 7
+    # doc 2: one chunk, both tokens
+    assert out[(2, 0)]["chunk_text"] == "a b"
+    assert len(out) == 4
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, stride=0)
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Every token index is covered by at least one chunk and chunks
+    overlap by exactly chunk_size - stride inside the document."""
+    from mc_ns_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_size=8, stride=5).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    seen = set()
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        start = r["chunk_idx"] * 5
+        assert toks == [f"w{i}" for i in range(start, min(start + 8, 50))]
+        seen.update(range(start, start + len(toks)))
+    assert seen == set(range(50))
