@@ -596,6 +596,24 @@ def x39_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x40_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (CCNet-style perplexity proxy).
+
+    Train pass: one token aggregate + TakeOrderedAndProject top-V.
+    Score pass: broadcast vocab join, map-side partial agg to one row
+    per doc. Surprisal rounded to 6 dp and summed as DECIMAL(28,6) in
+    both engines (ln is not cross-engine bit-stable; see operators/lm).
+    """
+    from mc_ns_data_pipeline_spark.operators.lm import (
+        score_documents,
+        train_unigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    lm = train_unigram_lm(docs, vocab_size=512)
+    return score_documents(docs, lm).orderBy("doc_id")
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -997,6 +1015,7 @@ EXT_QUERIES = {
     "x37_mixture_sample": x37_mixture_sample,
     "x38_column_profile": x38_column_profile,
     "x39_chunk_documents": x39_chunk_documents,
+    "x40_lm_score": x40_lm_score,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1854,6 +1873,40 @@ EXT_ORACLES: dict[str, str] = {
                array_to_string(chunk, ' ') AS chunk_text
         FROM chunks
         ORDER BY doc_id, chunk_idx
+    """,
+    # x40: same tokenization, same top-V cut (cnt desc, token asc —
+    # deterministic), same round-then-decimal-sum surprisal contract.
+    "x40_lm_score": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+            FROM documents
+        ), tot AS (
+            SELECT count(*) AS n_total FROM toks
+        ), counts AS (
+            SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        ), vocab AS (
+            SELECT token,
+                   round(-ln(cnt::DOUBLE / (SELECT n_total FROM tot)::DOUBLE),
+                         6) AS surprisal
+            FROM counts ORDER BY cnt DESC, token ASC LIMIT 512
+        ), scored AS (
+            SELECT t.doc_id, v.surprisal FROM toks t
+            LEFT JOIN vocab v USING (token)
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN surprisal IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+               (sum(CASE WHEN surprisal IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*)::DOUBLE) AS oov_ratio,
+               sum(CAST(surprisal AS DECIMAL(28,6)))::DOUBLE
+                   AS sum_surprisal,
+               CASE WHEN count(surprisal) > 0
+                    THEN sum(CAST(surprisal AS DECIMAL(28,6)))::DOUBLE
+                         / count(surprisal)::DOUBLE
+               END AS avg_surprisal
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id
     """,
     "x37_mixture_sample": """
         WITH t AS (

@@ -262,3 +262,31 @@ def test_chunk_documents_coverage_property(spark):
         assert toks == [f"w{i}" for i in range(start, min(start + 8, 50))]
         seen.update(range(start, start + len(toks)))
     assert seen == set(range(50))
+
+
+def test_unigram_lm_vocab_and_oov(spark):
+    """Vocab cut is deterministic (cnt desc, token asc); OOV tokens are
+    counted but excluded from the surprisal average."""
+    import math
+
+    from mc_ns_data_pipeline_spark.operators.lm import (
+        score_documents,
+        train_unigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "c z")],
+        ["doc_id", "text"],
+    )
+    # corpus counts: a=3, b=2, c=2, z=1; N=8
+    lm = train_unigram_lm(df, vocab_size=3)
+    vocab = {r["token"]: r for r in lm.collect()}
+    # tie at cnt=2 between b and c -> both beat z; vocab = {a, b, c}
+    assert set(vocab) == {"a", "b", "c"}
+    assert vocab["a"]["surprisal"] == round(-math.log(3 / 8), 6)
+    scores = {r["doc_id"]: r for r in score_documents(df, lm).collect()}
+    assert scores[2]["n_tokens"] == 2 and scores[2]["n_oov"] == 1
+    assert scores[2]["oov_ratio"] == 0.5
+    # doc 2 average is over the single in-vocab token 'c'
+    assert scores[2]["avg_surprisal"] == round(-math.log(2 / 8), 6)
+    assert scores[1]["n_oov"] == 0
