@@ -614,6 +614,43 @@ def x40_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(docs, lm).orderBy("doc_id")
 
 
+def x41_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction over the events `props` column.
+
+    `from_json` with a declared schema is a JVM-side expression inside
+    whole-stage codegen — no Python stage, no shuffle for the parse
+    itself; the only shuffle is the event_type aggregate. Malformed
+    documents surface as `props_valid = false` (counted per group)
+    instead of vanishing. avg_k divides two exact integer sums, so it
+    is bit-stable across engines with no decimal contract needed.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from mc_ns_data_pipeline_spark.functions.semistructured import (
+        parse_json_col,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_json_col(
+        events, "props", StructType([StructField("k", IntegerType())])
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("props_valid").cast("bigint")).alias("n_valid"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k").cast("double")).alias(
+                "avg_k"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1016,6 +1053,7 @@ EXT_QUERIES = {
     "x38_column_profile": x38_column_profile,
     "x39_chunk_documents": x39_chunk_documents,
     "x40_lm_score": x40_lm_score,
+    "x41_json_extract": x41_json_extract,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1907,6 +1945,31 @@ EXT_ORACLES: dict[str, str] = {
                END AS avg_surprisal
         FROM scored GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    # x41: json_valid mirrors from_json's null-struct-on-malformed; a
+    # valid document missing `k` yields NULL k in both engines. avg_k is
+    # exact-int / exact-int, so plain double division is cross-engine
+    # stable.
+    "x41_json_extract": """
+        WITH parsed AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS valid,
+                   CASE WHEN json_valid(props)
+                        THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                   END AS k
+            FROM events
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               sum(valid)::BIGINT AS n_valid,
+               count(k)::BIGINT AS n_k,
+               sum(k)::BIGINT AS sum_k,
+               min(k)::INT AS min_k,
+               max(k)::INT AS max_k,
+               sum(k)::DOUBLE / count(k)::DOUBLE AS avg_k
+        FROM parsed
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "x37_mixture_sample": """
         WITH t AS (

@@ -290,3 +290,33 @@ def test_unigram_lm_vocab_and_oov(spark):
     # doc 2 average is over the single in-vocab token 'c'
     assert scores[2]["avg_surprisal"] == round(-math.log(2 / 8), 6)
     assert scores[1]["n_oov"] == 0
+
+
+def test_parse_json_col_contract(spark):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from mc_ns_data_pipeline_spark.functions.semistructured import parse_json_col
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("tag", StringType())]
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 7, "tag": "x"}'),  # full document
+            ("b", '{"k": 3}'),  # valid, missing field -> NULL tag
+            ("c", "{not json"),  # malformed -> invalid, all fields NULL
+            ("d", None),  # NULL input -> invalid
+        ],
+        ["id", "props"],
+    )
+    rows = {
+        r["id"]: r
+        for r in parse_json_col(df, "props", schema).collect()
+    }
+    assert rows["a"]["props_valid"] and rows["a"]["k"] == 7 and rows["a"]["tag"] == "x"
+    assert rows["b"]["props_valid"] and rows["b"]["k"] == 3 and rows["b"]["tag"] is None
+    assert not rows["c"]["props_valid"] and rows["c"]["k"] is None
+    assert not rows["d"]["props_valid"] and rows["d"]["k"] is None
+    assert "props" not in rows["a"].asDict()  # raw dropped by default
+    kept = parse_json_col(df, "props", schema, keep_raw=True)
+    assert "props" in kept.columns
