@@ -187,3 +187,54 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         big_s.join(small_s, [key, "_salt"], how)
         .drop("_salt")
     )
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+                  start_col: str, end_col: str,
+                  bucket_seconds: int = 3600) -> DataFrame:
+    """Point-in-interval join with NO equi key, via time-bucket expansion.
+
+    Spark has no native range join: `p.ts >= i.start AND p.ts < i.end`
+    alone becomes BroadcastNestedLoopJoin (every point × every
+    interval) — a scale killer once intervals outgrow a broadcast.
+    Instead, both sides are mapped onto fixed-width time buckets: each
+    point lands in exactly one bucket, each interval is exploded to the
+    buckets it overlaps, and the join becomes a plain hash equi-join on
+    bucket followed by the exact [start, end) refinement. Interval
+    replication is bounded by ceil(duration / bucket_seconds), shuffle
+    is hash-partitioned on bucket, and a point can meet a given
+    interval in only its own bucket, so no post-join dedup is needed.
+
+    Semantics: inner join, half-open [start, end). Pick bucket_seconds
+    near the median interval duration: too small replicates intervals,
+    too large piles unrelated intervals into each bucket.
+    """
+    pb = points.withColumn(
+        "_bucket",
+        F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_seconds)),
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_timestamp(F.col(start_col))
+                    / F.lit(bucket_seconds)
+                ),
+                # Include the bucket containing `end` even when `end`
+                # is mid-bucket; the refinement filter removes the
+                # false positives this admits.
+                F.floor(
+                    F.unix_timestamp(F.col(end_col)) / F.lit(bucket_seconds)
+                ),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bucket", "inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

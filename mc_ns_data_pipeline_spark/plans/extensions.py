@@ -651,6 +651,64 @@ def x41_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x42_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with no equi key: purchases inside error-burst windows.
+
+    Burst derivation (hours with >= 5 error events, adjacent hours
+    merged gaps-and-islands style) runs on the HOUR-aggregated table,
+    whose row count is bounded by timespan / bucket — independent of
+    event volume — so its single-partition ordered window is safe at
+    any scale. The join itself is operators/joins.interval_join:
+    bucket-exploded equi-join + exact [start, end) refinement, never a
+    nested-loop cross product. Purchase sums go through the
+    DECIMAL(18,4) contract.
+    """
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_err_h"))
+        .filter(F.col("n_err_h") >= 5)
+    )
+    w = Window.orderBy("h")
+    marked = hourly.withColumn(
+        "brk",
+        F.when(
+            F.col("h").cast("long") - F.lag("h").over(w).cast("long")
+            == 3600,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    grouped = marked.withColumn(
+        "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = grouped.groupBy("g").agg(
+        F.min("h").alias("win_start"),
+        (F.max("h") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        F.sum("n_err_h").alias("n_err"),
+    ).drop("g")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value"
+    )
+    joined = interval_join(
+        purchases, intervals, "ts", "win_start", "win_end"
+    )
+    return (
+        joined.groupBy("win_start", "win_end", "n_err")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_purchase_value"),
+        )
+        .orderBy("win_start")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1054,6 +1112,7 @@ EXT_QUERIES = {
     "x39_chunk_documents": x39_chunk_documents,
     "x40_lm_score": x40_lm_score,
     "x41_json_extract": x41_json_extract,
+    "x42_interval_join": x42_interval_join,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1970,6 +2029,42 @@ EXT_ORACLES: dict[str, str] = {
         FROM parsed
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    # x42: DuckDB expresses the range join directly; Spark reaches the
+    # same rows through the bucketed interval_join operator. The burst
+    # CTE mirrors the Spark gaps-and-islands derivation hour-for-hour.
+    "x42_interval_join": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS n_err_h
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1 HAVING count(*) >= 5
+        ), marked AS (
+            SELECT h, n_err_h,
+                   CASE WHEN h - lag(h) OVER (ORDER BY h)
+                             = INTERVAL 1 HOUR
+                        THEN 0 ELSE 1 END AS brk
+            FROM hourly
+        ), grouped AS (
+            SELECT h, n_err_h,
+                   sum(brk) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                       AS g
+            FROM marked
+        ), intervals AS (
+            SELECT min(h) AS win_start,
+                   max(h) + INTERVAL 1 HOUR AS win_end,
+                   sum(n_err_h)::BIGINT AS n_err
+            FROM grouped GROUP BY g
+        )
+        SELECT i.win_start, i.win_end, i.n_err,
+               count(*)::BIGINT AS n_purchases,
+               sum(CAST(p.value AS DECIMAL(18,4)))::DOUBLE
+                   AS sum_purchase_value
+        FROM intervals i
+        JOIN events p
+          ON p.event_type = 'purchase'
+         AND p.ts >= i.win_start AND p.ts < i.win_end
+        GROUP BY i.win_start, i.win_end, i.n_err
+        ORDER BY win_start
     """,
     "x37_mixture_sample": """
         WITH t AS (

@@ -320,3 +320,41 @@ def test_parse_json_col_contract(spark):
     assert "props" not in rows["a"].asDict()  # raw dropped by default
     kept = parse_json_col(df, "props", schema, keep_raw=True)
     assert "props" in kept.columns
+
+
+def test_interval_join_boundaries(spark):
+    import datetime as dt
+
+    from mc_ns_data_pipeline_spark.operators.joins import interval_join
+
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [
+            ("at_start", T(2024, 1, 1, 10, 0, 0)),
+            ("mid", T(2024, 1, 1, 11, 30, 0)),
+            ("at_end", T(2024, 1, 1, 12, 0, 0)),  # end is exclusive
+            ("outside", T(2024, 1, 1, 9, 59, 59)),
+            ("in_short", T(2024, 1, 1, 14, 10, 0)),  # mid-bucket interval end
+            ("past_short", T(2024, 1, 1, 14, 20, 0)),
+        ],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("w1", T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 12, 0, 0)),
+            ("w2", T(2024, 1, 1, 14, 0, 0), T(2024, 1, 1, 14, 15, 0)),
+        ],
+        ["wid", "win_start", "win_end"],
+    )
+    got = {
+        (r["pid"], r["wid"])
+        for r in interval_join(
+            points, intervals, "ts", "win_start", "win_end"
+        ).collect()
+    }
+    assert got == {("at_start", "w1"), ("mid", "w1"), ("in_short", "w2")}
+    # a point meets an interval at most once (no bucket-induced dups)
+    rows = interval_join(
+        points, intervals, "ts", "win_start", "win_end", bucket_seconds=60
+    ).collect()
+    assert len(rows) == 3
