@@ -709,6 +709,38 @@ def x42_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x43_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: elementwise mean/min/max per
+    dimension (the stats pass behind IVF training and cluster audits).
+
+    posexplode fans each vector into (label, dim, component) rows, but
+    partial aggregation collapses them map-side — shuffle volume is
+    partitions x labels x dims, independent of vector count. Component
+    sums cross rows, so they go through DECIMAL(28,6) (order-independent
+    exactness; float32 -> decimal is unambiguous at 6 dp) and divide
+    back to double only at the end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v")
+    )
+    # float32 -> double -> decimal: the widening must happen BEFORE the
+    # decimal rounding on both engines (DuckDB's direct float->decimal
+    # cast scales in float32 precision and rounds differently).
+    dec = F.col("v").cast("double").cast("decimal(28,6)")
+    return (
+        ex.groupBy("label", "dim_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("centroid_v"),
+            F.min(F.col("v").cast("double")).alias("min_v"),
+            F.max(F.col("v").cast("double")).alias("max_v"),
+        )
+        .orderBy("label", "dim_idx")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1113,6 +1145,7 @@ EXT_QUERIES = {
     "x40_lm_score": x40_lm_score,
     "x41_json_extract": x41_json_extract,
     "x42_interval_join": x42_interval_join,
+    "x43_centroid_stats": x43_centroid_stats,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -2065,6 +2098,26 @@ EXT_ORACLES: dict[str, str] = {
          AND p.ts >= i.win_start AND p.ts < i.win_end
         GROUP BY i.win_start, i.win_end, i.n_err
         ORDER BY win_start
+    """,
+    # x43: DuckDB zips parallel unnests positionally (embedding value +
+    # its index); same decimal sum contract as the Spark plan.
+    "x43_centroid_stats": """
+        WITH ex AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS dim_idx,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label,
+               dim_idx::INT AS dim_idx,
+               count(*)::BIGINT AS n_vecs,
+               sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6)))::DOUBLE
+                   / count(*)::DOUBLE AS centroid_v,
+               min(v::DOUBLE) AS min_v,
+               max(v::DOUBLE) AS max_v
+        FROM ex
+        GROUP BY label, dim_idx
+        ORDER BY label, dim_idx
     """,
     "x37_mixture_sample": """
         WITH t AS (
