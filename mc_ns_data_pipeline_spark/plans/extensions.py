@@ -996,6 +996,28 @@ def xs7_stream_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS8 — stream-static broadcast enrich: streaming events joined to
+    the static customer dim (stateless per-batch broadcast join), then
+    a 1-day windowed count/sum per nation. End-of-input equals the
+    static join+agg (the oracle)."""
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_static_enrich,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    sink = f"xs8_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs8_ckpt_")
+    return run_stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", dim, ckpt, sink_table=sink
+    )
+
+
 def xs2_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS2 — custom stateful operator (applyInPandasWithState).
 
@@ -1151,6 +1173,7 @@ EXT_QUERIES = {
     "xs5_stream_stream_join": xs5_stream_stream_join,
     "xs6_stream_latest_state": xs6_stream_latest_state,
     "xs7_stream_pattern_detect": xs7_stream_pattern_detect,
+    "xs8_stream_static_join": xs8_stream_static_join,
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
 }
@@ -2279,6 +2302,17 @@ EXT_ORACLES: dict[str, str] = {
               FROM events)
         WHERE r = 1
         ORDER BY user_id
+    """,
+    "xs8_stream_static_join": """
+        SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+               c.c_nationkey,
+               count(*)::BIGINT AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY window_start, c_nationkey
     """,
     "xs1_stream_tumbling": """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

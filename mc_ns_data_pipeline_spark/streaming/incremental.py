@@ -346,3 +346,63 @@ def run_latest_state(spark: SparkSession, events_path: str,
         )
         q.awaitTermination()
     return spark.read.parquet(target_dir).orderBy("user_id")
+
+
+def dim_enriched_aggregate(events: DataFrame, dim: DataFrame,
+                           stream_key: str, dim_key: str,
+                           group_col: str) -> DataFrame:
+    """Stream-static broadcast enrich + 1-day windowed aggregate.
+
+    The static dimension joins each micro-batch with a broadcast hash
+    join — no stream-side shuffle, no state kept for the join itself
+    (stream-static joins are stateless in Structured Streaming; only
+    the downstream windowed agg holds state). This is the streaming
+    analogue of J8 (SURVEY.md §2.4): at cluster scale the dim is
+    re-broadcast per batch and can be swapped between batches without
+    restarting the query.
+    """
+    joined = events.join(
+        F.broadcast(dim), events[stream_key] == dim[dim_key], "inner"
+    )
+    return (
+        joined.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_static_enrich(spark: SparkSession, events_path: str,
+                             dim: DataFrame, checkpoint_dir: str,
+                             sink_table: str = "xs8_sink") -> DataFrame:
+    """XS8 — run the stream-static enrich to end-of-input and return
+    the sink table (complete mode: final state equals the static
+    join+agg, which is the DuckDB oracle)."""
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    agg = dim_enriched_aggregate(
+        _events_stream(spark, events_path), dim,
+        stream_key="user_id", dim_key="c_custkey",
+        group_col="c_nationkey",
+    )
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_table).orderBy("window_start", "c_nationkey")

@@ -364,3 +364,28 @@ def test_pattern_detect_resume_carries_click_state(spark, sf_dir, tmp_path):
     )
     static = canonicalize(cols, [tuple(r) for r in e.collect()])
     assert streamed == static and len(streamed) > 0
+
+
+def test_stream_static_enrich_matches_static(spark, sf_dir, tmp_path):
+    """XS8: stream-static broadcast join + windowed agg == batch twin."""
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        dim_enriched_aggregate,
+        run_stream_static_enrich,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    sink = f"s_{uuid.uuid4().hex[:8]}"
+    streamed = run_stream_static_enrich(
+        spark, _events_path(sf_dir), dim, str(tmp_path / "ckpt"),
+        sink_table=sink,
+    )
+    static = dim_enriched_aggregate(
+        load_table(spark, sf_dir, "events"), dim,
+        stream_key="user_id", dim_key="c_custkey",
+        group_col="c_nationkey",
+    )
+    s = canonicalize(streamed.columns, [tuple(r) for r in streamed.collect()])
+    t = canonicalize(static.columns, [tuple(r) for r in static.collect()])
+    assert s == t and len(s) > 0
