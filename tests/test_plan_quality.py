@@ -219,3 +219,31 @@ def test_scans_prune_columns(spark, sf_dir):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "doc_id" in cols and "text" in cols
     assert "lang" not in cols
+
+
+def test_x41_json_extract_prunes_and_parses_once(spark, sf_dir):
+    """The JSON parse must reach a 2-column pruned scan and evaluate
+    from_json ONCE (shared struct), not once per extracted field."""
+    plan = plan_of(spark, sf_dir, "x41_json_extract")
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(set(r.split(",")) == {"event_type:string", "props:string"}
+               for r in reads)
+    assert plan.count("from_json") <= 2  # initial + final AQE rendering
+
+
+def test_x42_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The range join must run as a bucketed equi-join — a
+    BroadcastNestedLoopJoin here is the scale killer the operator
+    exists to avoid."""
+    plan = plan_of(spark, sf_dir, "x42_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x43_centroids_aggregate_partially(spark, sf_dir):
+    """Exploded components must partial-aggregate map-side so shuffle
+    volume is labels x dims, not vectors x dims."""
+    plan = plan_of(spark, sf_dir, "x43_centroid_stats")
+    assert re.search(r"partial_sum", plan)
+    # one keyed shuffle for the agg + one range for the ORDER BY
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 2
