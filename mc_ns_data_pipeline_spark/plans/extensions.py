@@ -741,6 +741,38 @@ def x43_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x44_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction: lineitems of URGENT orders via a Bloom
+    prefilter + exact LEFT SEMI join, aggregated per return flag.
+
+    The Bloom stage is invisible to the result (false positives are
+    removed by the exact join — the oracle is the plain semi-join), but
+    at scale it keeps non-matching lineitem rows out of the key
+    shuffle entirely. Quantity sums use the DECIMAL(18,4) contract.
+    """
+    from mc_ns_data_pipeline_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = bloom_semi_join(
+        li, urgent, big_key="l_orderkey", keys_key="o_orderkey",
+        num_bits=65536,
+    )
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1168,6 +1200,7 @@ EXT_QUERIES = {
     "x41_json_extract": x41_json_extract,
     "x42_interval_join": x42_interval_join,
     "x43_centroid_stats": x43_centroid_stats,
+    "x44_bloom_semi_join": x44_bloom_semi_join,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -2141,6 +2174,21 @@ EXT_ORACLES: dict[str, str] = {
         FROM ex
         GROUP BY label, dim_idx
         ORDER BY label, dim_idx
+    """,
+    # x44: the Bloom prefilter is result-invisible — the oracle is the
+    # plain semi-join the operator computes exactly.
+    "x44_bloom_semi_join": """
+        SELECT l_returnflag,
+               count(*)::BIGINT AS n_items,
+               sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE AS sum_qty,
+               count(DISTINCT l_orderkey)::BIGINT AS n_orders
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "x37_mixture_sample": """
         WITH t AS (

@@ -358,3 +358,27 @@ def test_interval_join_boundaries(spark):
         points, intervals, "ts", "win_start", "win_end", bucket_seconds=60
     ).collect()
     assert len(rows) == 3
+
+
+def test_bloom_no_false_negatives_and_exact_semi_join(spark):
+    from mc_ns_data_pipeline_spark.operators.bloom import (
+        bloom_semi_join,
+        build_bloom,
+        might_contain,
+    )
+
+    keys = spark.range(0, 500).select(
+        (F.col("id") * 7919 + 13).alias("k")  # scattered key space
+    )
+    bloom = build_bloom(keys, "k", num_bits=4096, num_hashes=5)
+    # every inserted key must test positive
+    n_neg = (
+        keys.filter(~might_contain(F.col("k"), bloom, 5)).count()
+    )
+    assert n_neg == 0
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    got = bloom_semi_join(big, keys, "k", "k", num_bits=4096)
+    expected = big.join(keys.distinct(), "k", "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expected.collect()
+    )
