@@ -773,6 +773,63 @@ def x44_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def x45_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregation pass (no per-pair scans, no Cartesian column join).
+
+    All moments (sum, sum-of-squares, cross products) accumulate as
+    exact decimals — order-independent, partial-aggregated map-side —
+    so a single scan produces every pair. The r formula then runs in
+    double on those exact inputs with an expression shape mirrored
+    token-for-token by the oracle (IEEE ops on identical inputs are
+    bit-stable), rounded to 6 dp. Shuffle volume: one row of moments
+    per map partition; this is the textbook single-pass sufficient-
+    statistics pattern that works unchanged at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = {c: F.col(c).cast("decimal(18,4)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(d[a] * d[b]).alias(f"sp_{a}_{b}"))
+    base = li.agg(*aggs)
+    nn = F.col("n").cast("double")
+    structs = []
+    for a, b in pairs:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        r = F.round(
+            (nn * sab - sa * sb)
+            / F.sqrt((nn * ssa - sa * sa) * (nn * ssb - sb * sb)),
+            6,
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                r.alias("corr"),
+            )
+        )
+    return (
+        base.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.n", "p.corr")
+        .orderBy("col_x", "col_y")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1201,6 +1258,7 @@ EXT_QUERIES = {
     "x42_interval_join": x42_interval_join,
     "x43_centroid_stats": x43_centroid_stats,
     "x44_bloom_semi_join": x44_bloom_semi_join,
+    "x45_corr_matrix": x45_corr_matrix,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -1809,6 +1867,38 @@ def _multimodal_frames_sql(every_n: int = 10, fps: float = 30.0) -> str:
     """
 
 
+def _corr_sql(cols: tuple[str, ...]) -> str:
+    # DECIMAL(19,4) (not 18): DuckDB executes 18-digit products in
+    # int64 and overflows; 19 digits forces int128. The values are
+    # identical to Spark's (18,4) casts — only storage width differs.
+    dec = {c: f"CAST({c} AS DECIMAL(19,4))" for c in cols}
+    moments = ["count(*) AS n"]
+    for c in cols:
+        moments.append(f"sum({dec[c]}) AS s_{c}")
+        moments.append(f"sum({dec[c]} * {dec[c]}) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"sum({dec[a]} * {dec[b]}) AS sp_{a}_{b}")
+    arms = []
+    for a, b in pairs:
+        arms.append(f"""
+        SELECT '{a}' AS col_x, '{b}' AS col_y, n::BIGINT AS n,
+               round((n::DOUBLE * sp_{a}_{b}::DOUBLE
+                      - s_{a}::DOUBLE * s_{b}::DOUBLE)
+                     / sqrt((n::DOUBLE * ss_{a}::DOUBLE
+                             - s_{a}::DOUBLE * s_{a}::DOUBLE)
+                            * (n::DOUBLE * ss_{b}::DOUBLE
+                               - s_{b}::DOUBLE * s_{b}::DOUBLE)), 6)
+                   AS corr
+        FROM m""")
+    union = "\n        UNION ALL".join(arms)
+    return f"""
+        WITH m AS (SELECT {', '.join(moments)} FROM lineitem)
+        {union}
+        ORDER BY col_x, col_y
+    """
+
+
 EXT_ORACLES: dict[str, str] = {
     "x01_text_tokens": f"""
         SELECT doc_id,
@@ -2190,6 +2280,9 @@ EXT_ORACLES: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    # x45: generated to mirror the Spark moment/r expressions exactly
+    # (same decimal moments, same double formula shape, same 6 dp).
+    "x45_corr_matrix": _corr_sql(_CORR_COLS),
     "x37_mixture_sample": """
         WITH t AS (
             SELECT doc_id, source,

@@ -317,3 +317,19 @@ def test_profile_approx_mode_matches_exact(spark, sf_dir):
             <= 0.03 * e["n_distinct"] + 1, (
             f"{c}: sketch={a['n_distinct']} exact={e['n_distinct']}"
         )
+
+
+def test_x45_corr_agrees_with_builtin(spark, sf_dir):
+    """The decimal-moment Pearson r must agree with Spark's built-in
+    corr (float path) to well inside the 6 dp rounding grain."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.plans.extensions import x45_corr_matrix
+
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in x45_corr_matrix(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    for (a, b), r in got.items():
+        builtin = li.stat.corr(a, b)
+        assert abs(r - builtin) < 1e-5, (a, b, r, builtin)
