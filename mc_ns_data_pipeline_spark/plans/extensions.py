@@ -830,6 +830,45 @@ def x45_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x46_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: quartile cuts of o_totalprice, then a
+    map-side bin assignment and per-bin profile.
+
+    NTILE would need one global sort window (single-partition at
+    scale); instead the three cut points come from ONE percentile
+    aggregate, join back as a broadcast single row, and every row bins
+    itself with three comparisons at the scan. Cuts round to 6 dp
+    before comparing (same cross-engine interpolation grain x20 pins);
+    sums use the decimal contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("q1"),
+        F.round(F.percentile("o_totalprice", 0.50), 6).alias("q2"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("q3"),
+    )
+    v = F.col("o_totalprice")
+    binned = orders.crossJoin(F.broadcast(cuts)).withColumn(
+        "bin",
+        F.when(v <= F.col("q1"), 1)
+        .when(v <= F.col("q2"), 2)
+        .when(v <= F.col("q3"), 3)
+        .otherwise(4),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(v).alias("min_price"),
+            F.max(v).alias("max_price"),
+            F.sum(v.cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("bin")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1259,6 +1298,7 @@ EXT_QUERIES = {
     "x43_centroid_stats": x43_centroid_stats,
     "x44_bloom_semi_join": x44_bloom_semi_join,
     "x45_corr_matrix": x45_corr_matrix,
+    "x46_quantile_binning": x46_quantile_binning,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -2283,6 +2323,31 @@ EXT_ORACLES: dict[str, str] = {
     # x45: generated to mirror the Spark moment/r expressions exactly
     # (same decimal moments, same double formula shape, same 6 dp).
     "x45_corr_matrix": _corr_sql(_CORR_COLS),
+    # x46: same 6 dp cut rounding as the Spark plan (x20 pins that the
+    # rounded percentiles agree cross-engine).
+    "x46_quantile_binning": """
+        WITH cuts AS (
+            SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                   round(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+            FROM orders
+        ), binned AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_totalprice <= q1 THEN 1
+                        WHEN o_totalprice <= q2 THEN 2
+                        WHEN o_totalprice <= q3 THEN 3
+                        ELSE 4 END AS bin
+            FROM orders, cuts
+        )
+        SELECT bin,
+               count(*)::BIGINT AS n_orders,
+               min(v) AS min_price,
+               max(v) AS max_price,
+               sum(CAST(v AS DECIMAL(18,4)))::DOUBLE AS sum_price
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """,
     "x37_mixture_sample": """
         WITH t AS (
             SELECT doc_id, source,
