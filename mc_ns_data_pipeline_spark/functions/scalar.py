@@ -21,6 +21,27 @@ EASTERN_FMT = "M/d/yyyy H:mm"
 ITERATION_SENTINEL = -99999
 
 
+def epoch_micros(ts: Column | str) -> Column:
+    """Microsecond epoch of a timestamp column of EITHER flavor.
+
+    Parquet files annotate timestamps as LTZ (isAdjustedToUTC=true) or
+    NTZ; Spark's `unix_micros` only accepts TIMESTAMP (LTZ) and raises
+    DATATYPE_MISMATCH on TIMESTAMP_NTZ. Sessions here pin
+    spark.sql.session.timeZone=UTC (session.py), so the NTZ->LTZ cast
+    is the identity on the wall-clock value and this stays exact and
+    monotone for both source annotations.
+    """
+    c = ts if isinstance(ts, Column) else F.col(ts)
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def epoch_seconds(ts: Column | str) -> Column:
+    """Second epoch (floored) of a timestamp of either flavor; see
+    `epoch_micros` for why the LTZ cast is required and exact."""
+    c = ts if isinstance(ts, Column) else F.col(ts)
+    return F.unix_timestamp(c.cast("timestamp_ltz"))
+
+
 def eastern_local(ts: Column) -> Column:
     """F1 (part): UTC timestamp -> America/New_York local wall-clock time.
 

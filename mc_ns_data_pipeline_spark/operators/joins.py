@@ -209,23 +209,24 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
     near the median interval duration: too small replicates intervals,
     too large piles unrelated intervals into each bucket.
     """
+    from mc_ns_data_pipeline_spark.functions.scalar import epoch_seconds
+
     pb = points.withColumn(
         "_bucket",
-        F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_seconds)),
+        F.floor(epoch_seconds(point_ts) / F.lit(bucket_seconds)),
     )
     ib = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
                 F.floor(
-                    F.unix_timestamp(F.col(start_col))
-                    / F.lit(bucket_seconds)
+                    epoch_seconds(start_col) / F.lit(bucket_seconds)
                 ),
                 # Include the bucket containing `end` even when `end`
                 # is mid-bucket; the refinement filter removes the
                 # false positives this admits.
                 F.floor(
-                    F.unix_timestamp(F.col(end_col)) / F.lit(bucket_seconds)
+                    epoch_seconds(end_col) / F.lit(bucket_seconds)
                 ),
             )
         ),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mc_ns_data_pipeline_spark.catalog import load_table
+from mc_ns_data_pipeline_spark.functions.scalar import epoch_micros
 from mc_ns_data_pipeline_spark.functions.text import (
     BPE_PATTERN,
     EN_STOPWORDS,
@@ -322,8 +323,8 @@ def x27_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whenever the two fractional parts straddle a second boundary
         F.floor(
             (
-                F.unix_micros("ts")
-                - F.unix_micros(F.lag("ts").over(w))
+                epoch_micros("ts")
+                - epoch_micros(F.lag("ts").over(w))
             )
             / F.lit(1_000_000)
         ).alias("gap_seconds"),
@@ -365,10 +366,10 @@ def x29_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.unix_micros(F.lag("ts").over(w))
+    prev_us = epoch_micros(F.lag("ts").over(w))
     is_new = F.when(
         prev_us.isNull()
-        | (F.unix_micros("ts") - prev_us > 30 * 60 * 1_000_000),
+        | (epoch_micros("ts") - prev_us > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     marked = ev.select(

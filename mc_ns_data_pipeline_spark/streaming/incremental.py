@@ -85,6 +85,12 @@ def _events_stream(spark: SparkSession, events_path: str,
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif types.get("ts") == "timestamp_ntz":
+        # Parquet written without isAdjustedToUTC infers as NTZ, which
+        # event-time watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+        # TYPE). Sessions pin spark.sql.session.timeZone=UTC, so the
+        # NTZ->LTZ cast preserves the wall-clock value exactly.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
