@@ -247,3 +247,38 @@ def test_x43_centroids_aggregate_partially(spark, sf_dir):
     assert re.search(r"partial_sum", plan)
     # one keyed shuffle for the agg + one range for the ORDER BY
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 2
+
+
+def test_x44_bloom_prefilters_before_broadcast_semi_join(spark, sf_dir):
+    """The Bloom probe must sit in a Filter on the big-side scan path
+    (xxhash64 probes against the baked word-array literal), and the
+    exact semi join must be broadcast — a SortMergeJoin would mean the
+    full lineitem shuffled on the key, which is what the bloom stage
+    exists to prevent."""
+    plan = plan_of(spark, sf_dir, "x44_bloom_semi_join")
+    assert "xxhash64" in plan  # map-side membership probes survived
+    assert "SortMergeJoin" not in plan
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+
+
+def test_x45_corr_is_one_aggregation_pass(spark, sf_dir):
+    """All pairwise moments must come from ONE partial+final aggregate
+    pair over a single scan: no key shuffle, no join, no second scan —
+    the whole matrix rides one SinglePartition exchange of one moments
+    row per map partition."""
+    plan = plan_of(spark, sf_dir, "x45_corr_matrix")
+    assert n_ops(plan, "Scan") == 1
+    assert n_ops(plan, "HashAggregate") == 2  # partial + final, one pass
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_x46_binning_broadcasts_cut_points(spark, sf_dir):
+    """The quartile cuts are a 1-row aggregate that must come back as a
+    BroadcastNestedLoopJoin (1-row cross), never a shuffled join; and
+    there must be no Window — the NTILE formulation this operator
+    replaces would show up as one global-sort Window."""
+    plan = plan_of(spark, sf_dir, "x46_quantile_binning")
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert n_ops(plan, "Window") == 0
