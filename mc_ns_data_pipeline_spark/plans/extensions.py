@@ -870,6 +870,110 @@ def x46_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x47_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the end-to-end dedup pipeline a
+    training corpus actually runs — near-dup pairs (MinHash+LSH, x06)
+    -> connected components (x16) -> keep ONE representative per
+    cluster (longest text, doc_id tie-break), with the cluster size as
+    the dedup audit trail.
+
+    Scale shape: everything upstream is the bucketed LSH machinery
+    (map-only signatures, band equi-join); the selection itself is one
+    hash shuffle by cluster_id carrying only (doc_id, n_chars) — the
+    text never moves. Singleton docs never enter the pair graph, so
+    they pass through the left join with cluster_id = doc_id.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    clusters = D.duplicate_clusters(pairs)
+    membered = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    wp = Window.partitionBy("cluster_id")
+    wo = wp.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = membered.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wo).alias("_rk"),
+        F.count(F.lit(1)).over(wp).alias("n_members"),
+    )
+    return (
+        ranked.filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_n_chars"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def x48_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k selection by quality score (best-of filtering).
+
+    orderBy + limit compiles to TakeOrderedAndProject: each partition
+    keeps its local top k and only k rows per partition leave the map
+    stage — no global range shuffle, no full sort (the plan-quality
+    test pins this). Ties at the k boundary are broken by doc_id so
+    the selected SET is deterministic; the score doubles are the
+    byte-identical x02 expressions, so both engines rank identically.
+    """
+    scored = x02_text_quality(spark, sf_dir)
+    return (
+        scored.select("doc_id", "n_words", "quality_score")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def x49_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: count-of-counts histogram of rows per key,
+    with key- and row-mass shares — the measurement you run BEFORE
+    choosing salt_buckets (operators/joins.py:salted_join) or an AQE
+    skew threshold.
+
+    Two aggregations over ONE scan: the first shuffles (key, count)
+    pairs — partial-aggregated map-side, so volume is distinct keys,
+    not rows; the second groups the per-key counts, whose input is
+    already tiny. The totals come from an unpartitioned window over
+    the HISTOGRAM (cardinality = distinct multiplicity values, a few
+    thousand at any corpus size), NOT from a second aggregate of the
+    source lineage — a totals subquery would recompute the events scan
+    end-to-end (Spark plans are trees, not DAGs; the plan-quality test
+    pins Scan == 1).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    hist = per_key.groupBy(
+        F.col("n_rows").alias("n_rows_per_key")
+    ).agg(F.count(F.lit(1)).alias("n_keys"))
+    w_all = Window.partitionBy()
+    t_keys = F.sum("n_keys").over(w_all)
+    t_rows = F.sum(F.col("n_rows_per_key") * F.col("n_keys")).over(w_all)
+    return (
+        hist.select(
+            "n_rows_per_key",
+            "n_keys",
+            (
+                F.col("n_keys").cast("double") / t_keys.cast("double")
+            ).alias("key_share"),
+            (
+                (F.col("n_rows_per_key") * F.col("n_keys")).cast("double")
+                / t_rows.cast("double")
+            ).alias("row_share"),
+        )
+        .orderBy("n_rows_per_key")
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1300,6 +1404,9 @@ EXT_QUERIES = {
     "x44_bloom_semi_join": x44_bloom_semi_join,
     "x45_corr_matrix": x45_corr_matrix,
     "x46_quantile_binning": x46_quantile_binning,
+    "x47_canonical_docs": x47_canonical_docs,
+    "x48_topk_quality": x48_topk_quality,
+    "x49_key_skew_profile": x49_key_skew_profile,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -2544,4 +2651,69 @@ EXT_ORACLES: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    # x47: x16's recursive components + representative selection.
+    "x47_canonical_docs": f"""
+        WITH RECURSIVE {_minhash_body()},
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM sym),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY id),
+        memb AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ),
+        ranked AS (
+            SELECT cluster_id, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM memb
+        )
+        SELECT cluster_id, doc_id AS kept_doc_id,
+               n_chars AS kept_n_chars, n_members
+        FROM ranked WHERE rk = 1
+        ORDER BY cluster_id
+    """,
+    "x49_key_skew_profile": """
+        WITH per_key AS (
+            SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+        ),
+        hist AS (
+            SELECT n_rows AS n_rows_per_key, count(*) AS n_keys
+            FROM per_key GROUP BY n_rows
+        ),
+        tot AS (
+            SELECT CAST(sum(n_keys) AS BIGINT) AS t_keys,
+                   CAST(sum(n_rows_per_key * n_keys) AS BIGINT) AS t_rows
+            FROM hist
+        )
+        SELECT n_rows_per_key, n_keys,
+               CAST(n_keys AS DOUBLE) / CAST(t_keys AS DOUBLE) AS key_share,
+               CAST(n_rows_per_key * n_keys AS DOUBLE)
+                   / CAST(t_rows AS DOUBLE) AS row_share
+        FROM hist, tot
+        ORDER BY n_rows_per_key
+    """,
 }
+
+# x48 reuses x02's scoring SQL verbatim (same doubles, same ranking the
+# Spark side gets by calling x02_text_quality), wrapped in the top-k.
+EXT_ORACLES["x48_topk_quality"] = f"""
+    SELECT doc_id, n_words, quality_score
+    FROM ({EXT_ORACLES["x02_text_quality"]}) scored
+    ORDER BY quality_score DESC, doc_id
+    LIMIT 50
+"""

@@ -282,3 +282,35 @@ def test_x46_binning_broadcasts_cut_points(spark, sf_dir):
     assert n_ops(plan, "BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan
     assert n_ops(plan, "Window") == 0
+
+
+def test_x47_selection_shuffles_ids_not_text(spark, sf_dir):
+    """The representative-selection join + window must move only
+    (doc_id, n_chars, cluster_id): no ReadSchema on the selection scan
+    may carry `text` except the LSH signature branch, and the window
+    adds exactly one ordered shuffle on cluster_id."""
+    plan = plan_of(spark, sf_dir, "x47_canonical_docs")
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    slim = [r for r in reads if "text" not in r]
+    assert any("n_chars" in r for r in slim)  # selection scan is pruned
+    assert n_ops(plan, "Window") <= 2  # row_number + count, one spec pair
+
+
+def test_x48_topk_avoids_global_sort(spark, sf_dir):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    local top-k, k rows leave each task) — a rangepartitioning Exchange
+    here means the whole corpus sorted for 50 rows."""
+    plan = plan_of(spark, sf_dir, "x48_topk_quality")
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert "rangepartitioning" not in plan
+    assert n_ops(plan, "Scan") == 1
+
+
+def test_x49_profile_scans_source_once(spark, sf_dir):
+    """The totals must derive from the tiny histogram (window), not a
+    second pass over the source lineage: exactly one events scan and
+    two partial+final aggregate pairs."""
+    plan = plan_of(spark, sf_dir, "x49_key_skew_profile")
+    assert n_ops(plan, "Scan") == 1
+    assert n_ops(plan, "HashAggregate") == 4
+    assert n_ops(plan, "Window") == 1
