@@ -524,3 +524,61 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               words_per_line: int = 3, max_line_df: int = 3) -> DataFrame:
+    """Corpus-level repeated-line removal (the C4/CCNet cleaning step):
+    drop every line that occurs in more than `max_line_df` distinct
+    documents — boilerplate, navigation chrome, license banners — and
+    rebuild each document from its surviving lines in order.
+
+    "Lines" are fixed `words_per_line`-word segments (the final segment
+    keeps the tail even when short): real web text would split on
+    newlines, but the fixture corpus carries no line structure, and the
+    fixed resegmentation exercises identical semantics — a global
+    df-count per unit, a threshold drop, an ordered rebuild — with a
+    deterministic unit both engines derive identically.
+
+    Shape at scale: this op is inherently one corpus-wide shuffle on
+    the line hash (that IS the computation — no locality can avoid
+    counting a line's document frequency globally), plus one shuffle by
+    doc id to reassemble. The df aggregate partial-aggregates map-side
+    on (hash, doc) after an in-partition distinct, the join back to
+    lines reuses the aggregate's hash partitioning on one side, and
+    only (pos, line, df) rows move — never whole documents. Line
+    identity is md5(trim(line)) so the DuckDB oracle reproduces it.
+
+    Ref parity: the reference has no corpus-level cleaning; this is one
+    of the training-data extensions (same family as x05-x07).
+    """
+    k = words_per_line
+    ws = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(ws) / F.lit(k)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(ws, i * k + 1, k), " "),
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(segments).alias("pos", "ln"),
+    ).withColumn("h", F.md5(F.trim("ln")))
+    line_df = lines.groupBy("h").agg(
+        F.countDistinct(id_col).alias("line_df")
+    )
+    keep = F.col("line_df") <= max_line_df
+    joined = lines.join(line_df, "h")
+    rebuilt = joined.groupBy(id_col).agg(
+        F.sum(keep.cast("bigint")).alias("n_kept"),
+        F.sum((~keep).cast("bigint")).alias("n_dropped"),
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "ln")))
+        ).alias("_kept"),
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform("_kept", lambda s: s["ln"]))
+            .alias("clean_text"),
+        "n_kept",
+        "n_dropped",
+    )

@@ -974,6 +974,23 @@ def x49_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x50_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line removal (C4/CCNet boilerplate cleaning): lines
+    occurring in > 3 distinct documents are dropped corpus-wide and
+    each document is rebuilt from its surviving lines in order.
+
+    The corpus has no newlines, so "lines" are fixed 3-word segments
+    (chosen where the fixture's df distribution has real mass past the
+    threshold: 30 hot segments at sf0.01, max df 5). See
+    operators/dedup.py:line_dedup for the one-hash-shuffle scale
+    argument.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.line_dedup(
+        docs, words_per_line=3, max_line_df=3
+    ).orderBy("doc_id")
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1407,6 +1424,7 @@ EXT_QUERIES = {
     "x47_canonical_docs": x47_canonical_docs,
     "x48_topk_quality": x48_topk_quality,
     "x49_key_skew_profile": x49_key_skew_profile,
+    "x50_line_dedup": x50_line_dedup,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -2686,6 +2704,46 @@ EXT_ORACLES: dict[str, str] = {
                n_chars AS kept_n_chars, n_members
         FROM ranked WHERE rk = 1
         ORDER BY cluster_id
+    """,
+    # x50: zipped unnest gives positions aligned with the segment
+    # list (3-word windows, tail kept); string_agg(... ORDER BY pos)
+    # skips the NULLed dropped lines exactly as collect_list skips
+    # nulls on the Spark side.
+    "x50_line_dedup": """
+        WITH sl AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)))
+                       AS pos,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+                       i -> array_to_string(ws[i*3+1 : i*3+3], ' ')))
+                       AS ln
+            FROM sl
+        ),
+        hashed AS (SELECT doc_id, pos, ln, md5(trim(ln)) AS h FROM lines),
+        dfc AS (
+            SELECT h, count(DISTINCT doc_id) AS line_df
+            FROM hashed GROUP BY h
+        ),
+        j AS (
+            SELECT hashed.doc_id, hashed.pos, hashed.ln, dfc.line_df
+            FROM hashed JOIN dfc USING (h)
+        )
+        SELECT doc_id,
+               coalesce(
+                   string_agg(CASE WHEN line_df <= 3 THEN ln END,
+                              ' ' ORDER BY pos),
+                   '') AS clean_text,
+               CAST(sum(CASE WHEN line_df <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN line_df > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM j
+        GROUP BY doc_id
+        ORDER BY doc_id
     """,
     "x49_key_skew_profile": """
         WITH per_key AS (

@@ -382,3 +382,30 @@ def test_bloom_no_false_negatives_and_exact_semi_join(spark):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         r["k"] for r in expected.collect()
     )
+
+
+def test_line_dedup_drops_boilerplate_keeps_order_and_tail(spark):
+    from mc_ns_data_pipeline_spark.operators.dedup import line_dedup
+
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words here {boiler} tail{i} bit") for i in range(5)]
+        + [(99, "solo document text untouched by any dedup at all ok")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            docs, words_per_line=3, max_line_df=3
+        ).collect()
+    }
+    # the shared 3-word segment sits at word offset 3..5 in every doc,
+    # so it hashes identically and its df (5) exceeds the threshold
+    for i in range(5):
+        assert out[i]["clean_text"] == f"unique{i} words here tail{i} bit"
+        assert out[i]["n_dropped"] == 1 and out[i]["n_kept"] == 2
+    # the 11-word solo doc: 3 full segments + 2-word tail, all kept
+    assert out[99]["n_dropped"] == 0 and out[99]["n_kept"] == 4
+    assert out[99]["clean_text"] == (
+        "solo document text untouched by any dedup at all ok"
+    )

@@ -314,3 +314,16 @@ def test_x49_profile_scans_source_once(spark, sf_dir):
     assert n_ops(plan, "Scan") == 1
     assert n_ops(plan, "HashAggregate") == 4
     assert n_ops(plan, "Window") == 1
+
+
+def test_x50_line_df_partial_aggregates(spark, sf_dir):
+    """The line-df count-distinct must partial-aggregate map-side (an
+    in-partition (hash, doc) distinct before the hash shuffle), and the
+    segment explosion must not multiply scans: one Generate per lineage
+    branch, documents read with a pruned 2-column schema."""
+    plan = plan_of(spark, sf_dir, "x50_line_dedup")
+    assert "partial_count(distinct" in plan.lower()
+    assert n_ops(plan, "Generate") == 2
+    for r in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in r.split(",")}
+        assert cols <= {"doc_id", "text"}
