@@ -582,3 +582,49 @@ def line_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         "n_kept",
         "n_dropped",
     )
+
+
+def incremental_dedup_pairs(new_docs: DataFrame, index_bands: DataFrame,
+                            index_sets: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs of an INCREMENT against a persisted LSH index —
+    the daily-crawl pattern: day-N documents are deduped against
+    everything previously seen WITHOUT touching any old text.
+
+    `index_bands` (id, band_id, band_key) and `index_sets`
+    (id, sh_ids) are the store a previous run persisted (4 band rows
+    and one shingle-id array per document — a sliver of the corpus).
+    The increment is shingled/signed map-only, its band keys bucket-
+    join against the UNION of the stored and new bands, and only the
+    candidate pairs touch shingle sets for exact verification. Work
+    scales with increment size × bucket density, never with corpus
+    size; the index grows by appending the increment's bands/sets
+    (sinks/audit.append_log shape).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, every pair
+    involving at least one new document — new-new pairs included, so
+    running increments in sequence reproduces the batch result.
+    """
+    new_sets = _materialize(doc_shingle_sets(new_docs, text_col, id_col))
+    new_bands = lsh_band_keys(minhash_signatures(new_sets, id_col), id_col)
+    all_bands = index_bands.select(
+        id_col, "band_id", "band_key"
+    ).unionByName(new_bands)
+    n = new_bands.select(
+        F.col(id_col).alias("_nid"), "band_id", "band_key"
+    )
+    m = all_bands.select(
+        F.col(id_col).alias("_mid"), "band_id", "band_key"
+    )
+    pairs = (
+        n.join(m, ["band_id", "band_key"])
+        .filter(F.col("_nid") != F.col("_mid"))
+        .select(
+            F.least("_nid", "_mid").alias("doc_a"),
+            F.greatest("_nid", "_mid").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets_all = index_sets.select(id_col, "sh_ids").unionByName(new_sets)
+    return jaccard_verify(pairs, sets_all, id_col, threshold)

@@ -991,6 +991,25 @@ def x50_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x51_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch (doc_id % 4 == 3, the "daily
+    increment") deduped against the LSH index persisted from everything
+    seen before — old TEXT is never touched, only the stored band keys
+    and shingle-id sets. Equivalent by construction to the batch LSH
+    pairs restricted to pairs touching a new doc, which is exactly what
+    the oracle computes.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    is_new = (F.col("doc_id") % 4) == 3
+    old = docs.filter(~is_new)
+    new = docs.filter(is_new)
+    index_sets = D._materialize(D.doc_shingle_sets(old))
+    index_bands = D.lsh_band_keys(D.minhash_signatures(index_sets))
+    return D.incremental_dedup_pairs(
+        new, index_bands, index_sets
+    ).orderBy("doc_a", "doc_b")
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1425,6 +1444,7 @@ EXT_QUERIES = {
     "x48_topk_quality": x48_topk_quality,
     "x49_key_skew_profile": x49_key_skew_profile,
     "x50_line_dedup": x50_line_dedup,
+    "x51_incremental_dedup": x51_incremental_dedup,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -2764,6 +2784,14 @@ EXT_ORACLES: dict[str, str] = {
                    / CAST(t_rows AS DOUBLE) AS row_share
         FROM hist, tot
         ORDER BY n_rows_per_key
+    """,
+    # x51: the incremental result is by construction the batch LSH
+    # pairs restricted to pairs touching a new (doc_id % 4 == 3) doc.
+    "x51_incremental_dedup": f"""
+        WITH {_minhash_body()}
+        SELECT doc_a, doc_b, jaccard FROM mh_pairs
+        WHERE doc_a % 4 = 3 OR doc_b % 4 = 3
+        ORDER BY doc_a, doc_b
     """,
 }
 

@@ -333,3 +333,37 @@ def test_x45_corr_agrees_with_builtin(spark, sf_dir):
     for (a, b), r in got.items():
         builtin = li.stat.corr(a, b)
         assert abs(r - builtin) < 1e-5, (a, b, r, builtin)
+
+
+def test_incremental_dedup_equals_batch(spark, sf_dir):
+    """Splitting the corpus into a prior index and an increment and
+    uniting (old-batch pairs) with (incremental pairs) must reproduce
+    the full-batch LSH result exactly — the invariant that makes
+    running daily increments sound."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 4) == 3
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_dedup_pairs(docs).collect()
+    }
+    old_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_dedup_pairs(old).collect()
+    }
+    index_sets = D._materialize(D.doc_shingle_sets(old))
+    index_bands = D.lsh_band_keys(D.minhash_signatures(index_sets))
+    incr = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_dedup_pairs(
+            new, index_bands, index_sets
+        ).collect()
+    }
+    assert old_pairs | incr == batch
+    assert old_pairs.isdisjoint(incr)
