@@ -1010,6 +1010,132 @@ def x51_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def x52_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) refinement of the IVF codebook:
+    deterministic seeds (vec_id < 8) -> two refinement rounds -> final
+    assignment stats. See operators/clustering.py for the
+    one-map-pass-per-iteration scale argument (the corpus is never
+    shuffled; only k x dim centroid partials are).
+    """
+    from mc_ns_data_pipeline_spark.operators.clustering import (
+        kmeans_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, k=8, n_iters=2)
+
+
+def x53_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: inserts / deletes / updates between two table
+    snapshots, keyed by PK — the audit primitive behind CDC backfills
+    and reproducibility checks on a training corpus.
+
+    Snapshots are derived deterministically from `orders`: the "old"
+    snapshot is missing keys % 13 == 0 (so they diff as inserts) and
+    carries a price perturbation on keys % 7 == 0 (updates); the "new"
+    snapshot is missing keys % 11 == 0 (deletes). The diff itself is
+    ONE full-outer join on the PK — a single keyed shuffle per side,
+    which on bucketed layouts (sinks/layout.write_bucketed) is
+    shuffle-free. Values here compare directly; wide rows would compare
+    one md5 row-fingerprint per side instead (the q10 null contract,
+    functions/scalar.py:row_hash) — same plan shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter((F.col("o_orderkey") % 13) != 0).select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderkey") % 7) == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")).alias("old_price"),
+    )
+    new = orders.filter((F.col("o_orderkey") % 11) != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("new_price")
+    )
+    change = (
+        F.when(F.col("old_price").isNull(), F.lit("insert"))
+        .when(F.col("new_price").isNull(), F.lit("delete"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, "o_orderkey", "full_outer")
+        .select("o_orderkey", "old_price", "new_price",
+                change.alias("change_type"))
+        .filter(F.col("change_type") != "unchanged")
+        .orderBy("o_orderkey")
+    )
+
+
+def x54_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021, arXiv
+    2112.11446 §A1.1): per-document structural filters — word-count
+    bounds, mean word length, stopword floor, alphabetic-word fraction,
+    digit fraction — each exposed as its own boolean plus the AND.
+
+    Everything is a row-local expression over one scan (map-only; the
+    plan-quality test pins no-shuffle). Thresholds are tuned to the
+    fixture's word-count range (10-99, mean ~54) so both outcomes occur.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    text = F.col("text")
+    n_words = word_count(text)
+    norm = norm_text(text)
+    avg_wlen = (
+        (F.length(norm) - (n_words - 1)).cast("double")
+        / n_words.cast("double")
+    )
+    n_stop = stopword_count(text)
+    ws = words(text)
+    alpha_frac = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    n_digits = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), F.lit(0)))
+    digit_frac = (
+        F.when(
+            F.length(text) > 0,
+            n_digits.cast("double") / F.length(text).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    r_words = (n_words >= 40) & (n_words <= 90)
+    r_wlen = (avg_wlen >= 3.0) & (avg_wlen <= 10.0)
+    r_stop = n_stop >= 2
+    r_alpha = alpha_frac >= 0.8
+    r_digit = digit_frac <= 0.2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_wlen.alias("avg_word_len"),
+        n_stop.alias("n_stopwords"),
+        alpha_frac.alias("alpha_word_frac"),
+        digit_frac.alias("digit_frac"),
+        r_words.alias("rule_word_count"),
+        r_wlen.alias("rule_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_alpha.alias("rule_alpha"),
+        r_digit.alias("rule_digits"),
+        (r_words & r_wlen & r_stop & r_alpha & r_digit)
+        .alias("passes_gopher"),
+    )
+
+
+def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS9 — bounded-state streaming dedup via
+    dropDuplicatesWithinWatermark (state evicted past the watermark
+    horizon — the unbounded-stream-safe variant of xs3)."""
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_stream_dedup_bounded,
+    )
+
+    sink = f"xs9_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs9_ckpt_")
+    return run_stream_dedup_bounded(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
 def xs1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QS1 — streaming 6-hour tumbling aggregate, availableNow mode.
 
@@ -1445,7 +1571,11 @@ EXT_QUERIES = {
     "x49_key_skew_profile": x49_key_skew_profile,
     "x50_line_dedup": x50_line_dedup,
     "x51_incremental_dedup": x51_incremental_dedup,
+    "x52_kmeans_refine": x52_kmeans_refine,
+    "x53_snapshot_diff": x53_snapshot_diff,
+    "x54_gopher_rules": x54_gopher_rules,
     "xs1_stream_tumbling": xs1_stream_tumbling,
+    "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
     "xs6_stream_latest_state": xs6_stream_latest_state,
@@ -2802,4 +2932,155 @@ EXT_ORACLES["x48_topk_quality"] = f"""
     FROM ({EXT_ORACLES["x02_text_quality"]}) scored
     ORDER BY quality_score DESC, doc_id
     LIMIT 50
+"""
+
+
+def _kmeans_sql(k: int = 8) -> str:
+    """Lloyd's with deterministic seeds, 2 refinement rounds, final
+    assignment — mirrors operators/clustering.kmeans_refine exactly:
+    same double widening before any arithmetic, same DECIMAL(28,6)
+    order-independent centroid means, same 6dp-rounded distances with
+    -0.0 normalization, same low-id tie-break.
+    """
+
+    def assign(cl: str) -> str:
+        return f"""
+            SELECT vec_id, cluster_id, d FROM (
+                SELECT vec_id, cluster_id, d,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d, cluster_id
+                       ) AS rn
+                FROM (
+                    SELECT v.vec_id, {cl}.cluster_id,
+                           round(v.xx
+                                 - 2 * list_inner_product(v.x, {cl}.c)
+                                 + list_inner_product({cl}.c, {cl}.c),
+                                 6) + 0.0 AS d
+                    FROM v CROSS JOIN {cl}
+                )
+            ) WHERE rn = 1"""
+
+    def update(b: str) -> str:
+        return f"""
+            SELECT b.cluster_id, e.dim_idx,
+                   sum(CAST(e.comp AS DECIMAL(28,6)))::DOUBLE
+                       / count(*)::DOUBLE AS c_v
+            FROM {b} b JOIN ex e USING (vec_id)
+            GROUP BY b.cluster_id, e.dim_idx"""
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS x,
+                   list_inner_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[]) AS xx
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, unnest(range(len(x))) AS dim_idx,
+                   unnest(x) AS comp
+            FROM v
+        ),
+        cl0 AS (
+            SELECT vec_id AS cluster_id,
+                   list(comp ORDER BY dim_idx) AS c
+            FROM ex WHERE vec_id < {k} GROUP BY vec_id
+        ),
+        b1 AS ({assign('cl0')}),
+        u1 AS ({update('b1')}),
+        cl1 AS (SELECT cluster_id, list(c_v ORDER BY dim_idx) AS c
+                FROM u1 GROUP BY cluster_id),
+        b2 AS ({assign('cl1')}),
+        u2 AS ({update('b2')}),
+        cl2 AS (SELECT cluster_id, list(c_v ORDER BY dim_idx) AS c
+                FROM u2 GROUP BY cluster_id),
+        bf AS ({assign('cl2')}),
+        stats AS (
+            SELECT cluster_id, count(*)::BIGINT AS n_members,
+                   sum(CAST(d AS DECIMAL(28,6)))::DOUBLE AS inertia
+            FROM bf GROUP BY cluster_id
+        )
+        SELECT u2.cluster_id::INT AS cluster_id,
+               u2.dim_idx::INT AS dim_idx,
+               u2.c_v AS centroid_v,
+               stats.n_members, stats.inertia
+        FROM u2 JOIN stats USING (cluster_id)
+        ORDER BY cluster_id, dim_idx
+    """
+
+
+EXT_ORACLES["x52_kmeans_refine"] = _kmeans_sql()
+
+EXT_ORACLES["x53_snapshot_diff"] = """
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS old_price
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_totalprice AS new_price
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    d AS (
+        SELECT o_orderkey, old_price, new_price,
+               CASE WHEN old_price IS NULL THEN 'insert'
+                    WHEN new_price IS NULL THEN 'delete'
+                    WHEN old_price <> new_price THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT o_orderkey, old_price, new_price, change_type
+    FROM d WHERE change_type <> 'unchanged'
+    ORDER BY o_orderkey
+"""
+
+EXT_ORACLES["x54_gopher_rules"] = f"""
+    WITH s AS (
+        SELECT doc_id, text, {_NORM} AS norm,
+               string_split({_NORM}, ' ') AS ws
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws)::INT AS n_words,
+               CAST(length(norm) - (len(ws) - 1) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+               len(list_filter(ws,
+                   x -> x IN ({_in_list(EN_STOPWORDS)})))::INT
+                   AS n_stopwords,
+               CAST(len(list_filter(ws,
+                   x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / CAST(len(ws) AS DOUBLE) AS alpha_word_frac,
+               CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[0-9]'))
+                              AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END AS digit_frac
+        FROM s
+    )
+    SELECT doc_id, n_words, avg_word_len, n_stopwords,
+           alpha_word_frac, digit_frac,
+           (n_words >= 40 AND n_words <= 90) AS rule_word_count,
+           (avg_word_len >= 3.0 AND avg_word_len <= 10.0) AS rule_word_len,
+           (n_stopwords >= 2) AS rule_stopwords,
+           (alpha_word_frac >= 0.8) AS rule_alpha,
+           (digit_frac <= 0.2) AS rule_digits,
+           ((n_words >= 40 AND n_words <= 90)
+            AND (avg_word_len >= 3.0 AND avg_word_len <= 10.0)
+            AND (n_stopwords >= 2)
+            AND (alpha_word_frac >= 0.8)
+            AND (digit_frac <= 0.2)) AS passes_gopher
+    FROM m
+"""
+
+# xs9: end-of-input twin — the 35-day delay covers the fixture's whole
+# 30-day span, so bounded-state dedup equals global DISTINCT here.
+EXT_ORACLES["xs9_stream_dedup_bounded"] = """
+    SELECT event_type, count(*)::BIGINT AS n_user_days
+    FROM (
+        SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+        FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
 """

@@ -84,3 +84,70 @@ def replace_by_key(updates: DataFrame, path: str, key: str) -> None:
         .partitionBy(key)
         .parquet(path)
     )
+
+
+def delete_keys_targeted(spark: SparkSession, path: str, key: str,
+                         doomed: DataFrame) -> int:
+    """Targeted row delete (right-to-be-forgotten): rewrite ONLY the
+    parquet files that contain a doomed key; every other file is left
+    byte-identical on disk.
+
+    This is the copy-on-write delete a 100 TB table needs — a naive
+    `read → anti-join → overwrite` rewrites the whole table to drop a
+    handful of rows. Here the write amplification is bounded by the
+    files actually touched:
+
+    1. Locate: scan ONLY the key column (+ `input_file_name()`) with a
+       broadcast semi join against the doomed keys — the scan prunes to
+       one column, and on sorted/clustered layouts (sinks/layout) the
+       footer min/max stats prune most files before they are read.
+    2. Rewrite: re-read just the affected files, anti-join the doomed
+       keys, write survivors to a staging dir.
+    3. Swap: remove the affected files, move the staged files in. The
+       swap is per-file (not atomic across files) — a table format with
+       a transaction log (Delta/Iceberg) is the answer where readers
+       race writers; the dataflow above is exactly its COW delete.
+
+    Returns the number of files rewritten. The doomed key set is
+    assumed broadcast-small (a deletion request batch); a huge doomed
+    set degrades gracefully: every file matches and this becomes the
+    full rewrite it would have to be anyway.
+    """
+    import shutil
+    import uuid
+
+    doomed_keys = doomed.select(key).distinct()
+    affected = [
+        r["_file"]
+        for r in (
+            spark.read.parquet(path)
+            .select(key, F.input_file_name().alias("_file"))
+            .join(F.broadcast(doomed_keys), key, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+    ]
+    if not affected:
+        return 0
+
+    local = [f[len("file://"):] if f.startswith("file://") else f
+             for f in affected]
+    staging = f"{path}__delete_staging"
+    survivors = (
+        spark.read.parquet(*local)
+        .join(F.broadcast(doomed_keys), key, "left_anti")
+    )
+    survivors.write.mode("overwrite").parquet(staging)
+
+    for f in local:
+        os.remove(f)
+    tag = uuid.uuid4().hex[:8]
+    for i, name in enumerate(sorted(os.listdir(staging))):
+        if name.endswith(".parquet"):
+            shutil.move(
+                os.path.join(staging, name),
+                os.path.join(path, f"part-del{tag}-{i:05d}.parquet"),
+            )
+    shutil.rmtree(staging)
+    return len(local)

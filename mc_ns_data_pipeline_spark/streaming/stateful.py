@@ -153,6 +153,72 @@ def run_stream_dedup(
     )
 
 
+def run_stream_dedup_bounded(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "xs9_sink",
+    delay: str = "35 days",
+    output_path: str | None = None,
+) -> DataFrame:
+    """Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`.
+
+    xs3's plain `dropDuplicates` keeps every key it has EVER seen — on
+    an unbounded stream that state grows forever. This variant evicts
+    dedup state older than the watermark horizon, so the store holds
+    only keys whose duplicates can still legally arrive — the only
+    dedup shape that survives an always-on 100 TB/day stream. The
+    guarantee weakens correspondingly: duplicates are dropped only when
+    they arrive within `delay` of the first occurrence.
+
+    Here `delay` (35 days) covers the fixture's entire 30-day event
+    span, so end-of-input output is exactly DISTINCT over the keys —
+    which is what the static oracle computes. Keys are
+    (user_id, event_type, event day), i.e. daily per-user-per-type
+    activity dedup.
+    """
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        _events_stream,
+    )
+
+    ev = _events_stream(spark, events_path)
+    keyed = (
+        ev.withWatermark("ts", delay)
+        .select(
+            "ts", "user_id", "event_type",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    # State cardinality = in-horizon distinct keys; size the store's
+    # partition count to that, not the batch parallelism.
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        writer = keyed.writeStream.outputMode("append").option(
+            "checkpointLocation", checkpoint_dir
+        ).trigger(availableNow=True)
+        if output_path is not None:
+            # file sink: supports checkpoint recovery (restart tests /
+            # real deployments); the memory sink below does not.
+            q = writer.format("parquet").option("path", output_path).start()
+            q.awaitTermination()
+            deduped = spark.read.parquet(output_path)
+        else:
+            q = (
+                writer.format("memory").queryName(sink_table).start()
+            )
+            q.awaitTermination()
+            deduped = spark.table(sink_table)
+    # Sink rows are unique per (user, type, day) by construction, so a
+    # plain count per event_type is the distinct user-day count.
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # XS7 — CEP pattern detection: purchases preceded by >= N clicks within
 # a time window, per user. The walk itself is engine-agnostic; it runs

@@ -327,3 +327,42 @@ def test_x50_line_df_partial_aggregates(spark, sf_dir):
     for r in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in r.split(",")}
         assert cols <= {"doc_id", "text"}
+
+
+def test_x52_kmeans_scans_corpus_once_per_pass(spark, sf_dir):
+    """The k-means result plan: final assignment is a map-only argmin
+    over literal centroids (no join against a centroid relation), one
+    partial+final aggregate pair for the stats, and the tiny centroid
+    relation joins in as a broadcast — never a shuffle of the corpus
+    rows themselves."""
+    plan = plan_of(spark, sf_dir, "x52_kmeans_refine")
+    assert n_ops(plan, "BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one embeddings scan feeds the stats; the centroid side is a
+    # driver-local LocalTableScan (k x dim rows), not a parquet re-read
+    assert n_ops(plan, "Scan parquet") == 1
+
+
+def test_x53_diff_is_one_keyed_join_no_nested_loop(spark, sf_dir):
+    """Snapshot diff must be a single full-outer SortMergeJoin on the
+    PK (two keyed exchanges, one per side) — full outer can't broadcast,
+    and a nested-loop fallback would be quadratic."""
+    plan = plan_of(spark, sf_dir, "x53_snapshot_diff")
+    assert n_ops(plan, "SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x54_gopher_is_map_only(spark, sf_dir):
+    """The rule battery is row-local: no key or range shuffle anywhere
+    (the guarded round-robin fan-out is permitted), one documents scan
+    pruned to (doc_id, text)."""
+    plan = plan_of(spark, sf_dir, "x54_gopher_rules")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert n_ops(plan, "Scan") == 1
+    for r in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in r.split(",")}
+        assert cols <= {"doc_id", "text"}

@@ -409,3 +409,49 @@ def test_write_shards_manifest_consistent(spark, sf_dir, tmp_path):
     b = {(r["doc_id"], r["shard"])
          for r in spark.read.parquet(path2).collect()}
     assert a == b
+
+
+def test_delete_keys_targeted_rewrites_only_affected_files(
+    spark, sf_dir, tmp_path
+):
+    """GDPR delete: only files containing a doomed key are rewritten;
+    the rest stay byte-identical (same inode content, same mtime)."""
+    import os
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.sinks.upsert import delete_keys_targeted
+
+    target = str(tmp_path / "orders_tbl")
+    orders = load_table(spark, sf_dir, "orders")
+    # range-clustered layout: each file owns a disjoint o_orderkey range
+    orders.repartitionByRange(4, "o_orderkey").write.parquet(target)
+
+    before = {
+        f: os.stat(os.path.join(target, f)).st_mtime_ns
+        for f in os.listdir(target) if f.endswith(".parquet")
+    }
+    # doom three keys from the LOW end: they live in exactly one file
+    low_keys = [r[0] for r in (
+        orders.select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    )]
+    doomed = spark.createDataFrame(
+        [(k,) for k in low_keys], "o_orderkey bigint"
+    )
+
+    n_rewritten = delete_keys_targeted(spark, target, "o_orderkey", doomed)
+    assert n_rewritten == 1
+
+    after = {
+        f: os.stat(os.path.join(target, f)).st_mtime_ns
+        for f in os.listdir(target) if f.endswith(".parquet")
+    }
+    untouched = set(before) & set(after)
+    assert len(untouched) == len(before) - 1
+    for f in untouched:
+        assert before[f] == after[f], f"{f} was rewritten needlessly"
+
+    remaining = spark.read.parquet(target)
+    assert remaining.count() == orders.count() - 3
+    assert remaining.filter(
+        F.col("o_orderkey").isin(*low_keys)
+    ).count() == 0

@@ -389,3 +389,41 @@ def test_stream_static_enrich_matches_static(spark, sf_dir, tmp_path):
     s = canonicalize(streamed.columns, [tuple(r) for r in streamed.collect()])
     t = canonicalize(static.columns, [tuple(r) for r in static.collect()])
     assert s == t and len(s) > 0
+
+
+def test_bounded_dedup_restart_emits_nothing_new(spark, sf_dir, tmp_path):
+    """XS9 kill/resume: a second run from the same checkpoint with no
+    new input must re-emit nothing (dedup state + offsets both live in
+    the checkpoint), and the first run must equal the static DISTINCT."""
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_stream_dedup_bounded,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    d1 = run_stream_dedup_bounded(
+        spark, _events_path(sf_dir), ckpt, output_path=out
+    )
+    first = canonicalize(d1.columns, [tuple(r) for r in d1.collect()])
+
+    static = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type",
+                F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+    )
+    expected = canonicalize(
+        static.columns, [tuple(r) for r in static.collect()]
+    )
+    assert first == expected
+
+    n_rows_first = spark.read.parquet(out).count()
+    d2 = run_stream_dedup_bounded(
+        spark, _events_path(sf_dir), ckpt, output_path=out
+    )
+    # same checkpoint, no new input: zero re-emissions, sink unchanged
+    assert spark.read.parquet(out).count() == n_rows_first
+    again = canonicalize(d2.columns, [tuple(r) for r in d2.collect()])
+    assert again == first
