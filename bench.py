@@ -45,6 +45,23 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    def _cleanup() -> None:
+        """Drop accumulated state between query shapes, OUTSIDE the
+        timed region: streaming memory-sink tables pin their rows in
+        the driver, localCheckpoint blocks pin executor memory until
+        their RDDs are GC'd, and 75 shapes x 3 reps of codegen also
+        deserve a JVM GC nudge. Measured effect: without this, suite
+        medians inflate ~25% by the end of the alphabet vs the same
+        query run in a fresh session."""
+        import gc
+
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name, fn in sorted(QUERIES.items()):
@@ -53,6 +70,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        _cleanup()
         timings[name] = round(statistics.median(runs), 3)
     wall = round(time.perf_counter() - t_suite, 3)
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from mc_ns_data_pipeline_spark.functions.text import (
     fingerprint_full,
+    ngrams_or_empty,
     norm_text,
     shingles_from_words,
     words,
@@ -628,3 +629,74 @@ def incremental_dedup_pairs(new_docs: DataFrame, index_bands: DataFrame,
     )
     sets_all = index_sets.select(id_col, "sh_ids").unionByName(new_sets)
     return jaccard_verify(pairs, sets_all, id_col, threshold)
+
+
+def common_spans(docs: DataFrame, k: int = 5, max_gram_df: int = 20,
+                 min_span_words: int = 8,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Exact substring-level duplication: the longest shared word span
+    per document pair (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv 2107.06499 — the suffix-array
+    exact-substring criterion, re-expressed relationally).
+
+    Dataflow (all bucketed, never all-pairs):
+      1. positional k-grams per doc — map-only (posexplode of a
+         row-local array; the 60-bit gram id replaces the string
+         BEFORE any shuffle, so the inverted index carries longs).
+      2. document-frequency cap (`max_gram_df`) drops boilerplate
+         grams exactly like x07's posting cap — the join fan-out is
+         bounded by df^2 per gram, so the cap is the scale knob.
+      3. inverted-index self-join on gram id -> matched position pairs.
+      4. gaps-and-islands on each pair's match diagonal
+         (pos_a - pos_b): consecutive matched positions merge into
+         runs; a run of L k-grams is a shared span of L + k - 1 words.
+         One window shuffle keyed by (pair, diagonal) — state per key
+         is a row_number counter, nothing materializes.
+
+    Returns (doc_a, doc_b, longest_span_words, n_matches) for pairs
+    sharing a span of at least `min_span_words` words.
+    """
+    bound = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_ws")
+    )
+    grams = bound.select(
+        "doc_id",
+        F.posexplode(ngrams_or_empty(F.col("_ws"), k)).alias("pos", "gram"),
+    )
+    g = grams.select(
+        "doc_id", "pos", shingle_id(F.col("gram")).alias("gid")
+    )
+    dfc = g.groupBy("gid").agg(
+        F.countDistinct("doc_id").alias("gram_df")
+    )
+    kept = g.join(dfc.filter(F.col("gram_df") <= max_gram_df), "gid")
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gid"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gid"
+    )
+    from pyspark.sql import Window
+
+    m = a.join(b, "gid").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = F.col("pos_a") - F.col("pos_b")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
+    runs = m.select(
+        "doc_a", "doc_b", "pos_a",
+        diag.alias("diag"),
+        (F.col("pos_a") - F.row_number().over(w)).alias("island"),
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_len") + F.lit(k - 1)).cast("long")
+            .alias("longest_span_words"),
+            F.sum("run_len").cast("long").alias("n_matches"),
+        )
+        .filter(F.col("longest_span_words") >= min_span_words)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -82,3 +82,99 @@ def top_k_tokens(df: DataFrame, k: int = 10, text_col: str = "text",
         .filter(F.col("rnk") <= k)
         .orderBy("lang", "rnk")
     )
+
+
+# Count-min sketch geometry: depth x width counters, one md5-derived
+# hash row per depth. Estimate error bound: eps = e/width of the total
+# token mass, with probability 1 - (1/2)^depth; estimates NEVER
+# underestimate (Cormode & Muthukrishnan 2005, J. Algorithms 55(1)).
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(token: Column, depth: int, width: int) -> Column:
+    """Bucket of `token` in hash row `depth`: 60-bit md5 prefix mod width.
+
+    Oracle twin: ('0x' || substr(md5(word || '|' || d), 1, 15))::BIGINT
+    % width — md5-based so both engines bucket identically.
+    """
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(token, F.lit(f"|{depth}"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(df: DataFrame, text_col: str = "text",
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(depth, bucket, n): count-min sketch of the corpus token stream.
+
+    Scale shape: the sketch IS the aggregation state — depth x width
+    counters regardless of corpus size, and the groupBy's map-side
+    partial aggregation is exactly the textbook sketch merge (counters
+    add), so each partition ships at most depth x width rows into one
+    shuffle. Token counts pre-aggregate ROW-LOCALLY first (distinct
+    words + in-row occurrence counts, as in `token_frequencies`), so
+    the exploded stream is bounded by per-doc vocabulary, and each
+    (word, count) contributes `depth` bucket increments.
+    """
+    bound = df.select(words(F.col(text_col)).alias("_ws"))
+    per_doc = bound.select(
+        F.explode(
+            F.transform(
+                F.array_distinct("_ws"),
+                lambda w: F.struct(
+                    w.alias("word"),
+                    F.size(
+                        F.filter("_ws", lambda x: x == w)
+                    ).alias("n_in_doc"),
+                ),
+            )
+        ).alias("wc")
+    )
+    rows = per_doc.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _cms_bucket(F.col("wc.word"), d, width).alias("bucket"),
+                    F.col("wc.n_in_doc").alias("n_inc"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("cell")
+    )
+    return rows.groupBy(
+        F.col("cell.depth").alias("depth"),
+        F.col("cell.bucket").alias("bucket"),
+    ).agg(F.sum("cell.n_inc").cast("long").alias("n"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame,
+                 word_col: str = "word",
+                 depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Point-frequency estimates: min over hash rows of the probe's
+    bucket counters. The sketch is depth x width rows — broadcast — so
+    probing any number of tokens is a map-side join plus a tiny
+    aggregate; a missing bucket reads as 0."""
+    probed = probes.select(
+        F.col(word_col).alias("word"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _cms_bucket(F.col(word_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("pb"),
+    ).select("word", "pb.depth", "pb.bucket")
+    joined = probed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy("word").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_n")
+    )

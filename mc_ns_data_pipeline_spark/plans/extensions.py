@@ -1118,6 +1118,56 @@ def x54_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x55_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies vs exact counts, probed for
+    the stopword list. The sketch (4 x 1024 counters) is the entire
+    aggregation state at any corpus size — counters merge by addition,
+    which IS Spark's map-side partial aggregation — and the probe join
+    broadcasts the sketch. `never_underestimates` pins the CMS
+    one-sided error guarantee row by row.
+    """
+    from mc_ns_data_pipeline_spark.operators.frequency import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sketch = cms_sketch(docs)
+    probes = spark.createDataFrame(
+        [(w,) for w in EN_STOPWORDS], "word string"
+    )
+    est = cms_estimate(sketch, probes)
+    exact = (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word").isin(*EN_STOPWORDS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "word", "left")
+        .select(
+            "word",
+            F.coalesce("exact_n", F.lit(0).cast("long")).alias("exact_n"),
+            "est_n",
+            (F.col("est_n")
+             >= F.coalesce("exact_n", F.lit(0).cast("long")))
+            .alias("never_underestimates"),
+        )
+        .orderBy("word")
+    )
+
+
+def x56_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: longest shared word span per doc
+    pair via positional 5-grams + gaps-and-islands on the match
+    diagonal (see operators/dedup.py:common_spans for the
+    inverted-index / df-cap scale argument)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.common_spans(
+        docs, k=5, max_gram_df=20, min_span_words=8
+    )
+
+
 def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS9 — bounded-state streaming dedup via
     dropDuplicatesWithinWatermark (state evicted past the watermark
@@ -1574,6 +1624,8 @@ EXT_QUERIES = {
     "x52_kmeans_refine": x52_kmeans_refine,
     "x53_snapshot_diff": x53_snapshot_diff,
     "x54_gopher_rules": x54_gopher_rules,
+    "x55_cms_frequency": x55_cms_frequency,
+    "x56_common_spans": x56_common_spans,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
@@ -3071,6 +3123,86 @@ EXT_ORACLES["x54_gopher_rules"] = f"""
             AND (alpha_word_frac >= 0.8)
             AND (digit_frac <= 0.2)) AS passes_gopher
     FROM m
+"""
+
+EXT_ORACLES["x55_cms_frequency"] = f"""
+    WITH w AS (
+        SELECT string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    tok AS (SELECT unnest(ws) AS word FROM w),
+    ds(d) AS (VALUES (0), (1), (2), (3)),
+    sk AS (
+        SELECT d,
+               ('0x' || substr(md5(word || '|' || d::VARCHAR), 1, 15))
+                   ::BIGINT % 1024 AS bucket,
+               count(*)::BIGINT AS n
+        FROM tok CROSS JOIN ds
+        GROUP BY 1, 2
+    ),
+    probes(word) AS (VALUES {", ".join(f"('{w}')" for w in EN_STOPWORDS)}),
+    pb AS (
+        SELECT word, d,
+               ('0x' || substr(md5(word || '|' || d::VARCHAR), 1, 15))
+                   ::BIGINT % 1024 AS bucket
+        FROM probes CROSS JOIN ds
+    ),
+    est AS (
+        SELECT pb.word,
+               min(coalesce(sk.n, 0))::BIGINT AS est_n
+        FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket
+        GROUP BY pb.word
+    ),
+    exact AS (
+        SELECT word, count(*)::BIGINT AS exact_n FROM tok
+        WHERE word IN ({_in_list(EN_STOPWORDS)})
+        GROUP BY word
+    )
+    SELECT e.word, coalesce(x.exact_n, 0)::BIGINT AS exact_n, e.est_n,
+           e.est_n >= coalesce(x.exact_n, 0) AS never_underestimates
+    FROM est e LEFT JOIN exact x USING (word)
+    ORDER BY e.word
+"""
+
+EXT_ORACLES["x56_common_spans"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(range(0, len(ws) - 4)) AS pos,
+               unnest(list_transform(range(0, len(ws) - 4),
+                      i -> array_to_string(ws[i+1:i+5], ' '))) AS gram
+        FROM w
+    ),
+    h AS (SELECT doc_id, pos,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gid
+          FROM g),
+    dfc AS (SELECT gid, count(DISTINCT doc_id) AS gram_df
+            FROM h GROUP BY gid),
+    kept AS (SELECT h.* FROM h JOIN dfc USING (gid) WHERE gram_df <= 20),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM kept a JOIN kept b
+          ON a.gid = b.gid AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, pos_a, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b
+                   ORDER BY pos_a) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, diag, island, count(*) AS run_len
+        FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           (max(run_len) + 4)::BIGINT AS longest_span_words,
+           sum(run_len)::BIGINT AS n_matches
+    FROM spans GROUP BY doc_a, doc_b
+    HAVING (max(run_len) + 4) >= 8
+    ORDER BY doc_a, doc_b
 """
 
 # xs9: end-of-input twin — the 35-day delay covers the fixture's whole

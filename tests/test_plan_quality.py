@@ -366,3 +366,24 @@ def test_x54_gopher_is_map_only(spark, sf_dir):
     for r in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in r.split(",")}
         assert cols <= {"doc_id", "text"}
+
+
+def test_x55_sketch_partially_aggregates_and_broadcasts(spark, sf_dir):
+    """The sketch build must partial-aggregate map-side (counter merge
+    = partial sum below the shuffle) and the probe lookup must
+    broadcast the depth x width sketch, never shuffle the probes."""
+    plan = plan_of(spark, sf_dir, "x55_cms_frequency")
+    assert "partial_sum" in plan.lower()
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_x56_spans_one_window_no_cartesian(spark, sf_dir):
+    """Span merging is exactly one window pass over the matched pairs
+    (keyed by pair + diagonal); candidate generation must stay an
+    equi-join on the gram id — a nested-loop or cartesian here is the
+    all-pairs explosion the inverted index exists to avoid."""
+    plan = plan_of(spark, sf_dir, "x56_common_spans")
+    assert n_ops(plan, "Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
