@@ -1168,6 +1168,19 @@ def x56_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x57_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance ranking,
+    measured as recall@5 against exact L2 — 8 byte-codes per vector
+    (32x compression) scored via per-query lookup tables. Codebooks
+    are trained with one distributed Lloyd iteration from
+    deterministic seeds (recall 0.30 vs 0.17 untrained at sf0.01).
+    See operators/similarity.py:pq_ann_recall for the map-only encode
+    / broadcast-LUT scale argument."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_ann_recall(emb, n_subspaces=8, sub_dim=8,
+                           n_codes=16, k=5, n_queries=20)
+
+
 def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS9 — bounded-state streaming dedup via
     dropDuplicatesWithinWatermark (state evicted past the watermark
@@ -1626,6 +1639,7 @@ EXT_QUERIES = {
     "x54_gopher_rules": x54_gopher_rules,
     "x55_cms_frequency": x55_cms_frequency,
     "x56_common_spans": x56_common_spans,
+    "x57_pq_ann": x57_pq_ann,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
@@ -3203,6 +3217,114 @@ EXT_ORACLES["x56_common_spans"] = f"""
     FROM spans GROUP BY doc_a, doc_b
     HAVING (max(run_len) + 4) >= 8
     ORDER BY doc_a, doc_b
+"""
+
+# x57: mirrors pq_ann_recall term by term — same seed codebook
+# (subvectors of vec_id < 16), same one-iteration Lloyd refinement
+# (decimal-exact means), same xx - 2<x,c> + cc expansion, same 6dp
+# rounding with -0.0 normalization, same low-id tie-breaks. The oracle
+# keeps original seed code LABELS while Spark uses positional ids; the
+# sorted order is identical, so argmin ties and every output value
+# agree — labels are internal to both.
+EXT_ORACLES["x57_pq_ann"] = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    sub AS (
+        SELECT vec_id, unnest(range(8)) AS m,
+               unnest(list_transform(range(8),
+                      i -> x[i*8+1 : i*8+8])) AS xs
+        FROM v
+    ),
+    cb0 AS (SELECT vec_id AS code, m, xs AS c FROM sub WHERE vec_id < 16),
+    a0 AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, cb.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m ORDER BY
+                           round(list_inner_product(s.xs, s.xs)
+                                 - 2 * list_inner_product(s.xs, cb.c)
+                                 + list_inner_product(cb.c, cb.c), 6)
+                           + 0.0,
+                           cb.code) AS rn
+            FROM sub s JOIN cb0 cb ON cb.m = s.m) WHERE rn = 1
+    ),
+    comp AS (
+        SELECT vec_id, m, unnest(range(len(xs))) AS di, unnest(xs) AS cv
+        FROM sub
+    ),
+    cb1l AS (
+        SELECT a.m, a.code, c.di,
+               sum(CAST(c.cv AS DECIMAL(28,6)))::DOUBLE
+                   / count(*)::DOUBLE AS cv
+        FROM a0 a JOIN comp c ON c.vec_id = a.vec_id AND c.m = a.m
+        GROUP BY a.m, a.code, c.di
+    ),
+    cb AS (SELECT m, code, list(cv ORDER BY di) AS c
+           FROM cb1l GROUP BY m, code),
+    enc0 AS (
+        SELECT s.vec_id, s.m, cb.code,
+               round(list_inner_product(s.xs, s.xs)
+                     - 2 * list_inner_product(s.xs, cb.c)
+                     + list_inner_product(cb.c, cb.c), 6) + 0.0 AS d
+        FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (
+                       PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM enc0) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, m, xs AS qs
+          FROM sub WHERE vec_id < 20),
+    lut AS (
+        SELECT q.query_id, cb.m, cb.code,
+               list_inner_product(q.qs, q.qs)
+               - 2 * list_inner_product(q.qs, cb.c)
+               + list_inner_product(cb.c, cb.c) AS d2
+        FROM q JOIN cb ON cb.m = q.m
+    ),
+    est AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               round(sum(l.d2), 6) + 0.0 AS est_d2
+        FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    pq_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY est_d2 ASC, neighbor_id ASC) AS rn
+            FROM est) WHERE rn <= 5
+    ),
+    ex0 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_inner_product(c.x, c.x)
+                     - 2 * list_inner_product(c.x, q.x)
+                     + list_inner_product(q.x, q.x), 6) + 0.0 AS d2
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+    ),
+    ex_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY d2 ASC, neighbor_id ASC) AS rn
+            FROM ex0) WHERE rn <= 5
+    )
+    SELECT x.query_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               ::BIGINT AS n_hit,
+           CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+    FROM ex_topk x
+    LEFT JOIN pq_topk p
+      ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
 """
 
 # xs9: end-of-input twin — the 35-day delay covers the fixture's whole

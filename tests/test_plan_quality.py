@@ -387,3 +387,16 @@ def test_x56_spans_one_window_no_cartesian(spark, sf_dir):
     assert n_ops(plan, "Window") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x57_pq_scoring_broadcasts_queries(spark, sf_dir):
+    """PQ: encoding is a map-only argmin over literal centroids (no
+    join anywhere below the scoring stage), both scoring scans cross
+    the broadcast query set (BroadcastNestedLoopJoin x2 — linear
+    corpus scans), and the only key shuffles are the two k-bounded
+    top-k windows plus the final recall aggregate."""
+    plan = plan_of(spark, sf_dir, "x57_pq_ann")
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_ops(plan, "Window") == 2
