@@ -700,3 +700,65 @@ def common_spans(docs: DataFrame, k: int = 5, max_gram_df: int = 20,
         .filter(F.col("longest_span_words") >= min_span_words)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         threshold: float = 0.5,
+                         k: int = 3) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join with prefix filtering
+    (Chaudhuri, Ganti, Kaushik 2006 ICDE "A Primitive Operator for
+    Similarity Joins"; Bayardo, Ma, Srikant 2007 WWW "Scaling Up All
+    Pairs Similarity Search").
+
+    The exactness-preserving alternative to x07's df cap and x06's
+    LSH: if J(a, b) >= t, the two docs must share a token among the
+    first L = |d| - ceil(t * |d|) + 1 tokens of each doc under ANY
+    single global token ordering. Only those L tokens are indexed.
+    Ordering ascending by document frequency puts the RAREST tokens in
+    the prefix, so the inverted index shrinks on both axes: fewer
+    postings per doc (L < |d|) and the surviving postings are the
+    short lists. Candidate generation cost drops from sum(df^2) over
+    all tokens to sum(df_prefix^2) — typically orders of magnitude at
+    corpus scale — while the verified result is IDENTICAL to the full
+    index (the oracle computes the unfiltered join).
+
+    Shuffles: one df aggregate, one df join back, one per-doc window
+    for the prefix cut, the candidate equi-join, and the verify. All
+    keyed; no all-pairs stage.
+    """
+    from pyspark.sql import Window
+
+    sets = _materialize(doc_shingle_sets(df, text_col, id_col, k=k))
+    postings = sets.select(
+        F.col(id_col),
+        F.size("sh_ids").alias("n"),
+        F.explode_outer("sh_ids").alias("sh_id"),
+    ).filter(F.col("sh_id").isNotNull())
+    dfreq = postings.groupBy("sh_id").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = postings.join(dfreq, "sh_id")
+    w = Window.partitionBy(id_col).orderBy("df", "sh_id")
+    pref_len = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n"))
+        + F.lit(1)
+    )
+    # materialize: the self-join below consumes the prefix twice, and
+    # Spark plans are trees — without the lineage cut the df aggregate,
+    # join, and window would all run once PER SIDE.
+    prefix = _materialize(
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= pref_len)
+        .select(id_col, "sh_id")
+    )
+    a = prefix.select(F.col(id_col).alias("doc_a"), "sh_id")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "sh_id")
+    cands = (
+        a.join(b, "sh_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, sets, id_col, threshold)

@@ -1181,6 +1181,18 @@ def x57_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_codes=16, k=5, n_queries=20)
 
 
+def x58_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 similarity join with prefix filtering: only
+    the L = |d| - ceil(0.5|d|) + 1 rarest shingles of each doc are
+    indexed, with zero recall loss — the oracle computes the UNFILTERED
+    inverted-index join and must match row for row. See
+    operators/dedup.py:prefix_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.prefix_jaccard_pairs(
+        docs, threshold=0.5, k=3
+    ).orderBy("doc_a", "doc_b")
+
+
 def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS9 — bounded-state streaming dedup via
     dropDuplicatesWithinWatermark (state evicted past the watermark
@@ -1640,6 +1652,7 @@ EXT_QUERIES = {
     "x55_cms_frequency": x55_cms_frequency,
     "x56_common_spans": x56_common_spans,
     "x57_pq_ann": x57_pq_ann,
+    "x58_prefix_similarity_join": x58_prefix_similarity_join,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
@@ -3325,6 +3338,26 @@ EXT_ORACLES["x57_pq_ann"] = """
       ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
     GROUP BY x.query_id
     ORDER BY x.query_id
+"""
+
+# x58: prefix filtering is result-invisible (exactness-preserving
+# pruning) — the oracle is the FULL inverted-index Jaccard join.
+EXT_ORACLES["x58_prefix_similarity_join"] = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh
+        FROM shx a JOIN shx b
+          ON b.sh_id = a.sh_id AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) AS jaccard
+    FROM shared s
+    JOIN sizes na ON s.doc_a = na.doc_id
+    JOIN sizes nb ON s.doc_b = nb.doc_id
+    WHERE CAST(s.sh AS DOUBLE) / (na.n + nb.n - s.sh) >= 0.5
+    ORDER BY s.doc_a, s.doc_b
 """
 
 # xs9: end-of-input twin — the 35-day delay covers the fixture's whole

@@ -409,3 +409,45 @@ def test_line_dedup_drops_boilerplate_keeps_order_and_tail(spark):
     assert out[99]["clean_text"] == (
         "solo document text untouched by any dedup at all ok"
     )
+
+
+def test_udtf_segments_match_relational_path(spark, sf_dir):
+    """The Python UDTF escape hatch must produce exactly what the JVM
+    split+posexplode path produces (x50's segmenter contract) — pinned
+    so the slow path and the fast path cannot drift apart."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.functions.text import norm_text
+    from mc_ns_data_pipeline_spark.functions.udtf_fns import register_udtfs
+    from mc_ns_data_pipeline_spark.testing import canonicalize
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql("""
+        SELECT d.doc_id, s.seg_idx, s.segment, s.n_chars
+        FROM udtf_docs d, LATERAL split_segments(d.text) s
+    """)
+
+    ws = F.split(norm_text(F.col("text")), " ")
+    bound = docs.select("doc_id", ws.alias("_ws"))
+    n_segs = F.ceil(F.size("_ws") / F.lit(3.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice("_ws", i * 3 + 1, 3)),
+    )
+    relational = bound.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "segment")
+    ).select(
+        "doc_id", "seg_idx", "segment",
+        F.length("segment").alias("n_chars"),
+    )
+
+    got = canonicalize(
+        via_udtf.columns, [tuple(r) for r in via_udtf.collect()]
+    )
+    exp = canonicalize(
+        relational.columns, [tuple(r) for r in relational.collect()]
+    )
+    assert got == exp

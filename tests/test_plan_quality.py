@@ -400,3 +400,16 @@ def test_x57_pq_scoring_broadcasts_queries(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert n_ops(plan, "Window") == 2
+
+
+def test_x58_prefix_join_no_cartesian_materialized_prefix(spark, sf_dir):
+    """The prefix relation must be MATERIALIZED before the self-join
+    (both sides read the checkpointed blocks — ExistingRDD scans — or
+    the df aggregate + join + window would run once per side), and
+    candidate generation must stay an equi-join on the gram id: never
+    a nested-loop/cartesian pairing."""
+    plan = plan_of(spark, sf_dir, "x58_prefix_similarity_join")
+    assert "ExistingRDD" in plan  # checkpointed prefix feeds both sides
+    assert n_ops(plan, "Window") == 0  # window ran inside the checkpoint
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -367,3 +367,38 @@ def test_incremental_dedup_equals_batch(spark, sf_dir):
     }
     assert old_pairs | incr == batch
     assert old_pairs.isdisjoint(incr)
+
+
+def test_prefix_filter_is_exact_and_smaller(spark, sf_dir):
+    """Prefix filtering must (a) return EXACTLY the unfiltered
+    inverted-index result — it is a pruning, not an approximation —
+    and (b) index strictly fewer postings than the full index."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators import dedup as D
+    from mc_ns_data_pipeline_spark.testing import canonicalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pref = D.prefix_jaccard_pairs(docs, threshold=0.5, k=3)
+    full = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=None
+    ).select("doc_a", "doc_b", "jaccard")
+
+    got = canonicalize(pref.columns, [tuple(r) for r in pref.collect()])
+    exp = canonicalize(full.columns, [tuple(r) for r in full.collect()])
+    assert got == exp
+
+    sets = D.doc_shingle_sets(docs)
+    n_full = sets.select(
+        F.sum(F.size("sh_ids")).alias("n")
+    ).collect()[0]["n"]
+    # prefix length per doc: n - ceil(0.5 n) + 1  (~half the postings)
+    n_pref = sets.select(
+        F.sum(
+            F.size("sh_ids")
+            - F.ceil(F.lit(0.5) * F.size("sh_ids"))
+            + F.lit(1)
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert n_pref < 0.6 * n_full
