@@ -81,21 +81,21 @@ def _codebook_from_rows(rows) -> list[tuple[int, list[float], float]]:
     return out
 
 
-def kmeans_refine(emb: DataFrame, k: int = 8, n_iters: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Lloyd's algorithm with deterministic seeding (vectors with
-    `id_col < k`), `n_iters` refinement rounds, then a final assignment.
-
-    Returns one row per (cluster_id, dim_idx): the refined centroid
-    component, plus per-cluster `n_members` and `inertia`
-    (sum of 6dp-rounded squared distances, summed exactly via decimal).
-    """
-    base = emb.select(
+def _with_xx(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_xx", dot(F.col("_v"), F.col("_v")))
 
+
+def kmeans_codebook(emb: DataFrame, k: int = 8, n_iters: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list:
+    """Train the codebook: deterministic seeds (`id_col < k`) plus
+    `n_iters` Lloyd rounds. Returns [(cluster_id, vector, ||c||^2)] —
+    the k x dim iteration state, collected per round (bounded by the
+    codebook size, never the corpus)."""
+    base = _with_xx(emb, id_col, vec_col)
     seed_rows = (
         base.filter(F.col("vec_id") < k)
         .select("vec_id", F.posexplode("_v").alias("dim_idx", "c_v"))
@@ -119,6 +119,34 @@ def kmeans_refine(emb: DataFrame, k: int = 8, n_iters: int = 2,
             .collect()
         )
         cents = _codebook_from_rows(new_rows)
+    return cents
+
+
+def assign_clusters(emb: DataFrame, cents: list,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster_id): map-only argmin over the literal codebook
+    — no join, no shuffle; the bucketing step SemDeDup-style pipelines
+    hang their within-cluster work on."""
+    base = _with_xx(emb, id_col, vec_col)
+    return base.select(
+        "vec_id", _best_cluster(cents).alias("cluster_id")
+    )
+
+
+def kmeans_refine(emb: DataFrame, k: int = 8, n_iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's algorithm with deterministic seeding (vectors with
+    `id_col < k`), `n_iters` refinement rounds, then a final assignment.
+
+    Returns one row per (cluster_id, dim_idx): the refined centroid
+    component, plus per-cluster `n_members` and `inertia`
+    (sum of 6dp-rounded squared distances, summed exactly via decimal).
+    """
+    base = _with_xx(emb, id_col, vec_col)
+    cents = kmeans_codebook(emb, k=k, n_iters=n_iters,
+                            id_col=id_col, vec_col=vec_col)
 
     final = base.select(_best_struct(cents).alias("_b")).select(
         F.col("_b")["cent_id"].alias("cluster_id"),

@@ -1193,6 +1193,48 @@ def x58_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): k-means-bucketed cosine near-dup — pairs are computed
+    ONLY within each vector's cluster, so pair-generation cost is
+    sum(|cluster|^2) instead of n^2.
+
+    The codebook trains with the x52 machinery (2 Lloyd rounds,
+    map-only assignment); the within-cluster self-join is a keyed
+    equi-join on cluster_id. k is the skew/parallelism knob: SemDeDup
+    at corpus scale sets k ~ n/1000 so clusters stay equi-join-sized;
+    k=8 here matches the x52 codebook the oracle replays.
+    """
+    from mc_ns_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_codebook(emb, k=8, n_iters=2)
+    assigned = assign_clusters(emb, cents)
+    base = S.with_norm(emb).select("vec_id", "_v", "_norm")
+    sided = assigned.join(base, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("vec_a"), "cluster_id",
+        F.col("_v").alias("va"), F.col("_norm").alias("na"),
+    )
+    b = sided.select(
+        F.col("vec_id").alias("vec_b"), "cluster_id",
+        F.col("_v").alias("vb"), F.col("_norm").alias("nb"),
+    )
+    cos_r = F.round(
+        S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cluster_id", cos_r.alias("cos_r"))
+        .filter(F.col("cos_r") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS9 — bounded-state streaming dedup via
     dropDuplicatesWithinWatermark (state evicted past the watermark
@@ -1653,6 +1695,7 @@ EXT_QUERIES = {
     "x56_common_spans": x56_common_spans,
     "x57_pq_ann": x57_pq_ann,
     "x58_prefix_similarity_join": x58_prefix_similarity_join,
+    "x59_semantic_dedup": x59_semantic_dedup,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
@@ -3014,12 +3057,14 @@ EXT_ORACLES["x48_topk_quality"] = f"""
 """
 
 
-def _kmeans_sql(k: int = 8) -> str:
-    """Lloyd's with deterministic seeds, 2 refinement rounds, final
-    assignment — mirrors operators/clustering.kmeans_refine exactly:
-    same double widening before any arithmetic, same DECIMAL(28,6)
-    order-independent centroid means, same 6dp-rounded distances with
-    -0.0 normalization, same low-id tie-break.
+def _kmeans_ctes(k: int = 8) -> str:
+    """CTE chain (v, ex, cl0..cl2, b1, u1, b2, u2, bf) for Lloyd's with
+    deterministic seeds and 2 refinement rounds — mirrors
+    operators/clustering exactly: same double widening before any
+    arithmetic, same DECIMAL(28,6) order-independent centroid means,
+    same 6dp-rounded distances with -0.0 normalization, same low-id
+    tie-break. `bf` is the final (vec_id, cluster_id, d) assignment;
+    `u2`/`cl2` the refined codebook. Shared by x52 and x59.
     """
 
     def assign(cl: str) -> str:
@@ -3047,8 +3092,7 @@ def _kmeans_sql(k: int = 8) -> str:
             FROM {b} b JOIN ex e USING (vec_id)
             GROUP BY b.cluster_id, e.dim_idx"""
 
-    return f"""
-        WITH v AS (
+    return f"""v AS (
             SELECT vec_id, embedding::DOUBLE[] AS x,
                    list_inner_product(embedding::DOUBLE[],
                                       embedding::DOUBLE[]) AS xx
@@ -3072,7 +3116,12 @@ def _kmeans_sql(k: int = 8) -> str:
         u2 AS ({update('b2')}),
         cl2 AS (SELECT cluster_id, list(c_v ORDER BY dim_idx) AS c
                 FROM u2 GROUP BY cluster_id),
-        bf AS ({assign('cl2')}),
+        bf AS ({assign('cl2')})"""
+
+
+def _kmeans_sql(k: int = 8) -> str:
+    return f"""
+        WITH {_kmeans_ctes(k)},
         stats AS (
             SELECT cluster_id, count(*)::BIGINT AS n_members,
                    sum(CAST(d AS DECIMAL(28,6)))::DOUBLE AS inertia
@@ -3088,6 +3137,22 @@ def _kmeans_sql(k: int = 8) -> str:
 
 
 EXT_ORACLES["x52_kmeans_refine"] = _kmeans_sql()
+
+EXT_ORACLES["x59_semantic_dedup"] = f"""
+    WITH {_kmeans_ctes(8)},
+    p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster_id,
+               round(list_inner_product(va.x, vb.x)
+                     / (sqrt(va.xx) * sqrt(vb.xx)), 6) AS cos_r
+        FROM bf a JOIN bf b
+          ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+    )
+    SELECT vec_a, vec_b, cluster_id::INT AS cluster_id, cos_r
+    FROM p WHERE cos_r >= 0.4
+    ORDER BY vec_a, vec_b
+"""
 
 EXT_ORACLES["x53_snapshot_diff"] = """
     WITH old AS (

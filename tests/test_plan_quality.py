@@ -413,3 +413,14 @@ def test_x58_prefix_join_no_cartesian_materialized_prefix(spark, sf_dir):
     assert n_ops(plan, "Window") == 0  # window ran inside the checkpoint
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x59_semantic_dedup_is_cluster_bucketed(spark, sf_dir):
+    """SemDeDup: pair generation must be the within-cluster equi-join
+    (hashpartitioning on cluster_id) — never an all-pairs cartesian —
+    and cluster assignment must stay a map-only literal argmin (no join
+    against a centroid relation)."""
+    plan = plan_of(spark, sf_dir, "x59_semantic_dedup")
+    assert "hashpartitioning(cluster_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
