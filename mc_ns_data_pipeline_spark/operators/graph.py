@@ -1,0 +1,116 @@
+"""Iterative graph algorithms over DataFrame edge lists: PageRank.
+
+A training-data pipeline ranks sources/domains by link authority
+(Common-Crawl-style harmonic/PageRank centrality feeds crawl
+prioritization and quality weighting). The reference has no graph
+surface (its analytics are flat SQL — mastercontrol_pipeline/
+data_load_system/sql/queries.py); this extends the engine the same way
+`operators/clustering.py` does for k-means: an iterative algorithm
+expressed as a bounded loop of declarative DataFrame rounds.
+
+Execution shape (what must survive 100 TB):
+
+- Edges are the big side. Each iteration is ONE join (ranks ⋈ edges on
+  `src`) + ONE aggregate (contributions grouped by `dst`). Ranks and
+  edges are both hash-partitioned on the node id, so AQE keeps the
+  per-round shuffle at |nodes| rows (the contribution aggregate is
+  partial/map-side combined before the exchange; edge fan-out never
+  crosses the wire unaggregated).
+- Iteration state is the rank vector — a 2-column DataFrame, NOT
+  driver state. Lineage is cut with `localCheckpoint` each round
+  (same discipline as dedup.duplicate_clusters) so the plan does not
+  grow with the iteration count.
+- Determinism contract: ranks are kept in scaled integer space
+  (micro-rank units, BIGINT). Per-edge contribution is `rank_int div
+  out_degree` (integral division, exact), the damping update is
+  integer arithmetic, so every round is order-independent and
+  byte-identical in the DuckDB oracle regardless of partitioning. The
+  final `rank` column is a single double division by the scale
+  constant — identical operands, identical IEEE result.
+
+This is the classic simplified PageRank formulation (rank_0 = 1, no
+dangling-mass redistribution: sinks absorb; update
+r(v) = 0.15 + 0.85 * Σ_{u→v} r(u)/outdeg(u)), the same contract as the
+canonical Spark example — chosen because it needs no global rank-sum
+barrier per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Micro-rank fixed-point scale: 1.0 rank == 1_000_000 units.
+SCALE = 1_000_000
+
+
+def pagerank(edges: DataFrame, n_iters: int = 3,
+             damping_pct: int = 85) -> DataFrame:
+    """PageRank over a directed edge list `(src, dst)` (string ids).
+
+    Returns (node_id, out_degree, rank) with `rank` a double in
+    classic un-normalized PageRank units (sink-absorbing simplified
+    update). `damping_pct` is the damping factor in percent so the
+    update stays in integer arithmetic.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    # Rank state and the join side of every round share one hash
+    # partitioning on the node id; persist the static sides.
+    nodes = nodes.repartition("node_id").persist()
+    edges_deg = (
+        edges.join(out_deg, "src")
+        .repartition(F.col("src"))
+        .persist()
+    )
+    base_int = (100 - damping_pct) * SCALE // 100
+
+    ranks = nodes.select(
+        "node_id", F.lit(1 * SCALE).cast("long").alias("rank_int")
+    )
+    for _ in range(n_iters):
+        contribs = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("rank_int div out_degree").alias("contrib"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("contrib").alias("sum_contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit(base_int)
+                    + F.expr(
+                        f"(coalesce(sum_contrib, 0L) * {damping_pct})"
+                        " div 100"
+                    )
+                ).cast("long").alias("rank_int"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return (
+        ranks.join(
+            out_deg.withColumnRenamed("src", "node_id"), "node_id", "left"
+        )
+        .select(
+            "node_id",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias(
+                "out_degree"
+            ),
+            (F.col("rank_int").cast("double") / F.lit(float(SCALE))).alias(
+                "rank"
+            ),
+        )
+    )

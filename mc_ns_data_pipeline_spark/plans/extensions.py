@@ -1235,6 +1235,37 @@ def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer<->supplier trade graph.
+
+    Edges are the distinct (customer, supplier) pairs that actually
+    traded (orders ⋈ lineitem), in both directions; 3 damped rounds of
+    the classic simplified update in exact fixed-point integer
+    arithmetic (operators/graph.py) so the oracle can replay the
+    iteration as 3 unrolled CTE levels byte-for-byte.
+    """
+    from mc_ns_data_pipeline_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, n_iters=3).orderBy("node_id")
+
+
 def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS9 — bounded-state streaming dedup via
     dropDuplicatesWithinWatermark (state evicted past the watermark
@@ -1696,6 +1727,7 @@ EXT_QUERIES = {
     "x57_pq_ann": x57_pq_ann,
     "x58_prefix_similarity_join": x58_prefix_similarity_join,
     "x59_semantic_dedup": x59_semantic_dedup,
+    "x60_pagerank": x60_pagerank,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
@@ -3435,4 +3467,53 @@ EXT_ORACLES["xs9_stream_dedup_bounded"] = """
     )
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+# x60: the fixed-point integer PageRank iteration unrolled as 3 CTE
+# levels — BIGINT `//` (floor) matches Spark `div` on the all-positive
+# ranks, so every level is byte-identical.
+_PR_ROUND = """
+    c{i} AS (
+        SELECT e.dst AS node_id,
+               sum(r.rank_int // d.out_degree) AS sc
+        FROM edges e
+        JOIN deg d ON d.src = e.src
+        JOIN r{p} r ON r.node_id = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT n.node_id,
+               CAST(150000 + (coalesce(c{i}.sc, 0) * 85) // 100
+                    AS BIGINT) AS rank_int
+        FROM nodes n LEFT JOIN c{i} ON c{i}.node_id = n.node_id
+    )"""
+
+EXT_ORACLES["x60_pagerank"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (
+        SELECT src AS node_id FROM edges
+        UNION
+        SELECT dst AS node_id FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY src),
+    r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS rank_int
+           FROM nodes),
+    {_PR_ROUND.format(i=1, p=0).lstrip()},
+    {_PR_ROUND.format(i=2, p=1).lstrip()},
+    {_PR_ROUND.format(i=3, p=2).lstrip()}
+    SELECT n.node_id,
+           CAST(coalesce(d.out_degree, 0) AS BIGINT) AS out_degree,
+           r3.rank_int / 1000000.0 AS rank
+    FROM nodes n
+    JOIN r3 ON r3.node_id = n.node_id
+    LEFT JOIN deg d ON d.src = n.node_id
+    ORDER BY n.node_id
 """
