@@ -1266,6 +1266,28 @@ def x60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=3).orderBy("node_id")
 
 
+def x61_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (operators/importance.py):
+    hashed-unigram models on target (lang='en') vs the raw pool,
+    log-ratio weights, top-100 selection."""
+    from mc_ns_data_pipeline_spark.operators.importance import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return dsir_select(docs, F.col("lang") == "en", k=100)
+
+
+def x62_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking + Levenshtein verify (operators/linkage.py):
+    multi-probe (lang, length-band) candidate join, prefix edit
+    distance ≤ 25."""
+    from mc_ns_data_pipeline_spark.operators.linkage import (
+        blocked_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return blocked_near_pairs(docs).orderBy("doc_a", "doc_b")
+
+
 def xs9_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS9 — bounded-state streaming dedup via
     dropDuplicatesWithinWatermark (state evicted past the watermark
@@ -1728,6 +1750,8 @@ EXT_QUERIES = {
     "x58_prefix_similarity_join": x58_prefix_similarity_join,
     "x59_semantic_dedup": x59_semantic_dedup,
     "x60_pagerank": x60_pagerank,
+    "x61_dsir_select": x61_dsir_select,
+    "x62_entity_blocking": x62_entity_blocking,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
@@ -3516,4 +3540,72 @@ EXT_ORACLES["x60_pagerank"] = f"""
     JOIN r3 ON r3.node_id = n.node_id
     LEFT JOIN deg d ON d.src = n.node_id
     ORDER BY n.node_id
+"""
+
+# x61: DSIR log-ratio weights — log-probs rounded to 6 dp as
+# DECIMAL(18,6) in both engines; per-doc sum is exact decimal.
+EXT_ORACLES["x61_dsir_select"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, is_target,
+               ('0x' || substr(md5(token), 1, 4))::BIGINT % 64 AS bucket
+        FROM toks
+    ),
+    raw AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    nr AS (SELECT count(*) AS n FROM b),
+    tgt AS (SELECT bucket, count(*) AS cnt FROM b WHERE is_target
+            GROUP BY bucket),
+    nt AS (SELECT count(*) AS n FROM b WHERE is_target),
+    model AS (
+        SELECT r.bucket,
+               CAST(round(ln((r.cnt + 1)::DOUBLE / (nr.n + 64)::DOUBLE),
+                          6) AS DECIMAL(18,6)) AS logp_raw,
+               CAST(round(ln(COALESCE(t.cnt + 1, 1)::DOUBLE
+                             / (nt.n + 64)::DOUBLE),
+                          6) AS DECIMAL(18,6)) AS logp_target
+        FROM raw r LEFT JOIN tgt t USING (bucket), nr, nt
+    ),
+    db AS (SELECT doc_id, bucket, count(*) AS cnt
+           FROM b GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           sum(cnt)::BIGINT AS n_tokens,
+           CAST(CAST(sum(cnt * (logp_target - logp_raw))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS log_weight
+    FROM db JOIN model USING (bucket)
+    GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id ASC
+    LIMIT 100
+"""
+
+# x62: multi-probe blocking twin — integer `//` floor matches Spark
+# `div` on the non-negative lengths; pairs dedup before the verify.
+EXT_ORACLES["x62_entity_blocking"] = """
+    WITH base AS (
+        SELECT doc_id, lang, n_chars, substr(text, 1, 48) AS pfx
+        FROM documents
+    ),
+    probes AS (
+        SELECT DISTINCT doc_id, lang, pfx, band FROM (
+            SELECT doc_id, lang, pfx,
+                   unnest([n_chars // 400, (n_chars + 200) // 400])
+                       AS band
+            FROM base
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.lang AS lang, a.pfx AS pfx_a, b.pfx AS pfx_b
+        FROM probes a
+        JOIN probes b ON b.lang = a.lang AND b.band = a.band
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, lang,
+           levenshtein(pfx_a, pfx_b) AS lev_dist
+    FROM cand
+    WHERE levenshtein(pfx_a, pfx_b) <= 25
+    ORDER BY doc_a, doc_b
 """

@@ -424,3 +424,45 @@ def test_x59_semantic_dedup_is_cluster_bucketed(spark, sf_dir):
     assert "hashpartitioning(cluster_id" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x60_pagerank_no_cartesian_hash_joins_only(spark, sf_dir):
+    """PageRank rounds must stay keyed joins + partial aggregates —
+    never a nested-loop/cartesian — and the rank state must be the
+    checkpoint-cut lineage, not a 3-round re-derivation of the edge
+    build (the Union edge construction appears once, not per round)."""
+    plan = plan_of(spark, sf_dir, "x60_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_ops(plan, "Union") == 1
+
+
+def test_x61_dsir_single_corpus_pass_broadcast_model(spark, sf_dir):
+    """DSIR: the corpus is tokenized ONCE into the persisted
+    (doc, bucket) count relation (models and scoring reuse it via
+    InMemoryRelation), the per-bucket model joins the scoring side as
+    a broadcast, and selection is TakeOrderedAndProject, not a global
+    sort."""
+    plan = plan_of(spark, sf_dir, "x61_dsir_select")
+    # Every parquet-scan mention in the explain output is the cached
+    # relation's build plan reprinted under an InMemoryTableScan —
+    # all 5+ consumers (2 model aggregates, 2 totals, scoring) read
+    # the cache, so execution tokenizes the corpus exactly once.
+    assert n_ops(plan, "InMemoryTableScan") >= 4
+    assert n_ops(plan, "Scan parquet") <= 1
+    assert n_ops(plan, "TakeOrderedAndProject") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_x62_blocking_equijoin_dedups_before_verify(spark, sf_dir):
+    """ER blocking: candidates come from an equi-join on the blocking
+    keys (no cartesian), and the pair-dedup HashAggregate sits BELOW
+    the levenshtein verify so each candidate is scored once."""
+    plan = plan_of(spark, sf_dir, "x62_entity_blocking")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lev_pos = plan.find("levenshtein")
+    assert lev_pos != -1
+    # The distinct aggregate's partial phase appears before any
+    # levenshtein mention in the plan's op listing.
+    assert "HashAggregate" in plan[:lev_pos]
