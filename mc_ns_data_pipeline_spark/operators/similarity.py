@@ -557,30 +557,52 @@ def pq_ann_recall(emb: DataFrame, n_subspaces: int = 8, sub_dim: int = 8,
     def sub(col: Column, m: int) -> Column:
         return F.slice(col, m * sub_dim + 1, sub_dim)
 
-    def make_d2(codebook):
-        def d2_expr(x_sub: Column, m: int, c: int) -> Column:
-            sv, cc = codebook[m][c]
-            return (
-                dot(x_sub, x_sub)
-                - F.lit(2.0) * dot(x_sub, lit_vec(sv))
-                + F.lit(float(cc))
-            )
-        return d2_expr
+    def lit_cb_m(row) -> Column:
+        """One subspace codebook as a SINGLE literal array<struct<sv,cc>>.
 
-    def make_codes(codebook) -> Column:
-        """codes[m] = argmin_c round(d2, 6), ties -> low code (map-only)."""
-        d2 = make_d2(codebook)
-        return F.array(*[
-            F.array_min(F.array(*[
-                F.struct(
-                    (F.round(d2(sub(F.col("_v"), m), m, c), 6)
-                     + F.lit(0.0)).alias("d"),
-                    F.lit(c).alias("code"),
+        Keeping the codebook as a literal array and scanning it with
+        higher-order functions (transform/array_min) keeps the Catalyst
+        tree O(n_subspaces) instead of O(n_subspaces x n_codes) unrolled
+        struct branches — the unrolled form cost ~26 s of pure
+        analysis/codegen per training pass at 8x16x8 (measured sf0.1);
+        this form builds in <2 s with bit-identical results (the lambda
+        evaluates the same xx - 2<x,c> + cc expansion per element).
+        """
+        items = ",".join(
+            "named_struct('sv',array({}),'cc',{!r}D)".format(
+                ",".join(f"{float(x)!r}D" for x in sv), float(cc)
+            )
+            for sv, cc in row
+        )
+        return F.expr(f"array({items})")
+
+    def make_codes(cb_cols) -> Column:
+        """codes[m] = argmin_c round(d2, 6), ties -> low code (map-only).
+
+        transform + array_min over the literal codebook array: the
+        lexicographic (d, code) struct min sends ties to the lower code.
+        (An aggregate-fold variant that carries dot(x_sub, x_sub) in the
+        accumulator was measured SLOWER at sf0.1 — the per-element
+        4-field struct rebuild outweighs the saved sub-dim dot.)
+        """
+        def code_m(m: int) -> Column:
+            x_sub = sub(F.col("_v"), m)
+            return F.array_min(
+                F.transform(
+                    cb_cols[m],
+                    lambda c, i: F.struct(
+                        (F.round(
+                            dot(x_sub, x_sub)
+                            - F.lit(2.0) * dot(x_sub, c["sv"])
+                            + c["cc"],
+                            6,
+                        ) + F.lit(0.0)).alias("d"),
+                        i.alias("code"),
+                    ),
                 )
-                for c in range(len(codebook[m]))
-            ]))["code"]
-            for m in range(n_subspaces)
-        ])
+            )["code"]
+
+        return F.array(*[code_m(m) for m in range(n_subspaces)])
 
     # --- seed codebooks: subvectors of the first n_codes vectors
     cb_rows = sorted(
@@ -599,8 +621,9 @@ def pq_ann_recall(emb: DataFrame, n_subspaces: int = 8, sub_dim: int = 8,
     # seed literals (map-only), explode (subspace, code, dim,
     # component), decimal-exact mean per (m, code, dim). The collect is
     # n_subspaces x n_codes x sub_dim doubles — codebook-sized.
+    seed_cols = [lit_cb_m(row) for row in seed_cb]
     assigned = base.select(
-        F.col("_v"), make_codes(seed_cb).alias("codes0")
+        F.col("_v"), make_codes(seed_cols).alias("codes0")
     )
     comp = assigned.select(
         F.explode(F.array(*[
@@ -640,11 +663,11 @@ def pq_ann_recall(emb: DataFrame, n_subspaces: int = 8, sub_dim: int = 8,
     # the seed-id order, so argmin tie-breaks agree with the oracle's
     # original-id labels — labels never leave the operator.
 
+    cb_cols = [lit_cb_m(row) for row in codebook]
     encoded = base.select(
         F.col("vid").alias("neighbor_id"),
-        make_codes(codebook).alias("codes"),
+        make_codes(cb_cols).alias("codes"),
     )
-    d2_expr = make_d2(codebook)
 
     queries = base.filter(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("_v").alias("q_v")
@@ -654,16 +677,19 @@ def pq_ann_recall(emb: DataFrame, n_subspaces: int = 8, sub_dim: int = 8,
     paired = encoded.crossJoin(F.broadcast(queries)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    est_terms = [
-        F.element_at(
-            F.array(*[
-                d2_expr(sub(F.col("q_v"), m), m, c)
-                for c in range(len(codebook[m]))
-            ]),
-            F.element_at("codes", m + 1) + F.lit(1),
+    # d2 is computed ONLY for the stored code (element_at into the
+    # literal codebook), not for all n_codes then discarded — the
+    # selected value is float-identical either way.
+    def est_term(m: int) -> Column:
+        q_sub = sub(F.col("q_v"), m)
+        cst = F.element_at(cb_cols[m], F.element_at("codes", m + 1) + F.lit(1))
+        return (
+            dot(q_sub, q_sub)
+            - F.lit(2.0) * dot(q_sub, cst["sv"])
+            + cst["cc"]
         )
-        for m in range(n_subspaces)
-    ]
+
+    est_terms = [est_term(m) for m in range(n_subspaces)]
     est = paired.select(
         "query_id", "neighbor_id",
         (F.round(sum(est_terms[1:], est_terms[0]), 6)

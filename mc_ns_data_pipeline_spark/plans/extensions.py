@@ -1176,7 +1176,7 @@ def x57_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic seeds (recall 0.30 vs 0.17 untrained at sf0.01).
     See operators/similarity.py:pq_ann_recall for the map-only encode
     / broadcast-LUT scale argument."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return S.pq_ann_recall(emb, n_subspaces=8, sub_dim=8,
                            n_codes=16, k=5, n_queries=20)
 
