@@ -97,3 +97,87 @@ def score_documents(docs: DataFrame, lm: DataFrame,
             n_in > 0, sum_dec.cast("double") / n_in.cast("double")
         ).alias("avg_surprisal"),
     )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str,
+                 id_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent token pairs per document.
+
+    Built by zipping the token array with itself shifted by one
+    (two slices + arrays_zip) — map-only, no positional self-join; a
+    document's bigrams never leave its partition until the aggregate.
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    bg = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(ws, 1, n - 1).alias("w1"),
+            F.slice(ws, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(bg).alias("b")
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(w1, w2, cnt, surprisal) for every corpus bigram, with
+    surprisal = round(-ln(cnt(w1,w2) / ctx(w1)), 6) and ctx(w1) the
+    bigram-start count — the maximum-likelihood conditional bigram
+    model. Trained on the corpus itself (CCNet-style self-scoring), so
+    scoring never sees an unseen bigram and needs no smoothing.
+
+    Two one-shuffle aggregates (bigram counts, context counts) joined
+    on w1; the same rounded-surprisal decimal contract as the unigram
+    model (ln is not cross-engine bit-stable).
+    """
+    bg = _doc_bigrams(docs, text_col, id_col)
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx_cnt"))
+    return counts.join(ctx, "w1").select(
+        "w1",
+        "w2",
+        "cnt",
+        F.round(
+            -F.log(
+                F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double")
+            ),
+            6,
+        ).alias("surprisal"),
+    )
+
+
+def score_documents_bigram(docs: DataFrame, lm: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram-LM stats: (doc_id, n_bigrams, sum_surprisal,
+    avg_surprisal). Documents with fewer than two tokens score null.
+
+    The join against the trained bigram table is keyed on (w1, w2);
+    at corpus scale the model is usually NOT broadcastable (unlike the
+    top-V unigram vocabulary), so this is an explicit shuffle join on
+    the bigram key — both sides partial-aggregate first, and the
+    per-document aggregate reduces map-side to one row per doc.
+    """
+    bg = _doc_bigrams(docs, text_col, id_col)
+    scored = bg.join(lm.select("w1", "w2", "surprisal"), ["w1", "w2"])
+    sum_dec = F.sum(F.col("surprisal").cast("decimal(28,6)"))
+    n_bg = F.count(F.lit(1))
+    per_doc = scored.groupBy("doc_id").agg(
+        n_bg.alias("n_bigrams"),
+        sum_dec.cast("double").alias("sum_surprisal"),
+        (sum_dec.cast("double") / n_bg.cast("double")).alias(
+            "avg_surprisal"
+        ),
+    )
+    # Keep zero-bigram documents visible (null stats) so the signal
+    # joins 1:1 back onto the corpus.
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        "sum_surprisal",
+        "avg_surprisal",
+    )

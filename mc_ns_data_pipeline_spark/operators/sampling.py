@@ -80,3 +80,32 @@ def weighted_mixture_sample(df: DataFrame, strata_col: str,
             <= F.ceil(F.col("target_frac") * F.col("n_stratum"))
         )
     )
+
+
+def label_balance(df: DataFrame, label_col: str, id_col: str) -> DataFrame:
+    """Class-balanced downsampling: keep exactly n_min rows per label,
+    where n_min is the smallest class's size — the standard rebalance
+    before training a classifier on skewed labels (quality heads,
+    language routers).
+
+    Selection is md5-ranked (reproducible across engines/partitionings,
+    like `stratified_sample`); the global minimum class size rides in
+    as a one-row broadcast cross join so the plan stays collect-free.
+    Scale shape: one shuffle by label for the rank window plus a
+    label-cardinality aggregate — per-label sort parallelism is bounded
+    by class count, the same exact-vs-approximate trade documented on
+    `stratified_sample`.
+    """
+    w_rank = Window.partitionBy(label_col).orderBy(
+        md5_rank(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    n_min = (
+        df.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n_label"))
+        .agg(F.min("n_label").alias("n_min"))
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(n_min))
+        .filter(F.col("sample_rank") <= F.col("n_min"))
+    )

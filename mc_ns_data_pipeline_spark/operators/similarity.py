@@ -96,6 +96,57 @@ def cosine_topk(emb: DataFrame, query_pred: Column, k: int = 5,
     )
 
 
+def hard_negative_topk(emb: DataFrame, n_anchors: int = 30, k: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k most
+    cosine-similar vectors with a DIFFERENT label.
+
+    The standard pair-mining pass behind contrastive/metric training
+    (in-batch negatives are easy; corpus-level nearest wrong-label
+    vectors are the hard ones worth oversampling). Same execution shape
+    as `cosine_topk`: anchors broadcast, one linear scan, per-anchor
+    k-bounded top-k window — embarrassingly parallel at corpus scale,
+    with the ANN buckets (LSH/IVF/PQ) as the drop-in candidate
+    generator when a full scan is too slow.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cos_r, rank); rank ties break by neighbor id.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            cos_r.alias("cos_r"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def hyperplane_weight(plane: int, dim: int) -> int:
     """Deterministic ±1 hyperplane weights from md5 — reproducible in SQL."""
     import hashlib

@@ -1689,6 +1689,76 @@ def x15_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x63_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the 3 most
+    cosine-similar vectors with a DIFFERENT label (the corpus-level
+    pair-mining pass behind metric/contrastive training). Broadcast
+    anchors x linear scan, k-bounded per-anchor window — see
+    operators/similarity.py:hard_negative_topk."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return S.hard_negative_topk(emb, n_anchors=30, k=3)
+
+
+def x64_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling to the smallest label's size,
+    md5-rank selected (reproducible); the min class size rides in as a
+    one-row broadcast — see operators/sampling.py:label_balance."""
+    from mc_ns_data_pipeline_spark.operators.sampling import label_balance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        label_balance(emb, "label", "vec_id")
+        .select("label", "vec_id", "sample_rank")
+        .orderBy("label", "sample_rank")
+    )
+
+
+def x65_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training round 1: corpus-weighted adjacent
+    character-pair counts over the word-frequency table (pair cost is
+    O(|vocab| x word_len), not corpus size) — see operators/bpe.py."""
+    from mc_ns_data_pipeline_spark.operators.bpe import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return bpe_pair_counts(docs, top_n=20)
+
+
+def x66_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring: conditional surprisal
+    -ln(cnt(w1,w2)/ctx(w1)) trained on the corpus itself, averaged per
+    document — the second-order companion to x40's unigram scorer,
+    with the model join keyed on the bigram (NOT broadcastable at
+    corpus scale; see operators/lm.py:score_documents_bigram)."""
+    from mc_ns_data_pipeline_spark.operators.lm import (
+        score_documents_bigram,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    lm = train_bigram_lm(docs)
+    return score_documents_bigram(docs, lm).orderBy("doc_id")
+
+
+def xs10_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS10 — streaming continuous top-k: stateful 6-hour windowed
+    aggregate maintained by the stream, top-3 event types per window
+    ranked on the serving read (rank is not expressible inside a
+    stream by design; see streaming/incremental.py:run_windowed_topk).
+    """
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_windowed_topk,
+    )
+
+    sink = f"xs10_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs10_ckpt_")
+    return run_windowed_topk(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink, k=3
+    )
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -1752,7 +1822,12 @@ EXT_QUERIES = {
     "x60_pagerank": x60_pagerank,
     "x61_dsir_select": x61_dsir_select,
     "x62_entity_blocking": x62_entity_blocking,
+    "x63_hard_negatives": x63_hard_negatives,
+    "x64_label_balance": x64_label_balance,
+    "x65_bpe_pairs": x65_bpe_pairs,
+    "x66_bigram_lm": x66_bigram_lm,
     "xs1_stream_tumbling": xs1_stream_tumbling,
+    "xs10_stream_topk": xs10_stream_topk,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -3608,4 +3683,147 @@ EXT_ORACLES["x62_entity_blocking"] = """
     FROM cand
     WHERE levenshtein(pfx_a, pfx_b) <= 25
     ORDER BY doc_a, doc_b
+"""
+
+# x63: wrong-label cosine top-k — same rounded-cosine determinism
+# contract as x09 (round 6, ties to low neighbor id).
+EXT_ORACLES["x63_hard_negatives"] = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_inner_product(v, v)) AS nv
+        FROM e
+    ),
+    p AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               round(list_inner_product(q.v, c.v) / (q.nv * c.nv), 6)
+                   AS cos_r
+        FROM n q JOIN n c ON c.label <> q.label
+        WHERE q.vec_id < 30
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+        FROM p
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           cos_r, rank
+    FROM r WHERE rank <= 3
+    ORDER BY query_id, rank
+"""
+
+# x64: md5 rank over the stringified id — identical digest text in
+# both engines (x18/x24 pin the md5(bigint::VARCHAR) equivalence).
+EXT_ORACLES["x64_label_balance"] = """
+    WITH ranked AS (
+        SELECT label, vec_id,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                            vec_id ASC) AS sample_rank
+        FROM embeddings
+    ),
+    nm AS (
+        SELECT min(cnt) AS n_min FROM (
+            SELECT count(*) AS cnt FROM embeddings GROUP BY label
+        )
+    )
+    SELECT label, vec_id, sample_rank
+    FROM ranked, nm
+    WHERE sample_rank <= n_min
+    ORDER BY label, sample_rank
+"""
+
+# x65: pair generation over the distinct-word table; DuckDB range(a,b)
+# is exclusive of b, giving positions 1..len-1 like Spark's
+# sequence(1, length-1); both substring at 1-based positions.
+EXT_ORACLES["x65_bpe_pairs"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM}, ' ')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT word, count(*) AS cnt FROM toks
+        WHERE len(word) >= 2 GROUP BY word
+    ),
+    p AS (
+        SELECT word, cnt, substring(word, CAST(i AS INT), 2) AS pair
+        FROM wc, unnest(range(1, len(word))) AS t(i)
+    )
+    SELECT pair, sum(cnt)::BIGINT AS pair_cnt,
+           count(DISTINCT word)::BIGINT AS n_words
+    FROM p GROUP BY pair
+    ORDER BY pair_cnt DESC, pair ASC
+    LIMIT 20
+"""
+
+# x66: bigrams via 1-based list indexing over range(1, len) (i, i+1);
+# same rounded-surprisal DECIMAL(28,6) contract as x40.
+EXT_ORACLES["x66_bigram_lm"] = f"""
+    WITH d AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+               ws[CAST(i AS INT) + 1] AS w2
+        FROM d, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    counts AS (
+        SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, count(*) AS ctx_cnt FROM bg GROUP BY w1
+    ),
+    lm AS (
+        SELECT c.w1, c.w2,
+               round(-ln(c.cnt::DOUBLE / x.ctx_cnt::DOUBLE), 6)
+                   AS surprisal
+        FROM counts c JOIN ctx x USING (w1)
+    ),
+    scored AS (
+        SELECT b.doc_id, l.surprisal
+        FROM bg b JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(CAST(surprisal AS DECIMAL(28,6)))::DOUBLE
+                   AS sum_surprisal,
+               sum(CAST(surprisal AS DECIMAL(28,6)))::DOUBLE
+                   / count(*)::DOUBLE AS avg_surprisal
+        FROM scored GROUP BY doc_id
+    )
+    SELECT ids.doc_id,
+           coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           p.sum_surprisal, p.avg_surprisal
+    FROM (SELECT DISTINCT doc_id FROM documents) ids
+    LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+"""
+
+# xs10: static twin of the streaming windowed aggregate + serving-side
+# rank (ties to event_type asc), k = 3.
+EXT_ORACLES["xs10_stream_topk"] = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY total_value DESC, event_type ASC) AS rank
+        FROM agg
+    )
+    SELECT window_start, event_type, n_events, total_value, rank
+    FROM r WHERE rank <= 3
+    ORDER BY window_start, rank
 """

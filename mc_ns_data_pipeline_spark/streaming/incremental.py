@@ -412,3 +412,47 @@ def run_stream_static_enrich(spark: SparkSession, events_path: str,
         )
         q.awaitTermination()
     return spark.table(sink_table).orderBy("window_start", "c_nationkey")
+
+
+def run_windowed_topk(spark: SparkSession, events_path: str,
+                      checkpoint_dir: str,
+                      sink_table: str = "xs10_sink",
+                      k: int = 3, schema=None) -> DataFrame:
+    """XS10 — streaming continuous top-k: the stream maintains the
+    6-hour windowed per-event-type aggregate (the same stateful QS1
+    plan); the k highest-value event types per window are ranked on
+    the maintained result.
+
+    Ranking is NOT expressible inside the stream (non-time window
+    functions are unsupported on streaming DataFrames by design — the
+    rank of a still-open window is unstable); the production shape is
+    exactly this split: continuous aggregation in the stream, ranking
+    on the serving read. At end-of-input (availableNow) the composite
+    equals the static window+rank SQL, which is what the oracle pins.
+
+    Rank ties break by event_type ascending for determinism.
+    """
+    from pyspark.sql import Window
+
+    agg = windowed_event_aggregate(_events_stream(spark, events_path, schema))
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    res = spark.table(sink_table)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("total_value").desc(), F.col("event_type").asc()
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("window_start", "rank")
+    )

@@ -402,3 +402,67 @@ def test_prefix_filter_is_exact_and_smaller(spark, sf_dir):
         ).alias("n")
     ).collect()[0]["n"]
     assert n_pref < 0.6 * n_full
+
+
+def test_label_balance_equalizes_classes(spark, sf_dir):
+    """Every label keeps exactly n_min rows (the smallest class size),
+    selection is deterministic across two runs, and kept ids are a
+    subset of the input."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.sampling import label_balance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_min = (
+        emb.groupBy("label").count().agg(F.min("count")).collect()[0][0]
+    )
+    out = label_balance(emb, "label", "vec_id")
+    per_label = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_label.values()) == {n_min}
+    first = sorted(r["vec_id"] for r in out.select("vec_id").collect())
+    again = sorted(
+        r["vec_id"]
+        for r in label_balance(emb, "label", "vec_id")
+        .select("vec_id").collect()
+    )
+    assert first == again
+
+
+def test_hard_negatives_never_share_label(spark, sf_dir):
+    """Mined negatives always carry a different label than their anchor
+    and ranks are dense 1..k per anchor."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = hard_negative_topk(emb, n_anchors=10, k=4).collect()
+    by_anchor: dict = {}
+    for r in rows:
+        assert r["neighbor_label"] != r["query_label"]
+        by_anchor.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bigram_scoring_covers_all_docs(spark, sf_dir):
+    """Bigram scoring returns one row per document; docs with >= 2
+    tokens carry a positive average surprisal (self-trained model —
+    no bigram can be OOV)."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.lm import (
+        score_documents_bigram,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = score_documents_bigram(docs, train_bigram_lm(docs))
+    assert out.count() == docs.count()
+    scored = out.filter("n_bigrams >= 1")
+    assert scored.filter("avg_surprisal < 0").count() == 0
+    assert scored.filter("avg_surprisal IS NULL").count() == 0
