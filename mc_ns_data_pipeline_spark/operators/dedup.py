@@ -762,3 +762,96 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return jaccard_verify(cands, sets, id_col, threshold)
+
+
+def shingle_novelty(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    shingles that appear in NO other document (document frequency 1).
+
+    A leave-one-out originality signal for curation — boilerplate and
+    template farms score near 0, unique prose near 1. Complements the
+    pairwise dedup family: novelty is a per-doc scalar computed from
+    the same inverted-index relation, so corpora can be FILTERED by
+    originality without materializing pairs.
+
+    Scale shape: `doc_shingles` is map-only (row-local distinct), then
+    one shuffle by shingle id for the document-frequency count (8-byte
+    keys, partial-aggregated), one join back on sh_id, and a final
+    per-doc aggregate whose partial phase already collapses to one row
+    per doc (a doc's shingle rows are colocated after the df join only
+    by accident — the aggregate still moves at most |docs| rows).
+    """
+    sh = doc_shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    dfc = sh.groupBy("sh_id").agg(F.count(F.lit(1)).alias("sh_df"))
+    per_doc = (
+        sh.join(dfc, "sh_id")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("sh_df") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_unique",
+        (
+            F.col("n_unique").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
+
+
+def group_minhash_jaccard(docs: DataFrame, group_col: str = "source",
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_hashes: int = N_HASHES) -> DataFrame:
+    """Estimated shingle-set Jaccard between every pair of GROUPS
+    (sources/domains/snapshots) from per-group MinHash sketches —
+    corpus-overlap analytics ("how much does src A duplicate src B")
+    without ever joining shingle sets across groups.
+
+    min over a group's docs of each doc's per-seed minimum IS the
+    group's set minimum, so the group sketch folds out of the map-only
+    per-doc signatures with one group-cardinality aggregate; the pair
+    estimate is a tiny sketch-table self-join. Nothing corpus-sized
+    crosses the wire after the signature stage.
+    """
+    sets = doc_shingle_sets(docs, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(sets, id_col=id_col, n_hashes=n_hashes)
+    keyed = sig.join(
+        docs.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+    )
+    grp_sig = keyed.groupBy("grp").agg(
+        *[F.min(f"mh{s}").alias(f"mh{s}") for s in range(n_hashes)]
+    )
+    a = grp_sig.select(
+        F.col("grp").alias("src_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(n_hashes)],
+    )
+    b = grp_sig.select(
+        F.col("grp").alias("src_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(n_hashes)],
+    )
+    match_terms = [
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for s in range(n_hashes)
+    ]
+    n_match = sum(match_terms[1:], match_terms[0])
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            n_match.cast("long").alias("n_match"),
+            (n_match.cast("double") / F.lit(float(n_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -109,3 +109,28 @@ def label_balance(df: DataFrame, label_col: str, id_col: str) -> DataFrame:
         .crossJoin(F.broadcast(n_min))
         .filter(F.col("sample_rank") <= F.col("n_min"))
     )
+
+
+def per_group_calibration(df: DataFrame, group_col: str, score_col: str,
+                          id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Per-group score calibration: percent_rank and an ntile bucket of
+    `score_col` WITHIN each group — the standard fix for mixing
+    heterogeneous sources whose raw quality scores are not comparable
+    (a 0.7 from a curated source is not a 0.7 from bulk crawl; the
+    within-source quantile is).
+
+    percent_rank = (rank-1)/(n-1) over a fully deterministic
+    (score, id) ordering — exact integer division, cross-engine
+    stable. One shuffle by group; per-group sort parallelism is
+    bounded by group count (same trade as `stratified_sample`).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        id_col,
+        group_col,
+        score_col,
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

@@ -1759,6 +1759,39 @@ def xs10_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x67_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out n-gram novelty: share of each doc's distinct
+    shingles that no other document contains (df == 1) — a per-doc
+    originality scalar from the same inverted-index relation as the
+    dedup family. See operators/dedup.py:shingle_novelty."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.shingle_novelty(docs).orderBy("doc_id")
+
+
+def x68_source_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score calibration: within-source percent_rank +
+    decile bucket of document length, making heterogeneous sources'
+    scores comparable before mixing. See
+    operators/sampling.py:per_group_calibration."""
+    from mc_ns_data_pipeline_spark.operators.sampling import (
+        per_group_calibration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_group_calibration(
+        docs, "source", "n_chars", "doc_id", n_buckets=10
+    ).orderBy("source", "pct_rank", "doc_id")
+
+
+def x69_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair corpus overlap from per-source MinHash sketches:
+    min-of-doc-minima folds the group sketch out of the map-only
+    per-doc signatures, so overlap analytics never join shingle sets
+    across sources. See operators/dedup.py:group_minhash_jaccard."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.group_minhash_jaccard(docs, group_col="source")
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -1826,6 +1859,9 @@ EXT_QUERIES = {
     "x64_label_balance": x64_label_balance,
     "x65_bpe_pairs": x65_bpe_pairs,
     "x66_bigram_lm": x66_bigram_lm,
+    "x67_ngram_novelty": x67_ngram_novelty,
+    "x68_source_calibration": x68_source_calibration,
+    "x69_source_overlap": x69_source_overlap,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
@@ -3827,3 +3863,66 @@ EXT_ORACLES["xs10_stream_topk"] = """
     FROM r WHERE rank <= 3
     ORDER BY window_start, rank
 """
+
+# x67: document-frequency join over the shared shingle CTE; novelty is
+# exact-int division (identical operands both engines).
+EXT_ORACLES["x67_ngram_novelty"] = f"""
+    WITH {_SHINGLES_CTE},
+    dfc AS (SELECT sh_id, count(*) AS sh_df FROM shx GROUP BY sh_id),
+    per AS (
+        SELECT s.doc_id,
+               count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN d.sh_df = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_unique
+        FROM shx s JOIN dfc d USING (sh_id)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_unique,
+           n_unique::DOUBLE / n_shingles::DOUBLE AS novelty
+    FROM per ORDER BY doc_id
+"""
+
+# x68: percent_rank/ntile follow the same SQL-standard definitions in
+# both engines over a fully deterministic (score, id) ordering.
+EXT_ORACLES["x68_source_calibration"] = """
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER w AS pct_rank,
+           ntile(10) OVER w AS bucket
+    FROM documents
+    WINDOW w AS (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC)
+    ORDER BY source, pct_rank, doc_id
+"""
+
+
+def _source_overlap_sql() -> str:
+    mins = ",\n               ".join(
+        f"min(({a} * (sh_id % {D.MERSENNE_P}) + {b}) % {D.MERSENNE_P})"
+        f" AS mh{s}"
+        for s, (a, b) in enumerate(zip(D.HASH_A, D.HASH_B))
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+        for s in range(D.N_HASHES)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        keyed AS (
+            SELECT d.source AS grp, s.sh_id
+            FROM shx s JOIN documents d USING (doc_id)
+        ),
+        gsig AS (
+            SELECT grp,
+               {mins}
+            FROM keyed GROUP BY grp
+        )
+        SELECT a.grp AS src_a, b.grp AS src_b,
+               ({matches})::BIGINT AS n_match,
+               ({matches})::DOUBLE / {float(D.N_HASHES)!r} AS est_jaccard
+        FROM gsig a JOIN gsig b ON a.grp < b.grp
+        ORDER BY src_a, src_b
+    """
+
+
+# x69: the group sketch is min over the group's shingle hashes —
+# identical to Spark's min-of-doc-minima fold.
+EXT_ORACLES["x69_source_overlap"] = _source_overlap_sql()

@@ -84,3 +84,41 @@ def archive_processed(src_path: str, processed_dir: str, archive_root: str,
     if delete_original:
         os.remove(src_path)
     return processed_path, archive_path
+
+
+EXPORT_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def export_table(df: DataFrame, path: str, fmt: str = "parquet",
+                 compression: str | None = None) -> None:
+    """Format-agnostic table export: parquet, ORC, JSON-lines, or CSV.
+
+    The delivery-format escape hatch next to `layout.write_shards`
+    (which owns the manifest/sharding contract): downstream consumers
+    that require ORC (Hive/Trino estates) or JSONL (tokenizer/training
+    loaders) get the same DataFrame out in their format. Columnar
+    formats default to snappy/zstd-class codecs chosen by Spark; CSV
+    and JSON write with a header/UTF-8 per Spark defaults.
+    """
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(
+            f"unsupported export format {fmt!r}; one of {EXPORT_FORMATS}"
+        )
+    w = df.write.mode("overwrite").format(fmt)
+    if compression:
+        w = w.option("compression", compression)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_export(spark, path: str, fmt: str = "parquet",
+                schema=None) -> DataFrame:
+    """Read back an `export_table` directory (schema required for CSV
+    and JSON round-trip fidelity — text formats do not self-describe)."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

@@ -466,3 +466,44 @@ def test_bigram_scoring_covers_all_docs(spark, sf_dir):
     scored = out.filter("n_bigrams >= 1")
     assert scored.filter("avg_surprisal < 0").count() == 0
     assert scored.filter("avg_surprisal IS NULL").count() == 0
+
+
+def test_novelty_bounds_and_duplicate_docs_score_zero(spark, sf_dir):
+    """novelty is in [0,1]; a corpus of two identical docs has zero
+    novelty everywhere (every shingle appears in both)."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.dedup import shingle_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shingle_novelty(docs)
+    assert out.filter("novelty < 0 OR novelty > 1").count() == 0
+
+    twin = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = shingle_novelty(twin).collect()
+    assert all(r["novelty"] == 0.0 for r in rows)
+
+
+def test_group_sketch_identical_groups_match_fully(spark):
+    """Two groups holding the same documents estimate Jaccard 1.0;
+    disjoint-vocabulary groups estimate 0.0."""
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        group_minhash_jaccard,
+    )
+
+    same = spark.createDataFrame(
+        [
+            (1, "one two three four five", "a"),
+            (2, "one two three four five", "b"),
+            (3, "uno dos tres cuatro cinco", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in group_minhash_jaccard(same).collect()
+    }
+    assert rows[("a", "b")] == 1.0
+    assert rows[("a", "c")] == 0.0

@@ -455,3 +455,24 @@ def test_delete_keys_targeted_rewrites_only_affected_files(
     assert remaining.filter(
         F.col("o_orderkey").isin(*low_keys)
     ).count() == 0
+
+
+def test_export_roundtrip_all_formats(spark, tmp_path):
+    """export_table/read_export round-trips the same rows through
+    parquet, ORC, JSON-lines, and CSV."""
+    from mc_ns_data_pipeline_spark.sinks.files import (
+        EXPORT_FORMATS,
+        export_table,
+        read_export,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, "komma, kommt", 0.0)],
+        "id long, name string, score double",
+    )
+    expected = sorted(map(tuple, df.collect()))
+    for fmt in EXPORT_FORMATS:
+        out = str(tmp_path / f"exp_{fmt}")
+        export_table(df, out, fmt=fmt)
+        back = read_export(spark, out, fmt=fmt, schema=df.schema)
+        assert sorted(map(tuple, back.collect())) == expected, fmt
