@@ -855,3 +855,69 @@ def group_minhash_jaccard(docs: DataFrame, group_col: str = "source",
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def dedup_token_budget(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       group_col: str = "source") -> DataFrame:
+    """Dedup-adjusted token accounting per group: how many tokens a
+    group REALLY contributes once near-duplicates are discounted.
+
+    Each document is weighted 1/|its duplicate cluster| (singletons
+    weigh 1), so a cluster of n near-identical docs contributes its
+    average token count once instead of n times — the honest corpus
+    size that token-budget planning and mixture weighting should use
+    (raw counts overstate heavily-mirrored sources).
+
+    Pipeline: MinHash+LSH pairs -> connected components -> weight join
+    -> one aggregate by group. Cluster ids ride on doc ids (text never
+    re-shuffles); weights are exact integer ratios so the effective sum
+    goes through DECIMAL(28,6) like every cross-row double sum.
+    """
+    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
+    clusters = duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    weighted = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.size(words(F.col(text_col))).alias("n_tokens"),
+        )
+        .join(clusters, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "grp",
+            "n_tokens",
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        )
+    )
+    eff = F.sum(
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("cluster_size").cast("double"),
+            6,
+        ).cast("decimal(28,6)")
+    )
+    return (
+        weighted.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("cluster_size") > 1, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("n_in_clusters"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            eff.cast("double").alias("effective_tokens"),
+        )
+        .select(
+            F.col("grp").alias("source"),
+            "n_docs",
+            "n_in_clusters",
+            "raw_tokens",
+            "effective_tokens",
+        )
+        .orderBy("source")
+    )

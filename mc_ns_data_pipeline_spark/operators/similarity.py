@@ -799,3 +799,74 @@ def pq_ann_recall(emb: DataFrame, n_subspaces: int = 8, sub_dim: int = 8,
         )
         .orderBy("query_id")
     )
+
+
+def retrieval_mrr(emb: DataFrame, n_queries: int = 30,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """Retrieval-quality evaluation: per-query reciprocal rank of the
+    FIRST same-label neighbor under exact cosine ranking (labels as
+    relevance judgments). Averaging `rr` gives MRR — the standard
+    embedding-quality metric tracked across encoder versions; the
+    per-query rows keep the metric debuggable (which queries rank
+    their class poorly).
+
+    Same broadcast-queries x linear-scan shape as `cosine_topk`, but
+    the rank window must cover the full candidate ranking (the first
+    hit can be anywhere), so the per-query sort is corpus-sized: at
+    real scale the candidate set comes from an ANN operator (x10/x13/
+    x57) and rr is computed within its (bounded) candidate list, which
+    is exactly how retrieval eval is run in practice.
+
+    Ties break by neighbor id; queries whose class has no other member
+    report a null rank (excluded from MRR by convention).
+    """
+    base = with_norm(emb, vec_col)
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "query_label", "neighbor_label",
+            cos_r.alias("cos_r"),
+            F.col("neighbor_id"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    hits = ranked.filter(
+        F.col("neighbor_label") == F.col("query_label")
+    ).groupBy("query_id", "query_label").agg(
+        F.min("rank").alias("first_hit_rank")
+    )
+    return (
+        q.select("query_id", "query_label")
+        .join(hits, ["query_id", "query_label"], "left")
+        .select(
+            "query_id",
+            "query_label",
+            "first_hit_rank",
+            (F.lit(1.0) / F.col("first_hit_rank").cast("double")).alias(
+                "rr"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -1792,6 +1792,25 @@ def x69_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.group_minhash_jaccard(docs, group_col="source")
 
 
+def x70_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: per-query reciprocal rank of the first
+    same-label neighbor under exact cosine ranking (labels as
+    relevance); mean of rr = MRR. Complements x36's recall@k. See
+    operators/similarity.py:retrieval_mrr."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    return S.retrieval_mrr(emb, n_queries=30)
+
+
+def x71_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted token accounting per source: docs weighted by
+    1/|duplicate cluster| so mirrored content counts once — the honest
+    corpus size for token-budget planning. MinHash pairs -> connected
+    components -> one aggregate by source. See
+    operators/dedup.py:dedup_token_budget."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.dedup_token_budget(docs)
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -1862,6 +1881,8 @@ EXT_QUERIES = {
     "x67_ngram_novelty": x67_ngram_novelty,
     "x68_source_calibration": x68_source_calibration,
     "x69_source_overlap": x69_source_overlap,
+    "x70_retrieval_mrr": x70_retrieval_mrr,
+    "x71_dedup_token_budget": x71_dedup_token_budget,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
@@ -3926,3 +3947,89 @@ def _source_overlap_sql() -> str:
 # x69: the group sketch is min over the group's shingle hashes —
 # identical to Spark's min-of-doc-minima fold.
 EXT_ORACLES["x69_source_overlap"] = _source_overlap_sql()
+
+# x70: full ranking per query (the first hit can be anywhere), hits
+# folded to min(rank); 1.0/rank of identical int operands.
+EXT_ORACLES["x70_retrieval_mrr"] = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_inner_product(v, v)) AS nv
+        FROM e
+    ),
+    p AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               round(list_inner_product(q.v, c.v) / (q.nv * c.nv), 6)
+                   AS cos_r
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 30
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_r DESC, neighbor_id ASC) AS rank
+        FROM p
+    ),
+    hits AS (
+        SELECT query_id, query_label, min(rank) AS first_hit_rank
+        FROM r WHERE neighbor_label = query_label
+        GROUP BY query_id, query_label
+    )
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           h.first_hit_rank,
+           1.0 / h.first_hit_rank::DOUBLE AS rr
+    FROM embeddings q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
+    WHERE q.vec_id < 30
+    ORDER BY query_id
+"""
+
+# x71: recursive-CTE connected components over mh_pairs (the x16
+# contract) joined onto per-doc token counts; per-doc weights rounded
+# to 6 dp then decimal-summed in both engines.
+EXT_ORACLES["x71_dedup_token_budget"] = f"""
+    WITH RECURSIVE {_minhash_body()},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+    ),
+    clusters AS (
+        SELECT id AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY id
+    ),
+    csizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    ),
+    tok AS (
+        SELECT doc_id, source,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    weighted AS (
+        SELECT t.source, t.n_tokens,
+               coalesce(s.cluster_size, 1) AS cluster_size
+        FROM tok t
+        LEFT JOIN clusters c USING (doc_id)
+        LEFT JOIN csizes s USING (cluster_id)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_in_clusters,
+           sum(n_tokens)::BIGINT AS raw_tokens,
+           sum(CAST(round(n_tokens::DOUBLE / cluster_size::DOUBLE, 6)
+                    AS DECIMAL(28,6)))::DOUBLE AS effective_tokens
+    FROM weighted GROUP BY source
+    ORDER BY source
+"""

@@ -428,13 +428,50 @@ def test_x59_semantic_dedup_is_cluster_bucketed(spark, sf_dir):
 
 def test_x60_pagerank_no_cartesian_hash_joins_only(spark, sf_dir):
     """PageRank rounds must stay keyed joins + partial aggregates —
-    never a nested-loop/cartesian — and the rank state must be the
-    checkpoint-cut lineage, not a 3-round re-derivation of the edge
-    build (the Union edge construction appears once, not per round)."""
+    never a nested-loop/cartesian — and every round's static inputs
+    (nodes, degree-annotated edges) must come from the persisted cache
+    (InMemoryTableScan), so the edge build executes once even though
+    short runs skip lineage cuts and the logical plan reprints it."""
     plan = plan_of(spark, sf_dir, "x60_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert n_ops(plan, "Union") == 1
+    # 3 rounds x (edges_deg + nodes) + final nodes-side uses >= 6 cache
+    # reads; anything lower means a round re-derives its inputs.
+    assert n_ops(plan, "InMemoryTableScan") >= 6
+
+
+def test_x60_pagerank_long_runs_cut_lineage(spark, sf_dir):
+    """Past the checkpoint cadence the rank state must be a checkpoint
+    RDD scan (bounded lineage), while a 3-round run stays fully lazy
+    (no extra materialization pass — measured 2.5x faster)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+
+    def plan_str(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    lazy = plan_str(pagerank(edges, n_iters=3, checkpoint_every=6))
+    assert "ExistingRDD" not in lazy
+    cut = plan_str(pagerank(edges, n_iters=7, checkpoint_every=6))
+    assert "ExistingRDD" in cut
 
 
 def test_x61_dsir_single_corpus_pass_broadcast_model(spark, sf_dir):

@@ -507,3 +507,44 @@ def test_group_sketch_identical_groups_match_fully(spark):
     }
     assert rows[("a", "b")] == 1.0
     assert rows[("a", "c")] == 0.0
+
+
+def test_retrieval_mrr_first_hit_is_consistent(spark, sf_dir):
+    """rr == 1/first_hit_rank wherever defined, and a query whose label
+    has other members always finds a hit."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.similarity import (
+        retrieval_mrr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = retrieval_mrr(emb, n_queries=15).collect()
+    assert len(rows) == 15
+    label_counts = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for r in rows:
+        if label_counts.get(r["query_label"], 0) > 1:
+            assert r["first_hit_rank"] is not None
+        if r["first_hit_rank"] is not None:
+            assert abs(r["rr"] - 1.0 / r["first_hit_rank"]) < 1e-12
+
+
+def test_dedup_budget_bounds(spark, sf_dir):
+    """effective_tokens never exceeds raw_tokens, and equals it for
+    sources with no clustered docs."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        dedup_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in dedup_token_budget(docs).collect():
+        assert r["effective_tokens"] <= r["raw_tokens"] + 1e-6
+        if r["n_in_clusters"] == 0:
+            assert abs(r["effective_tokens"] - r["raw_tokens"]) < 1e-6
