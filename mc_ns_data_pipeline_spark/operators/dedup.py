@@ -118,10 +118,18 @@ def doc_shingles(df: DataFrame, text_col: str = "text",
 
     Dedup happens row-locally (array_distinct) before the explode, so no
     corpus-wide distinct shuffle is ever needed; rows carry 8-byte keys.
+
+    explode_outer, not explode: a plain explode makes Catalyst infer
+    `size(sh_ids)>0 AND isnotnull(sh_ids)` BELOW the Generate, which
+    re-evaluates the whole gram expression against raw text per check
+    (measured 10.2 s vs 1.3 s at sf0.1 for the same relation). sh_ids
+    is never empty (short docs get the whole-text fallback shingle), so
+    outer semantics only admits NULL rows for NULL text — filtered
+    right above, where the predicate tests the generated column instead.
     """
     return doc_shingle_sets(df, text_col, id_col, k).select(
-        F.col(id_col), F.explode("sh_ids").alias("sh_id")
-    )
+        F.col(id_col), F.explode_outer("sh_ids").alias("sh_id")
+    ).filter(F.col("sh_id").isNotNull())
 
 
 def minhash_signatures(sets: DataFrame, id_col: str = "doc_id",
@@ -782,7 +790,13 @@ def shingle_novelty(docs: DataFrame, text_col: str = "text",
     per doc (a doc's shingle rows are colocated after the df join only
     by accident — the aggregate still moves at most |docs| rows).
     """
-    sh = doc_shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    # Two consumers (df count + the join back) — materialize once, or
+    # both branches re-run the shingle projection and the join's
+    # inferred predicates collapse into the lambda-bearing projection
+    # (the _materialize hazard; measured 13.4 s -> ~3 s at sf0.1).
+    sh = _materialize(
+        doc_shingles(docs, text_col=text_col, id_col=id_col, k=k)
+    )
     dfc = sh.groupBy("sh_id").agg(F.count(F.lit(1)).alias("sh_df"))
     per_doc = (
         sh.join(dfc, "sh_id")
