@@ -1,0 +1,310 @@
+"""Command-line entry points mirroring the reference's runnable scripts.
+
+The reference ships three CLIs a pipeline operator actually runs:
+
+* ``bulk_fetch.py --start --end --batch_size``
+  (mastercontrol_pipeline/data_fetch_system/bulk_fetch.py:29-36)
+* ``incremental_fetch.py`` (6-hour epoch windows with a completeness
+  lag; incremental_fetch.py:20-22,129-155)
+* ``data_load.py --bulk --incremental --report``
+  (data_load_system/data_load.py:10-37)
+
+This module is the switch-over surface: the same flags drive the
+Spark-native pipelines. Differences are the engine's, not the
+operator's:
+
+* The fetch fans out ACROSS EXECUTORS (`fetch_distributed` page-range
+  tasks) instead of one sequential requests loop; `--batch-size` maps
+  to pages-per-task (the unit of retry/checkpoint), not a driver loop
+  stride.
+* Transport is injected as ``module.path:function`` fetchers (same
+  contract as sources/rest_datasource), so dev/test runs use the
+  deterministic fixture transport and production passes an HTTP
+  fetcher; the CLI itself never imports `requests`.
+* State lives where the operator expects it: a JSON checkpoint, an
+  appendable status audit table, and a window log — read/written by
+  sources/state + sinks/audit, not bespoke CSV rewrites.
+
+Usage::
+
+    python -m mc_ns_data_pipeline_spark.cli fetch-bulk \
+        --n-pages 12 --start 0 --end 60000 \
+        --captures-fetcher mc_ns_data_pipeline_spark.sources.rest_fixture:fetch_page \
+        --meta-fetcher ...:batch_meta_records \
+        --structures-fetcher ...:structure_records \
+        --out-dir /data/exchange --state-dir /data/state
+
+    python -m mc_ns_data_pipeline_spark.cli fetch-incremental \
+        --now-epoch 1741630000 ... (same fetcher/state flags)
+
+    python -m mc_ns_data_pipeline_spark.cli load \
+        --bulk --input-dir /data/exchange --warehouse-dir /data/warehouse
+    python -m mc_ns_data_pipeline_spark.cli load --report \
+        --warehouse-dir /data/warehouse --report-dir /data/reports
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIRST_RUN_EPOCH = 1741564801  # incremental_fetch.py:22
+SIX_HOURS = 6 * 3600
+
+
+def _resolve(path: str):
+    """'module.path:function' -> callable (the rest_datasource contract)."""
+    mod, _, fn = path.partition(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+def _records_df(spark: SparkSession, fetcher_path: str, schema) -> DataFrame:
+    from mc_ns_data_pipeline_spark.sources.rest import records_to_df
+
+    return records_to_df(spark, list(_resolve(fetcher_path)()), schema)
+
+
+def _session(app_name: str) -> SparkSession:
+    """get_spark + executor importability: under a pre-existing foreign
+    session (getOrCreate returns it unchanged), the fetch fan-out's
+    executor workers still need this package shipped (the fetcher paths
+    resolve ON the executor — see ensure_package_on_executors)."""
+    from mc_ns_data_pipeline_spark.session import (
+        ensure_package_on_executors,
+        ensure_read_confs,
+        get_spark,
+    )
+
+    spark = get_spark(app_name)
+    ensure_read_confs(spark)
+    ensure_package_on_executors(spark)
+    return spark
+
+
+def _fetch_exchange(spark: SparkSession, args,
+                    id_lo: int | None = None,
+                    id_hi: int | None = None,
+                    epoch_lo: int | None = None,
+                    epoch_hi: int | None = None):
+    """Shared fetch+merge: paginated captures fan-out (id-bounded
+    BEFORE the merge, like the reference's id loop), single-resource
+    dims, the 14-column contract out. Returns (exchange, captures)."""
+    from mc_ns_data_pipeline_spark.pipelines.fetch import merge_lot_data
+    from mc_ns_data_pipeline_spark.schemas import (
+        BATCH_RECORDS_SCHEMA,
+        DATA_CAPTURES_SCHEMA,
+        STRUCTURES_SCHEMA,
+    )
+    from mc_ns_data_pipeline_spark.sources.rest import fetch_distributed
+
+    captures = fetch_distributed(
+        spark,
+        n_pages=args.n_pages,
+        fetch_page=_resolve(args.captures_fetcher),
+        schema=DATA_CAPTURES_SCHEMA,
+        pages_per_task=args.batch_size,
+    )
+    if id_lo is not None:
+        captures = captures.filter(F.col("productionRecordId") >= id_lo)
+    if id_hi is not None:
+        captures = captures.filter(F.col("productionRecordId") <= id_hi)
+    if epoch_lo is not None or epoch_hi is not None:
+        # Window-filter on the RAW ISO dateTime before the merge — the
+        # merge reformats it to non-padded Eastern, which no longer
+        # parses as a timestamp (and the reference windows on the raw
+        # API timestamp too, incremental_fetch.py:143-155).
+        epoch = F.unix_timestamp(F.try_to_timestamp(F.col("dateTime")))
+        captures = captures.filter(epoch.isNotNull())
+        if epoch_lo is not None:
+            captures = captures.filter(epoch >= epoch_lo)
+        if epoch_hi is not None:
+            captures = captures.filter(epoch < epoch_hi)
+    meta = _records_df(spark, args.meta_fetcher, BATCH_RECORDS_SCHEMA)
+    structures = _records_df(
+        spark, args.structures_fetcher, STRUCTURES_SCHEMA
+    )
+    return merge_lot_data(captures, meta, structures), captures
+
+
+def cmd_fetch_bulk(args) -> int:
+    """bulk_fetch.py parity: id-bounded extract, checkpoint resume,
+    per-lot CSV delivery, status audit."""
+    from mc_ns_data_pipeline_spark.sinks.audit import append_status
+    from mc_ns_data_pipeline_spark.sinks.files import write_per_lot
+    from mc_ns_data_pipeline_spark.sources.state import (
+        read_checkpoint,
+        write_checkpoint,
+    )
+
+    spark = _session("fetch-bulk")
+    os.makedirs(args.state_dir, exist_ok=True)
+    ckpt_path = os.path.join(args.state_dir, "checkpoint.json")
+    resume_from = max(
+        args.start, read_checkpoint(ckpt_path)["last_processed_id"] + 1
+    )
+
+    exchange, captures = _fetch_exchange(
+        spark, args, id_lo=resume_from, id_hi=args.end
+    )
+    write_per_lot(exchange, args.out_dir)
+
+    ids = captures.select("productionRecordId").distinct()
+    processed = [
+        {"production_record_id": int(r["productionRecordId"]),
+         "lot_number": None, "status": "Success", "reason": None}
+        for r in ids.collect()
+    ]
+    if processed:
+        append_status(
+            spark, os.path.join(args.state_dir, "status_log"), processed
+        )
+        last = max(p["production_record_id"] for p in processed)
+        write_checkpoint(
+            ckpt_path, last, datetime.now(timezone.utc).isoformat()
+        )
+    print(f"fetch-bulk: {len(processed)} records -> {args.out_dir}")
+    return 0
+
+
+def cmd_fetch_incremental(args) -> int:
+    """incremental_fetch.py parity: process every COMPLETE 6-hour epoch
+    window past the window log's high-water mark, honoring the 6-hour
+    completeness lag; append the processed windows to the log."""
+    from mc_ns_data_pipeline_spark.schemas import WINDOW_LOG_SCHEMA
+    from mc_ns_data_pipeline_spark.sinks.files import write_per_lot
+    from mc_ns_data_pipeline_spark.sources.state import (
+        last_processed_epoch,
+    )
+
+    spark = _session("fetch-incremental")
+    os.makedirs(args.state_dir, exist_ok=True)
+    window_log = os.path.join(args.state_dir, "window_log.csv")
+    start_epoch = last_processed_epoch(
+        spark, window_log, FIRST_RUN_EPOCH
+    )
+    now = args.now_epoch or int(datetime.now(timezone.utc).timestamp())
+    horizon = now - SIX_HOURS  # completeness lag
+    windows = []
+    w = start_epoch
+    while w + SIX_HOURS <= horizon:
+        windows.append((w, w + SIX_HOURS))
+        w += SIX_HOURS
+    if not windows:
+        print("fetch-incremental: no complete windows to process")
+        return 0
+
+    lo, hi = windows[0][0], windows[-1][1]
+    exchange, captures = _fetch_exchange(
+        spark, args, epoch_lo=lo, epoch_hi=hi
+    )
+    write_per_lot(exchange, args.out_dir)
+
+    def iso(epoch: int) -> str:
+        return datetime.fromtimestamp(epoch, timezone.utc).isoformat()
+
+    log_rows = spark.createDataFrame(
+        [(iso(s), iso(e), s, e) for s, e in windows],
+        WINDOW_LOG_SCHEMA,
+    )
+    header = not os.path.exists(window_log)
+    log_rows.toPandas().to_csv(
+        window_log, mode="a", header=header, index=False
+    )
+    print(
+        f"fetch-incremental: {len(windows)} windows "
+        f"[{lo}, {hi}) -> {args.out_dir}"
+    )
+    return 0
+
+
+def cmd_load(args) -> int:
+    """data_load.py parity: --bulk / --incremental / --report."""
+    from mc_ns_data_pipeline_spark.pipelines.load import load_exchange
+    from mc_ns_data_pipeline_spark.schemas import LOT_CSV_SCHEMA
+    from mc_ns_data_pipeline_spark.sinks.audit import recent_report
+    from mc_ns_data_pipeline_spark.sinks.files import write_report
+
+    spark = _session("data-load")
+    did_anything = False
+    if args.bulk or args.incremental:
+        exchange = (
+            spark.read.option("header", True)
+            .option("recursiveFileLookup", True)
+            .schema(LOT_CSV_SCHEMA)
+            .csv(args.input_dir)
+        )
+        load_exchange(
+            spark, exchange, args.warehouse_dir,
+            incremental=args.incremental,
+        )
+        did_anything = True
+    if args.report:
+        lot_data = spark.read.parquet(f"{args.warehouse_dir}/lot_data")
+        write_report(
+            [recent_report(lot_data, ts_col="created_at")],
+            args.report_dir,
+        )
+        did_anything = True
+    if not did_anything:
+        print("load: nothing to do (pass --bulk, --incremental or --report)")
+        return 2
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mc_ns_data_pipeline_spark",
+        description="Spark-native pipeline CLI (reference-parity flags)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_fetch_common(sp):
+        sp.add_argument("--n-pages", type=int, required=True,
+                        help="pages of capture records to scan")
+        sp.add_argument("--batch-size", type=int, default=4,
+                        help="pages per executor task (retry/fan-out unit)")
+        sp.add_argument("--captures-fetcher", required=True,
+                        help="module.path:function returning a captures page")
+        sp.add_argument("--meta-fetcher", required=True,
+                        help="module.path:function returning batch-meta records")
+        sp.add_argument("--structures-fetcher", required=True,
+                        help="module.path:function returning structure records")
+        sp.add_argument("--out-dir", required=True)
+        sp.add_argument("--state-dir", required=True)
+
+    fb = sub.add_parser("fetch-bulk", help="bulk_fetch.py parity")
+    add_fetch_common(fb)
+    fb.add_argument("--start", type=int, default=0)
+    fb.add_argument("--end", type=int, default=60_000)
+    fb.set_defaults(fn=cmd_fetch_bulk)
+
+    fi = sub.add_parser("fetch-incremental",
+                        help="incremental_fetch.py parity")
+    add_fetch_common(fi)
+    fi.add_argument("--now-epoch", type=int, default=None,
+                    help="override 'now' for reproducible windows")
+    fi.set_defaults(fn=cmd_fetch_incremental)
+
+    ld = sub.add_parser("load", help="data_load.py parity")
+    ld.add_argument("--bulk", action="store_true")
+    ld.add_argument("--incremental", action="store_true")
+    ld.add_argument("--report", action="store_true")
+    ld.add_argument("--input-dir")
+    ld.add_argument("--warehouse-dir", required=True)
+    ld.add_argument("--report-dir")
+    ld.set_defaults(fn=cmd_load)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

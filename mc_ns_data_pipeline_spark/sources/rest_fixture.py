@@ -30,3 +30,63 @@ def fetch_page(page: int) -> dict:
 def fetch_page_nested(page: int) -> dict:
     """Same records via the `pageResult.content` response shape."""
     return {"pageResult": fetch_page(page)}
+
+
+# --- full-contract fixtures for the CLI (cli.py) -----------------------
+
+CAPTURE_PAGE_SIZE = 10
+CAPTURE_TOTAL = 37
+
+
+def fetch_captures_page(page: int) -> dict:
+    """Full DATA_CAPTURES_SCHEMA records, paginated — the dev/test
+    transport behind `cli.py fetch-bulk/--captures-fetcher`."""
+    start = page * CAPTURE_PAGE_SIZE
+    end = min(start + CAPTURE_PAGE_SIZE, CAPTURE_TOTAL)
+    records = [
+        {
+            "productionRecordId": i,
+            "orderLabel": str(10 + i),
+            "masterTemplateId": 5,
+            "unitProcedureId": 6,
+            "operationId": 7,
+            "phaseId": 8,
+            "title": f"Step {i}",
+            "value": f"v{i}",
+            "userName": "alice" if i % 5 else "VOD_system",
+            "dateTime": f"2025-03-10T{i % 24:02d}:30:00Z",
+            "actionTaken": "entry",
+            "dataCaptureName": "TEMP",
+            "current": True,
+            "iterationNumber": 1 + (i % 3),
+        }
+        for i in range(start, end)
+    ]
+    return {"content": records}
+
+
+def batch_meta_records() -> list[dict]:
+    """Single-lot batch metadata (the reference fetches one lot per
+    record id; the fixture models one lot batch)."""
+    return [
+        {
+            "lotNumber": "LOT-001",
+            "productId": "P-9",
+            "productName": "Widget",
+            "status": "Released",
+        }
+    ]
+
+
+def structure_records() -> list[dict]:
+    return [
+        {"title": "Unit U1", "level": "UNIT_PROCEDURE",
+         "masterTemplateId": 5, "unitProcedureId": 6,
+         "operationId": None, "phaseId": None},
+        {"title": "Op O1", "level": "OPERATION",
+         "masterTemplateId": 5, "unitProcedureId": 6,
+         "operationId": 7, "phaseId": None},
+        {"title": "Phase P1", "level": "PHASE",
+         "masterTemplateId": 5, "unitProcedureId": 6,
+         "operationId": 7, "phaseId": 8},
+    ]

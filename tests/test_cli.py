@@ -1,0 +1,95 @@
+"""End-to-end CLI parity: fetch-bulk -> load --bulk -> load --report,
+checkpoint resume, and incremental window accounting — all against the
+deterministic fixture transport (no network)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from mc_ns_data_pipeline_spark.cli import main
+
+FETCHERS = [
+    "--captures-fetcher",
+    "mc_ns_data_pipeline_spark.sources.rest_fixture:fetch_captures_page",
+    "--meta-fetcher",
+    "mc_ns_data_pipeline_spark.sources.rest_fixture:batch_meta_records",
+    "--structures-fetcher",
+    "mc_ns_data_pipeline_spark.sources.rest_fixture:structure_records",
+]
+
+
+def test_fetch_bulk_then_load_then_report(spark, tmp_path):
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    wh = str(tmp_path / "warehouse")
+    rep = str(tmp_path / "reports")
+
+    assert main([
+        "fetch-bulk", "--n-pages", "4", "--start", "0", "--end", "60000",
+        *FETCHERS, "--out-dir", out, "--state-dir", state,
+    ]) == 0
+    ckpt = json.load(open(os.path.join(state, "checkpoint.json")))
+    assert ckpt["last_processed_id"] == 36
+
+    # per-lot partitioned CSV landed
+    lots = [d for d in os.listdir(out) if d.startswith("lot_number=")]
+    assert lots, os.listdir(out)
+
+    assert main([
+        "load", "--bulk", "--input-dir", out, "--warehouse-dir", wh,
+    ]) == 0
+    lot_data = spark.read.parquet(f"{wh}/lot_data")
+    # VOD_ rows are excluded by the merge (every 5th record)
+    assert 0 < lot_data.count() < 37
+    assert spark.read.parquet(f"{wh}/lots").count() == 1
+
+    assert main([
+        "load", "--report", "--warehouse-dir", wh, "--report-dir", rep,
+    ]) == 0
+    assert os.path.isdir(os.path.join(rep, "section_0"))
+
+
+def test_fetch_bulk_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    args = [
+        "fetch-bulk", "--n-pages", "4", *FETCHERS,
+        "--out-dir", out, "--state-dir", state,
+    ]
+    assert main([*args, "--start", "0", "--end", "19"]) == 0
+    first = json.load(open(os.path.join(state, "checkpoint.json")))
+    assert first["last_processed_id"] == 19
+    # second run resumes past the checkpoint even with --start 0
+    assert main([*args, "--start", "0", "--end", "60000"]) == 0
+    second = json.load(open(os.path.join(state, "checkpoint.json")))
+    assert second["last_processed_id"] == 36
+    # status log accumulated both runs without rewrites
+    status = spark.read.parquet(os.path.join(state, "status_log"))
+    assert status.count() == 37
+
+
+def test_fetch_incremental_windows_and_high_water_mark(spark, tmp_path):
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    first_run = 1741564801  # cli.FIRST_RUN_EPOCH
+    # now = first_run + 3 windows + lag -> exactly 3 complete windows
+    now = first_run + 4 * 6 * 3600
+    args = [
+        "fetch-incremental", "--n-pages", "4", *FETCHERS,
+        "--out-dir", out, "--state-dir", state,
+        "--now-epoch", str(now),
+    ]
+    assert main(args) == 0
+    log = spark.read.csv(
+        os.path.join(state, "window_log.csv"), header=True,
+        inferSchema=True,
+    )
+    assert log.count() == 3
+    # re-run at the same now: nothing new to process
+    assert main(args) == 0
+    log2 = spark.read.csv(
+        os.path.join(state, "window_log.csv"), header=True,
+        inferSchema=True,
+    )
+    assert log2.count() == 3
