@@ -151,7 +151,7 @@ def cmd_fetch_bulk(args) -> int:
     exchange, captures = _fetch_exchange(
         spark, args, id_lo=resume_from, id_hi=args.end
     )
-    write_per_lot(exchange, args.out_dir)
+    write_per_lot(exchange, args.out_dir, mode="append")
 
     ids = captures.select("productionRecordId").distinct()
     processed = [
@@ -202,7 +202,7 @@ def cmd_fetch_incremental(args) -> int:
     exchange, captures = _fetch_exchange(
         spark, args, epoch_lo=lo, epoch_hi=hi
     )
-    write_per_lot(exchange, args.out_dir)
+    write_per_lot(exchange, args.out_dir, mode="append")
 
     def iso(epoch: int) -> str:
         return datetime.fromtimestamp(epoch, timezone.utc).isoformat()

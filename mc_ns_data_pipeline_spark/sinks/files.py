@@ -14,15 +14,20 @@ from mc_ns_data_pipeline_spark.functions.scalar import sanitize_commas
 
 
 def write_per_lot(df: DataFrame, out_dir: str,
-                  lot_col: str = "Lot Number") -> None:
+                  lot_col: str = "Lot Number",
+                  mode: str = "overwrite") -> None:
     """K1: per-lot partitioned CSV (header on, one dir per lot).
 
     `partitionBy` routes rows by key inside the writing stage — no
     driver loop, no shuffle beyond what the upstream plan already did.
+    `mode="append"` is the checkpoint-resume delivery shape (the CLI's
+    id/window high-water marks guarantee a record is written once, so
+    appends accumulate without duplication; the default overwrite is
+    the single-shot batch contract).
     """
     (
         df.withColumn("lot_number", F.col(lot_col))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .option("header", True)
         .partitionBy("lot_number")
         .csv(out_dir)

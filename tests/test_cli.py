@@ -67,6 +67,13 @@ def test_fetch_bulk_checkpoint_resume(spark, tmp_path):
     # status log accumulated both runs without rewrites
     status = spark.read.parquet(os.path.join(state, "status_log"))
     assert status.count() == 37
+    # delivery accumulated BOTH batches (append, not overwrite): every
+    # non-VOD record id's row is present exactly once
+    delivered = spark.read.option("header", True).option(
+        "recursiveFileLookup", True
+    ).csv(out)
+    n_expected = len([i for i in range(37) if i % 5 != 0])
+    assert delivered.count() == n_expected
 
 
 def test_fetch_incremental_windows_and_high_water_mark(spark, tmp_path):
