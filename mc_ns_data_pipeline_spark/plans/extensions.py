@@ -1811,6 +1811,117 @@ def x71_dedup_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_token_budget(docs)
 
 
+def x72_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per-event-type hourly counts scored by
+    z-score against that type's own hourly distribution; |z| >= 2
+    flags the hour. The moments are exact integer sums (count,
+    count-squared), so mean/std/z are double arithmetic over identical
+    operands in both engines; z is rounded to 6 dp.
+
+    Scale: one count aggregate (hour x type), then a type-level moment
+    aggregate joined back broadcast — the scored relation is
+    hours x types regardless of event volume.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s1") / d("n_hours")
+    var = (d("s2") - (d("s1") * d("s1")) / d("n_hours")) / d("n_hours")
+    scored = hourly.join(F.broadcast(moments), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        mean.alias("_mean"),
+        F.sqrt(var).alias("_std"),
+    )
+    z = F.round((d("n_events") - F.col("_mean")) / F.col("_std"), 6)
+    return (
+        scored.select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.when(F.col("_std") > 0, z).alias("z_r"),
+            F.when(
+                F.col("_std") > 0, F.abs(z) >= F.lit(2.0)
+            ).otherwise(F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def x73_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): each step
+    counts users whose step event happens AT OR AFTER their previous
+    step's first event — the standard product-analytics conversion
+    query. Conversion rates are exact-int divisions.
+
+    Scale: three per-user min aggregates chained by keyed joins (each
+    is one shuffle on user_id, partial-aggregated); the final rollup
+    is a single row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (d("n_click") / d("n_view")).alias("view_to_click"),
+        (d("n_purchase") / d("n_click")).alias("click_to_purchase"),
+        (d("n_purchase") / d("n_view")).alias("view_to_purchase"),
+    )
+
+
+def xs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS11 — in-stream dead-letter gate: each micro-batch split by the
+    shared declarative rule battery (quality.split_valid); accepted
+    rows roll up, violations land in a replayable dead-letter table.
+    See streaming/incremental.py:run_stream_quality_gate."""
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_quality_gate,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="xs11_ckpt_")
+    accepted = tempfile.mkdtemp(prefix="xs11_acc_") + "/t"
+    dead = tempfile.mkdtemp(prefix="xs11_dead_") + "/t"
+    return run_stream_quality_gate(
+        spark, f"{sf_dir}/events.parquet", ckpt, accepted, dead
+    )
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -1883,8 +1994,11 @@ EXT_QUERIES = {
     "x69_source_overlap": x69_source_overlap,
     "x70_retrieval_mrr": x70_retrieval_mrr,
     "x71_dedup_token_budget": x71_dedup_token_budget,
+    "x72_anomaly_zscore": x72_anomaly_zscore,
+    "x73_funnel_conversion": x73_funnel_conversion,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
+    "xs11_stream_quality_gate": xs11_stream_quality_gate,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -4032,4 +4146,85 @@ EXT_ORACLES["x71_dedup_token_budget"] = f"""
                     AS DECIMAL(28,6)))::DOUBLE AS effective_tokens
     FROM weighted GROUP BY source
     ORDER BY source
+"""
+
+# x72: moments from exact integer sums; the variance/mean/z expression
+# shapes mirror the Spark plan operator-for-operator so the doubles
+# are bit-identical before the 6 dp round.
+EXT_ORACLES["x72_anomaly_zscore"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT event_type,
+               count(*) AS n_hours,
+               sum(n_events) AS s1,
+               sum(n_events * n_events) AS s2
+        FROM hourly GROUP BY event_type
+    ),
+    scored AS (
+        SELECT h.event_type, h.hour, h.n_events,
+               m.s1::DOUBLE / m.n_hours::DOUBLE AS _mean,
+               sqrt((m.s2::DOUBLE
+                     - (m.s1::DOUBLE * m.s1::DOUBLE) / m.n_hours::DOUBLE)
+                    / m.n_hours::DOUBLE) AS _std
+        FROM hourly h JOIN moments m USING (event_type)
+    )
+    SELECT event_type, hour, n_events::BIGINT AS n_events,
+           CASE WHEN _std > 0
+                THEN round((n_events::DOUBLE - _mean) / _std, 6)
+           END AS z_r,
+           CASE WHEN _std > 0
+                THEN abs(round((n_events::DOUBLE - _mean) / _std, 6)) >= 2.0
+                ELSE FALSE
+           END AS is_anomaly
+    FROM scored
+    ORDER BY event_type, hour
+"""
+
+# x73: step minima chained by ts >= previous-step ts; rates are
+# exact-int divisions.
+EXT_ORACLES["x73_funnel_conversion"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+           (SELECT count(*) FROM c)::BIGINT AS n_click,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase,
+           (SELECT count(*) FROM c)::DOUBLE
+               / (SELECT count(*) FROM v)::DOUBLE AS view_to_click,
+           (SELECT count(*) FROM p)::DOUBLE
+               / (SELECT count(*) FROM c)::DOUBLE AS click_to_purchase,
+           (SELECT count(*) FROM p)::DOUBLE
+               / (SELECT count(*) FROM v)::DOUBLE AS view_to_purchase
+"""
+
+# xs11: static twin of the accepted-side rollup — the gate rules
+# inverted into a WHERE clause.
+EXT_ORACLES["xs11_stream_quality_gate"] = """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+      AND value > 0 AND value <= 50
+      AND user_id IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
 """

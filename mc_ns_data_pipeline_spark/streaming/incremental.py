@@ -456,3 +456,68 @@ def run_windowed_topk(spark: SparkSession, events_path: str,
         .filter(F.col("rank") <= k)
         .orderBy("window_start", "rank")
     )
+
+
+def event_quality_rules() -> dict:
+    """The declarative event gate shared by batch and stream (T7):
+    known event types pass; 'error' events and out-of-range values are
+    dead-lettered for replay."""
+    return {
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"
+        ),
+        "value_in_range": (F.col("value") > 0) & (F.col("value") <= 50),
+        "has_user": F.col("user_id").isNotNull(),
+    }
+
+
+def run_stream_quality_gate(spark: SparkSession, events_path: str,
+                            checkpoint_dir: str, accepted_dir: str,
+                            dead_letter_dir: str,
+                            schema=None) -> DataFrame:
+    """XS11 — in-stream dead-lettering: every micro-batch is split by
+    the SAME declarative rule battery the batch gate uses
+    (quality.split_valid); valid rows append to the accepted table,
+    violations append (with their named rule list) to the replayable
+    dead-letter table. foreachBatch makes the split transactional per
+    micro-batch against the checkpoint, so a restart neither drops nor
+    double-gates a batch (availableNow + file-sink append).
+
+    Returns the accepted-side rollup (event_type, n_events,
+    total_value) — at end-of-input it equals the static aggregate over
+    rule-passing rows, which is what the oracle pins; the dead-letter
+    side is asserted by tests (it is a filesystem artifact, not a
+    query result).
+    """
+    from mc_ns_data_pipeline_spark.quality import (
+        split_valid,
+        write_dead_letter,
+    )
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    stream = _events_stream(spark, events_path, schema)
+
+    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+        valid, dead = split_valid(batch_df, event_quality_rules())
+        valid.write.mode("append").parquet(accepted_dir)
+        write_dead_letter(dead, dead_letter_dir)
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    accepted = spark.read.parquet(accepted_dir)
+    return (
+        accepted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -427,3 +427,40 @@ def test_bounded_dedup_restart_emits_nothing_new(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_rows_first
     again = canonicalize(d2.columns, [tuple(r) for r in d2.collect()])
     assert again == first
+
+
+def test_stream_quality_gate_dead_letters_errors(spark, tmp_path, sf_dir):
+    """The in-stream gate quarantines every 'error' event with its
+    named violation, accepted+dead partitions the input, and the
+    dead-letter table is replayable (re-gating it re-rejects)."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.quality import split_valid
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        event_quality_rules,
+        run_stream_quality_gate,
+    )
+
+    accepted_dir = str(tmp_path / "acc")
+    dead_dir = str(tmp_path / "dead")
+    out = run_stream_quality_gate(
+        spark, f"{sf_dir}/events.parquet", str(tmp_path / "ckpt"),
+        accepted_dir, dead_dir,
+    )
+    n_accepted = out.agg(F.sum("n_events")).collect()[0][0]
+    dead = spark.read.parquet(dead_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert n_accepted + dead.count() == events.count()
+    # every error event is dead-lettered, and carries the rule name
+    n_errors = events.filter("event_type = 'error'").count()
+    assert dead.filter("event_type = 'error'").count() == n_errors
+    assert dead.filter(
+        F.array_contains("_violations", "known_type")
+    ).count() == n_errors
+    # replay: re-gating the dead rows rejects them again (same rules)
+    replay_valid, replay_dead = split_valid(
+        dead.drop("_violations", "_dead_lettered_at"),
+        event_quality_rules(),
+    )
+    assert replay_valid.count() == 0
+    assert replay_dead.count() == dead.count()
