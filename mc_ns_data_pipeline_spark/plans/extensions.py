@@ -1922,6 +1922,94 @@ def xs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x74_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence mining: the per-user next-event
+    transition matrix (Markov counts + conditional probabilities) —
+    the standard behavioral-model input. Successor pairs come from a
+    lead() window over (ts, event_id) per user (deterministic
+    tie-break), so pair generation is one shuffle by user; the count
+    matrix is event-type-squared-sized regardless of volume.
+    Probabilities are exact-int divisions.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("n_from").cast("double")
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def x75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in every later week they return — the standard
+    cohort-retention triangle. Two aggregates (first-seen per user,
+    distinct user-week activity) joined on user_id; the output is
+    cohorts x weeks regardless of event volume. retention_rate is an
+    exact-int division against the cohort's size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first_seen = weekly.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    activity = (
+        weekly.join(first_seen, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    week_no = (
+        F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
+    ).cast("long")
+    return (
+        activity.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            # DATE, not TIMESTAMP: DuckDB's date_trunc('week') yields a
+            # DATE and the canonicalizer renders the types differently.
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            week_no.alias("week_number"),
+            "n_active",
+            "n_cohort",
+            (
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double")
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "week_number")
+    )
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -1996,6 +2084,8 @@ EXT_QUERIES = {
     "x71_dedup_token_budget": x71_dedup_token_budget,
     "x72_anomaly_zscore": x72_anomaly_zscore,
     "x73_funnel_conversion": x73_funnel_conversion,
+    "x74_event_transitions": x74_event_transitions,
+    "x75_retention_cohorts": x75_retention_cohorts,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -4227,4 +4317,60 @@ EXT_ORACLES["xs11_stream_quality_gate"] = """
       AND user_id IS NOT NULL
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+# x74: lead() over the same deterministic (ts, event_id) ordering;
+# probabilities are exact-int divisions.
+EXT_ORACLES["x74_event_transitions"] = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    totals AS (
+        SELECT from_type, sum(n_transitions) AS n_from
+        FROM counts GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type,
+           c.n_transitions::BIGINT AS n_transitions,
+           c.n_transitions::DOUBLE / t.n_from::DOUBLE AS p_transition
+    FROM counts c JOIN totals t USING (from_type)
+    ORDER BY from_type, to_type
+"""
+
+# x75: both engines truncate weeks to ISO Monday; week_number is an
+# exact multiple of 7 days so the division is lossless.
+EXT_ORACLES["x75_retention_cohorts"] = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(week) AS cohort_week
+        FROM weekly GROUP BY user_id
+    ),
+    cohort_sizes AS (
+        SELECT cohort_week, count(*) AS n_cohort
+        FROM first_seen GROUP BY cohort_week
+    ),
+    activity AS (
+        SELECT f.cohort_week, w.week, count(*) AS n_active
+        FROM weekly w JOIN first_seen f USING (user_id)
+        GROUP BY f.cohort_week, w.week
+    )
+    SELECT a.cohort_week,
+           (date_diff('day', a.cohort_week, a.week) / 7)::BIGINT
+               AS week_number,
+           a.n_active::BIGINT AS n_active,
+           s.n_cohort::BIGINT AS n_cohort,
+           a.n_active::DOUBLE / s.n_cohort::DOUBLE AS retention_rate
+    FROM activity a JOIN cohort_sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_number
 """
