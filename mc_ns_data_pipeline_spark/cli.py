@@ -90,10 +90,23 @@ def _fetch_exchange(spark: SparkSession, args,
                     id_lo: int | None = None,
                     id_hi: int | None = None,
                     epoch_lo: int | None = None,
-                    epoch_hi: int | None = None):
+                    epoch_hi: int | None = None,
+                    quarantine_dir: str | None = None):
     """Shared fetch+merge: paginated captures fan-out (id-bounded
     BEFORE the merge, like the reference's id loop), single-resource
-    dims, the 14-column contract out. Returns (exchange, captures)."""
+    dims, the 14-column contract out. Returns (exchange, captures).
+
+    The fetched captures are persisted: delivery and the status/
+    checkpoint pass are separate actions, and an unpinned lineage would
+    hit the remote API twice — worse, a record appearing only in the
+    second scan would advance the checkpoint without ever being
+    delivered, losing it forever.
+
+    With epoch bounds, rows whose raw dateTime does not parse are not
+    silently dropped: they go to `quarantine_dir` as dead letters (the
+    window high-water mark advances past them, so an invisible filter
+    would lose them with no trace).
+    """
     from mc_ns_data_pipeline_spark.pipelines.fetch import merge_lot_data
     from mc_ns_data_pipeline_spark.schemas import (
         BATCH_RECORDS_SCHEMA,
@@ -118,12 +131,24 @@ def _fetch_exchange(spark: SparkSession, args,
         # merge reformats it to non-padded Eastern, which no longer
         # parses as a timestamp (and the reference windows on the raw
         # API timestamp too, incremental_fetch.py:143-155).
+        from mc_ns_data_pipeline_spark.quality import (
+            split_valid,
+            write_dead_letter,
+        )
+
         epoch = F.unix_timestamp(F.try_to_timestamp(F.col("dateTime")))
-        captures = captures.filter(epoch.isNotNull())
+        captures = captures.persist()
+        parseable, bad = split_valid(
+            captures, {"parseable_datetime": epoch.isNotNull()}
+        )
+        if quarantine_dir is not None:
+            write_dead_letter(bad, quarantine_dir)
+        captures = parseable
         if epoch_lo is not None:
             captures = captures.filter(epoch >= epoch_lo)
         if epoch_hi is not None:
             captures = captures.filter(epoch < epoch_hi)
+    captures = captures.persist()
     meta = _records_df(spark, args.meta_fetcher, BATCH_RECORDS_SCHEMA)
     structures = _records_df(
         spark, args.structures_fetcher, STRUCTURES_SCHEMA
@@ -151,7 +176,14 @@ def cmd_fetch_bulk(args) -> int:
     exchange, captures = _fetch_exchange(
         spark, args, id_lo=resume_from, id_hi=args.end
     )
-    write_per_lot(exchange, args.out_dir, mode="append")
+    # Exactly-once delivery via a batch-scoped subdirectory: the batch
+    # name is a pure function of the resume point, so a rerun after a
+    # crash-between-delivery-and-checkpoint overwrites ITS OWN output
+    # instead of appending a duplicate copy (plain append would be
+    # at-least-once). `load` reads recursively, so batch subdirs are
+    # transparent to the consumer.
+    batch_dir = os.path.join(args.out_dir, f"batch_from_{resume_from}")
+    write_per_lot(exchange, batch_dir, mode="overwrite")
 
     ids = captures.select("productionRecordId").distinct()
     processed = [
@@ -200,9 +232,14 @@ def cmd_fetch_incremental(args) -> int:
 
     lo, hi = windows[0][0], windows[-1][1]
     exchange, captures = _fetch_exchange(
-        spark, args, epoch_lo=lo, epoch_hi=hi
+        spark, args, epoch_lo=lo, epoch_hi=hi,
+        quarantine_dir=os.path.join(args.state_dir, "dead_letter"),
     )
-    write_per_lot(exchange, args.out_dir, mode="append")
+    # Window-span-scoped subdir for the same exactly-once-on-rerun
+    # contract as fetch-bulk (the span is a pure function of the
+    # window-log high-water mark).
+    span_dir = os.path.join(args.out_dir, f"windows_{lo}_{hi}")
+    write_per_lot(exchange, span_dir, mode="overwrite")
 
     def iso(epoch: int) -> str:
         return datetime.fromtimestamp(epoch, timezone.utc).isoformat()
@@ -228,6 +265,16 @@ def cmd_load(args) -> int:
     from mc_ns_data_pipeline_spark.schemas import LOT_CSV_SCHEMA
     from mc_ns_data_pipeline_spark.sinks.audit import recent_report
     from mc_ns_data_pipeline_spark.sinks.files import write_report
+
+    if args.bulk and args.incremental:
+        raise SystemExit(
+            "load: --bulk and --incremental are mutually exclusive "
+            "(append vs per-lot replace semantics)"
+        )
+    if (args.bulk or args.incremental) and not args.input_dir:
+        raise SystemExit("load: --bulk/--incremental require --input-dir")
+    if args.report and not args.report_dir:
+        raise SystemExit("load: --report requires --report-dir")
 
     spark = _session("data-load")
     did_anything = False

@@ -54,7 +54,8 @@ def pagerank(edges: DataFrame, n_iters: int = 3,
     update). `damping_pct` is the damping factor in percent so the
     update stays in integer arithmetic.
 
-    `checkpoint_every` sets the lineage-cut cadence: every K-th round
+    `checkpoint_every` sets the lineage-cut cadence (0 = never): every
+    K-th round
     the rank state is localCheckpoint'ed so the plan stays bounded on
     long runs. Each cut costs one extra materialization pass (AQE
     finalizes and runs the upstream stages when the checkpoint RDD is
@@ -106,7 +107,11 @@ def pagerank(edges: DataFrame, n_iters: int = 3,
                 )
             ).cast("long").alias("rank_int"),
         )
-        if (it + 1) % checkpoint_every == 0 and it != n_iters - 1:
+        if (
+            checkpoint_every > 0
+            and (it + 1) % checkpoint_every == 0
+            and it != n_iters - 1
+        ):
             ranks = ranks.localCheckpoint(eager=False)
 
     return (

@@ -91,6 +91,8 @@ def label_balance(df: DataFrame, label_col: str, id_col: str) -> DataFrame:
     Selection is md5-ranked (reproducible across engines/partitionings,
     like `stratified_sample`); the global minimum class size rides in
     as a one-row broadcast cross join so the plan stays collect-free.
+    Output = input columns + `sample_rank` (the 1-based within-class
+    rank, for auditability — same contract as `stratified_sample`).
     Scale shape: one shuffle by label for the rank window plus a
     label-cardinality aggregate — per-label sort parallelism is bounded
     by class count, the same exact-vs-approximate trade documented on
@@ -108,6 +110,7 @@ def label_balance(df: DataFrame, label_col: str, id_col: str) -> DataFrame:
         df.withColumn("sample_rank", F.row_number().over(w_rank))
         .crossJoin(F.broadcast(n_min))
         .filter(F.col("sample_rank") <= F.col("n_min"))
+        .drop("n_min")
     )
 
 

@@ -60,6 +60,60 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _rank_window():
+    """The one rank-ordering contract: best cosine first, ties to the
+    lower neighbor id. (A function, not a module constant — building
+    Column expressions requires an active SparkContext.)"""
+    return Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+
+
+def cosine_pairs(emb: DataFrame, query_pred: Column,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shared ranked-cosine scaffolding: rows matching `query_pred` are
+    the broadcast query set; every OTHER row is a candidate, scored by
+    the rounded cosine (the one definition of the determinism contract
+    — round 6, so rank ties break by neighbor id downstream).
+
+    Returns (query_id, neighbor_id, cos_r) plus `query_<c>` /
+    `neighbor_<c>` for each name in `extra_cols`. All consumers
+    (`cosine_topk`, `hard_negative_topk`, `retrieval_mrr`) build on
+    this one pair relation so rounding/tie-break/norm fixes happen in
+    exactly one place.
+    """
+    base = with_norm(emb, vec_col)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(c).alias(f"query_{c}") for c in extra_cols],
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(cc).alias(f"neighbor_{cc}") for cc in extra_cols],
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            *[f"query_{cc}" for cc in extra_cols],
+            "neighbor_id",
+            *[f"neighbor_{cc}" for cc in extra_cols],
+            cos_r.alias("cos_r"),
+        )
+    )
+
+
 def cosine_topk(emb: DataFrame, query_pred: Column, k: int = 5,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -69,28 +123,9 @@ def cosine_topk(emb: DataFrame, query_pred: Column, k: int = 5,
     Returns (query_id, neighbor_id, cos_r, rank). Rank ties broken by
     neighbor id for full determinism.
     """
-    base = with_norm(emb, vec_col)
-    q = base.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("q_v"),
-        F.col("_norm").alias("q_norm"),
-    )
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"),
-    )
-    cos_r = F.round(
-        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")), 6
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), F.col("neighbor_id").asc()
-    )
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cos_r.alias("cos_r"))
-        .withColumn("rank", F.row_number().over(w))
+        cosine_pairs(emb, query_pred, id_col, vec_col)
+        .withColumn("rank", F.row_number().over(_rank_window()))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
@@ -114,34 +149,15 @@ def hard_negative_topk(emb: DataFrame, n_anchors: int = 30, k: int = 3,
     Returns (query_id, query_label, neighbor_id, neighbor_label,
     cos_r, rank); rank ties break by neighbor id.
     """
-    base = with_norm(emb, vec_col)
-    q = base.filter(F.col(id_col) < n_anchors).select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col("_v").alias("q_v"),
-        F.col("_norm").alias("q_norm"),
-    )
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"),
-    )
-    cos_r = F.round(
-        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    pairs = cosine_pairs(
+        emb, F.col(id_col) < n_anchors, id_col, vec_col,
+        extra_cols=(label_col,),
     )
     return (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_label") != F.col("query_label"))
-        .select(
-            "query_id", "query_label", "neighbor_id", "neighbor_label",
-            cos_r.alias("cos_r"),
+        pairs.filter(
+            F.col(f"neighbor_{label_col}") != F.col(f"query_{label_col}")
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(_rank_window()))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
@@ -822,47 +838,25 @@ def retrieval_mrr(emb: DataFrame, n_queries: int = 30,
     Ties break by neighbor id; queries whose class has no other member
     report a null rank (excluded from MRR by convention).
     """
-    base = with_norm(emb, vec_col)
-    q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col("_v").alias("q_v"),
-        F.col("_norm").alias("q_norm"),
-    )
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"),
-    )
-    cos_r = F.round(
-        dot(F.col("q_v"), F.col("c_v")) / (F.col("q_norm") * F.col("c_norm")),
-        6,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), F.col("neighbor_id").asc()
-    )
-    ranked = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "query_label", "neighbor_label",
-            cos_r.alias("cos_r"),
-            F.col("neighbor_id"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-    )
+    ranked = cosine_pairs(
+        emb, F.col(id_col) < n_queries, id_col, vec_col,
+        extra_cols=(label_col,),
+    ).withColumn("rank", F.row_number().over(_rank_window()))
     hits = ranked.filter(
-        F.col("neighbor_label") == F.col("query_label")
-    ).groupBy("query_id", "query_label").agg(
+        F.col(f"neighbor_{label_col}") == F.col(f"query_{label_col}")
+    ).groupBy("query_id", f"query_{label_col}").agg(
         F.min("rank").alias("first_hit_rank")
     )
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias(f"query_{label_col}"),
+    )
     return (
-        q.select("query_id", "query_label")
-        .join(hits, ["query_id", "query_label"], "left")
+        queries
+        .join(hits, ["query_id", f"query_{label_col}"], "left")
         .select(
             "query_id",
-            "query_label",
+            f"query_{label_col}",
             "first_hit_rank",
             (F.lit(1.0) / F.col("first_hit_rank").cast("double")).alias(
                 "rr"

@@ -20,10 +20,10 @@ def write_per_lot(df: DataFrame, out_dir: str,
 
     `partitionBy` routes rows by key inside the writing stage — no
     driver loop, no shuffle beyond what the upstream plan already did.
-    `mode="append"` is the checkpoint-resume delivery shape (the CLI's
-    id/window high-water marks guarantee a record is written once, so
-    appends accumulate without duplication; the default overwrite is
-    the single-shot batch contract).
+    The default overwrite is the single-shot batch contract; the CLI
+    achieves exactly-once resume delivery by overwriting into
+    batch-scoped subdirectories (a plain append would be at-least-once
+    under a crash between delivery and checkpoint).
     """
     (
         df.withColumn("lot_number", F.col(lot_col))

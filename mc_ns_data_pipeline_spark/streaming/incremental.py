@@ -488,19 +488,36 @@ def run_stream_quality_gate(spark: SparkSession, events_path: str,
     rule-passing rows, which is what the oracle pins; the dead-letter
     side is asserted by tests (it is a filesystem artifact, not a
     query result).
+
+    Exactly-once across restarts: each sink write lands in a
+    batch-id-scoped subdirectory with overwrite mode, so a batch
+    replayed after a crash between the two writes overwrites ITS OWN
+    output instead of appending a duplicate copy (the standard
+    idempotent-foreachBatch pattern — plain appends to two sinks are
+    only at-least-once). The batch is persisted across the two writes
+    so the source is read once per micro-batch.
     """
-    from mc_ns_data_pipeline_spark.quality import (
-        split_valid,
-        write_dead_letter,
-    )
+    from mc_ns_data_pipeline_spark.quality import split_valid
     from mc_ns_data_pipeline_spark.session import scoped_conf
 
     stream = _events_stream(spark, events_path, schema)
 
-    def gate(batch_df: DataFrame, _batch_id: int) -> None:
-        valid, dead = split_valid(batch_df, event_quality_rules())
-        valid.write.mode("append").parquet(accepted_dir)
-        write_dead_letter(dead, dead_letter_dir)
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            valid, dead = split_valid(batch_df, event_quality_rules())
+            valid.write.mode("overwrite").parquet(
+                f"{accepted_dir}/batch_{batch_id}"
+            )
+            (
+                dead.withColumn(
+                    "_dead_lettered_at", F.current_timestamp()
+                )
+                .write.mode("overwrite")
+                .parquet(f"{dead_letter_dir}/batch_{batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
         q = (
@@ -510,7 +527,10 @@ def run_stream_quality_gate(spark: SparkSession, events_path: str,
             .start()
         )
         q.awaitTermination()
-    accepted = spark.read.parquet(accepted_dir)
+    accepted = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(accepted_dir)
+    )
     return (
         accepted.groupBy("event_type")
         .agg(

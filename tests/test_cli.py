@@ -32,9 +32,14 @@ def test_fetch_bulk_then_load_then_report(spark, tmp_path):
     ckpt = json.load(open(os.path.join(state, "checkpoint.json")))
     assert ckpt["last_processed_id"] == 36
 
-    # per-lot partitioned CSV landed
-    lots = [d for d in os.listdir(out) if d.startswith("lot_number=")]
-    assert lots, os.listdir(out)
+    # per-lot partitioned CSV landed inside the batch-scoped subdir
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_from_")]
+    assert batch_dirs, os.listdir(out)
+    lots = [
+        d for d in os.listdir(os.path.join(out, batch_dirs[0]))
+        if d.startswith("lot_number=")
+    ]
+    assert lots
 
     assert main([
         "load", "--bulk", "--input-dir", out, "--warehouse-dir", wh,
@@ -100,3 +105,26 @@ def test_fetch_incremental_windows_and_high_water_mark(spark, tmp_path):
         inferSchema=True,
     )
     assert log2.count() == 3
+
+
+def test_fetch_bulk_rerun_after_lost_checkpoint_is_idempotent(spark, tmp_path):
+    """Crash between delivery and checkpoint write: the re-run
+    overwrites its own batch directory instead of appending a
+    duplicate copy (exactly-once delivery per batch)."""
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    args = [
+        "fetch-bulk", "--n-pages", "4", *FETCHERS,
+        "--out-dir", out, "--state-dir", state,
+        "--start", "0", "--end", "60000",
+    ]
+    assert main(args) == 0
+    # simulate the crash: delivery landed but the checkpoint write
+    # never happened
+    os.remove(os.path.join(state, "checkpoint.json"))
+    assert main(args) == 0
+    delivered = spark.read.option("header", True).option(
+        "recursiveFileLookup", True
+    ).csv(out)
+    n_expected = len([i for i in range(37) if i % 5 != 0])
+    assert delivered.count() == n_expected

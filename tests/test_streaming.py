@@ -448,7 +448,7 @@ def test_stream_quality_gate_dead_letters_errors(spark, tmp_path, sf_dir):
         accepted_dir, dead_dir,
     )
     n_accepted = out.agg(F.sum("n_events")).collect()[0][0]
-    dead = spark.read.parquet(dead_dir)
+    dead = spark.read.option("recursiveFileLookup", "true").parquet(dead_dir)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert n_accepted + dead.count() == events.count()
     # every error event is dead-lettered, and carries the rule name
