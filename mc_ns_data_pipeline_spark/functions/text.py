@@ -168,3 +168,20 @@ def hash_sample_bucket(key: Column, buckets: int = 100) -> Column:
         F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
         .cast("long") % buckets
     )
+
+
+def half_texts(c: Column) -> tuple[Column, Column]:
+    """(first-half, second-half) of the normalized word sequence —
+    split at ceil(n/2) words, each half re-joined single-spaced. The
+    chunking step behind mixed-language detection."""
+    ws = words(c)
+    n = F.size(ws)
+    head_len = (n + F.lit(1)).cast("long") / F.lit(2)
+    head_n = F.floor(head_len).cast("int")
+    head = F.array_join(F.slice(ws, 1, head_n), " ")
+    tail = F.array_join(
+        F.when(n > head_n, F.slice(ws, head_n + 1, n - head_n))
+        .otherwise(F.array().cast("array<string>")),
+        " ",
+    )
+    return head, tail

@@ -935,3 +935,68 @@ def dedup_token_budget(docs: DataFrame, text_col: str = "text",
         )
         .orderBy("source")
     )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.8,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Asymmetric containment similarity: |A∩B| / |A| (and / |B|) over
+    shingle sets — the measure that catches SUBSET duplication
+    (a document quoting or embedding another) which symmetric Jaccard
+    dilutes away as the host document grows. Broder's containment
+    (1997, "On the resemblance and containment of documents") is the
+    standard excerpt-dedup criterion.
+
+    Same inverted-index shape as `ngram_jaccard_pairs` (shared-shingle
+    candidate join over the map-only postings relation, `max_shingle_df`
+    as the hot-posting skew cap); a pair survives when EITHER direction
+    is >= threshold. Containments and jaccard are exact-int divisions.
+    """
+    sets = doc_shingle_sets(df, text_col, id_col, k=3)
+    postings = _materialize(
+        sets.select(
+            F.col(id_col),
+            F.size("sh_ids").alias("n"),
+            F.explode_outer("sh_ids").alias("sh_id"),
+        )
+    ).filter(F.col("sh_id").isNotNull())
+    if max_shingle_df is not None:
+        small = (
+            postings.groupBy("sh_id").count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("sh_id")
+        )
+        postings = postings.join(small, "sh_id")
+    a = postings.select(
+        F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "sh_id"
+    )
+    b = postings.select(
+        F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "sh_id"
+    )
+    shared = (
+        a.join(b, "sh_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cont_a = d("shared") / d("n_a")
+    cont_b = d("shared") / d("n_b")
+    jac = d("shared") / (
+        (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+    )
+    return (
+        shared.select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(float(threshold))
+        )
+        .orderBy("doc_a", "doc_b")
+    )

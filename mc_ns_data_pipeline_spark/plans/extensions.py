@@ -2010,6 +2010,42 @@ def x75_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x76_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment similarity (Broder 1997): |A∩B|/|A|
+    catches subset duplication — excerpts/quotes — that symmetric
+    Jaccard dilutes as the host grows. Same inverted-index shape as
+    x07. See operators/dedup.py:containment_pairs."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.containment_pairs(docs, threshold=0.8)
+
+
+def x77_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection: language-ID the first and second half
+    of each document independently (functions/text.half_texts) and
+    flag disagreement — the curation signal for concatenation/crawl
+    artifacts that a whole-document classifier averages away. Map-only.
+    """
+    from mc_ns_data_pipeline_spark.functions.text import (
+        half_texts,
+        predict_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    head, tail = half_texts(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            predict_lang(head).alias("lang_head"),
+            predict_lang(tail).alias("lang_tail"),
+        )
+        .withColumn(
+            "is_mixed", F.col("lang_head") != F.col("lang_tail")
+        )
+        .orderBy("doc_id")
+    )
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -2086,6 +2122,8 @@ EXT_QUERIES = {
     "x73_funnel_conversion": x73_funnel_conversion,
     "x74_event_transitions": x74_event_transitions,
     "x75_retention_cohorts": x75_retention_cohorts,
+    "x76_containment_pairs": x76_containment_pairs,
+    "x77_mixed_language": x77_mixed_language,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -4374,3 +4412,85 @@ EXT_ORACLES["x75_retention_cohorts"] = """
     FROM activity a JOIN cohort_sizes s USING (cohort_week)
     ORDER BY cohort_week, week_number
 """
+
+# x76: the unfiltered inverted-index join with containment metrics —
+# exact-int divisions, pair kept when either direction clears 0.8.
+EXT_ORACLES["x76_containment_pairs"] = f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh
+        FROM shx a JOIN shx b ON a.sh_id = b.sh_id AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           s.sh::DOUBLE / na.n::DOUBLE AS containment_a,
+           s.sh::DOUBLE / nb.n::DOUBLE AS containment_b,
+           s.sh::DOUBLE / (na.n + nb.n - s.sh)::DOUBLE AS jaccard
+    FROM shared s
+    JOIN sizes na ON s.doc_a = na.doc_id
+    JOIN sizes nb ON s.doc_b = nb.doc_id
+    WHERE greatest(s.sh::DOUBLE / na.n::DOUBLE,
+                   s.sh::DOUBLE / nb.n::DOUBLE) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _predict_lang_case(half: str) -> str:
+    """predict_lang twin over an arbitrary (already-normalized) half
+    expression: marker counts + CJK check with the en>es>de>fr
+    priority CASE."""
+    scores = {
+        lang: (
+            f"len(list_filter(string_split({half}, ' '), "
+            f"x -> x IN ({_in_list(m)})))"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = "greatest({})".format(
+        ", ".join(scores[lang] for lang in ("en", "es", "de", "fr"))
+    )
+    cjk = f"len(regexp_extract_all({half}, '[\\x{{4e00}}-\\x{{9fff}}]'))"
+    whens = "\n                 ".join(
+        f"WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in ("en", "es", "de", "fr")
+    )
+    return f"""CASE WHEN {cjk} > 0 THEN 'zh'
+                 {whens}
+                 ELSE 'unknown' END"""
+
+
+def _mixed_language_sql() -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id, lang, string_split({_NORM}, ' ') AS ws
+            FROM documents
+        ),
+        halves AS (
+            SELECT doc_id, lang,
+                   array_to_string(
+                       list_slice(ws, 1, (len(ws) + 1) // 2), ' ')
+                       AS head,
+                   CASE WHEN len(ws) > (len(ws) + 1) // 2
+                        THEN array_to_string(
+                            list_slice(ws, (len(ws) + 1) // 2 + 1,
+                                       len(ws)), ' ')
+                        ELSE '' END AS tail
+            FROM w
+        ),
+        pred AS (
+            SELECT doc_id, lang,
+                   {_predict_lang_case('head')} AS lang_head,
+                   {_predict_lang_case('tail')} AS lang_tail
+            FROM halves
+        )
+        SELECT doc_id, lang, lang_head, lang_tail,
+               lang_head <> lang_tail AS is_mixed
+        FROM pred
+        ORDER BY doc_id
+    """
+
+
+# x77: half split at ceil(n/2) words in both engines; the per-half
+# language CASE mirrors predict_lang's fixed priority.
+EXT_ORACLES["x77_mixed_language"] = _mixed_language_sql()
