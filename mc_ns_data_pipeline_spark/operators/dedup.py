@@ -1000,3 +1000,43 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def leakage_safe_split(docs: DataFrame, eval_pct: int = 10,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup-aware train/eval split: the UNIT of assignment is the
+    duplicate CLUSTER, not the document, so no near-duplicate pair ever
+    straddles the boundary — the standard guard against train→eval
+    leakage that a row-level random split cannot give (a document's
+    near-twin landing in eval silently inflates every metric).
+
+    MinHash pairs -> connected components -> md5-bucket the cluster id
+    (deterministic, engine-reproducible — the x18 sampling idiom);
+    singleton documents are their own cluster. Returns (doc_id,
+    cluster_id, split). One pair pipeline + two id-sized joins.
+    """
+    from mc_ns_data_pipeline_spark.functions.text import (
+        hash_sample_bucket,
+    )
+
+    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
+    clusters = duplicate_clusters(pairs)
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = hash_sample_bucket(F.col("cluster_id"), buckets=100)
+    return (
+        assigned.select(
+            "doc_id",
+            "cluster_id",
+            F.when(bucket < eval_pct, F.lit("eval"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )

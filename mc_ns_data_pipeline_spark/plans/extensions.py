@@ -2065,6 +2065,15 @@ def x77_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x78_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split: duplicate CLUSTERS (not
+    documents) are md5-bucketed into splits, so no near-dup pair
+    straddles the boundary — the train→eval leakage guard. See
+    operators/dedup.py:leakage_safe_split."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.leakage_safe_split(docs, eval_pct=10)
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -2143,6 +2152,7 @@ EXT_QUERIES = {
     "x75_retention_cohorts": x75_retention_cohorts,
     "x76_containment_pairs": x76_containment_pairs,
     "x77_mixed_language": x77_mixed_language,
+    "x78_leakage_safe_split": x78_leakage_safe_split,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -4513,3 +4523,35 @@ def _mixed_language_sql() -> str:
 # x77: half split at ceil(n/2) words in both engines; the per-half
 # language CASE mirrors predict_lang's fixed priority.
 EXT_ORACLES["x77_mixed_language"] = _mixed_language_sql()
+
+# x78: recursive-CTE connected components (the x16 contract) with
+# singleton fallback to the doc's own id; the split bucket is the x18
+# md5 idiom over the cluster id.
+EXT_ORACLES["x78_leakage_safe_split"] = f"""
+    WITH RECURSIVE {_minhash_body()},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM sym),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON r.id = s.b
+    ),
+    clusters AS (
+        SELECT id AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY id
+    ),
+    assigned AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 4))::BIGINT
+                     % 100 < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM assigned
+    ORDER BY doc_id
+"""

@@ -548,3 +548,22 @@ def test_dedup_budget_bounds(spark, sf_dir):
         assert r["effective_tokens"] <= r["raw_tokens"] + 1e-6
         if r["n_in_clusters"] == 0:
             assert abs(r["effective_tokens"] - r["raw_tokens"]) < 1e-6
+
+
+def test_leakage_safe_split_never_splits_near_dups(spark, sf_dir):
+    """No near-duplicate pair straddles the train/eval boundary, and
+    every document is assigned exactly once."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = leakage_safe_split(docs, eval_pct=30)
+    assert split.count() == docs.count()
+    by_doc = {r["doc_id"]: r["split"] for r in split.collect()}
+    pairs = minhash_dedup_pairs(docs).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]], p
