@@ -464,3 +464,36 @@ def test_stream_quality_gate_dead_letters_errors(spark, tmp_path, sf_dir):
     )
     assert replay_valid.count() == 0
     assert replay_dead.count() == dead.count()
+
+
+def test_stream_quality_gate_replayed_batch_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch with the same batch id (the crash-
+    between-sinks recovery path) overwrites its own output instead of
+    appending a duplicate copy."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.quality import split_valid
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        event_quality_rules,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "click", 1.0, 7), (2, "error", 2.0, 8), (3, "view", 3.0, 9)],
+        "event_id long, event_type string, value double, user_id long",
+    )
+    acc = str(tmp_path / "acc")
+    dead = str(tmp_path / "dead")
+
+    def gate(batch_df, batch_id):
+        valid, d = split_valid(batch_df, event_quality_rules())
+        valid.write.mode("overwrite").parquet(f"{acc}/batch_{batch_id}")
+        d.withColumn("_dead_lettered_at", F.current_timestamp()).write.mode(
+            "overwrite"
+        ).parquet(f"{dead}/batch_{batch_id}")
+
+    gate(batch, 0)
+    gate(batch, 0)  # replay after simulated crash
+    acc_rows = spark.read.option("recursiveFileLookup", "true").parquet(acc)
+    dead_rows = spark.read.option("recursiveFileLookup", "true").parquet(dead)
+    assert acc_rows.count() == 2
+    assert dead_rows.count() == 1
