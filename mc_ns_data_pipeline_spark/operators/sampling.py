@@ -82,6 +82,105 @@ def weighted_mixture_sample(df: DataFrame, strata_col: str,
     )
 
 
+def token_budget_mixture(df: DataFrame, source_col: str, token_col: str,
+                         id_col: str, weights: dict[str, int],
+                         default_weight: int = 1,
+                         budget_num: int = 1, budget_den: int = 2,
+                         buckets: int = 10_000) -> DataFrame:
+    """Token-budget mixture planning: derive a per-source sampling RATE
+    from a target mixture and a global token budget, then hash-sample
+    to it — the data-mixing step that sizes each source's contribution
+    in TOKENS (what the training run consumes), not rows.
+
+    `weights` are integer mixture weights (e.g. {"wiki": 3} with
+    default 1 = wiki gets 3 shares); the global budget is
+    `budget_num/budget_den` of corpus tokens. Each source's token
+    budget is `budget · weight/Σweights`, its rate is
+    `min(1, budget_s/tokens_s)` expressed in md5 buckets, and the
+    selection is the same deterministic bucket threshold as
+    `hash_sample_bucket` (x18) — reproducible across engines, so the
+    whole plan AND its realized sample are oracle-checkable. All rate
+    arithmetic is integer (long `div`), no doubles anywhere: floor
+    division of exact longs is bit-identical in any engine, where a
+    float rate at a bucket boundary would not be.
+
+    Unlike `weighted_mixture_sample` (given per-stratum ROW fractions,
+    exact row quotas via a rank window), this derives TOKEN-share rates
+    from the data and stays window-free: one small groupBy(source), a
+    broadcast of the k-row plan back onto the corpus, a map-only
+    filter, and a second small groupBy — no per-stratum sort, so hot
+    sources don't serialize through one reducer at 100 TB.
+
+    Output (one row per source, ordered): source, source_docs,
+    source_tokens, weight, budget_tokens, rate_buckets, selected_docs,
+    selected_tokens.
+    """
+    from mc_ns_data_pipeline_spark.functions.text import hash_sample_bucket
+
+    weight = F.lit(int(default_weight)).cast("long")
+    for k, v in sorted(weights.items()):
+        weight = F.when(
+            F.col("source") == k, F.lit(int(v)).cast("long")
+        ).otherwise(weight)
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        F.col(token_col).cast("long").alias("_tokens"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("source_docs"),
+        F.sum("_tokens").alias("source_tokens"),
+    ).withColumn("weight", weight.alias("weight"))
+    totals = per_src.agg(
+        F.sum("source_tokens").alias("_corpus_tokens"),
+        F.sum("weight").alias("_weight_sum"),
+    )
+    plan = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "budget_tokens",
+            F.expr(
+                f"({budget_num} * _corpus_tokens * weight)"
+                f" div ({budget_den} * _weight_sum)"
+            ),
+        )
+        .withColumn(
+            "rate_buckets",
+            F.least(
+                F.lit(buckets).cast("long"),
+                F.expr(
+                    f"({buckets} * {budget_num} * weight * _corpus_tokens)"
+                    f" div ({budget_den} * _weight_sum * source_tokens)"
+                ),
+            ),
+        )
+        .drop("_corpus_tokens", "_weight_sum")
+    )
+    selected = (
+        toks.join(
+            F.broadcast(plan.select("source", "rate_buckets")), "source"
+        )
+        .filter(hash_sample_bucket(F.col("_id"), buckets)
+                < F.col("rate_buckets"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("selected_docs"),
+            F.sum("_tokens").alias("selected_tokens"),
+        )
+    )
+    return (
+        plan.join(F.broadcast(selected), "source", "left")
+        .select(
+            "source", "source_docs", "source_tokens", "weight",
+            "budget_tokens", "rate_buckets",
+            F.coalesce("selected_docs", F.lit(0)).alias("selected_docs"),
+            F.coalesce("selected_tokens", F.lit(0)).alias("selected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def label_balance(df: DataFrame, label_col: str, id_col: str) -> DataFrame:
     """Class-balanced downsampling: keep exactly n_min rows per label,
     where n_min is the smallest class's size — the standard rebalance

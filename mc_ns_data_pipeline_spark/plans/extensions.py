@@ -2074,6 +2074,28 @@ def x78_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.leakage_safe_split(docs, eval_pct=10)
 
 
+def x79_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: half the corpus's tokens,
+    mixture-weighted 3 shares to the curated sources (src0/src1) and 1
+    to everything else, realized as deterministic per-source md5-bucket
+    rates. Integer-exact rate math + the x18 bucket idiom make both the
+    plan and the realized sample hash-checkable. See
+    operators/sampling.py:token_budget_mixture."""
+    from mc_ns_data_pipeline_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id", "source",
+        bpe_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return token_budget_mixture(
+        toks, "source", "n_tokens", "doc_id",
+        weights={"src0": 3, "src1": 3},
+    )
+
+
 EXT_QUERIES = {
     "x01_text_tokens": x01_text_tokens,
     "x02_text_quality": x02_text_quality,
@@ -2153,6 +2175,7 @@ EXT_QUERIES = {
     "x76_containment_pairs": x76_containment_pairs,
     "x77_mixed_language": x77_mixed_language,
     "x78_leakage_safe_split": x78_leakage_safe_split,
+    "x79_token_budget_mixture": x79_token_budget_mixture,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -4554,4 +4577,53 @@ EXT_ORACLES["x78_leakage_safe_split"] = f"""
                 THEN 'eval' ELSE 'train' END AS split
     FROM assigned
     ORDER BY doc_id
+"""
+
+# x79: all rate math is long floor-division (// here, `div` in Spark)
+# over exact integer sums, so the per-source rates — and therefore the
+# realized md5-bucket sample — are bit-identical across engines.
+EXT_ORACLES["x79_token_budget_mixture"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source,
+               count(*)::BIGINT AS source_docs,
+               sum(n_tokens)::BIGINT AS source_tokens,
+               (CASE WHEN source IN ('src0', 'src1') THEN 3
+                     ELSE 1 END)::BIGINT AS weight
+        FROM toks GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(source_tokens)::BIGINT AS corpus_tokens,
+               sum(weight)::BIGINT AS weight_sum
+        FROM per_src
+    ),
+    plan AS (
+        SELECT p.source, p.source_docs, p.source_tokens, p.weight,
+               (1 * t.corpus_tokens * p.weight)
+                   // (2 * t.weight_sum) AS budget_tokens,
+               LEAST(10000, (10000 * 1 * p.weight * t.corpus_tokens)
+                   // (2 * t.weight_sum * p.source_tokens))
+                   AS rate_buckets
+        FROM per_src p CROSS JOIN tot t
+    ),
+    sel AS (
+        SELECT k.source,
+               count(*)::BIGINT AS selected_docs,
+               sum(k.n_tokens)::BIGINT AS selected_tokens
+        FROM toks k JOIN plan USING (source)
+        WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 4))::BIGINT
+                  % 10000 < rate_buckets
+        GROUP BY k.source
+    )
+    SELECT p.source, p.source_docs, p.source_tokens, p.weight,
+           p.budget_tokens, p.rate_buckets,
+           coalesce(s.selected_docs, 0)::BIGINT AS selected_docs,
+           coalesce(s.selected_tokens, 0)::BIGINT AS selected_tokens
+    FROM plan p LEFT JOIN sel s USING (source)
+    ORDER BY p.source
 """

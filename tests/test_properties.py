@@ -432,6 +432,52 @@ def test_label_balance_equalizes_classes(spark, sf_dir):
     assert first == again
 
 
+def test_token_budget_mixture_honors_budget_and_weights(spark, sf_dir):
+    """The per-source plan spends at most the global token budget,
+    weighted sources get proportionally larger budgets, every realized
+    selection fits inside its source, and two runs agree exactly."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.functions.text import bpe_token_count
+    from mc_ns_data_pipeline_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    out = token_budget_mixture(
+        toks, "source", "n_tokens", "doc_id", weights={"src0": 3}
+    )
+    rows = {r["source"]: r.asDict() for r in out.collect()}
+    corpus_tokens = sum(r["source_tokens"] for r in rows.values())
+    weight_sum = sum(r["weight"] for r in rows.values())
+
+    assert rows["src0"]["weight"] == 3
+    assert all(r["weight"] == 1 for s, r in rows.items() if s != "src0")
+    # floor-division budgets never exceed the global budget
+    assert sum(r["budget_tokens"] for r in rows.values()) <= corpus_tokens // 2
+    for s, r in rows.items():
+        assert r["budget_tokens"] == (corpus_tokens * r["weight"]) // (
+            2 * weight_sum
+        )
+        assert 0 <= r["rate_buckets"] <= 10_000
+        assert r["selected_docs"] <= r["source_docs"]
+        assert r["selected_tokens"] <= r["source_tokens"]
+        # a capped rate means the whole source is selected
+        if r["rate_buckets"] == 10_000:
+            assert r["selected_docs"] == r["source_docs"]
+    again = {
+        r["source"]: r.asDict()
+        for r in token_budget_mixture(
+            toks, "source", "n_tokens", "doc_id", weights={"src0": 3}
+        ).collect()
+    }
+    assert rows == again
+
+
 def test_hard_negatives_never_share_label(spark, sf_dir):
     """Mined negatives always carry a different label than their anchor
     and ranks are dense 1..k per anchor."""
