@@ -58,6 +58,28 @@ def cjk_count(c: Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(CJK_PATTERN), F.lit(0)))
 
 
+def predict_lang_from(ws: Column, raw: Column) -> Column:
+    """Language CASE over a pre-split words array `ws` plus the raw
+    string `raw` (for the CJK probe). Callers scoring more than one
+    text per row should BIND `ws` to a real column first — the marker
+    scores are lambda filters over `ws`, and Catalyst does not CSE
+    subexpressions referenced inside lambda bodies (the
+    shingles_from_words contract), so an unbound `words(text)` here is
+    re-normalized and re-split once per language.
+    """
+    scores = {
+        lang: F.size(F.filter(ws, lambda w: w.isin(*m)))
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(cjk_count(raw) > 0, F.lit("zh"))
+    for lang in ("en", "es", "de", "fr"):
+        expr = expr.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        )
+    return expr.otherwise(F.lit("unknown"))
+
+
 def predict_lang(c: Column) -> Column:
     """Marker-count language heuristic with fixed priority ordering.
 
@@ -65,14 +87,7 @@ def predict_lang(c: Column) -> Column:
     the strictly-highest marker count in priority order en>es>de>fr;
     'unknown' when all scores are zero.
     """
-    scores = {lang: marker_hits(c, m) for lang, m in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    expr = F.when(cjk_count(c) > 0, F.lit("zh"))
-    for lang in ("en", "es", "de", "fr"):
-        expr = expr.when(
-            (scores[lang] == best) & (best > 0), F.lit(lang)
-        )
-    return expr.otherwise(F.lit("unknown"))
+    return predict_lang_from(words(c), c)
 
 
 def punct_count(c: Column) -> Column:
@@ -170,18 +185,3 @@ def hash_sample_bucket(key: Column, buckets: int = 100) -> Column:
     )
 
 
-def half_texts(c: Column) -> tuple[Column, Column]:
-    """(first-half, second-half) of the normalized word sequence —
-    split at ceil(n/2) words, each half re-joined single-spaced. The
-    chunking step behind mixed-language detection."""
-    ws = words(c)
-    n = F.size(ws)
-    head_len = (n + F.lit(1)).cast("long") / F.lit(2)
-    head_n = F.floor(head_len).cast("int")
-    head = F.array_join(F.slice(ws, 1, head_n), " ")
-    tail = F.array_join(
-        F.when(n > head_n, F.slice(ws, head_n + 1, n - head_n))
-        .otherwise(F.array().cast("array<string>")),
-        " ",
-    )
-    return head, tail

@@ -220,36 +220,46 @@ def jaccard_verify(pairs: DataFrame, sets: DataFrame,
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        sort: bool = True) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-verify. Shingling and signing are map-only;
     the only shuffles are the band bucket-join and the pair verify.
     The shingle-set relation is materialized once and shared by the
-    signature and verify stages (see _materialize)."""
+    signature and verify stages (see _materialize).
+
+    `sort=False` skips the deterministic output ordering — pass it when
+    the pairs feed another operator (clustering, accounting): a global
+    orderBy is a range sort whose boundary-sampling pass executes the
+    band-join + verify child an extra time, and every downstream
+    join/aggregate destroys the order anyway."""
     sets = _materialize(doc_shingle_sets(df, text_col, id_col))
     sig = minhash_signatures(sets, id_col)
     pairs = lsh_candidate_pairs(lsh_band_keys(sig, id_col), id_col)
-    return jaccard_verify(pairs, sets, id_col, threshold).orderBy(
-        "doc_a", "doc_b"
-    )
+    verified = jaccard_verify(pairs, sets, id_col, threshold)
+    if not sort:
+        return verified
+    # Materialize before the deterministic sort: the range sort's
+    # boundary-sampling pass would otherwise run the band-join + verify
+    # a second time (same density-safe shape as ngram_jaccard_pairs).
+    return _materialize(verified).orderBy("doc_a", "doc_b")
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        threshold: float = 0.4,
-                        max_shingle_df: int | None = None) -> DataFrame:
-    """Exact n-gram Jaccard similarity via inverted-index join.
+def _shared_shingle_counts(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 3,
+                           max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, shared) for every pair sharing >= 1
+    shingle — the inverted-index candidate relation both exact-Jaccard
+    and containment are a projection over.
 
-    Candidate pairs come from sharing >= 1 shingle (inverted index), so
+    Candidate pairs come from the shared-shingle equi-join, so
     complexity follows posting-list sizes. `max_shingle_df` caps hot
     postings (frequent-shingle filtering) to keep the join skew-free at
-    corpus scale; None = exact.
-
-    Per-doc set sizes ride along as an int column through the join (the
-    size is just array length — map-only), so no sizes relation and no
-    post-join enrichment joins are needed.
+    corpus scale; None = exact. Per-doc set sizes ride along as an int
+    column through the join (array length — map-only), so no sizes
+    relation and no post-join enrichment joins are needed.
     """
-    sets = doc_shingle_sets(df, text_col, id_col, k=3)
+    sets = doc_shingle_sets(df, text_col, id_col, k=k)
     # explode_outer, not explode: a plain explode makes Catalyst infer a
     # `size(sh_ids)>0 AND isnotnull(sh_ids)` filter below the Generate,
     # which re-evaluates the whole gram expression on raw text (twice).
@@ -276,21 +286,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     b = postings.select(
         F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "sh_id"
     )
-    shared = (
+    return (
         a.join(b, "sh_id")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.4,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join — a
+    threshold filter over `_shared_shingle_counts`, materialized before
+    the deterministic orderBy. The materialize matters twice over: a
+    range sort's boundary-sampling pass would otherwise execute the
+    whole inverted-index join a second time, and the pair volume tracks
+    corpus duplicate DENSITY (not size), so a single-partition sort —
+    the other way to avoid the double execution — collapses on
+    duplicate-heavy corpora (measured at 10x: repartition(1) ~21 s vs
+    checkpoint+orderBy ~10 s; at 100 TB the parallel sort is the only
+    safe shape).
+    """
+    shared = _shared_shingle_counts(
+        df, text_col, id_col, k=3, max_shingle_df=max_shingle_df
+    )
     jac = F.col("shared").cast("double") / (
         (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
     )
-    return (
+    return _materialize(
         shared
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    ).orderBy("doc_a", "doc_b")
 
 
 def decontaminate_against(df: DataFrame, bench_filter: Column,
@@ -476,7 +505,8 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
+                       sort: bool = True) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id),
     cluster_id = min doc id reachable through the pair graph.
 
@@ -530,9 +560,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = stepped.drop("chg")
         if changed == 0:
             break
-    return labels.select(
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    )
+    # sort=False for operator-to-operator use: the labels are already
+    # checkpointed, but the range sort still adds a sampling pass and a
+    # shuffle that the consuming join immediately destroys.
+    return out.orderBy("doc_id") if sort else out
 
 
 def line_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -888,8 +922,10 @@ def dedup_token_budget(docs: DataFrame, text_col: str = "text",
     re-shuffles); weights are exact integer ratios so the effective sum
     goes through DECIMAL(28,6) like every cross-row double sum.
     """
-    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
-    clusters = duplicate_clusters(pairs)
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, sort=False
+    )
+    clusters = duplicate_clusters(pairs, sort=False)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -948,37 +984,16 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     (1997, "On the resemblance and containment of documents") is the
     standard excerpt-dedup criterion.
 
-    Same inverted-index shape as `ngram_jaccard_pairs` (shared-shingle
-    candidate join over the map-only postings relation, `max_shingle_df`
-    as the hot-posting skew cap); a pair survives when EITHER direction
-    is >= threshold. Containments and jaccard are exact-int divisions.
+    Same candidate relation as `ngram_jaccard_pairs` — a different
+    projection over `_shared_shingle_counts` (one shared
+    implementation of the postings build and skew cap, so a fix there
+    lands in both operators); a pair survives when EITHER direction is
+    >= threshold. Containments and jaccard are exact-int divisions;
+    the final order is materialize-then-orderBy for the same
+    no-double-execution, density-safe reason as `ngram_jaccard_pairs`.
     """
-    sets = doc_shingle_sets(df, text_col, id_col, k=3)
-    postings = _materialize(
-        sets.select(
-            F.col(id_col),
-            F.size("sh_ids").alias("n"),
-            F.explode_outer("sh_ids").alias("sh_id"),
-        )
-    ).filter(F.col("sh_id").isNotNull())
-    if max_shingle_df is not None:
-        small = (
-            postings.groupBy("sh_id").count()
-            .filter(F.col("count") <= max_shingle_df)
-            .select("sh_id")
-        )
-        postings = postings.join(small, "sh_id")
-    a = postings.select(
-        F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "sh_id"
-    )
-    b = postings.select(
-        F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"), "sh_id"
-    )
-    shared = (
-        a.join(b, "sh_id")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    shared = _shared_shingle_counts(
+        df, text_col, id_col, k=3, max_shingle_df=max_shingle_df
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     cont_a = d("shared") / d("n_a")
@@ -998,6 +1013,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             F.greatest(F.col("containment_a"), F.col("containment_b"))
             >= F.lit(float(threshold))
         )
+        .localCheckpoint(eager=False)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1020,8 +1036,10 @@ def leakage_safe_split(docs: DataFrame, eval_pct: int = 10,
         hash_sample_bucket,
     )
 
-    pairs = minhash_dedup_pairs(docs, text_col=text_col, id_col=id_col)
-    clusters = duplicate_clusters(pairs)
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, sort=False
+    )
+    clusters = duplicate_clusters(pairs, sort=False)
     assigned = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(clusters, "doc_id", "left")

@@ -123,11 +123,15 @@ def token_budget_mixture(df: DataFrame, source_col: str, token_col: str,
             F.col("source") == k, F.lit(int(v)).cast("long")
         ).otherwise(weight)
 
+    # Materialize: the relation is consumed twice (plan aggregation and
+    # the selection filter scan), and at the x79 call site the token
+    # column is a per-document regex battery — without the checkpoint
+    # the second consumer re-tokenizes the whole corpus.
     toks = df.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("_id"),
         F.col(token_col).cast("long").alias("_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     per_src = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("source_docs"),
         F.sum("_tokens").alias("source_tokens"),

@@ -36,21 +36,7 @@ from mc_ns_data_pipeline_spark.operators import similarity as S
 # ---------------------------------------------------------------------------
 
 
-def _sorted_small(df: DataFrame, *cols: str) -> DataFrame:
-    """Deterministic total order for a SMALL result relation.
-
-    A global `orderBy` is a range sort: Spark first executes the child
-    once just to SAMPLE range boundaries, then again to sort — for a
-    query whose expensive part is everything below the final sort,
-    that doubles the work (x60 measured 6.4 s/run with orderBy vs
-    ~2.7 s with this shape at sf0.1). When the OUTPUT is known small
-    (node tables, pair lists, report rows — not corpus-sized
-    relations), shuffling the result to one partition and sorting
-    within it computes the child once and sorts trivially. The
-    repartition is a real exchange, so the expensive child still runs
-    at full parallelism.
-    """
-    return df.repartition(1).sortWithinPartitions(*cols)
+from mc_ns_data_pipeline_spark.catalog import sorted_small as _sorted_small
 
 
 def x01_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,8 +889,8 @@ def x47_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
-    clusters = D.duplicate_clusters(pairs)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, sort=False)
+    clusters = D.duplicate_clusters(pairs, sort=False)
     membered = (
         docs.select("doc_id", "n_chars")
         .join(clusters, "doc_id", "left")
@@ -1354,7 +1340,7 @@ def x16_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id = min doc_id of the component.
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, sort=False)
     return D.duplicate_clusters(pairs)
 
 
@@ -2040,26 +2026,54 @@ def x76_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x77_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-language detection: language-ID the first and second half
-    of each document independently (functions/text.half_texts) and
-    flag disagreement — the curation signal for concatenation/crawl
-    artifacts that a whole-document classifier averages away. Map-only.
+    of each document independently and flag disagreement between two
+    IDENTIFIED halves — the curation signal for concatenation/crawl
+    artifacts that a whole-document classifier averages away. A half
+    scoring 'unknown' (markers all in the other half) is not evidence
+    of mixing, so it never flags. Map-only.
     """
     from mc_ns_data_pipeline_spark.functions.text import (
-        half_texts,
-        predict_lang,
+        predict_lang_from,
+        words,
     )
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    head, tail = half_texts(F.col("text"))
+    # Bind the split array, then the half arrays/strings, to REAL
+    # columns before scoring (lambda-CSE contract, predict_lang_from
+    # docstring): norm+split runs once per row, not once per language
+    # per half. Measured: 2.75 s -> 1.19 s median at sf0.1.
+    ws = docs.select(
+        "doc_id", "lang", words(F.col("text")).alias("ws")
+    ).withColumn("head_n", ((F.size("ws") + 1).cast("long") / 2)
+                 .cast("int"))
+    halves = ws.select(
+        "doc_id",
+        "lang",
+        F.slice("ws", 1, F.col("head_n")).alias("ws_head"),
+        F.when(
+            F.size("ws") > F.col("head_n"),
+            F.slice("ws", F.col("head_n") + 1,
+                    F.size("ws") - F.col("head_n")),
+        ).otherwise(F.array().cast("array<string>")).alias("ws_tail"),
+    ).select(
+        "doc_id", "lang", "ws_head", "ws_tail",
+        F.array_join("ws_head", " ").alias("head"),
+        F.array_join("ws_tail", " ").alias("tail"),
+    )
     return (
-        docs.select(
+        halves.select(
             "doc_id",
             "lang",
-            predict_lang(head).alias("lang_head"),
-            predict_lang(tail).alias("lang_tail"),
+            predict_lang_from(F.col("ws_head"), F.col("head"))
+            .alias("lang_head"),
+            predict_lang_from(F.col("ws_tail"), F.col("tail"))
+            .alias("lang_tail"),
         )
         .withColumn(
-            "is_mixed", F.col("lang_head") != F.col("lang_tail")
+            "is_mixed",
+            (F.col("lang_head") != F.col("lang_tail"))
+            & (F.col("lang_head") != "unknown")
+            & (F.col("lang_tail") != "unknown"),
         )
         .orderBy("doc_id")
     )
@@ -2200,35 +2214,50 @@ def _in_list(items: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in items)
 
 
-def _marker_hits_sql(markers: tuple[str, ...]) -> str:
-    return (
-        f"len(list_filter(string_split({_NORM}, ' '), "
-        f"x -> x IN ({_in_list(markers)})))"
+def _lang_scores_sql(text_expr: str, suffix: str) -> str:
+    """Score columns (cjk{sfx}, s_en{sfx}, ...) for one text expression
+    — the single source of truth for predict_lang's marker scoring.
+    Bound in a CTE so the priority CASE references COLUMNS; inlining
+    the list_filters into the CASE would re-evaluate each one inside
+    every greatest/WHEN reference."""
+    cols = [
+        f"len(regexp_extract_all({text_expr}, "
+        f"'[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk{suffix}"
+    ]
+    for lang, m in LANG_MARKERS.items():
+        cols.append(
+            f"len(list_filter(string_split({text_expr}, ' '), "
+            f"x -> x IN ({_in_list(m)}))) AS s_{lang}{suffix}"
+        )
+    return ",\n               ".join(cols)
+
+
+def _lang_case_sql(suffix: str) -> str:
+    """predict_lang's fixed-priority CASE over bound score columns —
+    shared by the whole-document (x03) and per-half (x77) oracles so
+    the tie-break priority can never diverge between them."""
+    langs = ("en", "es", "de", "fr")
+    best = "greatest({})".format(
+        ", ".join(f"s_{lang}{suffix}" for lang in langs)
     )
+    whens = "\n                 ".join(
+        f"WHEN s_{lang}{suffix} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""CASE WHEN cjk{suffix} > 0 THEN 'zh'
+                 {whens}
+                 ELSE 'unknown' END"""
 
 
 def _langid_sql() -> str:
-    scores = {
-        lang: _marker_hits_sql(m) for lang, m in LANG_MARKERS.items()
-    }
-    score_cols = ",\n               ".join(
-        f"{expr} AS s_{lang}" for lang, expr in scores.items()
-    )
-    best = "greatest(s_en, s_es, s_de, s_fr)"
     return f"""
         WITH scored AS (
             SELECT doc_id, lang,
-               len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk,
-               {score_cols}
+               {_lang_scores_sql(_NORM, '')}
             FROM documents
         ), pred AS (
             SELECT doc_id, lang,
-                CASE WHEN cjk > 0 THEN 'zh'
-                     WHEN s_en = {best} AND {best} > 0 THEN 'en'
-                     WHEN s_es = {best} AND {best} > 0 THEN 'es'
-                     WHEN s_de = {best} AND {best} > 0 THEN 'de'
-                     WHEN s_fr = {best} AND {best} > 0 THEN 'fr'
-                     ELSE 'unknown' END AS predicted_lang
+                {_lang_case_sql('')} AS predicted_lang
             FROM scored
         )
         SELECT doc_id, lang, predicted_lang,
@@ -4488,30 +4517,6 @@ EXT_ORACLES["x76_containment_pairs"] = f"""
 """
 
 
-def _predict_lang_case(half: str) -> str:
-    """predict_lang twin over an arbitrary (already-normalized) half
-    expression: marker counts + CJK check with the en>es>de>fr
-    priority CASE."""
-    scores = {
-        lang: (
-            f"len(list_filter(string_split({half}, ' '), "
-            f"x -> x IN ({_in_list(m)})))"
-        )
-        for lang, m in LANG_MARKERS.items()
-    }
-    best = "greatest({})".format(
-        ", ".join(scores[lang] for lang in ("en", "es", "de", "fr"))
-    )
-    cjk = f"len(regexp_extract_all({half}, '[\\x{{4e00}}-\\x{{9fff}}]'))"
-    whens = "\n                 ".join(
-        f"WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}'"
-        for lang in ("en", "es", "de", "fr")
-    )
-    return f"""CASE WHEN {cjk} > 0 THEN 'zh'
-                 {whens}
-                 ELSE 'unknown' END"""
-
-
 def _mixed_language_sql() -> str:
     return f"""
         WITH w AS (
@@ -4530,14 +4535,22 @@ def _mixed_language_sql() -> str:
                         ELSE '' END AS tail
             FROM w
         ),
+        scored AS (
+            SELECT doc_id, lang,
+                   {_lang_scores_sql('head', '_h')},
+                   {_lang_scores_sql('tail', '_t')}
+            FROM halves
+        ),
         pred AS (
             SELECT doc_id, lang,
-                   {_predict_lang_case('head')} AS lang_head,
-                   {_predict_lang_case('tail')} AS lang_tail
-            FROM halves
+                   {_lang_case_sql('_h')} AS lang_head,
+                   {_lang_case_sql('_t')} AS lang_tail
+            FROM scored
         )
         SELECT doc_id, lang, lang_head, lang_tail,
-               lang_head <> lang_tail AS is_mixed
+               (lang_head <> lang_tail
+                AND lang_head <> 'unknown'
+                AND lang_tail <> 'unknown') AS is_mixed
         FROM pred
         ORDER BY doc_id
     """

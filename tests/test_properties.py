@@ -432,6 +432,54 @@ def test_label_balance_equalizes_classes(spark, sf_dir):
     assert first == again
 
 
+def test_containment_flags_exact_excerpt(spark):
+    """A document that is a verbatim excerpt of another scores
+    containment 1.0 in the excerpt direction, containment >= jaccard
+    always holds, and the unsorted/sorted minhash entry points return
+    the same pair set."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        minhash_dedup_pairs,
+    )
+
+    host = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    excerpt = "delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, host), (2, excerpt), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r.asDict()
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in rows
+    # every shingle of the excerpt appears in the host
+    assert rows[(1, 2)]["containment_b"] == 1.0
+    assert rows[(1, 2)]["jaccard"] < 1.0
+    for r in rows.values():
+        assert max(r["containment_a"], r["containment_b"]) >= r["jaccard"]
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+    corpus = spark.createDataFrame(
+        [(i, host if i % 2 else excerpt) for i in range(8)],
+        "doc_id long, text string",
+    )
+    sorted_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(corpus).collect()
+    }
+    unsorted_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(corpus, sort=False).collect()
+    }
+    assert sorted_pairs == unsorted_pairs and sorted_pairs
+
+
 def test_token_budget_mixture_honors_budget_and_weights(spark, sf_dir):
     """The per-source plan spends at most the global token budget,
     weighted sources get proportionally larger budgets, every realized
