@@ -23,7 +23,6 @@ from mc_ns_data_pipeline_spark.functions.text import (
     fingerprint_bow,
     fingerprint_full,
     norm_text,
-    predict_lang,
     stopword_count,
     word_count,
     words,
@@ -87,14 +86,29 @@ def x02_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x03_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-count language-ID heuristic vs the labeled lang column."""
+    """Marker-count language-ID heuristic vs the labeled lang column.
+
+    The split array is bound to a real column and the prediction to a
+    real column before reuse (lambda-CSE contract, predict_lang_from):
+    the unbound version evaluated the whole score CASE — five
+    norm+splits — twice per row."""
+    from mc_ns_data_pipeline_spark.functions.text import (
+        predict_lang_from,
+        words,
+    )
+
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    pred = predict_lang(F.col("text"))
-    return docs.select(
-        F.col("doc_id"),
-        F.col("lang"),
-        pred.alias("predicted_lang"),
-        (pred == F.col("lang")).alias("is_match"),
+    bound = docs.select(
+        "doc_id", "lang", "text", words(F.col("text")).alias("_ws")
+    )
+    return (
+        bound.select(
+            "doc_id",
+            "lang",
+            predict_lang_from(F.col("_ws"), F.col("text"))
+            .alias("predicted_lang"),
+        )
+        .withColumn("is_match", F.col("predicted_lang") == F.col("lang"))
     )
 
 

@@ -163,6 +163,46 @@ def test_decontaminate_semantics(spark):
     assert got[2]["is_contaminated"] is False
 
 
+def test_predict_lang_priority_and_unknown(spark):
+    """zh beats marker counts when CJK is present; en>es>de>fr priority
+    breaks score ties; all-zero scores give 'unknown'; and the
+    convenience wrapper equals the bound-array form it delegates to."""
+    import pyspark.sql.functions as F
+
+    from mc_ns_data_pipeline_spark.functions.text import (
+        predict_lang,
+        predict_lang_from,
+        words,
+    )
+
+    rows = [
+        (1, "the cat and the dog are friends"),
+        (2, "el perro y la casa de los gatos"),
+        (3, "der hund und die katze sind hier"),
+        (4, "中文 text with the and of markers"),
+        (5, "zzz qqq xxx 123"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", predict_lang(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "de", 4: "zh",
+                   5: "unknown", 6: "unknown"}
+    bound = df.select("id", "text", words(F.col("text")).alias("ws"))
+    got_bound = {
+        r["id"]: r["p"]
+        for r in bound.select(
+            "id",
+            predict_lang_from(F.col("ws"), F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert got_bound == got
+
+
 def test_ngrams_or_empty_short_doc(spark):
     """Docs shorter than k yield ZERO grams (no whole-text fallback)."""
     from mc_ns_data_pipeline_spark.functions.text import (
