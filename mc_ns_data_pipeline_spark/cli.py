@@ -142,7 +142,7 @@ def _fetch_exchange(spark: SparkSession, args,
             captures, {"parseable_datetime": epoch.isNotNull()}
         )
         if quarantine_dir is not None:
-            write_dead_letter(bad, quarantine_dir)
+            write_dead_letter(bad, quarantine_dir, mode="overwrite")
         captures = parseable
         if epoch_lo is not None:
             captures = captures.filter(epoch >= epoch_lo)
@@ -154,6 +154,29 @@ def _fetch_exchange(spark: SparkSession, args,
         spark, args.structures_fetcher, STRUCTURES_SCHEMA
     )
     return merge_lot_data(captures, meta, structures), captures
+
+
+def _require_page_coverage(args, what: str) -> int | None:
+    """Coverage gate: refuse to deliver + advance state when --n-pages
+    did not reach the end of the dataset. Pagination promises no
+    ordering against ids or timestamps, so an unscanned page may hold
+    rows inside the span about to be marked processed — advancing the
+    checkpoint/window log past them would lose them silently and
+    forever (the exact failure the checkpoint design exists to
+    prevent). One extra driver-side page probe; returns an exit code
+    or None when covered.
+    """
+    from mc_ns_data_pipeline_spark.sources.rest import pages_exhausted
+
+    if pages_exhausted(_resolve(args.captures_fetcher), args.n_pages):
+        return None
+    print(
+        f"{what}: page budget --n-pages {args.n_pages} did not cover "
+        f"the dataset (page {args.n_pages} is non-empty); refusing to "
+        "deliver and advance state past unfetched records. "
+        "Raise --n-pages and rerun."
+    )
+    return 2
 
 
 def cmd_fetch_bulk(args) -> int:
@@ -173,6 +196,9 @@ def cmd_fetch_bulk(args) -> int:
         args.start, read_checkpoint(ckpt_path)["last_processed_id"] + 1
     )
 
+    rc = _require_page_coverage(args, "fetch-bulk")
+    if rc is not None:
+        return rc
     exchange, captures = _fetch_exchange(
         spark, args, id_lo=resume_from, id_hi=args.end
     )
@@ -231,14 +257,24 @@ def cmd_fetch_incremental(args) -> int:
         return 0
 
     lo, hi = windows[0][0], windows[-1][1]
+    rc = _require_page_coverage(args, "fetch-incremental")
+    if rc is not None:
+        return rc
     exchange, captures = _fetch_exchange(
         spark, args, epoch_lo=lo, epoch_hi=hi,
-        quarantine_dir=os.path.join(args.state_dir, "dead_letter"),
+        quarantine_dir=os.path.join(
+            args.state_dir, "dead_letter", f"windows_from_{lo}"
+        ),
     )
-    # Window-span-scoped subdir for the same exactly-once-on-rerun
-    # contract as fetch-bulk (the span is a pure function of the
-    # window-log high-water mark).
-    span_dir = os.path.join(args.out_dir, f"windows_{lo}_{hi}")
+    # Delivery dir keyed on the resume point ALONE (not on hi): hi is
+    # a function of wall-clock now, so a crash-between-delivery-and-
+    # log rerun at a later time would write a second, overlapping span
+    # dir next to the orphaned first one and `load` would ingest the
+    # shared windows twice. Keyed on lo, the rerun's superset span
+    # overwrites its own previous output — exactly-once, like
+    # fetch-bulk's batch_from_{resume}. The quarantine dir is scoped
+    # the same way (overwrite, not append) for the same reason.
+    span_dir = os.path.join(args.out_dir, f"windows_from_{lo}")
     write_per_lot(exchange, span_dir, mode="overwrite")
 
     def iso(epoch: int) -> str:

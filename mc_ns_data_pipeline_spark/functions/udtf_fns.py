@@ -10,20 +10,30 @@ the UDTF's output equal to the built-in path so the two can't drift.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+# norm_text's EXACT Java semantics, not Python's: Spark `trim` strips
+# only the space character, and Java regex \s is ASCII-only
+# ([ \t\n\x0B\f\r]), while Python str.strip()/str.split() treat Unicode
+# whitespace (e.g.  ) as separators — on non-ASCII whitespace the
+# two segmenters would silently produce different segments.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 @udtf(returnType="seg_idx int, segment string, n_chars int")
 class SplitSegments:
     """Fixed-width word segmentation (3 words per segment, tail kept) —
-    the same contract as x50's relational segmenter."""
+    the same contract as x50's relational segmenter over
+    `norm_text` + split(' ')."""
 
     WORDS_PER_SEG = 3
 
     def eval(self, text: str):  # noqa: A002 - UDTF contract
         if text is None:
             return
-        ws = " ".join(text.lower().strip().split()).split(" ")
+        ws = _JAVA_WS.sub(" ", text.strip(" ").lower()).split(" ")
         n = self.WORDS_PER_SEG
         for i in range(0, len(ws), n):
             seg = " ".join(ws[i:i + n])

@@ -596,13 +596,20 @@ def line_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     of the training-data extensions (same family as x05-x07).
     """
     k = words_per_line
-    ws = F.split(F.col(text_col), " ")
+    # Bind the split array to a real column BEFORE referencing it from
+    # the segment lambda (lambda-CSE contract, shingles_from_words): an
+    # unbound `split(text)` inside the transform re-splits the full
+    # text once per segment — O(W^2) per document.
+    bound = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    ws = F.col("_ws")
     n_seg = F.ceil(F.size(ws) / F.lit(k)).cast("int")
     segments = F.transform(
         F.sequence(F.lit(0), n_seg - 1),
         lambda i: F.array_join(F.slice(ws, i * k + 1, k), " "),
     )
-    lines = docs.select(
+    lines = bound.select(
         F.col(id_col),
         F.posexplode(segments).alias("pos", "ln"),
     ).withColumn("h", F.md5(F.trim("ln")))

@@ -48,11 +48,18 @@ def split_valid(df: DataFrame,
     return valid, dead
 
 
-def write_dead_letter(dead: DataFrame, path: str) -> None:
-    """T7: append failed rows + violations + timestamp for replay."""
+def write_dead_letter(dead: DataFrame, path: str,
+                      mode: str = "append") -> None:
+    """T7: failed rows + violations + timestamp for replay.
+
+    `mode="overwrite"` with a run-scoped path (batch id, window span)
+    gives reruns exactly-once quarantine — a crash-rerun overwrites its
+    own rejects instead of appending a duplicate copy (the streaming
+    gate's `batch_{id}` idiom); plain append is at-least-once.
+    """
     (
         dead.withColumn("_dead_lettered_at", F.current_timestamp())
-        .write.mode("append")
+        .write.mode(mode)
         .parquet(path)
     )
 

@@ -75,6 +75,25 @@ def fetch_paginated(fetch_page: Callable[[int], dict]) -> list[dict]:
         page += 1
 
 
+def pages_exhausted(fetch_page: Callable[[int], dict],
+                    n_pages: int) -> bool:
+    """True iff a scan of pages [0, n_pages) covered the whole dataset:
+    the first UNSCANNED page is empty (or the server refuses it — a
+    past-the-end 404 means the same thing).
+
+    This is the coverage gate for checkpoint/watermark advancement:
+    pagination carries no ordering promise relative to ids or
+    timestamps, so any unscanned non-empty page may hold rows inside
+    the span being marked processed — advancing state without this
+    probe silently loses them forever.
+    """
+    try:
+        payload = with_retries(fetch_page, n_pages)
+    except Exception:
+        return True
+    return not extract_content(payload)
+
+
 def fetch_distributed(spark: SparkSession, n_pages: int,
                       fetch_page: Callable[[int], dict],
                       schema: T.StructType,

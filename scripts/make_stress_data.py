@@ -45,11 +45,15 @@ def main() -> None:
             " * EXCLUDE (o_orderkey, o_custkey)"
             " FROM src"
         ),
+        # l_partkey/l_suppkey are NOT offset: part/supplier are copied
+        # as-is below, so offsetting would dangle every replica's
+        # part/supplier joins (90% of lineitem silently dropping at the
+        # join — the stress numbers would measure 1/10 of the matched
+        # volume). Shared dim keys across replicas keep FK integrity
+        # and make the dims 10x hotter, which is the realistic shape.
         "lineitem": rep_union(
             "SELECT l_orderkey + {off} AS l_orderkey,"
-            " l_partkey + {off} AS l_partkey,"
-            " l_suppkey + {off} AS l_suppkey,"
-            " * EXCLUDE (l_orderkey, l_partkey, l_suppkey)"
+            " * EXCLUDE (l_orderkey)"
             " FROM src"
         ),
         "customer": rep_union(

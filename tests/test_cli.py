@@ -128,3 +128,57 @@ def test_fetch_bulk_rerun_after_lost_checkpoint_is_idempotent(spark, tmp_path):
     ).csv(out)
     n_expected = len([i for i in range(37) if i % 5 != 0])
     assert delivered.count() == n_expected
+
+
+def test_fetch_refuses_underprovisioned_page_budget(spark, tmp_path):
+    """Coverage gate: when --n-pages does not reach the end of the
+    dataset (the fixture has 4 pages), both fetch commands refuse to
+    deliver or advance any state — advancing the checkpoint/window log
+    past unfetched records would lose them silently and forever."""
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    assert main([
+        "fetch-bulk", "--n-pages", "2", *FETCHERS,
+        "--out-dir", out, "--state-dir", state,
+        "--start", "0", "--end", "60000",
+    ]) == 2
+    assert not os.path.exists(os.path.join(state, "checkpoint.json"))
+    assert not os.path.exists(out)
+
+    now = 1741564801 + 4 * 6 * 3600
+    assert main([
+        "fetch-incremental", "--n-pages", "2", *FETCHERS,
+        "--out-dir", out, "--state-dir", state,
+        "--now-epoch", str(now),
+    ]) == 2
+    assert not os.path.exists(os.path.join(state, "window_log.csv"))
+    assert not os.path.exists(out)
+
+
+def test_fetch_incremental_rerun_at_later_time_is_exactly_once(
+    spark, tmp_path
+):
+    """Crash between delivery and the window-log append, rerun hours
+    later: the horizon has grown, but the delivery dir is keyed on the
+    resume point alone, so the rerun's superset span OVERWRITES the
+    orphaned first delivery instead of leaving two overlapping span
+    dirs that `load` would ingest twice."""
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    t0 = 1741564801
+    args = lambda now: [  # noqa: E731
+        "fetch-incremental", "--n-pages", "4", *FETCHERS,
+        "--out-dir", out, "--state-dir", state,
+        "--now-epoch", str(now),
+    ]
+    assert main(args(t0 + 4 * 6 * 3600)) == 0  # 3 complete windows
+    # simulate the crash: delivery landed, window log never written
+    os.remove(os.path.join(state, "window_log.csv"))
+    # rerun two windows later: same lo, larger hi
+    assert main(args(t0 + 6 * 6 * 3600)) == 0
+    span_dirs = [d for d in os.listdir(out) if d.startswith("windows_")]
+    assert len(span_dirs) == 1, span_dirs
+    delivered = spark.read.option("header", True).option(
+        "recursiveFileLookup", True
+    ).csv(out)
+    assert delivered.count() == delivered.dropDuplicates().count()

@@ -464,14 +464,27 @@ def test_udtf_segments_match_relational_path(spark, sf_dir):
 
     register_udtfs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    # Edge rows the fixture corpus lacks: non-ASCII whitespace (Java \s
+    # is ASCII-only; Python str.split() is not), tabs/CRLF runs, and
+    # untrimmed space — the cases where a naive Python re-segmenter
+    # silently diverges from norm_text.
+    edges = spark.createDataFrame(
+        [
+            (900001, "a\u00a0b c d e f"),
+            (900002, "\tlead tab  and\r\ncrlf run "),
+            (900003, "MiXeD Case words HERE now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edges)
+    both.createOrReplaceTempView("udtf_docs")
     via_udtf = spark.sql("""
         SELECT d.doc_id, s.seg_idx, s.segment, s.n_chars
         FROM udtf_docs d, LATERAL split_segments(d.text) s
     """)
 
     ws = F.split(norm_text(F.col("text")), " ")
-    bound = docs.select("doc_id", ws.alias("_ws"))
+    bound = both.select("doc_id", ws.alias("_ws"))
     n_segs = F.ceil(F.size("_ws") / F.lit(3.0)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
