@@ -505,7 +505,8 @@ def classifier_weight(dim: int) -> float:
 
 def classifier_score(emb: DataFrame, threshold: float = 0.5,
                      n_dims: int = 64, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     carry_cols: tuple[str, ...] = ("label",)) -> DataFrame:
     """Linear-model scoring pass: sigmoid(w.v + b) + keep flag.
 
     The quality-classifier filter step of an LLM data pipeline: a small
@@ -517,6 +518,8 @@ def classifier_score(emb: DataFrame, threshold: float = 0.5,
 
     Scores round to 6 decimals before the threshold so the keep
     decision is reproducible across engines and partitionings.
+    `carry_cols` are passthrough columns for the output (a plain
+    scoring pass on an unlabeled table passes `()`).
     """
     w = lit_vec(classifier_weight(d) for d in range(n_dims))
     v = _as_double(F.col(vec_col))
@@ -524,7 +527,7 @@ def classifier_score(emb: DataFrame, threshold: float = 0.5,
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
     return emb.select(
         F.col(id_col),
-        F.col("label"),
+        *[F.col(c) for c in carry_cols],
         score.alias("quality_score"),
         (score >= threshold).alias("keep"),
     )

@@ -542,9 +542,10 @@ def x33_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x34_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 tokens per language with term + document frequency.
 
-    Row-local per-doc vocabulary aggregation (no distinct-Expand) and
-    two-level top-k (bucketed pre-rank caps the per-language window at
-    n_buckets*k rows) — see operators.frequency for the scale shape.
+    Row-local per-doc vocabulary aggregation (no distinct-Expand); the
+    rank window compiles to WindowGroupLimit, whose map-side partial
+    limit caps shuffle volume per language (a hand-rolled bucketed
+    two-level top-k measured slower — see operators.frequency).
     """
     from mc_ns_data_pipeline_spark.operators.frequency import top_k_tokens
 

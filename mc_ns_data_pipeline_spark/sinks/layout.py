@@ -129,9 +129,11 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     """
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    with_bounds = [
-        (F.col(c), df.approxQuantile(c, qs, 0.01)) for c in cols
-    ]
+    # One approxQuantile call for ALL columns — the list form computes
+    # every column's bounds in a single input scan; per-column calls
+    # would each rescan the full input before the write starts.
+    all_bounds = df.approxQuantile(list(cols), qs, 0.01)
+    with_bounds = list(zip((F.col(c) for c in cols), all_bounds))
     key = zorder_key(with_bounds, bits=bits)
     (
         df.withColumn("_zkey", key)
@@ -143,37 +145,72 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     )
 
 
+def restore_interrupted_swap(path: str) -> bool:
+    """Recover from a crash between the two renames of a staging swap
+    (the pattern merge_upsert / compact_files / merge_latest_state all
+    use): the table dir is missing but its `__old` backup exists.
+    Swap-writers call this before touching the target — without it, the
+    missing dir reads as a FRESH table and the next write silently
+    drops every pre-existing row, with nothing ever restoring the
+    backup. Returns True when a recovery rename happened."""
+    import os
+
+    backup = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+        return True
+    return False
+
+
 def compact_files(spark: SparkSession, path: str,
-                  target_file_bytes: int = 128 << 20) -> int:
+                  target_file_bytes: int = 128 << 20,
+                  partition_by: tuple[str, ...] = ()) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ceil(total_bytes / target) files. Returns the new file count.
 
     Streaming sinks emit one file per micro-batch per partition; at
     warehouse scale the resulting millions of KB-sized files make scan
     cost track FILE COUNT (footer reads, task scheduling), not bytes.
-    Compaction is a plain round-robin repartition — no key assumptions,
-    safe for any table — written to staging and swapped in via rename
-    so readers never observe a half-compacted directory. Run it as the
-    maintenance pass after streaming appends (Delta OPTIMIZE's file-
-    binpacking, minus the transaction log).
+    Sizing walks the tree RECURSIVELY (a partitioned layout keeps its
+    data under key= subdirectories — a top-level glob would see zero
+    bytes and collapse the table to one file); pass `partition_by` for
+    partitioned tables so the rewrite preserves the directory layout
+    instead of flattening the partition column into the files.
+    Written to staging and swapped in via rename so readers never
+    observe a half-compacted directory; an interrupted swap is
+    restored by `restore_interrupted_swap` on the next run. Run it as
+    the maintenance pass after streaming appends (Delta OPTIMIZE's
+    file-binpacking, minus the transaction log).
     """
     import glob
     import math
     import os
     import shutil
 
-    files = glob.glob(os.path.join(path, "*.parquet"))
+    restore_interrupted_swap(path)
+    files = glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    )
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     staging = f"{path}__compacting"
-    df.repartition(n).write.mode("overwrite").parquet(staging)
+    if partition_by:
+        # Hash-colocate by the partition columns so each output task
+        # holds whole partition values (≈1 file per value, not n×P).
+        writer = df.repartition(n, *[F.col(c) for c in partition_by])
+        writer.write.mode("overwrite").partitionBy(*partition_by) \
+            .parquet(staging)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(staging)
     backup = f"{path}__old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    return len(glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ))
 
 
 def write_shards(df: DataFrame, path: str, n_shards: int,

@@ -55,6 +55,15 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         ).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
         return
 
+    from mc_ns_data_pipeline_spark.sinks.layout import (
+        restore_interrupted_swap,
+    )
+
+    # A crash between the two renames below leaves the data only in
+    # the __old backup; without this recovery the not-exists branch
+    # would treat the next merge as a fresh table and silently drop
+    # every pre-existing row.
+    restore_interrupted_swap(path)
     if not os.path.exists(path):
         updates.write.mode("overwrite").parquet(path)
         return

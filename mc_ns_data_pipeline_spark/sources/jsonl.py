@@ -34,7 +34,13 @@ def read_jsonl(spark: SparkSession, path: str,
     corrupt column legal — Spark refuses corrupt-only projections on a
     raw json scan).
     """
-    with_corrupt = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    # Copy, don't .add(): StructType.add mutates the receiver in place
+    # and returns self, so the CALLER's schema object would grow a
+    # _corrupt_record field per call (a second read with the same
+    # module-level schema then fails on the duplicate column).
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     df = (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")

@@ -290,6 +290,14 @@ def merge_latest_state(spark: SparkSession, incoming: DataFrame,
 
     from pyspark.sql import Window
 
+    from mc_ns_data_pipeline_spark.sinks.layout import (
+        restore_interrupted_swap,
+    )
+
+    # Recover a swap interrupted between its two renames — otherwise
+    # the missing target reads as an empty table and the merge loses
+    # every previously-materialized row.
+    restore_interrupted_swap(target_dir)
     if os.path.exists(target_dir):
         existing = spark.read.parquet(target_dir)
         incoming = incoming.unionByName(existing)

@@ -264,6 +264,16 @@ def _pattern_walk(frames: list[pd.DataFrame],
                 out_id.append(r.event_id)
                 out_ts.append(r.us)
                 out_n.append(len(clicks))
+    # Prune on EVERY batch, not only inside the purchase branch: a
+    # browse-heavy user who never purchases would otherwise accumulate
+    # every click epoch forever, unbounding per-key state. One extra
+    # window of slack is kept so a purchase arriving up to a full
+    # window late still sees its clicks; later than that is outside
+    # the pipeline's lateness allowance (the watermark the sibling
+    # streams use is far tighter).
+    if len(df):
+        frontier = int(df["us"].max()) - 2 * window_us
+        clicks = [c for c in clicks if c >= frontier]
     out = None
     if out_id:
         out = pd.DataFrame(

@@ -476,3 +476,76 @@ def test_export_roundtrip_all_formats(spark, tmp_path):
         export_table(df, out, fmt=fmt)
         back = read_export(spark, out, fmt=fmt, schema=df.schema)
         assert sorted(map(tuple, back.collect())) == expected, fmt
+
+
+def test_compact_files_partitioned_layout(spark, sf_dir, tmp_path):
+    """Partitioned tables: sizing must see the files under key=
+    subdirectories (a top-level glob sees zero bytes) and the rewrite
+    must preserve the partition-directory layout, not flatten it."""
+    import glob
+    import os
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.sinks.layout import compact_files
+    from mc_ns_data_pipeline_spark.testing import canonicalize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "parts")
+    ev.repartition(16).write.partitionBy("event_type").parquet(path)
+    n_frag = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    assert n_frag > 16  # one file per task per partition value
+    before = canonicalize(ev.columns, [tuple(r) for r in ev.collect()])
+
+    n_after = compact_files(
+        spark, path, target_file_bytes=1 << 30,
+        partition_by=("event_type",),
+    )
+    assert n_after < n_frag
+    # partition layout survived
+    assert [d for d in os.listdir(path) if d.startswith("event_type=")]
+    got = spark.read.parquet(path)
+    after = canonicalize(got.columns, [tuple(r) for r in got.collect()])
+    assert before == after
+
+
+def test_interrupted_swap_recovers_instead_of_dropping_table(
+    spark, tmp_path
+):
+    """Crash between the swap's two renames (target gone, __old backup
+    present): the next merge must restore the backup and merge into it
+    — NOT treat the path as a fresh table and drop every old row."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks.upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    merge_upsert(spark, base, path, key="id")
+    # simulate the mid-swap crash
+    os.rename(path, f"{path}__old")
+
+    upd = spark.createDataFrame([(3, "C"), (4, "d")], "id long, v string")
+    merge_upsert(spark, upd, path, key="id")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    """StructType.add mutates in place; read_jsonl must copy, so the
+    same schema object can drive two reads."""
+    from mc_ns_data_pipeline_spark.sources.jsonl import read_jsonl
+
+    src = tmp_path / "a.jsonl"
+    src.write_text('{"doc_id": 1, "text": "x"}\n')
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    good1, _ = read_jsonl(spark, str(src), schema)
+    assert len(schema.fields) == 2
+    good2, _ = read_jsonl(spark, str(src), schema)  # would raise on dup
+    assert good1.count() == good2.count() == 1
