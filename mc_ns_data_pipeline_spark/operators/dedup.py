@@ -534,6 +534,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iter):
         nb_min = (
             sym.join(labels, sym["doc_b"] == labels["id"])
@@ -559,7 +560,20 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20,
         changed = stepped.filter(F.col("chg")).limit(1).count()
         labels = stepped.drop("chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silently returning intermediate labels would disagree with
+        # the transitive-closure contract (and the recursive-CTE
+        # oracle): a component whose diameter exceeds the cap keeps
+        # stale labels at its far end. Near-dup clusters are
+        # near-cliques (diameter 2-3), so hitting this means the pair
+        # graph is pathological — fail loudly, don't mislabel.
+        raise RuntimeError(
+            "duplicate_clusters: min-label propagation did not "
+            f"converge within max_iter={max_iter} rounds (a component's "
+            "diameter exceeds the cap); raise max_iter"
+        )
     out = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

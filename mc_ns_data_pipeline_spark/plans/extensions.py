@@ -1412,8 +1412,13 @@ def x19_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id within md5-derived buckets — the window is PARTITIONED, so
     packing parallelizes across buckets instead of forcing a global
     single-partition sort (the classic scale trap of naive packing).
-    A doc whose tokens straddle the boundary spills into the next pack
-    (cumsum-before-self // budget)."""
+    Assignment is by START offset (cumsum-before-self // budget): a
+    doc beginning inside pack p belongs to p even when its tokens run
+    past the boundary, so a pack can exceed the budget by at most one
+    document's tail — the standard fill-then-truncate contract (the
+    consumer truncates at the budget or treats it as an alignment
+    quantum); budget-capped packing would instead have to split
+    documents."""
     from pyspark.sql import Window
 
     from mc_ns_data_pipeline_spark.functions.text import (

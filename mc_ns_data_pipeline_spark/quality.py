@@ -66,7 +66,17 @@ def write_dead_letter(dead: DataFrame, path: str,
 
 def apply_gate(df: DataFrame, rules: dict[str, Column],
                dead_letter_path: str | None = None) -> DataFrame:
-    """Gate a batch: optionally persist rejects, return only valid rows."""
+    """Gate a batch: optionally persist rejects, return only valid rows.
+
+    With a dead-letter path the input is materialized once
+    (localCheckpoint): the reject write and the returned valid frame
+    are two consumers of the same plan, and re-running a
+    non-idempotent upstream (a REST fetch) for each evaluation could
+    put a row in both outputs or in neither — the lossless-split
+    contract requires one physical pass.
+    """
+    if dead_letter_path is not None:
+        df = df.localCheckpoint(eager=False)
     valid, dead = split_valid(df, rules)
     if dead_letter_path is not None:
         write_dead_letter(dead, dead_letter_path)

@@ -130,10 +130,13 @@ def get_spark(app_name: str = "mc_ns_data_pipeline_spark",
         master or f"local[{cpus}]"
     )
     conf = dict(_BASE_CONF)
+    # Shuffle parallelism tracks cores when the operator sizes the
+    # session explicitly ( _BASE_CONF always carries the key, so a
+    # setdefault here would never fire); explicit extra_conf still wins.
+    if "SPARK_GRAFT_CPUS" in os.environ and cpus.isdigit():
+        conf["spark.sql.shuffle.partitions"] = cpus
     if extra_conf:
         conf.update(extra_conf)
-    # shuffle parallelism should track cores in local mode
-    conf.setdefault("spark.sql.shuffle.partitions", cpus if cpus.isdigit() else "32")
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -52,11 +52,19 @@ def extract_content(payload: dict) -> list[dict]:
     return (payload.get("pageResult") or {}).get("content") or []
 
 
-def fetch_paginated(fetch_page: Callable[[int], dict]) -> list[dict]:
-    """S1 driver-side loop: accumulate pages until one comes back short.
+def fetch_paginated(fetch_page: Callable[[int], dict],
+                    page_size: int | None = None) -> list[dict]:
+    """S1 driver-side loop: accumulate pages until exhausted.
 
     Retains the reference's sequential shape for small result sets
     (lot-level lookups); use `fetch_distributed` for bulk extraction.
+
+    Termination: the `last` flag (either nesting level) or an EMPTY
+    page always stops; a SHORT page stops only when the caller states
+    the server's page size via `page_size`. A hard-coded short-page
+    heuristic would silently truncate to one page on any server whose
+    page size is smaller than the assumed constant — the short-page
+    shortcut is an optimization only the caller can make safe.
     """
     rows: list[dict] = []
     page = 0
@@ -70,7 +78,8 @@ def fetch_paginated(fetch_page: Callable[[int], dict]) -> list[dict]:
         last = payload.get("last", False) or (
             (payload.get("pageResult") or {}).get("last", False)
         )
-        if len(content) < PAGE_SIZE or last:
+        short = page_size is not None and len(content) < page_size
+        if not content or short or last:
             return rows
         page += 1
 

@@ -73,11 +73,20 @@ def _events_stream(spark: SparkSession, events_path: str,
         staged = os.path.join(tempfile.gettempdir(), f"stream_src_{digest}")
         os.makedirs(staged, exist_ok=True)
         link = os.path.join(staged, os.path.basename(path))
-        if not os.path.exists(link):
+        # A symlink always reflects the live file; the copy fallback
+        # must be refreshed when the source changes, or a regenerated
+        # fixture would silently stream the stale copy forever.
+        stale = (
+            os.path.exists(link)
+            and not os.path.islink(link)
+            and (os.path.getmtime(link) != os.path.getmtime(path)
+                 or os.path.getsize(link) != os.path.getsize(path))
+        )
+        if not os.path.exists(link) or stale:
             try:
                 os.symlink(path, link)
             except OSError:
-                shutil.copy(path, link)
+                shutil.copy2(path, link)  # copy2 preserves mtime
         path = staged
     stream = spark.readStream.schema(schema).parquet(path)
     types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}

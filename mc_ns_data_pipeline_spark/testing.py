@@ -28,8 +28,11 @@ def run_oracle(sql: str, sf_dir: str):
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
-    cols = [d[0] for d in con.execute(sql).description]
-    rows = con.execute(sql).fetchall()
+    # One cursor: a second con.execute would re-run the statement —
+    # double DuckDB runtime for the recursive-CTE oracles.
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
     return cols, rows
 
 

@@ -64,6 +64,29 @@ def test_fetch_paginated_nested_last_stops():
     assert calls["n"] == 1  # stopped on nested last, no extra fetch
 
 
+def test_fetch_paginated_small_page_server_not_truncated():
+    """A server paging at fewer items than the reference's 1000 (and
+    sending no `last` flag) must still return every record: a
+    hard-coded short-page heuristic would stop after page 0. The
+    short-page shortcut only applies when the caller declares the
+    server's page size."""
+    from mc_ns_data_pipeline_spark.sources.rest_fixture import fetch_page
+
+    rows = rest.fetch_paginated(fetch_page)  # fixture pages at 5
+    assert len(rows) == 57
+
+    calls = {"n": 0}
+
+    def counted(page: int) -> dict:
+        calls["n"] += 1
+        return fetch_page(page)
+
+    # declaring the page size enables the short-page early stop: the
+    # final short page (57 = 11*5 + 2) terminates without probing 12
+    assert len(rest.fetch_paginated(counted, page_size=5)) == 57
+    assert calls["n"] == 12
+
+
 def test_fetch_retries():
     calls = {"n": 0}
 
