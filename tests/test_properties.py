@@ -432,6 +432,29 @@ def test_label_balance_equalizes_classes(spark, sf_dir):
     assert first == again
 
 
+def test_duplicate_clusters_raises_on_unconverged_chain(spark):
+    """A pair graph whose component diameter exceeds max_iter must fail
+    loudly — silently returning intermediate labels would disagree
+    with the transitive-closure contract; with enough rounds the same
+    chain collapses to one cluster."""
+    import pytest
+
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=5).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(chain, max_iter=30).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 25
+
+
 def test_containment_flags_exact_excerpt(spark):
     """A document that is a verbatim excerpt of another scores
     containment 1.0 in the excerpt direction, containment >= jaccard
