@@ -141,6 +141,111 @@ def _decode_frame_stub(payload: bytes, idx: int) -> list[float]:
     ]
 
 
+AUDIO_SAMPLE_RATE = 16000  # fake PCM8 contract: 1 byte = 1 sample
+AUDIO_FRAME = 160          # 10 ms frames at 16 kHz
+AUDIO_SILENCE_MEAN = 64    # frame mean amplitude below this = silence
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), True),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), False),
+    T.StructField("peak_amp", T.IntegerType(), False),
+    T.StructField("sum_amp", T.LongType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("n_silent", T.IntegerType(), False),
+])
+
+
+def attach_audio_payload(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake audio payload + metadata struct (see
+    attach_binary_payload): 1 byte = 1 PCM8 sample at 16 kHz."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("audio/fake").alias("content_type"),
+        F.length(payload).alias("content_length"),
+        F.lit(AUDIO_SAMPLE_RATE).alias("sample_rate"),
+    )
+    return df.select(
+        F.col(id_col), payload.alias("payload"), meta.alias("media_meta")
+    )
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Deterministic fake waveform analysis: integer frame energies.
+
+    Production swap-point: soundfile/librosa decode + real VAD. The
+    stub treats each byte as one unsigned sample and computes the
+    voice-activity summary a quality filter needs — peak, total
+    amplitude, and how many 10 ms frames fall below the silence
+    threshold. All-integer arithmetic so the DuckDB oracle reproduces
+    it byte-for-byte.
+    """
+    n = len(payload)
+    peak = max(payload) if n else 0
+    total = sum(payload)
+    n_frames = (n + AUDIO_FRAME - 1) // AUDIO_FRAME
+    n_silent = 0
+    for s in range(0, n, AUDIO_FRAME):
+        frame = payload[s:s + AUDIO_FRAME]
+        if sum(frame) < AUDIO_SILENCE_MEAN * len(frame):
+            n_silent += 1
+    return n, peak, total, n_frames, n_silent
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched waveform summary over binary audio payloads.
+
+    Same dataflow contract as decode_media: memory bounded by the
+    Arrow batch size, payloads never pass through the driver, outputs
+    are fixed-width scalars so downstream filters stay columnar.
+    """
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_audio_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "media_type": [m["content_type"] for m in pdf["media_meta"]],
+                "sample_rate": pd.Series(
+                    [AUDIO_SAMPLE_RATE] * len(pdf), dtype="int32"
+                ),
+                "n_bytes": pd.Series([d[0] for d in decoded], dtype="int64"),
+                "duration_ms": pd.Series(
+                    [d[0] * 1000 // AUDIO_SAMPLE_RATE for d in decoded],
+                    dtype="int64",
+                ),
+                "peak_amp": pd.Series([d[1] for d in decoded], dtype="int32"),
+                "sum_amp": pd.Series([d[2] for d in decoded], dtype="int64"),
+                "n_frames": pd.Series([d[3] for d in decoded], dtype="int32"),
+                "n_silent": pd.Series([d[4] for d in decoded], dtype="int32"),
+            })
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def resample_spec(df: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """Target sample count for rate conversion (pure exprs, cf.
+    resize_spec): floor(n_bytes * target / source) — the length
+    contract a real polyphase resampler would honor."""
+    return df.select(
+        "*",
+        F.floor(
+            F.col("n_bytes") * F.lit(target_rate) / F.col("sample_rate")
+        ).cast("long").alias("target_n_samples"),
+    )
+
+
+def audio_summary(df: DataFrame) -> DataFrame:
+    """End-to-end audio path: attach payload -> decode -> resample spec."""
+    return resample_spec(decode_audio(attach_audio_payload(df)))
+
+
 def sample_frames(df: DataFrame, id_col: str = "doc_id",
                   every_n: int = 10, fps: float = 30.0) -> DataFrame:
     """Sample every Nth frame of video payloads; one row per kept frame.

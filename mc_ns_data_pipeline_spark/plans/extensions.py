@@ -1714,6 +1714,22 @@ def x15_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x80_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio waveform-summary plumbing (stubbed codec).
+
+    Completes the multimodal family (x12 image decode, x15 video
+    frames): per-document voice-activity summary — duration, peak /
+    total amplitude, 10 ms frame count and silent-frame count — plus a
+    resample-length spec. The stub is all-integer byte arithmetic, so
+    every output column is a scalar the oracle reproduces exactly; the
+    dataflow (binary payload -> Arrow-batched mapInPandas -> columnar
+    filter) is the production shape with the codec swapped out."""
+    from mc_ns_data_pipeline_spark.operators.multimodal import audio_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_summary(docs)
+
+
 def x63_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, the 3 most
     cosine-similar vectors with a DIFFERENT label (the corpus-level
@@ -2210,6 +2226,7 @@ EXT_QUERIES = {
     "x77_mixed_language": x77_mixed_language,
     "x78_leakage_safe_split": x78_leakage_safe_split,
     "x79_token_budget_mixture": x79_token_budget_mixture,
+    "x80_multimodal_audio": x80_multimodal_audio,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -2836,6 +2853,39 @@ def _multimodal_frames_sql(every_n: int = 10, fps: float = 30.0) -> str:
     """
 
 
+def _multimodal_audio_sql() -> str:
+    """x80 twin: 160-byte frames, silence = frame sum < 64 * frame len,
+    duration/resample lengths via integer division — mirrors
+    operators/multimodal._decode_audio_stub exactly."""
+    return f"""
+        WITH {_PAYLOAD_CTE},
+        frames AS (
+            SELECT doc_id, j // 160 AS frame_idx,
+                   sum(byte) AS fsum, count(*) AS flen, max(byte) AS fmax
+            FROM bytes GROUP BY doc_id, j // 160
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_frames,
+                   CAST(sum(CASE WHEN fsum < 64 * flen THEN 1 ELSE 0 END)
+                        AS INTEGER) AS n_silent,
+                   CAST(max(fmax) AS INTEGER) AS peak_amp,
+                   CAST(sum(fsum) AS BIGINT) AS sum_amp
+            FROM frames GROUP BY doc_id
+        )
+        SELECT h.doc_id, 'audio/fake' AS media_type,
+               16000 AS sample_rate,
+               CAST(h.n AS BIGINT) AS n_bytes,
+               CAST(h.n AS BIGINT) * 1000 // 16000 AS duration_ms,
+               coalesce(a.peak_amp, 0) AS peak_amp,
+               coalesce(a.sum_amp, 0) AS sum_amp,
+               coalesce(a.n_frames, 0) AS n_frames,
+               coalesce(a.n_silent, 0) AS n_silent,
+               CAST(h.n AS BIGINT) * 8000 // 16000 AS target_n_samples
+        FROM h LEFT JOIN agg a ON a.doc_id = h.doc_id
+    """
+
+
 def _corr_sql(cols: tuple[str, ...]) -> str:
     # DECIMAL(19,4) (not 18): DuckDB executes 18-digit products in
     # int64 and overflows; 19 digits forces int128. The values are
@@ -2933,6 +2983,7 @@ EXT_ORACLES: dict[str, str] = {
     "x11_embed_neardup": _neardup_sql(),
     "x12_multimodal_features": _multimodal_features_sql(),
     "x15_multimodal_frames": _multimodal_frames_sql(),
+    "x80_multimodal_audio": _multimodal_audio_sql(),
     # x22 computes the same exact result as x11 (grid GEMM vs broadcast
     # GEMM) so it shares the same oracle.
     "x22_embed_neardup_grid": _neardup_sql(),
