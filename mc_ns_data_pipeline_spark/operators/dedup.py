@@ -827,6 +827,72 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return jaccard_verify(cands, sets, id_col, threshold)
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    window of `window` consecutive hashes, keep the minimum of each
+    window (rightmost on ties), emit the distinct (position, hash)
+    pairs. Guarantee: every run of `window` grams contributes at least
+    one fingerprint, so any shared substring of >= k+window-1 words is
+    detectable from fingerprints alone — local dedup/plagiarism
+    evidence with ~2/(window+1) of the grams retained.
+
+    Scale shape: entirely MAP-ONLY. The gram array, hash array, and
+    per-window argmin all happen row-locally with higher-order array
+    expressions (the O(n·w) scan per doc is executor CPU, not
+    shuffle); the only exchange is the final deterministic ORDER BY
+    the correctness gate wants. Docs shorter than the window winnow
+    over their effective length; docs with < k words emit nothing
+    (ngrams_or_empty contract).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+    ).select(
+        "doc_id", ngrams_or_empty(F.col("ws"), k).alias("grams")
+    ).select(
+        "doc_id",
+        F.transform("grams", shingle_id).alias("hs"),
+    ).select(
+        "doc_id", "hs", F.size("hs").alias("nh"),
+        F.least(F.lit(window), F.size("hs")).alias("eff"),
+    )
+    init = F.struct(
+        F.lit(9223372036854775807).cast("long").alias("h"),
+        F.lit(-1).alias("p"),
+    )
+
+    def win_min(i: Column) -> Column:
+        # <= keeps the RIGHTMOST minimal hash (classic winnowing tie rule)
+        return F.aggregate(
+            F.sequence(i, i + F.col("eff") - 1),
+            init,
+            lambda acc, j: F.when(
+                F.get("hs", j) <= acc["h"],
+                F.struct(F.get("hs", j).alias("h"), j.alias("p")),
+            ).otherwise(acc),
+        )
+
+    selected = F.when(
+        F.col("nh") > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nh") - F.col("eff")), win_min
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<h:bigint,p:int>>"))
+    return (
+        base.select("doc_id", F.explode(selected).alias("fp"))
+        .select(
+            "doc_id",
+            F.col("fp.p").alias("pos"),
+            F.col("fp.h").alias("fp_hash"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def shingle_novelty(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Per-document n-gram novelty: the share of a doc's distinct

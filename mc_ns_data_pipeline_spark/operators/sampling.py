@@ -48,6 +48,43 @@ def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
     )
 
 
+def priority_sample(df: DataFrame, weight_col: str, id_col: str,
+                    k: int = 50) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield–Lund–Thorup): priority q_i = w_i / u_i with u_i uniform
+    in (0,1], keep the k largest priorities. Heavy rows are near-certain
+    to be kept; expectations are unbiased under the threshold estimator.
+
+    Engine-exactness contract: u_i is derived from md5(id) (first 8 hex
+    chars -> v in [0, 2^32)), and the priority is computed as the pure
+    INTEGER quotient w * 2^32 / (v + 1) — no float division, so DuckDB
+    reproduces the ranking bit-for-bit (w <= ~10^5 keeps the product
+    far inside int64). Scale shape: map-only scoring + TakeOrdered
+    top-k; no shuffle, no window, nothing corpus-sized on the driver.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # `div` (integral division), NOT `/`: float division of the int64
+    # operands is only correctly-rounded, and floor() of a quotient
+    # that rounds up across an integer boundary (tiny v, huge w*2^32)
+    # would disagree with the oracle's exact integer quotient.
+    scored = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        (F.col(weight_col).cast("long") * F.lit(4294967296).cast("long"))
+        .alias("_num"),
+        (v + F.lit(1)).alias("_den"),
+    )
+    return (
+        scored.select(
+            id_col, "weight", F.expr("_num div _den").alias("priority")
+        )
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def weighted_mixture_sample(df: DataFrame, strata_col: str,
                             fractions: dict[str, float],
                             default_fraction: float,

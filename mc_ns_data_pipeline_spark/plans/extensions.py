@@ -1730,6 +1730,102 @@ def x80_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_summary(docs)
 
 
+BM25_QUERY_TERMS = ("spark", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _eq_term(t: str):
+    return lambda x: x == t
+
+
+def x81_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed term query —
+    the lexical half of a retrieval stack (x09/x70 are the dense half).
+
+    Scale shape: the query term set is tiny, so per-term tf is computed
+    ROW-LOCALLY with `size(filter(ws, ...))` over the bound word array —
+    no explode, no (doc,term) shuffle, unlike the x25 TF-IDF path whose
+    vocabulary is corpus-sized. Corpus stats (N, avgdl, per-term df)
+    are ONE single-row aggregate broadcast back; scoring is map-only;
+    the only ordering is the final top-k (TakeOrdered, never a full
+    sort). Scores are rounded to 6 decimals BEFORE ranking so
+    cross-engine ln() ulp differences can't flip the order (x25
+    contract). idf is the Lucene non-negative variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)); avgdl is sum(dl)/count — an
+    explicit division, because avg() is engine-specific incremental
+    arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("ws")
+    ).select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        *[
+            # NB: a default-arg lambda would have arity 2, which
+            # F.filter reads as (element, index) — bind t via a closure
+            F.size(F.filter("ws", _eq_term(t))).alias(f"tf{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    score = None
+    for i in range(len(BM25_QUERY_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        part = idf * (
+            F.col(f"tf{i}")
+            * F.lit(BM25_K1 + 1.0)
+            / (F.col(f"tf{i}") + norm)
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def x82_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (priority sampling, top-50
+    by n_chars-weighted md5 priority). Complements x18 (uniform hash
+    sample) and x24/x37 (stratified/mixture): this is the size-biased
+    pick a token-budgeted curation pass uses. All-integer ranking —
+    see operators/sampling.priority_sample."""
+    from mc_ns_data_pipeline_spark.operators.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(docs, weight_col="n_chars", id_col="doc_id", k=50)
+
+
+def x83_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=3 grams, window=4): the
+    position-aware fingerprint family member — x04 hashes whole docs,
+    x08 hashes global structure, winnowing guarantees a fingerprint in
+    every 4-gram run so shared substrings are locally detectable. See
+    operators/dedup.py:winnow_fingerprints."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.winnow_fingerprints(docs, k=3, window=4)
+
+
 def x63_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, the 3 most
     cosine-similar vectors with a DIFFERENT label (the corpus-level
@@ -2227,6 +2323,9 @@ EXT_QUERIES = {
     "x78_leakage_safe_split": x78_leakage_safe_split,
     "x79_token_budget_mixture": x79_token_budget_mixture,
     "x80_multimodal_audio": x80_multimodal_audio,
+    "x81_bm25_topk": x81_bm25_topk,
+    "x82_priority_sample": x82_priority_sample,
+    "x83_winnow_fingerprints": x83_winnow_fingerprints,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -2886,6 +2985,46 @@ def _multimodal_audio_sql() -> str:
     """
 
 
+def _bm25_sql() -> str:
+    """x81 twin: same row-local tf + one stats row + Lucene idf, with
+    the identical explicit sum/count avgdl and round-before-rank."""
+    k1, b = BM25_K1, BM25_B
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    parts = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+        ),
+        base AS (
+            SELECT doc_id, len(ws) AS dl,
+                   {tf_cols}
+            FROM d
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                   {df_cols}
+            FROM base
+        )
+        SELECT doc_id, dl, round({parts}, 6) AS bm25
+        FROM base CROSS JOIN stats
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
 def _corr_sql(cols: tuple[str, ...]) -> str:
     # DECIMAL(19,4) (not 18): DuckDB executes 18-digit products in
     # int64 and overflows; 19 digits forces int128. The values are
@@ -2984,6 +3123,46 @@ EXT_ORACLES: dict[str, str] = {
     "x12_multimodal_features": _multimodal_features_sql(),
     "x15_multimodal_frames": _multimodal_frames_sql(),
     "x80_multimodal_audio": _multimodal_audio_sql(),
+    "x81_bm25_topk": _bm25_sql(),
+    "x83_winnow_fingerprints": f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+        w AS (SELECT doc_id, string_split(n, ' ') AS ws FROM norm),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                          ELSE [] END AS gl
+              FROM w),
+        hx AS (SELECT doc_id, i AS p,
+                      ('0x' || substr(md5(gl[i+1]), 1, 15))::BIGINT AS h
+               FROM g, UNNEST(range(0, len(gl))) AS t(i)),
+        stats AS (SELECT doc_id, count(*) AS nh FROM hx GROUP BY doc_id),
+        wins AS (SELECT s.doc_id, t.i AS win, least(4, s.nh) AS eff
+                 FROM stats s,
+                      UNNEST(range(0, s.nh - least(4, s.nh) + 1)) AS t(i)),
+        cand AS (SELECT w.doc_id, w.win, h.p, h.h,
+                        row_number() OVER (PARTITION BY w.doc_id, w.win
+                                           ORDER BY h.h ASC, h.p DESC) AS rn
+                 FROM wins w JOIN hx h
+                   ON h.doc_id = w.doc_id
+                  AND h.p >= w.win AND h.p < w.win + w.eff)
+        SELECT DISTINCT doc_id, p AS pos, h AS fp_hash
+        FROM cand WHERE rn = 1
+        ORDER BY doc_id, pos
+    """,
+    "x82_priority_sample": """
+        WITH p AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1
+                       AS den
+            FROM documents
+        )
+        SELECT doc_id, weight,
+               CAST(weight * 4294967296 // den AS BIGINT) AS priority
+        FROM p
+        ORDER BY priority DESC, doc_id ASC
+        LIMIT 50
+    """,
     # x22 computes the same exact result as x11 (grid GEMM vs broadcast
     # GEMM) so it shares the same oracle.
     "x22_embed_neardup_grid": _neardup_sql(),

@@ -684,3 +684,76 @@ def test_leakage_safe_split_never_splits_near_dups(spark, sf_dir):
     assert pairs, "fixture should contain near-dup pairs"
     for p in pairs:
         assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]], p
+
+
+def test_winnowing_coverage_guarantee(spark, sf_dir):
+    """Every run of `window` consecutive gram positions contains at
+    least one selected fingerprint (the SIGMOD'03 winnowing guarantee),
+    and every selected hash is the true min of some window."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.functions.text import (
+        ngrams_or_empty,
+        words,
+    )
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        shingle_id,
+        winnow_fingerprints,
+    )
+
+    k, window = 3, 4
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    fps = winnow_fingerprints(docs, k=k, window=window).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["pos"])
+    hashes = {
+        r["doc_id"]: r["hs"]
+        for r in docs.select(
+            "doc_id", words(F.col("text")).alias("ws")
+        )
+        .select("doc_id", ngrams_or_empty(F.col("ws"), k).alias("g"))
+        .select("doc_id", F.transform("g", shingle_id).alias("hs"))
+        .collect()
+    }
+    checked = 0
+    for doc_id, hs in hashes.items():
+        if not hs:
+            assert doc_id not in by_doc
+            continue
+        sel = by_doc[doc_id]
+        eff = min(window, len(hs))
+        for start in range(0, len(hs) - eff + 1):
+            covered = sel & set(range(start, start + eff))
+            assert covered, (doc_id, start)
+            # the selected position(s) in this window carry a hash
+            # no larger than the window min
+            wmin = min(hs[start:start + eff])
+            assert any(hs[p] == wmin for p in covered) or min(
+                hs[p] for p in covered
+            ) == wmin
+            checked += 1
+    assert checked > 100
+
+
+def test_priority_sample_is_size_biased(spark, sf_dir):
+    """Priority sampling keeps heavy rows preferentially: the sampled
+    mean weight exceeds the corpus mean, and every priority is the
+    exact integer quotient of the md5 scheme."""
+    import hashlib
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = priority_sample(
+        docs, weight_col="n_chars", id_col="doc_id", k=40
+    ).collect()
+    assert len(sample) == 40
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["weight"] for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
+    for r in sample[:10]:
+        v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert r["priority"] == r["weight"] * 4294967296 // (v + 1)
