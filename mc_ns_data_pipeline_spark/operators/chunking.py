@@ -27,6 +27,80 @@ from pyspark.sql import functions as F
 from mc_ns_data_pipeline_spark.functions.text import words
 
 
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", divisor: int = 17) -> DataFrame:
+    """Content-defined chunking: boundaries from a rolling hash, not
+    fixed offsets (the FastCDC/rsync idea applied to word streams).
+
+    A boundary opens before word i when the md5-derived hash of the
+    bigram (w[i-1], w[i]) is ≡ 0 (mod divisor) — so an insertion early
+    in a document only re-cuts the chunk it lands in, while fixed-size
+    chunking (x39) shifts every later boundary. Chunk-level dedup over
+    `chunk_hash` therefore survives edits; expected chunk length is
+    `divisor` words.
+
+    Scale shape: MAP-ONLY like chunk_documents — the word array, the
+    boundary flags, the boundary-position array, and the per-chunk
+    slices are all row-local array expressions; no shuffle to chunk
+    the corpus, only the gate's final ORDER BY. The bigram hash reuses
+    the 60-bit md5 scheme (operators/dedup.shingle_id) so the DuckDB
+    twin reproduces boundaries exactly.
+    """
+    from mc_ns_data_pipeline_spark.operators.dedup import shingle_id
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("n"))
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda i: shingle_id(
+            F.concat_ws(" ", F.get("ws", i - 1), F.get("ws", i))
+        ) % divisor
+        == 0,
+    )
+    with_bounds = base.select(
+        "doc_id", "ws", "n",
+        F.when(F.col("n") > 1, cuts)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("cuts"),
+    ).select(
+        "doc_id", "ws", "n",
+        F.concat(F.array(F.lit(0)), F.col("cuts")).alias("starts"),
+        F.concat(F.col("cuts"), F.array(F.col("n"))).alias("ends"),
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("starts") - 1),
+            lambda c: F.struct(
+                c.alias("chunk_idx"),
+                F.get("starts", c).alias("start"),
+                (F.get("ends", c) - F.get("starts", c)).alias("chunk_len"),
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            "ws",
+                            F.get("starts", c) + 1,
+                            F.get("ends", c) - F.get("starts", c),
+                        ),
+                        " ",
+                    )
+                ).alias("chunk_hash"),
+            ),
+        )
+    )
+    return (
+        with_bounds.select("doc_id", chunk.alias("ck"))
+        .select(
+            "doc_id",
+            F.col("ck.chunk_idx").alias("chunk_idx"),
+            F.col("ck.start").alias("start"),
+            F.col("ck.chunk_len").alias("chunk_len"),
+            F.col("ck.chunk_hash").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", chunk_size: int = 64,
                     stride: int = 48) -> DataFrame:

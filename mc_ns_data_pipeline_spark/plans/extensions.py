@@ -1826,6 +1826,16 @@ def x83_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_fingerprints(docs, k=3, window=4)
 
 
+def x84_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries): chunk-level
+    dedup hashes that survive edits, vs x39's fixed sliding windows.
+    See operators/chunking.py:cdc_chunks."""
+    from mc_ns_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return cdc_chunks(docs, divisor=17)
+
+
 def x63_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, the 3 most
     cosine-similar vectors with a DIFFERENT label (the corpus-level
@@ -2326,6 +2336,7 @@ EXT_QUERIES = {
     "x81_bm25_topk": x81_bm25_topk,
     "x82_priority_sample": x82_priority_sample,
     "x83_winnow_fingerprints": x83_winnow_fingerprints,
+    "x84_cdc_chunks": x84_cdc_chunks,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
@@ -3149,6 +3160,33 @@ EXT_ORACLES: dict[str, str] = {
         SELECT DISTINCT doc_id, p AS pos, h AS fp_hash
         FROM cand WHERE rn = 1
         ORDER BY doc_id, pos
+    """,
+    "x84_cdc_chunks": f"""
+        WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+        w AS (SELECT doc_id, string_split(n, ' ') AS ws FROM norm),
+        pos AS (SELECT doc_id, i AS p, ws[CAST(i+1 AS INT)] AS word
+                FROM w, UNNEST(range(0, len(ws))) AS t(i)),
+        flags AS (
+            SELECT doc_id, p, word,
+                   CASE WHEN p >= 1 AND
+                        ('0x' || substr(md5(
+                            lag(word) OVER (PARTITION BY doc_id ORDER BY p)
+                            || ' ' || word), 1, 15))::BIGINT % 17 = 0
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM pos
+        ),
+        assigned AS (
+            SELECT doc_id, p, word,
+                   sum(is_cut) OVER (PARTITION BY doc_id ORDER BY p)
+                       AS chunk_idx
+            FROM flags
+        )
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(min(p) AS INTEGER) AS start,
+               CAST(count(*) AS INTEGER) AS chunk_len,
+               md5(string_agg(word, ' ' ORDER BY p)) AS chunk_hash
+        FROM assigned GROUP BY doc_id, chunk_idx
+        ORDER BY doc_id, chunk_idx
     """,
     "x82_priority_sample": """
         WITH p AS (

@@ -504,3 +504,33 @@ def test_udtf_segments_match_relational_path(spark, sf_dir):
         relational.columns, [tuple(r) for r in relational.collect()]
     )
     assert got == exp
+
+
+def test_cdc_chunks_partition_and_edit_stability(spark):
+    """Chunks tile each document exactly; an edit at the front re-cuts
+    only the chunk it lands in (the content-defined property fixed-size
+    chunking lacks)."""
+    from mc_ns_data_pipeline_spark.operators.chunking import cdc_chunks
+
+    text = " ".join(f"w{i * 7919 % 100003}" for i in range(400))
+    edited = "zzz " + text
+    df = spark.createDataFrame(
+        [(1, text), (2, edited)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(df, divisor=17).collect()
+    by_doc: dict[int, list] = {1: [], 2: []}
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n_words = 400 if doc_id == 1 else 401
+        assert sum(r["chunk_len"] for r in chunks) == n_words
+        assert chunks[0]["start"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start"] == a["start"] + a["chunk_len"]
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    assert len(h1) > 5, "expect multiple chunks at divisor=17"
+    # all but the first boundary's chunk(s) survive the front edit
+    shared = len(h1 & h2)
+    assert shared >= len(h1) - 2, (shared, len(h1))
