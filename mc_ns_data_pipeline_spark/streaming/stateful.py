@@ -398,3 +398,163 @@ def run_pattern_detect(
         )
         q.awaitTermination()
     return spark.table(sink_table).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# XS12: streaming volume-anomaly detection (x72's z-score, incremental)
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_type string, hour timestamp, n_events bigint,"
+    " k bigint, s1 bigint, s2 bigint"
+)
+# closed-history moments + frontier + pending open-hour counts
+ANOMALY_STATE_SCHEMA = "k bigint, s1 bigint, s2 bigint, pending string"
+
+
+def _anomaly_walk(
+    frames: list[pd.DataFrame],
+    hist: tuple[int, int, int],
+    pending: dict[int, int],
+) -> tuple[pd.DataFrame | None, tuple[int, int, int], dict[int, int]]:
+    """Event-time hour accounting shared state walk.
+
+    Accumulates per-hour event counts in `pending`; an hour CLOSES once
+    a later hour has been seen for the key (the event-time frontier
+    passes it), at which point the hour is emitted with the history
+    moments (k, s1, s2) of all PRIOR closed hours and folded into them.
+    Emissions carry exact integers only — the z arithmetic happens in
+    engine SQL on both sides of the oracle compare, so float parity is
+    the engines' (proven for x72), never Python's.
+
+    State is (3 ints + open-hour counts); open hours are bounded by the
+    key's event-time disorder, not history length.
+    """
+    df = pd.concat(frames, ignore_index=True)
+    us = pd.to_datetime(df["ts"]).astype("int64") // 1_000
+    for h, c in (us // HOUR_US).value_counts().items():
+        pending[int(h)] = pending.get(int(h), 0) + int(c)
+    frontier = max(pending) if pending else -1
+    k, s1, s2 = hist
+    out_h, out_n, out_k, out_s1, out_s2 = [], [], [], [], []
+    for h in sorted(pending):
+        if h >= frontier:
+            break
+        n = pending.pop(h)
+        out_h.append(h)
+        out_n.append(n)
+        out_k.append(k)
+        out_s1.append(s1)
+        out_s2.append(s2)
+        k, s1, s2 = k + 1, s1 + n, s2 + n * n
+    out = None
+    if out_h:
+        out = pd.DataFrame(
+            {
+                "hour": pd.to_datetime(
+                    pd.Series(out_h, dtype="int64") * HOUR_US * 1_000
+                ),
+                "n_events": pd.Series(out_n, dtype="int64"),
+                "k": pd.Series(out_k, dtype="int64"),
+                "s1": pd.Series(out_s1, dtype="int64"),
+                "s2": pd.Series(out_s2, dtype="int64"),
+            }
+        )
+    return out, (k, s1, s2), pending
+
+
+def _encode_pending(pending: dict[int, int]) -> str:
+    return ",".join(f"{h}:{c}" for h, c in sorted(pending.items()))
+
+
+def _decode_pending(stored: str | None) -> dict[int, int]:
+    if not stored:
+        return {}
+    out: dict[int, int] = {}
+    for part in stored.split(","):
+        h, c = part.split(":")
+        out[int(h)] = int(c)
+    return out
+
+
+def _update_anomaly(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        k0, s10, s20, pend = state.get
+        hist, pending = (k0, s10, s20), _decode_pending(pend)
+    else:
+        hist, pending = (0, 0, 0), {}
+    out, hist, pending = _anomaly_walk(list(pdfs), hist, pending)
+    state.update((hist[0], hist[1], hist[2], _encode_pending(pending)))
+    if out is not None:
+        out.insert(0, "event_type", key[0])
+        yield out
+
+
+def hourly_anomaly_updates(events: DataFrame) -> DataFrame:
+    """Per-event-type closed-hour counts with prior-history moments."""
+    from mc_ns_data_pipeline_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_anomaly,
+            ANOMALY_OUTPUT_SCHEMA,
+            ANOMALY_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_anomaly(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "xs12_sink",
+) -> DataFrame:
+    """Run the anomaly stream to end-of-input; score z in engine SQL."""
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        _events_stream,
+    )
+
+    updates = hourly_anomaly_updates(_events_stream(spark, events_path))
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            updates.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    raw = spark.table(sink_table)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s1") / d("k")
+    var = (d("s2") - (d("s1") * d("s1")) / d("k")) / d("k")
+    std = F.sqrt(var)
+    z = F.round((d("n_events") - mean) / std, 6)
+    ok = (F.col("k") >= 3) & (std > 0)
+    return (
+        raw.select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.col("k").alias("n_prior_hours"),
+            F.when(ok, z).alias("z_r"),
+            F.when(ok, F.abs(z) >= F.lit(2.0))
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
