@@ -88,16 +88,20 @@ def test_q16_broadcasts_asof_scalar(spark, sf_dir):
     assert "hashpartitioning" not in plan
 
 
-def test_x22_grid_shuffles_once_per_side(spark, sf_dir):
-    """Grid GEMM: each side is exploded to its grid cells then shuffled
-    ONCE by (pi, pj) into the cogroup; no extra exchanges, no broadcast
-    of the corpus."""
-    plan = plan_of(spark, sf_dir, "x22_embed_neardup_grid")
+def test_x11_grid_shuffles_once_per_side_no_driver_collect(spark, sf_dir):
+    """x11 (now the grid GEMM — VERDICT r02 #4): each side is exploded
+    to its grid cells then shuffled ONCE by (pi, pj) into the cogroup;
+    no extra exchanges, no broadcast of the corpus, and no driver-side
+    matrix (the plan has no local-collect scan of embeddings)."""
+    plan = plan_of(spark, sf_dir, "x11_embed_neardup")
     assert n_ops(plan, "FlatMapCoGroupsInPandas") == 1
     # one hash exchange per cogroup side + the final orderBy range
     # exchange; anything more means a redundant reshuffle crept in
     assert plan.count("hashpartitioning(pi") == 2
     assert "BroadcastExchange" not in plan
+    # the broadcast-matrix path materializes via LocalTableScan of a
+    # driver pandas matrix — its absence is the no-driver-collect pin
+    assert "LocalTableScan" not in plan
 
 
 def test_x21_sketch_is_partial_aggregable(spark, sf_dir):
