@@ -342,23 +342,35 @@ def cmd_load(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mc_ns_data_pipeline_spark",
-        description="Spark-native pipeline CLI (reference-parity flags)",
+        description="Spark-native pipeline CLI (reference-parity flags; "
+        "every flag below falls back to its environment variable — "
+        "see config.py for the recognized names and precedence)",
     )
+    p.add_argument("--env-file", default=".env",
+                   help="dotenv file loaded before resolving settings "
+                   "(existing process env always wins)")
     sub = p.add_subparsers(dest="command", required=True)
 
+    # env-backed flags parse with default=None; _resolve_env fills them
+    # from the environment after parsing (flag > env > default).
     def add_fetch_common(sp):
-        sp.add_argument("--n-pages", type=int, required=True,
-                        help="pages of capture records to scan")
-        sp.add_argument("--batch-size", type=int, default=4,
-                        help="pages per executor task (retry/fan-out unit)")
-        sp.add_argument("--captures-fetcher", required=True,
-                        help="module.path:function returning a captures page")
-        sp.add_argument("--meta-fetcher", required=True,
-                        help="module.path:function returning batch-meta records")
-        sp.add_argument("--structures-fetcher", required=True,
-                        help="module.path:function returning structure records")
-        sp.add_argument("--out-dir", required=True)
-        sp.add_argument("--state-dir", required=True)
+        sp.add_argument("--n-pages", type=int, default=None,
+                        help="pages of capture records to scan [N_PAGES]")
+        sp.add_argument("--batch-size", type=int, default=None,
+                        help="pages per executor task [BATCH_SIZE]")
+        sp.add_argument("--captures-fetcher", default=None,
+                        help="module.path:function returning a captures "
+                        "page [CAPTURES_FETCHER]")
+        sp.add_argument("--meta-fetcher", default=None,
+                        help="module.path:function returning batch-meta "
+                        "records [META_FETCHER]")
+        sp.add_argument("--structures-fetcher", default=None,
+                        help="module.path:function returning structure "
+                        "records [STRUCTURES_FETCHER]")
+        sp.add_argument("--out-dir", default=None,
+                        help="[OUTPUT_DATA_DIR]")
+        sp.add_argument("--state-dir", default=None,
+                        help="[STATE_DIR or CHECKPOINT_FILE_PATH's dir]")
 
     fb = sub.add_parser("fetch-bulk", help="bulk_fetch.py parity")
     add_fetch_common(fb)
@@ -377,15 +389,59 @@ def build_parser() -> argparse.ArgumentParser:
     ld.add_argument("--bulk", action="store_true")
     ld.add_argument("--incremental", action="store_true")
     ld.add_argument("--report", action="store_true")
-    ld.add_argument("--input-dir")
-    ld.add_argument("--warehouse-dir", required=True)
-    ld.add_argument("--report-dir")
+    ld.add_argument("--input-dir", default=None,
+                    help="[OUTPUT_DATA_DIR]")
+    ld.add_argument("--warehouse-dir", default=None,
+                    help="[WAREHOUSE_DIR]")
+    ld.add_argument("--report-dir", default=None, help="[REPORT_DIR]")
     ld.set_defaults(fn=cmd_load)
     return p
 
 
+def _resolve_env(args: argparse.Namespace) -> argparse.Namespace:
+    """Fill unset flags from the environment (config.py precedence:
+    flag > process env > .env file > default). Required settings that
+    neither a flag nor the env provides fail with a message naming
+    both."""
+    from mc_ns_data_pipeline_spark.config import (
+        env_config,
+        load_env_file,
+        resolve,
+    )
+
+    load_env_file(args.env_file)
+    cfg = env_config()
+    if args.command in ("fetch-bulk", "fetch-incremental"):
+        args.n_pages = resolve(args.n_pages, cfg.n_pages,
+                               name="--n-pages/N_PAGES", required=True)
+        args.batch_size = resolve(args.batch_size, cfg.batch_size, 4)
+        args.captures_fetcher = resolve(
+            args.captures_fetcher, cfg.captures_fetcher,
+            name="--captures-fetcher/CAPTURES_FETCHER", required=True)
+        args.meta_fetcher = resolve(
+            args.meta_fetcher, cfg.meta_fetcher,
+            name="--meta-fetcher/META_FETCHER", required=True)
+        args.structures_fetcher = resolve(
+            args.structures_fetcher, cfg.structures_fetcher,
+            name="--structures-fetcher/STRUCTURES_FETCHER", required=True)
+        args.out_dir = resolve(args.out_dir, cfg.out_dir,
+                               name="--out-dir/OUTPUT_DATA_DIR",
+                               required=True)
+        args.state_dir = resolve(
+            args.state_dir, cfg.state_dir,
+            name="--state-dir/STATE_DIR|CHECKPOINT_FILE_PATH",
+            required=True)
+    elif args.command == "load":
+        args.input_dir = resolve(args.input_dir, cfg.out_dir)
+        args.warehouse_dir = resolve(
+            args.warehouse_dir, cfg.warehouse_dir,
+            name="--warehouse-dir/WAREHOUSE_DIR", required=True)
+        args.report_dir = resolve(args.report_dir, cfg.report_dir)
+    return args
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    args = _resolve_env(build_parser().parse_args(argv))
     return args.fn(args)
 
 

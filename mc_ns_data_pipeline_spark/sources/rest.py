@@ -31,6 +31,28 @@ MAX_RETRIES = 3
 RETRY_DELAY_S = 0.2
 
 
+def sort_params(sort_column: str | None,
+                sort_direction: str | None = None) -> dict[str, str]:
+    """O3 server-side sort pushdown: the query params the reference
+    sends so the API pre-sorts (`sortColumn=create_date&
+    sortDirection=desc`, data_processor.py:99-105). Returned as a dict
+    the transport merges into the request; empty when no sort is asked,
+    so plain fetchers stay untouched."""
+    params: dict[str, str] = {}
+    if sort_column:
+        params["sortColumn"] = sort_column
+        if sort_direction:
+            direction = sort_direction.lower()
+            if direction not in ("asc", "desc"):
+                raise ValueError(
+                    f"sort_direction must be asc|desc, got {sort_direction!r}"
+                )
+            params["sortDirection"] = direction
+    elif sort_direction:
+        raise ValueError("sort_direction given without sort_column")
+    return params
+
+
 def with_retries(fetch: Callable[..., object], *args,
                  max_retries: int = MAX_RETRIES,
                  delay_s: float = RETRY_DELAY_S, **kwargs):
@@ -53,7 +75,9 @@ def extract_content(payload: dict) -> list[dict]:
 
 
 def fetch_paginated(fetch_page: Callable[[int], dict],
-                    page_size: int | None = None) -> list[dict]:
+                    page_size: int | None = None,
+                    sort_column: str | None = None,
+                    sort_direction: str | None = None) -> list[dict]:
     """S1 driver-side loop: accumulate pages until exhausted.
 
     Retains the reference's sequential shape for small result sets
@@ -65,11 +89,18 @@ def fetch_paginated(fetch_page: Callable[[int], dict],
     heuristic would silently truncate to one page on any server whose
     page size is smaller than the assumed constant — the short-page
     shortcut is an optimization only the caller can make safe.
+
+    `sort_column`/`sort_direction` (O3) are pushed to the server as
+    query params via the fetcher's keyword surface — the server
+    pre-sorts, so the caller reads rows in order WITHOUT a Spark sort
+    stage. Plain `(page) -> dict` fetchers keep working when no sort
+    is requested.
     """
+    params = sort_params(sort_column, sort_direction)
     rows: list[dict] = []
     page = 0
     while True:
-        payload = with_retries(fetch_page, page)
+        payload = with_retries(fetch_page, page, **params)
         content = extract_content(payload)
         rows.extend(content)
         # `last` can live at either nesting level (mirrors
@@ -106,22 +137,31 @@ def pages_exhausted(fetch_page: Callable[[int], dict],
 def fetch_distributed(spark: SparkSession, n_pages: int,
                       fetch_page: Callable[[int], dict],
                       schema: T.StructType,
-                      pages_per_task: int = 4) -> DataFrame:
+                      pages_per_task: int = 4,
+                      sort_column: str | None = None,
+                      sort_direction: str | None = None) -> DataFrame:
     """S1 at scale: page-range fan-out across executors.
 
     Each task fetches `pages_per_task` pages and yields Arrow batches;
     rows are JSON-round-tripped through the declared schema so ragged
     payloads can't corrupt types.
+
+    Sort pushdown (O3): with a server-side sort the GLOBAL order is a
+    property of the page numbering, so `fetch_distributed` stays
+    order-correct per page range; a consumer needing total order sorts
+    by (page, position) — already materialized per partition — instead
+    of re-sorting the payload columns.
     """
     import pandas as pd
 
     names = schema.fieldNames()
+    params = sort_params(sort_column, sort_direction)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out: list[dict] = []
             for page in pdf["page"]:
-                payload = with_retries(fetch_page, int(page))
+                payload = with_retries(fetch_page, int(page), **params)
                 out.extend(extract_content(payload))
             yield pd.DataFrame(
                 {n: [r.get(n) for r in out] for n in names}

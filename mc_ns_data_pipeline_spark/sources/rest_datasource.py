@@ -18,6 +18,12 @@ Options:
                   deterministic fixture. String-typed options are the
                   DataSource API contract, hence import-path injection.
 
+  sort_column     O3 server-side sort pushdown: forwarded to the
+  sort_direction  fetcher as sortColumn/sortDirection query params
+                  (asc|desc), mirroring data_processor.py:99-105 —
+                  the server pre-sorts, so no Spark sort stage is
+                  needed to read in order.
+
 Filter pushdown (record-id ranges, epoch windows) maps to fetcher
 closure parameters in production; the page range itself IS the
 partition-level pushdown.
@@ -35,7 +41,10 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from mc_ns_data_pipeline_spark.sources.rest import extract_content
+from mc_ns_data_pipeline_spark.sources.rest import (
+    extract_content,
+    sort_params,
+)
 
 DEFAULT_PAGES_PER_PARTITION = 8
 
@@ -59,6 +68,11 @@ class RestReader(DataSourceReader):
             options.get("pages_per_part", DEFAULT_PAGES_PER_PARTITION)
         )
         self._fetcher_path = options["fetcher"]
+        # validated at plan time so a bad direction fails fast on the
+        # driver, not per-task on the executors
+        self._sort_params = sort_params(
+            options.get("sort_column"), options.get("sort_direction")
+        )
 
     def partitions(self) -> list[PageRange]:
         return [
@@ -70,7 +84,7 @@ class RestReader(DataSourceReader):
         fetch_page = _resolve(self._fetcher_path)
         names = self._schema.fieldNames()
         for page in range(partition.start, partition.end):
-            payload = fetch_page(page)
+            payload = fetch_page(page, **self._sort_params)
             for rec in extract_content(payload):
                 yield tuple(rec.get(n) for n in names)
 

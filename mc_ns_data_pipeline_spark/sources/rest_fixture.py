@@ -32,6 +32,31 @@ def fetch_page_nested(page: int) -> dict:
     return {"pageResult": fetch_page(page)}
 
 
+def fetch_page_sortable(page: int, sortColumn: str | None = None,
+                        sortDirection: str = "asc") -> dict:
+    """O3 fixture: a server that honors sortColumn/sortDirection query
+    params (reference data_processor.py:99-105). Pages are slices of
+    the GLOBALLY re-sorted record list, and each record's
+    dataCaptureName is stamped with the params the server received so
+    tests can prove the pushdown reached the transport (executors are
+    separate processes — state can't be inspected, output can)."""
+    records = [
+        {
+            "productionRecordId": i,
+            "lotNumber": f"LOT-{i // 10:03d}",
+            "dataCaptureName": f"sort={sortColumn}:{sortDirection}",
+            "current": i % 2 == 0,
+        }
+        for i in range(TOTAL_RECORDS)
+    ]
+    if sortColumn:
+        records.sort(
+            key=lambda r: r[sortColumn], reverse=sortDirection == "desc"
+        )
+    start = page * PAGE_SIZE
+    return {"content": records[start:start + PAGE_SIZE]}
+
+
 # --- full-contract fixtures for the CLI (cli.py) -----------------------
 
 CAPTURE_PAGE_SIZE = 10

@@ -182,3 +182,80 @@ def test_fetch_incremental_rerun_at_later_time_is_exactly_once(
         "recursiveFileLookup", True
     ).csv(out)
     assert delivered.count() == delivered.dropDuplicates().count()
+
+
+def test_env_only_run_and_precedence(spark, tmp_path, monkeypatch):
+    """Operational parity (settings.py:1-34): a run driven PURELY from
+    the environment — no fetch/load flags — plus the precedence
+    contract (flag > env)."""
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    wh = str(tmp_path / "warehouse")
+    fx = "mc_ns_data_pipeline_spark.sources.rest_fixture"
+    # monkeypatch.setenv restores on teardown, so the env never leaks
+    monkeypatch.setenv("OUTPUT_DATA_DIR", out)
+    monkeypatch.setenv("CHECKPOINT_FILE_PATH", f"{state}/checkpoint.json")
+    monkeypatch.setenv("N_PAGES", "4")
+    monkeypatch.setenv("BATCH_SIZE", "4")
+    monkeypatch.setenv("CAPTURES_FETCHER", f"{fx}:fetch_captures_page")
+    monkeypatch.setenv("META_FETCHER", f"{fx}:batch_meta_records")
+    monkeypatch.setenv("STRUCTURES_FETCHER", f"{fx}:structure_records")
+    monkeypatch.setenv("WAREHOUSE_DIR", wh)
+
+    assert main(["fetch-bulk"]) == 0
+    ckpt = json.load(open(os.path.join(state, "checkpoint.json")))
+    assert ckpt["last_processed_id"] == 36
+
+    assert main(["load", "--bulk"]) == 0  # input dir from OUTPUT_DATA_DIR
+    assert 0 < spark.read.parquet(f"{wh}/lot_data").count() < 37
+
+    # precedence: an explicit flag overrides the env var
+    out2 = str(tmp_path / "exchange2")
+    state2 = str(tmp_path / "state2")
+    assert main([
+        "fetch-bulk", "--out-dir", out2, "--state-dir", state2,
+    ]) == 0
+    assert os.path.exists(os.path.join(state2, "checkpoint.json"))
+
+
+def test_env_file_loading_and_missing_required(tmp_path, monkeypatch):
+    """The .env file supplies what the process env lacks; process env
+    wins over the file; a setting nobody supplies fails with a message
+    naming both the flag and the variable."""
+    from mc_ns_data_pipeline_spark.config import env_config, load_env_file
+
+    envfile = tmp_path / "pipeline.env"
+    envfile.write_text(
+        "# deployment config\n"
+        "BATCH_SIZE=9\n"
+        'WAREHOUSE_DIR="/data/wh"\n'
+        "N_PAGES=7\n"
+    )
+    env: dict[str, str] = {"BATCH_SIZE": "2"}  # pre-existing wins
+    applied = load_env_file(envfile, env)
+    assert env["BATCH_SIZE"] == "2"
+    assert env["WAREHOUSE_DIR"] == "/data/wh"  # quotes stripped
+    assert "BATCH_SIZE" not in applied
+    cfg = env_config(env)
+    assert cfg.batch_size == 2
+    assert cfg.n_pages == 7
+
+    # required setting absent everywhere -> SystemExit naming both
+    monkeypatch.delenv("WAREHOUSE_DIR", raising=False)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="WAREHOUSE_DIR"):
+        main(["--env-file", str(tmp_path / "absent"), "load", "--bulk"])
+
+
+def test_db_config_json_to_jdbc_properties():
+    from mc_ns_data_pipeline_spark.config import env_config, jdbc_properties
+
+    cfg = env_config({
+        "DB_CONFIG": '{"url": "jdbc:postgresql://h/db", "user": "u",'
+                     ' "password": "p"}'
+    })
+    props = jdbc_properties(cfg)
+    assert props == {
+        "url": "jdbc:postgresql://h/db", "user": "u", "password": "p"
+    }

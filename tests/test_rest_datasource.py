@@ -50,6 +50,68 @@ def test_nested_page_result_shape(registered):
     assert df.count() == 57
 
 
+def test_sort_pushdown_reaches_fetcher(registered):
+    """O3: sort_column/sort_direction options must be forwarded to the
+    transport as sortColumn/sortDirection — proven by the fixture
+    stamping the received params into each record AND by the globally
+    descending id order across page partitions (only a server-side
+    sort can order ACROSS pages)."""
+    df = (
+        registered.read.format("paginated_rest")
+        .schema(SCHEMA)
+        .option("n_pages", "12")
+        .option("pages_per_part", "4")
+        .option(
+            "fetcher",
+            "mc_ns_data_pipeline_spark.sources.rest_fixture:fetch_page_sortable",
+        )
+        .option("sort_column", "productionRecordId")
+        .option("sort_direction", "desc")
+        .load()
+    )
+    rows = df.collect()  # partition order == page order
+    assert [r.productionRecordId for r in rows] == list(range(56, -1, -1))
+    assert {r.dataCaptureName for r in rows} == {
+        "sort=productionRecordId:desc"
+    }
+
+
+def test_sort_pushdown_bad_direction_fails_at_plan_time(registered):
+    with pytest.raises(Exception, match="asc|desc"):
+        (
+            registered.read.format("paginated_rest")
+            .schema(SCHEMA)
+            .option("n_pages", "2")
+            .option(
+                "fetcher",
+                "mc_ns_data_pipeline_spark.sources.rest_fixture:fetch_page_sortable",
+            )
+            .option("sort_column", "productionRecordId")
+            .option("sort_direction", "sideways")
+            .load()
+            .collect()
+        )
+
+
+def test_fetch_paginated_sort_pushdown():
+    """Driver-side loop (S1 small-result path) pushes the same params."""
+    from mc_ns_data_pipeline_spark.sources.rest import fetch_paginated
+    from mc_ns_data_pipeline_spark.sources.rest_fixture import (
+        fetch_page_sortable,
+    )
+
+    rows = fetch_paginated(
+        fetch_page_sortable,
+        page_size=5,
+        sort_column="productionRecordId",
+        sort_direction="desc",
+    )
+    assert [r["productionRecordId"] for r in rows] == list(range(56, -1, -1))
+    # no sort requested -> fetcher sees no params, natural order
+    plain = fetch_paginated(fetch_page_sortable, page_size=5)
+    assert [r["productionRecordId"] for r in plain] == list(range(57))
+
+
 def test_projection_into_source_schema(registered):
     df = _read(
         registered,

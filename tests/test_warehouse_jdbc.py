@@ -75,6 +75,79 @@ def test_jdbc_pushdown_roundtrip(spark):
     assert dfp.count() == 10
 
 
+def test_jdbc_write_options_shape():
+    from mc_ns_data_pipeline_spark.sinks.jdbc import jdbc_write_options
+
+    opts = jdbc_write_options(
+        "jdbc:postgresql://h/db", "wh.lots",
+        properties={"user": "u"}, batchsize=5000, truncate=True,
+    )
+    assert opts["dbtable"] == "wh.lots"
+    assert opts["batchsize"] == "5000"
+    assert opts["truncate"] == "true"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["user"] == "u"
+
+
+def test_jdbc_write_roundtrip_append_and_truncate_reload(spark):
+    """K5/K8 end-to-end against Derby: append accumulates, a second
+    append proves per-batch insert (not replace), truncate-reload
+    replaces the rows while preserving the remote table's DDL (the
+    PRIMARY KEY constraint still rejects duplicates afterwards)."""
+    from mc_ns_data_pipeline_spark.sinks.jdbc import (
+        write_append,
+        write_truncate_reload,
+    )
+    from mc_ns_data_pipeline_spark.sources.jdbc import read_query
+
+    url = "jdbc:derby:memory:k5e2e;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE sink_items (id INT PRIMARY KEY, name VARCHAR(20))"
+    )
+    st.close()
+    conn.close()
+
+    df1 = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(5)], "id INT, name STRING"
+    )
+    write_append(df1, url, "sink_items", num_connections=2)
+    df2 = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(5, 8)], "id INT, name STRING"
+    )
+    write_append(df2, url, "sink_items", batchsize=2)
+    got = read_query(spark, url, "SELECT id, name FROM sink_items")
+    assert got.count() == 8
+
+    fresh = spark.createDataFrame(
+        [(100, "fresh"), (101, "fresh2")], "id INT, name STRING"
+    )
+    write_truncate_reload(fresh, url, "sink_items", num_connections=1)
+    rows = sorted(
+        tuple(r)
+        for r in read_query(
+            spark, url, "SELECT id, name FROM sink_items"
+        ).collect()
+    )
+    assert rows == [(100, "fresh"), (101, "fresh2")]
+
+    # DDL preserved by truncate-reload: PK constraint must still fire
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    with pytest.raises(Exception):
+        st.execute("INSERT INTO sink_items VALUES (100, 'dup')")
+    st.close()
+    conn.close()
+
+
+def test_jdbc_write_num_connections_validates():
+    from mc_ns_data_pipeline_spark.sinks.jdbc import _prepare
+
+    with pytest.raises(ValueError):
+        _prepare(None, 0)
+
+
 @pytest.fixture()
 def warehouse_db(spark, tmp_path):
     db = "wh_test"
