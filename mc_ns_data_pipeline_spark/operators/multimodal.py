@@ -55,9 +55,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic fake decode: derives dims/features from the bytes.
 
-    Production swap-point: replace with PIL.Image.open + model features.
-    Raising NotImplementedError here would also be acceptable; a
-    deterministic fake lets the plumbing be integration-tested.
+    The stub is the ORACLE FIXTURE (byte arithmetic DuckDB can
+    reproduce); `_decode_image_pil` is the real codec behind the same
+    swap-point, used when `codec="pil"` and Pillow is importable.
     """
     n = len(payload)
     width = (n % 97) + 1
@@ -70,15 +70,55 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched decode + feature extraction over binary payloads."""
+def _decode_image_pil(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode via Pillow (import-guarded: the library is
+    optional and absent in some deploys/sandboxes — callers selecting
+    codec="pil" get a clear ImportError, not a worker crash).
+
+    Features: 8-dim gray-histogram mass (normalized eighths of the
+    luminance range) — cheap, deterministic for a given decoder, and
+    the same fixed-length contract as the stub so downstream operators
+    (similarity, dedup over frames) apply unchanged.
+    """
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as err:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "codec='pil' needs Pillow (pip install Pillow); "
+            "use codec='stub' for the deterministic test fixture"
+        ) from err
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        gray = np.asarray(img.convert("L"), dtype=np.uint8)
+    hist, _ = np.histogram(gray, bins=IMAGE_FEATURE_DIM, range=(0, 256))
+    total = max(int(hist.sum()), 1)
+    return width, height, [float(h) / total for h in hist]
+
+
+_IMAGE_CODECS = {"stub": _decode_image_stub, "pil": _decode_image_pil}
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id",
+                 codec: str = "stub") -> DataFrame:
+    """Arrow-batched decode + feature extraction over binary payloads.
+
+    `codec` picks the executor-side decoder: "stub" (deterministic
+    fixture, the oracle path) or "pil" (real Pillow decode). The
+    dataflow — schema, Arrow batching, partition memory bounds — is
+    identical for both; that is the point of the swap-point design.
+    """
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
+    decode = _IMAGE_CODECS[codec]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_image_stub(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "media_type": [m["content_type"] for m in pdf["media_meta"]],
@@ -150,6 +190,7 @@ AUDIO_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType(), True),
     T.StructField("sample_rate", T.IntegerType(), False),
     T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("n_samples", T.LongType(), False),
     T.StructField("duration_ms", T.LongType(), False),
     T.StructField("peak_amp", T.IntegerType(), False),
     T.StructField("sum_amp", T.LongType(), False),
@@ -195,35 +236,120 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int, int, int, int]:
     return n, peak, total, n_frames, n_silent
 
 
-def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _decode_audio_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL audio codec: RIFF/WAVE PCM parse, pure stdlib + numpy (no
+    optional dependency — unlike the PIL image path this one always
+    works). Returns (sample_rate, n_samples, peak, total, n_frames,
+    n_silent) over per-sample amplitudes: |s - 128| for unsigned 8-bit,
+    |s| for signed 16-bit, channel-averaged for multi-channel. Frames
+    are 10 ms; a frame whose mean amplitude is below
+    AUDIO_SILENCE_MEAN counts as silent (same VAD contract as the
+    stub).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported, got format {audio_format}")
+    if bits == 8:
+        amp = np.abs(
+            np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        )
+    elif bits == 16:
+        usable = len(data) // 2 * 2
+        amp = np.abs(
+            np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)
+        )
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if n_channels > 1:
+        usable = len(amp) // n_channels * n_channels
+        amp = (
+            amp[:usable]
+            .reshape(-1, n_channels)
+            .sum(axis=1) // n_channels
+        )
+    n = int(len(amp))
+    frame_len = max(sample_rate // 100, 1)  # 10 ms
+    n_frames = (n + frame_len - 1) // frame_len
+    n_silent = 0
+    for s in range(0, n, frame_len):
+        f = amp[s:s + frame_len]
+        if int(f.sum()) < AUDIO_SILENCE_MEAN * len(f):
+            n_silent += 1
+    return (
+        int(sample_rate), n, int(amp.max()) if n else 0, int(amp.sum()),
+        n_frames, n_silent,
+    )
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id",
+                 codec: str = "stub") -> DataFrame:
     """Arrow-batched waveform summary over binary audio payloads.
 
     Same dataflow contract as decode_media: memory bounded by the
     Arrow batch size, payloads never pass through the driver, outputs
     are fixed-width scalars so downstream filters stay columnar.
+
+    codec="stub" treats each byte as a PCM8 sample at the fake fixed
+    rate (the oracle fixture); codec="wav" runs the real RIFF/WAVE
+    parser (_decode_audio_wav) and reports the container's true sample
+    rate. n_bytes stays the payload length in both paths (duration is
+    derived from samples/rate, not bytes).
     """
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
+    if codec not in ("stub", "wav"):
+        raise ValueError(f"unknown audio codec {codec!r}")
+
+    def decode(p: bytes) -> tuple[int, int, int, int, int, int]:
+        if codec == "wav":
+            return _decode_audio_wav(p)
+        n, peak, total, n_frames, n_silent = _decode_audio_stub(p)
+        return AUDIO_SAMPLE_RATE, n, peak, total, n_frames, n_silent
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_audio_stub(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "media_type": [m["content_type"] for m in pdf["media_meta"]],
                 "sample_rate": pd.Series(
-                    [AUDIO_SAMPLE_RATE] * len(pdf), dtype="int32"
+                    [d[0] for d in decoded], dtype="int32"
                 ),
-                "n_bytes": pd.Series([d[0] for d in decoded], dtype="int64"),
+                "n_bytes": pd.Series(
+                    [len(p) for p in pdf["payload"]], dtype="int64"
+                ),
+                "n_samples": pd.Series(
+                    [d[1] for d in decoded], dtype="int64"
+                ),
                 "duration_ms": pd.Series(
-                    [d[0] * 1000 // AUDIO_SAMPLE_RATE for d in decoded],
-                    dtype="int64",
+                    [d[1] * 1000 // d[0] for d in decoded], dtype="int64"
                 ),
-                "peak_amp": pd.Series([d[1] for d in decoded], dtype="int32"),
-                "sum_amp": pd.Series([d[2] for d in decoded], dtype="int64"),
-                "n_frames": pd.Series([d[3] for d in decoded], dtype="int32"),
-                "n_silent": pd.Series([d[4] for d in decoded], dtype="int32"),
+                "peak_amp": pd.Series([d[2] for d in decoded], dtype="int32"),
+                "sum_amp": pd.Series([d[3] for d in decoded], dtype="int64"),
+                "n_frames": pd.Series([d[4] for d in decoded], dtype="int32"),
+                "n_silent": pd.Series([d[5] for d in decoded], dtype="int32"),
             })
 
     return df.mapInPandas(batches, AUDIO_SCHEMA)
@@ -231,13 +357,16 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def resample_spec(df: DataFrame, target_rate: int = 8000) -> DataFrame:
     """Target sample count for rate conversion (pure exprs, cf.
-    resize_spec): floor(n_bytes * target / source) — the length
-    contract a real polyphase resampler would honor."""
+    resize_spec): (n_samples * target) div source — the length contract
+    a real polyphase resampler would honor. Integer `div`, not
+    floor(double /): for a non-dyadic target/source ratio the floor of
+    the correctly-rounded double quotient can disagree with an integer
+    '//' by one, so the contract is pinned engine-exactly."""
     return df.select(
         "*",
-        F.floor(
-            F.col("n_bytes") * F.lit(target_rate) / F.col("sample_rate")
-        ).cast("long").alias("target_n_samples"),
+        F.expr(
+            f"(n_samples * CAST({int(target_rate)} AS BIGINT)) div sample_rate"
+        ).alias("target_n_samples"),
     )
 
 

@@ -1519,13 +1519,18 @@ def x21_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch output depends on merge order, so the declared result uses
     the ORACLE-WITNESS pattern (VERDICT r02 #3): it emits the EXACT
     percentiles (rounded to 6, same contract as the exact variant) plus
-    `within_tol`, computed IN the query by checking each sketch value
-    against the exact-percentile band at rank p ± 2/accuracy (twice
-    the Greenwald-Khanna guarantee, absorbing the n-vs-n-1 rank
-    convention). The oracle computes the exact values and literal TRUE:
-    the driver hash then verifies the tolerance claim, not the sketch
-    bits. test_properties.py::test_sketch_percentiles_within_tolerance
-    still pins the estimator against the exact variant in-tree.
+    `within_tol`, computed IN the query as a RANK check: the sketch
+    value v for target p must satisfy
+        #{x <= v} >= (p - eps) * n   and   #{x < v} <= (p + eps) * n
+    with eps = 2/accuracy (twice the Greenwald-Khanna rank-error
+    guarantee of 1/accuracy). A value-band check against interpolated
+    exact percentiles would FAIL at small n — the sketch returns a
+    dataset element while percentile() interpolates — so the witness
+    checks the element's rank, which is exactly what GK bounds. The
+    oracle computes the exact values and literal TRUE: the driver hash
+    then verifies the tolerance claim, not the sketch bits.
+    test_properties.py::test_sketch_percentiles_within_tolerance still
+    pins the estimator against the exact variant in-tree.
     """
     li = load_table(spark, sf_dir, "lineitem", fan_out=True)
     acc = 10000
@@ -1533,30 +1538,47 @@ def x21_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = [0.5, 0.9, 0.99]
     arr = lambda ps: F.array(*[F.lit(p) for p in ps])  # noqa: E731
     g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
         F.percentile("l_quantity", 0.5).alias("_eq"),
-        F.percentile("l_quantity", 0.5 - eps).alias("_lq"),
-        F.percentile("l_quantity", 0.5 + eps).alias("_hq"),
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(acc)).alias("_aq"),
         F.percentile("l_extendedprice", arr(targets)).alias("_ep"),
-        F.percentile(
-            "l_extendedprice", arr([max(p - eps, 0.0) for p in targets])
-        ).alias("_lp"),
-        F.percentile(
-            "l_extendedprice", arr([min(p + eps, 1.0) for p in targets])
-        ).alias("_hp"),
         F.approx_percentile(
             "l_extendedprice", arr(targets), F.lit(acc)
         ).alias("_ap"),
     )
-    ok = (F.col("_aq") >= F.col("_lq")) & (F.col("_aq") <= F.col("_hq"))
+    # rank the sketch elements with one more scan (broadcast the tiny
+    # per-group pins back onto the fact table; no extra full shuffle
+    # beyond the groupBy)
+    j = li.select("l_returnflag", "l_quantity", "l_extendedprice").join(
+        F.broadcast(g.select("l_returnflag", "_aq", "_ap")), "l_returnflag"
+    )
+    le = lambda c, v: F.sum((F.col(c) <= v).cast("long"))  # noqa: E731
+    lt = lambda c, v: F.sum((F.col(c) < v).cast("long"))  # noqa: E731
+    aggs = [
+        le("l_quantity", F.col("_aq")).alias("_le_q"),
+        lt("l_quantity", F.col("_aq")).alias("_lt_q"),
+    ]
     for i in range(len(targets)):
+        aggs.append(
+            le("l_extendedprice", F.col("_ap")[i]).alias(f"_le_p{i}")
+        )
+        aggs.append(
+            lt("l_extendedprice", F.col("_ap")[i]).alias(f"_lt_p{i}")
+        )
+    ranks = j.groupBy("l_returnflag").agg(*aggs)
+    n = F.col("_n").cast("double")
+    ok = (F.col("_le_q") >= (0.5 - eps) * n) & (
+        F.col("_lt_q") <= (0.5 + eps) * n
+    )
+    for i, p in enumerate(targets):
         ok = (
             ok
-            & (F.col("_ap")[i] >= F.col("_lp")[i])
-            & (F.col("_ap")[i] <= F.col("_hp")[i])
+            & (F.col(f"_le_p{i}") >= (p - eps) * n)
+            & (F.col(f"_lt_p{i}") <= (p + eps) * n)
         )
     return (
-        g.select(
+        g.join(ranks, "l_returnflag")
+        .select(
             "l_returnflag",
             F.round(F.col("_eq"), 6).alias("p50_qty"),
             F.round(F.col("_ep")[0], 6).alias("p50_price"),
@@ -1698,6 +1720,33 @@ def xs3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"xs3_sink_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="xs3_ckpt_")
     return run_stream_dedup(
+        spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
+    )
+
+
+def xs12_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS12 — streaming hourly volume-anomaly detection (x72's z-score,
+    computed incrementally by a custom stateful operator).
+
+    applyInPandasWithState keeps (prior-history moments, open-hour
+    counts, event-time frontier) per event type; an hour closes in
+    strict ascending order once the frontier passes it by the disorder
+    bound, emitting exact integers (n, k, s1, s2). The z arithmetic
+    runs in engine SQL on both sides, so float parity is the engines'.
+    Oracle: per-type hourly counts with prior-hour window moments,
+    excluding each key's final 3 open hours (the frontier rule never
+    emits them).
+    """
+    import tempfile
+    import uuid
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_stream_anomaly,
+    )
+
+    sink = f"xs12_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="xs12_ckpt_")
+    return run_stream_anomaly(
         spark, f"{sf_dir}/events.parquet", ckpt, sink_table=sink
     )
 
@@ -2422,6 +2471,7 @@ EXT_QUERIES = {
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
+    "xs12_stream_anomaly": xs12_stream_anomaly,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -3068,6 +3118,8 @@ def _multimodal_audio_sql() -> str:
         SELECT h.doc_id, 'audio/fake' AS media_type,
                16000 AS sample_rate,
                CAST(h.n AS BIGINT) AS n_bytes,
+               -- stub codec: 1 byte = 1 sample, so n_samples == n_bytes
+               CAST(h.n AS BIGINT) AS n_samples,
                CAST(h.n AS BIGINT) * 1000 // 16000 AS duration_ms,
                coalesce(a.peak_amp, 0) AS peak_amp,
                coalesce(a.sum_amp, 0) AS sum_amp,
@@ -4837,6 +4889,60 @@ EXT_ORACLES["xs11_stream_quality_gate"] = """
       AND user_id IS NOT NULL
     GROUP BY event_type
     ORDER BY event_type
+"""
+
+# xs12: static twin of the streaming anomaly walk. Hours close once
+# the per-key frontier passes them by ANOMALY_DISORDER_HOURS (=3), so
+# the oracle drops each key's final 3 hours; prior moments are window
+# sums over strictly earlier closed hours; the mean/var/z expression
+# shapes mirror run_stream_anomaly's final select operator-for-operator
+# (same discipline as x72) so the doubles are bit-identical before the
+# 6 dp round.
+EXT_ORACLES["xs12_stream_anomaly"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT *, max(hour) OVER (PARTITION BY event_type) AS frontier
+        FROM hourly
+    ),
+    closed AS (
+        SELECT event_type, hour, n_events FROM marked
+        WHERE hour <= frontier - INTERVAL 3 HOUR
+    ),
+    mom AS (
+        SELECT event_type, hour, n_events,
+               count(*) OVER wp AS k,
+               coalesce(sum(n_events) OVER wp, 0) AS s1,
+               coalesce(sum(n_events * n_events) OVER wp, 0) AS s2
+        FROM closed
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT event_type, hour, n_events, k,
+               CASE WHEN k > 0 THEN s1::DOUBLE / k::DOUBLE END AS _mean,
+               CASE WHEN k > 0 THEN
+                   sqrt((s2::DOUBLE
+                         - (s1::DOUBLE * s1::DOUBLE) / k::DOUBLE)
+                        / k::DOUBLE)
+               END AS _std
+        FROM mom
+    )
+    SELECT event_type, hour, n_events::BIGINT AS n_events,
+           k::BIGINT AS n_prior_hours,
+           CASE WHEN k >= 3 AND _std > 0
+                THEN round((n_events::DOUBLE - _mean) / _std, 6)
+           END AS z_r,
+           CASE WHEN k >= 3 AND _std > 0
+                THEN abs(round((n_events::DOUBLE - _mean) / _std, 6))
+                     >= 2.0
+                ELSE FALSE
+           END AS is_anomaly
+    FROM scored
+    ORDER BY event_type, hour
 """
 
 # x74: lead() over the same deterministic (ts, event_id) ordering;

@@ -405,41 +405,70 @@ def run_pattern_detect(
 # ---------------------------------------------------------------------------
 
 HOUR_US = 3_600_000_000
+# Allowed event-time disorder: an hour h closes only once the key's
+# event-time frontier (max hour ever seen) is > h + this many hours.
+# For any source whose arrival disorder stays within the bound, the
+# emitted rows are a pure function of the key's event history — the
+# SAME rows for ANY micro-batch chunking (closure is strictly
+# ascending, counts are complete at close time). This is the standard
+# watermark contract (cf. xs1's withWatermark lag).
+ANOMALY_DISORDER_HOURS = 3
 ANOMALY_OUTPUT_SCHEMA = (
     "event_type string, hour timestamp, n_events bigint,"
     " k bigint, s1 bigint, s2 bigint"
 )
-# closed-history moments + frontier + pending open-hour counts
-ANOMALY_STATE_SCHEMA = "k bigint, s1 bigint, s2 bigint, pending string"
+# closed-history moments + pending open-hour counts + event-time
+# frontier + highest closed hour (watermark bookkeeping)
+ANOMALY_STATE_SCHEMA = (
+    "k bigint, s1 bigint, s2 bigint, pending string,"
+    " frontier bigint, last_closed bigint"
+)
 
 
 def _anomaly_walk(
     frames: list[pd.DataFrame],
     hist: tuple[int, int, int],
     pending: dict[int, int],
-) -> tuple[pd.DataFrame | None, tuple[int, int, int], dict[int, int]]:
+    frontier: int = -1,
+    last_closed: int = -1,
+    disorder: int = ANOMALY_DISORDER_HOURS,
+) -> tuple[
+    pd.DataFrame | None, tuple[int, int, int], dict[int, int], int, int
+]:
     """Event-time hour accounting shared state walk.
 
-    Accumulates per-hour event counts in `pending`; an hour CLOSES once
-    a later hour has been seen for the key (the event-time frontier
-    passes it), at which point the hour is emitted with the history
-    moments (k, s1, s2) of all PRIOR closed hours and folded into them.
+    Accumulates per-hour event counts in `pending`. An hour CLOSES —
+    in strictly ascending order — once the key's event-time frontier
+    (max hour ever seen, monotonic across batches) has passed it by
+    more than `disorder` hours; at close it is emitted with the
+    history moments (k, s1, s2) of all PRIOR closed hours and folded
+    into them. Events for hours at or below `last_closed` (arrival
+    disorder beyond the bound) are dropped, never re-opened — so a
+    closed hour's row is final and the emission set is batch-chunking
+    independent whenever the source honors the disorder bound
+    (tests/test_streaming.py pins this with adversarial chunkings).
+
     Emissions carry exact integers only — the z arithmetic happens in
     engine SQL on both sides of the oracle compare, so float parity is
     the engines' (proven for x72), never Python's.
 
-    State is (3 ints + open-hour counts); open hours are bounded by the
-    key's event-time disorder, not history length.
+    State is 5 ints + open-hour counts; open hours are bounded by the
+    disorder bound, not history length.
     """
     df = pd.concat(frames, ignore_index=True)
     us = pd.to_datetime(df["ts"]).astype("int64") // 1_000
     for h, c in (us // HOUR_US).value_counts().items():
-        pending[int(h)] = pending.get(int(h), 0) + int(c)
-    frontier = max(pending) if pending else -1
+        h = int(h)
+        if h <= last_closed:
+            continue  # beyond-disorder straggler: watermark drops it
+        pending[h] = pending.get(h, 0) + int(c)
+    if pending:
+        frontier = max(frontier, max(pending))
+    close_bound = frontier - disorder  # close every hour <= this
     k, s1, s2 = hist
     out_h, out_n, out_k, out_s1, out_s2 = [], [], [], [], []
     for h in sorted(pending):
-        if h >= frontier:
+        if h > close_bound:
             break
         n = pending.pop(h)
         out_h.append(h)
@@ -448,6 +477,7 @@ def _anomaly_walk(
         out_s1.append(s1)
         out_s2.append(s2)
         k, s1, s2 = k + 1, s1 + n, s2 + n * n
+        last_closed = h
     out = None
     if out_h:
         out = pd.DataFrame(
@@ -461,7 +491,7 @@ def _anomaly_walk(
                 "s2": pd.Series(out_s2, dtype="int64"),
             }
         )
-    return out, (k, s1, s2), pending
+    return out, (k, s1, s2), pending, frontier, last_closed
 
 
 def _encode_pending(pending: dict[int, int]) -> str:
@@ -484,12 +514,17 @@ def _update_anomaly(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        k0, s10, s20, pend = state.get
+        k0, s10, s20, pend, frontier, last_closed = state.get
         hist, pending = (k0, s10, s20), _decode_pending(pend)
     else:
-        hist, pending = (0, 0, 0), {}
-    out, hist, pending = _anomaly_walk(list(pdfs), hist, pending)
-    state.update((hist[0], hist[1], hist[2], _encode_pending(pending)))
+        hist, pending, frontier, last_closed = (0, 0, 0), {}, -1, -1
+    out, hist, pending, frontier, last_closed = _anomaly_walk(
+        list(pdfs), hist, pending, frontier, last_closed
+    )
+    state.update((
+        hist[0], hist[1], hist[2], _encode_pending(pending),
+        frontier, last_closed,
+    ))
     if out is not None:
         out.insert(0, "event_type", key[0])
         yield out

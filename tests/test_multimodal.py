@@ -36,8 +36,9 @@ def test_audio_summary_schema_and_resample(spark):
     )
     out = audio_summary(df).orderBy("doc_id").collect()
     assert [f.name for f in audio_summary(df).schema.fields] == [
-        "doc_id", "media_type", "sample_rate", "n_bytes", "duration_ms",
-        "peak_amp", "sum_amp", "n_frames", "n_silent", "target_n_samples",
+        "doc_id", "media_type", "sample_rate", "n_bytes", "n_samples",
+        "duration_ms", "peak_amp", "sum_amp", "n_frames", "n_silent",
+        "target_n_samples",
     ]
     r1, r2 = out
     # 16000 one-byte samples at 16 kHz = exactly 1 s, resampled to 8000
@@ -45,3 +46,139 @@ def test_audio_summary_schema_and_resample(spark):
     assert r1.n_frames == 16000 // AUDIO_FRAME
     assert r1.n_silent == 0  # 'a' = 97 >= the silence mean of 64
     assert (r2.n_bytes, r2.n_frames, r2.target_n_samples) == (0, 0, 0)
+
+
+def _make_wav(sample_rate: int, bits: int, channels: int,
+              frames: list) -> bytes:
+    """Minimal RIFF/WAVE PCM writer for tests (frames: per-channel
+    sample values; 8-bit unsigned / 16-bit signed)."""
+    import struct
+
+    if bits == 8:
+        data = bytes(s for fr in frames for s in (fr if channels > 1 else [fr]))
+    else:
+        flat = [s for fr in frames for s in (fr if channels > 1 else [fr])]
+        data = b"".join(struct.pack("<h", s) for s in flat)
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_codec_8bit_mono():
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        _decode_audio_wav,
+    )
+
+    # 8 kHz mono 8-bit: 10 ms frame = 80 samples. One loud frame
+    # (|200-128| = 72 >= 64), one silent (|130-128| = 2).
+    wav = _make_wav(8000, 8, 1, [200] * 80 + [130] * 80)
+    rate, n, peak, total, n_frames, n_silent = _decode_audio_wav(wav)
+    assert (rate, n, peak) == (8000, 160, 72)
+    assert total == 72 * 80 + 2 * 80
+    assert (n_frames, n_silent) == (2, 1)
+
+
+def test_wav_codec_16bit_stereo_channel_average():
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        _decode_audio_wav,
+    )
+
+    # 16 kHz stereo 16-bit: channel-averaged amplitude (|1000|+|-2000|)/2
+    wav = _make_wav(16000, 16, 2, [(1000, -2000)] * 320)
+    rate, n, peak, total, n_frames, n_silent = _decode_audio_wav(wav)
+    assert (rate, n) == (16000, 320)
+    assert peak == 1500
+    assert total == 1500 * 320
+    assert (n_frames, n_silent) == (2, 0)
+
+
+def test_wav_codec_rejects_non_wav():
+    import pytest
+
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        _decode_audio_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_audio_wav(b"plainly not audio")
+
+
+def test_decode_audio_wav_codec_through_spark(spark):
+    """The real codec runs inside the same mapInPandas dataflow: the
+    reported sample_rate comes from the container, not the stub
+    constant, and duration derives from true samples/rate."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        resample_spec,
+    )
+
+    wav1 = _make_wav(8000, 8, 1, [200] * 8000)     # exactly 1 s
+    wav2 = _make_wav(16000, 16, 1, [0] * 4000)     # 0.25 s of silence
+    df = spark.createDataFrame(
+        [(1, wav1), (2, wav2)], "doc_id long, payload binary"
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("audio/wav").alias("content_type")).alias(
+            "media_meta"
+        ),
+    )
+    out = {
+        r.doc_id: r
+        for r in resample_spec(decode_audio(df, codec="wav")).collect()
+    }
+    assert out[1].sample_rate == 8000
+    assert out[1].duration_ms == 1000
+    assert out[1].n_silent == 0
+    assert out[1].target_n_samples == 8000  # already at target rate
+    assert out[2].sample_rate == 16000
+    assert out[2].duration_ms == 250
+    assert out[2].n_silent == out[2].n_frames  # all-zero samples
+    assert out[2].target_n_samples == 2000
+
+
+def test_pil_codec_import_guard():
+    """Without Pillow the pil codec must fail with guidance at decode
+    time (and the stub path must be unaffected)."""
+    import pytest
+
+    from mc_ns_data_pipeline_spark.operators import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present: guard not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="Pillow"):
+        mm._decode_image_pil(b"\x89PNG fake")
+
+
+def test_pil_codec_real_decode(spark):
+    """When Pillow IS available: real decode through the same plumbing."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        _decode_image_pil,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (255, 255, 255)).save(buf, format="PNG")
+    w, h, feats = _decode_image_pil(buf.getvalue())
+    assert (w, h) == (20, 10)
+    assert len(feats) == 8
+    assert abs(sum(feats) - 1.0) < 1e-9
+    assert feats[-1] == 1.0  # all-white mass lands in the top bin

@@ -107,10 +107,17 @@ def test_x11_grid_shuffles_once_per_side_no_driver_collect(spark, sf_dir):
 def test_x21_sketch_is_partial_aggregable(spark, sf_dir):
     """The sketch percentile must keep the partial->final HashAggregate
     split (mergeable state, map-side combine) — the property that makes
-    it the 100 TB path."""
+    it the 100 TB path. Since r3 the query adds a rank-witness pass
+    (broadcast of the tiny per-group pins + a second partial-agg scan);
+    the pins: still a partial approx_percentile, the witness join is a
+    broadcast (never a shuffled join), and the rank counters partial-
+    aggregate too."""
     plan = plan_of(spark, sf_dir, "x21_percentiles_sketch")
-    assert n_ops(plan, "ObjectHashAggregate") == 2  # partial + final
     assert plan.count("partial_approx_percentile") >= 1
+    assert n_ops(plan, "ObjectHashAggregate") >= 2  # partial + final
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert n_ops(plan, "CartesianProduct") == 0
 
 
 def test_x23_asof_is_single_keyed_shuffle(spark, sf_dir):

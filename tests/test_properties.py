@@ -174,10 +174,11 @@ def test_distinct_sketch_within_tolerance(spark, sf_dir):
     """x30 (HLL++ approx_count_distinct) tracks the exact distinct
     count per event type.
 
-    A cardinality sketch is estimate-valued by design (no hash oracle);
-    its contract is the configured relative standard deviation
-    (rsd=0.02). Assert a 3-sigma band — 6% — plus a unit slack for
-    tiny groups.
+    A cardinality sketch is estimate-valued by design; since r3 the
+    declared query carries the witness columns itself (exact count +
+    `within_tol` at a 5-sigma band) — this test pins the estimator
+    directly at the tighter 3-sigma band the witness relaxes, and
+    checks the declared witness actually holds.
     """
     from mc_ns_data_pipeline_spark.catalog import load_table
     from mc_ns_data_pipeline_spark.plans.extensions import (
@@ -185,21 +186,20 @@ def test_distinct_sketch_within_tolerance(spark, sf_dir):
     )
 
     ev = load_table(spark, sf_dir, "events")
-    exact = {
-        r["event_type"]: r["n_users"]
+    approx = {
+        r["event_type"]: r["est"]
         for r in ev.groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("est"))
         .collect()
     }
-    got = {
-        r["event_type"]: r["approx_distinct_users"]
-        for r in x30_distinct_sketch(spark, sf_dir).collect()
-    }
-    assert exact.keys() == got.keys()
+    rows = x30_distinct_sketch(spark, sf_dir).collect()
+    exact = {r["event_type"]: r["exact_distinct_users"] for r in rows}
+    assert exact.keys() == approx.keys()
     for etype, n in exact.items():
-        assert abs(got[etype] - n) <= 0.06 * n + 1, (
-            f"{etype}: sketch={got[etype]} exact={n}"
+        assert abs(approx[etype] - n) <= 0.06 * n + 1, (
+            f"{etype}: sketch={approx[etype]} exact={n}"
         )
+    assert all(r["within_tol"] for r in rows)
 
 
 def test_sketch_percentiles_within_tolerance(spark, sf_dir):
@@ -208,7 +208,11 @@ def test_sketch_percentiles_within_tolerance(spark, sf_dir):
     A mergeable sketch can't be hash-checked (result depends on merge
     order); its contract is bounded rank error — n/accuracy = 1e-4·n —
     which for these distributions keeps values within 1% of exact.
+    Since r3 the declared x21 emits exact values + a rank-check
+    `within_tol` witness; this test pins the raw estimator against the
+    exact variant AND that the declared witness holds.
     """
+    from mc_ns_data_pipeline_spark.catalog import load_table
     from mc_ns_data_pipeline_spark.plans.extensions import (
         x20_percentiles,
         x21_percentiles_sketch,
@@ -216,8 +220,28 @@ def test_sketch_percentiles_within_tolerance(spark, sf_dir):
 
     exact = {r["l_returnflag"]: r.asDict() for r in
              x20_percentiles(spark, sf_dir).collect()}
-    sketch = {r["l_returnflag"]: r.asDict() for r in
-              x21_percentiles_sketch(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = {
+        r["l_returnflag"]: r.asDict()
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_quantity", F.lit(0.5), F.lit(10000)
+            ).alias("p50_qty"),
+            F.approx_percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.lit(10000),
+            ).alias("_p"),
+        )
+        .select(
+            "l_returnflag", "p50_qty",
+            F.col("_p")[0].alias("p50_price"),
+            F.col("_p")[1].alias("p90_price"),
+            F.col("_p")[2].alias("p99_price"),
+        )
+        .collect()
+    }
     assert exact.keys() == sketch.keys()
     for flag, e in exact.items():
         s = sketch[flag]
@@ -225,6 +249,8 @@ def test_sketch_percentiles_within_tolerance(spark, sf_dir):
             assert abs(s[col] - e[col]) <= 0.01 * abs(e[col]) + 1e-9, (
                 f"{flag}.{col}: sketch={s[col]} exact={e[col]}"
             )
+    declared = x21_percentiles_sketch(spark, sf_dir).collect()
+    assert declared and all(r["within_tol"] for r in declared)
 
 
 @SETTINGS

@@ -497,3 +497,127 @@ def test_stream_quality_gate_replayed_batch_is_idempotent(spark, tmp_path):
     dead_rows = spark.read.option("recursiveFileLookup", "true").parquet(dead)
     assert acc_rows.count() == 2
     assert dead_rows.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# XS12: anomaly walk — event-time determinism under adversarial chunking
+# ---------------------------------------------------------------------------
+
+
+def _walk_chunked(hours_chunks, disorder=3):
+    """Drive _anomaly_walk over a sequence of micro-batches; each chunk
+    is a list of (hour_index, n_events) pairs. Returns the emitted rows
+    as a list of (hour, n, k, s1, s2) tuples in emission order."""
+    import pandas as pd
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        HOUR_US,
+        _anomaly_walk,
+    )
+
+    hist, pending, frontier, last_closed = (0, 0, 0), {}, -1, -1
+    rows = []
+    for chunk in hours_chunks:
+        ts = [
+            pd.Timestamp(h * HOUR_US * 1000)
+            for h, n in chunk
+            for _ in range(n)
+        ]
+        frames = [pd.DataFrame({"ts": ts})]
+        out, hist, pending, frontier, last_closed = _anomaly_walk(
+            frames, hist, pending, frontier, last_closed, disorder
+        )
+        if out is not None:
+            rows.extend(
+                (
+                    int(r.hour.value // (HOUR_US * 1000)),
+                    int(r.n_events), int(r.k), int(r.s1), int(r.s2),
+                )
+                for r in out.itertuples()
+            )
+    return rows
+
+
+def test_anomaly_walk_chunking_independent():
+    """The review's counterexample: hours {10,12} then {9,13} must give
+    the same emissions as one batch of {9,10,12,13} — hour 9's prior
+    moments must NOT fold hour 10 in. Every chunking of a
+    disorder-bounded history must agree exactly."""
+    import itertools
+
+    events = [(10, 4), (12, 2), (9, 3), (13, 5), (14, 1), (15, 2),
+              (16, 7), (17, 1)]
+    single = _walk_chunked([sorted(events)])
+    # the walk closes hours <= frontier-3: with frontier 17 -> 9..14
+    assert [r[0] for r in single] == [9, 10, 12, 13, 14]
+    # hour 9 closes FIRST: zero prior history
+    assert single[0] == (9, 3, 0, 0, 0)
+    # hour 10's prior is exactly hour 9
+    assert single[1] == (10, 4, 1, 3, 9)
+
+    for cut1 in range(1, len(events)):
+        for cut2 in range(cut1, len(events)):
+            chunks = [
+                events[:cut1], events[cut1:cut2], events[cut2:],
+            ]
+            got = _walk_chunked([c for c in chunks if c])
+            assert got == single, chunks
+
+    # the literal review scenario
+    assert _walk_chunked([[(10, 4), (12, 2)], [(9, 3), (13, 5)],
+                          [(14, 1), (15, 2), (16, 7), (17, 1)]]) == single
+
+    # permuted arrival order within the bound also agrees
+    for perm in itertools.permutations(events[:4]):
+        got = _walk_chunked([list(perm), events[4:]])
+        assert got == single
+
+
+def test_anomaly_walk_drops_beyond_disorder_stragglers():
+    """An hour arriving after the watermark closed past it is dropped,
+    never re-opened (a closed row is final)."""
+    rows = _walk_chunked([[(10, 2), (20, 1)], [(10, 9), (11, 3)],
+                          [(30, 1)]])
+    # frontier 20 closes 10 (n=2) and 11? 11 arrives later: batch2
+    # has 11 pending; batch3 frontier 30 closes 11 and 20.
+    assert [(h, n) for h, n, *_ in rows] == [(10, 2), (11, 3), (20, 1)]
+    # the straggler (10, 9) after closure did not produce a second row
+    assert len([r for r in rows if r[0] == 10]) == 1
+
+
+def test_stream_anomaly_end_to_end_matches_static(spark, tmp_path):
+    """run_stream_anomaly over a parquet file must equal the static
+    window-moment computation (the xs12 oracle shape)."""
+    import pandas as pd
+
+    from mc_ns_data_pipeline_spark.streaming.stateful import (
+        run_stream_anomaly,
+    )
+
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2025-03-01T00:00:00")
+    for h, n in [(0, 5), (1, 6), (2, 7), (3, 8), (4, 50), (5, 5),
+                 (6, 5), (7, 5), (8, 5)]:
+        for i in range(n):
+            rows.append((eid, base + pd.Timedelta(hours=h, seconds=i),
+                         eid % 7, "click", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    out = run_stream_anomaly(
+        spark, src, str(tmp_path / "ckpt"), sink_table="xs12_test_sink"
+    ).collect()
+    # frontier hour 8, disorder 3 -> hours 0..5 close
+    assert [r.hour.hour for r in out] == [0, 1, 2, 3, 4, 5]
+    by_hour = {r.hour.hour: r for r in out}
+    assert by_hour[4].n_prior_hours == 4
+    assert by_hour[4].is_anomaly  # 50 vs prior mean 6.5, ~39 sigma
+    assert by_hour[2].z_r is None  # k=2 < 3: not scoreable yet
+    assert by_hour[0].z_r is None and not by_hour[0].is_anomaly
