@@ -2357,6 +2357,247 @@ def x79_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 16
+
+
+def _zorder_terms(x: str, y: str, engine: str, bits: int = ZORDER_BITS) -> str:
+    """Morton (Z-order) bit-interleave expression for two unsigned
+    `bits`-bit ints — generated per engine (Spark SQL uses
+    shiftleft/shiftright functions, DuckDB the << >> operators). The
+    whole expression constant-folds into JVM codegen: no UDF."""
+    terms = []
+    for i in range(bits):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def x87_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day) — the
+    multi-dimensional data-layout primitive behind Delta/Iceberg
+    OPTIMIZE ZORDER. Writing files sorted by this key makes BOTH
+    per-customer and per-date predicates prune well (each dimension's
+    locality survives the interleave), where a plain sort only serves
+    its leading column.
+
+    Map-only: the interleave is a pure bit expression (no UDF, no
+    shuffle before the final presentation ORDER BY); at 100 TB the key
+    feeds a repartitionByRange + sortWithinPartitions write, and the
+    only shuffle is the range partitioner's.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    zexpr = _zorder_terms("_x", "_y", "spark")
+    return (
+        orders.selectExpr(
+            "o_orderkey",
+            "CAST(o_custkey & 65535 AS BIGINT) AS _x",
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+            " & 65535 AS BIGINT) AS _y",
+        )
+        .selectExpr(
+            "o_orderkey",
+            "_x AS cust_dim",
+            "_y AS day_dim",
+            f"CAST({zexpr} AS BIGINT) AS zorder_key",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ZONE_BUCKET = 250
+ZONE_PRED_LO = "2024-01-10 00:00:00"
+ZONE_PRED_HI = "2024-01-12 00:00:00"
+
+
+def x88_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zone maps (min/max/count statistics) + static pruning
+    decision — the data-skipping index format engines persist per
+    parquet row group / Iceberg manifest entry. `bucket` proxies the
+    file id; `would_scan` is the planner's keep/prune verdict for a
+    timestamp range predicate evaluated AGAINST THE STATS ONLY.
+
+    Scale shape: one partial-aggregable groupBy (min/max/count combine
+    map-side), output is #files rows regardless of data volume — this
+    is exactly the metadata a 100 TB table's pruning pass reads instead
+    of the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    zm = (
+        ev.selectExpr("event_id div 250 AS bucket", "ts", "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    lo = F.lit(ZONE_PRED_LO).cast("timestamp")
+    hi = F.lit(ZONE_PRED_HI).cast("timestamp")
+    return (
+        zm.select(
+            "bucket", "n_rows", "min_ts", "max_ts",
+            "min_value", "max_value",
+            (~((F.col("max_ts") < lo) | (F.col("min_ts") > hi))).alias(
+                "would_scan"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def x89_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level dedup fingerprints from sampled frame features —
+    cross-modal composition: the x15 frame-sampling operator feeds the
+    dedup family. Each doc's fingerprint is an order-sensitive integer
+    hash of its sampled frames' quantized features; identical payloads
+    (exact-dup videos) collide, and the canonical doc per fingerprint
+    group is the min doc_id (same contract as exact_dedup on text).
+
+    Scale shape: frame explosion and feature hashing are map-side; ONE
+    shuffle per level (doc rollup, then a window over fingerprint
+    groups sharing that same shuffle key).
+    """
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    frames = sample_frames(attach_binary_payload(docs))
+    ints = F.transform(
+        F.col("frame_features"),
+        lambda f: F.round(f * 1000).cast("bigint"),
+    )
+    w = (
+        ints[0]
+        + ints[1] * 31
+        + ints[2] * 961
+        + ints[3] * 29791
+        + F.col("frame_idx")
+    )
+    per_doc = (
+        frames.select("doc_id", w.alias("_w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("_w").alias("fingerprint"),
+        )
+    )
+    grp = Window.partitionBy("n_frames", "fingerprint")
+    return (
+        per_doc.select(
+            "doc_id", "n_frames", "fingerprint",
+            F.min("doc_id").over(grp).alias("canonical_doc"),
+            F.count(F.lit(1)).over(grp).cast("int").alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Fellegi-Sunter-style integer agreement weights (log-odds scaled x4,
+# rounded to ints so both engines score identically)
+ER_W_BAL_AGREE, ER_W_BAL_DISAGREE = 12, -4
+ER_W_DIGIT_AGREE, ER_W_DIGIT_DISAGREE = 3, -2
+ER_SCORE_THRESHOLD = 10
+
+
+def x90_er_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution match scoring (Fellegi-Sunter agreement
+    weights) over blocked candidate pairs — the step after x62's
+    blocking: each within-block pair gets an integer score summing
+    per-field agreement/disagreement weights; pairs at or above the
+    threshold are emitted as match candidates.
+
+    Blocking on (nation, market segment) keeps the pair space at
+    sum-of-block-squares, never n²; the self-join shuffles each side
+    once on the block key. Weights are integer-scaled log-odds so the
+    score is engine-exact.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    side = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("_bal"),
+        F.substring("c_name", -1, 1).alias("_digit"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+            F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+            F.col("a.c_custkey") < F.col("b.c_custkey"),
+        ],
+    )
+    bal_close = (
+        F.abs(F.col("a._bal") - F.col("b._bal")) < F.lit(100)
+    )
+    digit_eq = F.col("a._digit") == F.col("b._digit")
+    score = (
+        F.when(bal_close, ER_W_BAL_AGREE).otherwise(ER_W_BAL_DISAGREE)
+        + F.when(digit_eq, ER_W_DIGIT_AGREE).otherwise(ER_W_DIGIT_DISAGREE)
+    )
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            score.cast("int").alias("match_score"),
+        )
+        .filter(F.col("match_score") >= ER_SCORE_THRESHOLD)
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+def x91_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (percentile capping): outlier treatment
+    a feature pipeline applies before scaling. Bounds are the exact
+    p01/p99 per group (rounded to 6 — interpolation's last ulp is
+    engine-specific); values clip to the bounds and the clipped sum is
+    carried in DECIMAL and emitted as STRING (x31's type discipline).
+
+    Two aggregates over the fact table (bounds, then clipped rollup)
+    joined by broadcast of the tiny bounds relation — no extra shuffle
+    of the fact side beyond its groupBy.
+    """
+    li = load_table(spark, sf_dir, "lineitem", fan_out=True)
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.01), 6).alias("p01"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    ).cast("decimal(18,6)")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("p01")).cast("long")
+            ).alias("n_clipped_low"),
+            F.sum(
+                (F.col("l_extendedprice") > F.col("p99")).cast("long")
+            ).alias("n_clipped_high"),
+            F.first("p01").alias("p01"),
+            F.first("p99").alias("p99"),
+            F.sum(clipped)
+            .cast("decimal(38,6)")
+            .cast("string")
+            .alias("winsorized_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate name for xs1 (§2.8 T1/T2 streaming tumbling window).
 
@@ -2406,6 +2647,11 @@ EXT_QUERIES = {
     "x85_percentiles_exact": x20_percentiles,
     "x21_percentiles_sketch": x21_percentiles_sketch,
     "x86_embed_neardup_broadcast": x86_embed_neardup_broadcast,
+    "x87_zorder_key": x87_zorder_key,
+    "x88_zone_maps": x88_zone_maps,
+    "x89_video_fingerprint": x89_video_fingerprint,
+    "x90_er_scoring": x90_er_scoring,
+    "x91_winsorize": x91_winsorize,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
@@ -4943,6 +5189,128 @@ EXT_ORACLES["xs12_stream_anomaly"] = """
            END AS is_anomaly
     FROM scored
     ORDER BY event_type, hour
+"""
+
+# x87: the same Morton interleave generated with DuckDB's << >> ops.
+EXT_ORACLES["x87_zorder_key"] = f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(o_custkey & 65535 AS BIGINT) AS _x,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) & 65535
+                    AS BIGINT) AS _y
+        FROM orders
+    )
+    SELECT o_orderkey, _x AS cust_dim, _y AS day_dim,
+           CAST({_zorder_terms("_x", "_y", "duckdb")} AS BIGINT)
+               AS zorder_key
+    FROM base ORDER BY o_orderkey
+"""
+
+# x88: zone maps + stats-only pruning verdict.
+EXT_ORACLES["x88_zone_maps"] = f"""
+    WITH zm AS (
+        SELECT event_id // {ZONE_BUCKET} AS bucket,
+               count(*) AS n_rows,
+               min(ts) AS min_ts, max(ts) AS max_ts,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1
+    )
+    SELECT bucket, n_rows, min_ts, max_ts, min_value, max_value,
+           NOT (max_ts < TIMESTAMP '{ZONE_PRED_LO}'
+                OR min_ts > TIMESTAMP '{ZONE_PRED_HI}') AS would_scan
+    FROM zm ORDER BY bucket
+"""
+
+
+def _video_fingerprint_sql(every_n: int = 10) -> str:
+    """x89 twin: x15's frame-feature CTEs rolled up to per-doc
+    fingerprints + window dedup groups."""
+    f_exprs = ",\n                   ".join(
+        f"coalesce(sum(CASE WHEN y.j >= f.frame_idx + {i} "
+        f"AND (y.j - f.frame_idx - {i}) % 4 = 0 THEN y.byte END), 0) "
+        f"% 1000 AS f{i}"
+        for i in range(4)
+    )
+    return f"""
+        WITH {_PAYLOAD_CTE},
+        frames AS (
+            SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx
+            FROM h, UNNEST(range(0, (n % 241) + 1, {every_n})) AS t(fi)
+        ),
+        feat AS (
+            SELECT f.doc_id, f.frame_idx,
+                   {f_exprs}
+            FROM frames f LEFT JOIN bytes y ON y.doc_id = f.doc_id
+            GROUP BY f.doc_id, f.frame_idx
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_frames,
+                   CAST(sum(f0 + f1 * 31 + f2 * 961 + f3 * 29791
+                            + frame_idx) AS BIGINT) AS fingerprint
+            FROM feat GROUP BY doc_id
+        )
+        SELECT doc_id, n_frames, fingerprint,
+               min(doc_id) OVER w AS canonical_doc,
+               CAST(count(*) OVER w AS INTEGER) AS n_copies
+        FROM per_doc
+        WINDOW w AS (PARTITION BY n_frames, fingerprint)
+        ORDER BY doc_id
+    """
+
+
+EXT_ORACLES["x89_video_fingerprint"] = _video_fingerprint_sql()
+
+# x90: Fellegi-Sunter integer agreement weights over blocked pairs.
+EXT_ORACLES["x90_er_scoring"] = f"""
+    WITH side AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS _bal,
+               right(c_name, 1) AS _digit
+        FROM customer
+    ),
+    scored AS (
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               CAST((CASE WHEN abs(a._bal - b._bal) < 100
+                          THEN {ER_W_BAL_AGREE}
+                          ELSE {ER_W_BAL_DISAGREE} END)
+                    + (CASE WHEN a._digit = b._digit
+                            THEN {ER_W_DIGIT_AGREE}
+                            ELSE {ER_W_DIGIT_DISAGREE} END)
+                    AS INTEGER) AS match_score
+        FROM side a JOIN side b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    )
+    SELECT custkey_a, custkey_b, match_score
+    FROM scored WHERE match_score >= {ER_SCORE_THRESHOLD}
+    ORDER BY custkey_a, custkey_b
+"""
+
+# x91: winsorized rollup — DECIMAL sums emitted as VARCHAR (x31's
+# type discipline), bounds rounded to 6 like every percentile oracle.
+EXT_ORACLES["x91_winsorize"] = """
+    WITH bounds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           first(p01) AS p01,
+           first(p99) AS p99,
+           CAST(CAST(sum(CAST(least(greatest(l_extendedprice, p01), p99)
+                             AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                AS VARCHAR) AS winsorized_sum
+    FROM lineitem l JOIN bounds USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l_returnflag
 """
 
 # x74: lead() over the same deterministic (ts, event_id) ordering;

@@ -514,3 +514,47 @@ def test_x62_blocking_equijoin_dedups_before_verify(spark, sf_dir):
     # The distinct aggregate's partial phase appears before any
     # levenshtein mention in the plan's op listing.
     assert "HashAggregate" in plan[:lev_pos]
+
+
+def test_x87_zorder_is_map_only(spark, sf_dir):
+    """The Morton key is pure bit arithmetic: no exchange except the
+    presentation ORDER BY's range partitioning, no UDF/python stage."""
+    plan = plan_of(spark, sf_dir, "x87_zorder_key")
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("rangepartitioning") == 1
+
+
+def test_x88_zone_maps_partial_aggregate(spark, sf_dir):
+    """Zone-map stats must keep the partial->final HashAggregate split
+    (min/max/count combine map-side): the metadata pass stays one
+    shuffle of #buckets rows."""
+    plan = plan_of(spark, sf_dir, "x88_zone_maps")
+    assert n_ops(plan, "HashAggregate") == 2
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_x90_er_pairs_join_on_block_key(spark, sf_dir):
+    """Blocked self-join must be an equi-join on the block key with the
+    custkey inequality as residual — never a nested-loop/cartesian
+    (that's the all-pairs trap blocking exists to avoid)."""
+    plan = plan_of(spark, sf_dir, "x90_er_scoring")
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert n_ops(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_x91_bounds_broadcast(spark, sf_dir):
+    """The per-group bounds relation is tiny: it must come back
+    broadcast, never a shuffled join of the fact table."""
+    plan = plan_of(spark, sf_dir, "x91_winsorize")
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_x89_frames_single_python_stage(spark, sf_dir):
+    """Frame explosion is ONE Arrow mapInPandas stage; fingerprint
+    rollup and group window are plain JVM aggregates above it."""
+    plan = plan_of(spark, sf_dir, "x89_video_fingerprint")
+    assert n_ops(plan, "MapInPandas") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
