@@ -2598,6 +2598,59 @@ def x91_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x92_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (per-vector absmax
+    scaling) + reconstruction error — the storage format that cuts a
+    100 TB float32 vector corpus 4× before ANN indexing (the PQ codes
+    of x57 are the next compression step down).
+
+    Map-only: scale, codes, and RMSE are higher-order array functions
+    over each row (no shuffle before the presentation ORDER BY, no
+    Python). Halfway rounding is pinned engine-exact via
+    floor(x/scale + 0.5) — both engines' floor over identical doubles —
+    instead of engine-native round(); scale and RMSE round to 6 like
+    every float contract in the suite.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bound = emb.select("vec_id", v.alias("_v"))
+    amax = F.aggregate(
+        F.col("_v"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
+    scaled = bound.select(
+        "vec_id", "_v", (amax / F.lit(127.0)).alias("_scale")
+    )
+    code = lambda x: F.when(  # noqa: E731
+        F.col("_scale") > 0,
+        F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int"),
+    ).otherwise(F.lit(0))
+    coded = scaled.select(
+        "vec_id", "_v", "_scale",
+        F.transform(F.col("_v"), code).alias("_codes"),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"), F.col("_codes"),
+            lambda x, c: (x - c.cast("double") * F.col("_scale"))
+            * (x - c.cast("double") * F.col("_scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return (
+        coded.select(
+            "vec_id",
+            F.round(F.col("_scale"), 6).alias("scale_r"),
+            F.concat_ws(
+                ",", F.transform(F.col("_codes"), lambda c: c.cast("string"))
+            ).alias("codes_sig"),
+            F.round(F.sqrt(err2 / F.size(F.col("_v"))), 6).alias("rmse_r"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate name for xs1 (§2.8 T1/T2 streaming tumbling window).
 
@@ -2652,6 +2705,7 @@ EXT_QUERIES = {
     "x89_video_fingerprint": x89_video_fingerprint,
     "x90_er_scoring": x90_er_scoring,
     "x91_winsorize": x91_winsorize,
+    "x92_embed_quantize": x92_embed_quantize,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
@@ -5311,6 +5365,40 @@ EXT_ORACLES["x91_winsorize"] = """
                 AS VARCHAR) AS winsorized_sum
     FROM lineitem l JOIN bounds USING (l_returnflag)
     GROUP BY l.l_returnflag ORDER BY l_returnflag
+"""
+
+# x92: absmax int8 quantization; floor(x/scale + 0.5) pins halfway
+# rounding; list ops run over DOUBLE-cast elements on both sides.
+EXT_ORACLES["x92_embed_quantize"] = """
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    c AS (
+        SELECT vec_id, v, scale,
+               list_transform(
+                   v, x -> CASE WHEN scale > 0
+                                THEN CAST(floor(x / scale + 0.5) AS INTEGER)
+                                ELSE 0 END
+               ) AS codes
+        FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           array_to_string(codes, ',') AS codes_sig,
+           round(sqrt(list_sum(
+               list_transform(
+                   list_zip(v, codes),
+                   p -> (p[1] - p[2]::DOUBLE * scale)
+                        * (p[1] - p[2]::DOUBLE * scale)
+               )
+           ) / len(v)), 6) AS rmse_r
+    FROM c
+    ORDER BY vec_id
 """
 
 # x74: lead() over the same deterministic (ts, event_id) ordering;

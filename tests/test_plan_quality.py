@@ -558,3 +558,12 @@ def test_x89_frames_single_python_stage(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x89_video_fingerprint")
     assert n_ops(plan, "MapInPandas") == 1
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_x92_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization is per-row array math: no key shuffle, no
+    Python stage — only the presentation ORDER BY's range exchange."""
+    plan = plan_of(spark, sf_dir, "x92_embed_quantize")
+    assert "hashpartitioning" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("rangepartitioning") == 1
