@@ -2651,6 +2651,136 @@ def x92_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x93_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling statistics (median + MAD) — the outlier-
+    insensitive standardization a feature pipeline prefers over
+    mean/std when the column has heavy tails (x91's winsorization is
+    the clipping alternative; this is the scaling one).
+
+    Two percentile aggregates over the fact table: the median pass,
+    then the MAD pass over |x - median| with the tiny per-group median
+    relation joined back broadcast. Both engines share percentile_cont
+    interpolation (proven by the x20/x85 family); outputs round to 6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile("value", 0.5).alias("_med"),
+    )
+    j = ev.select("event_type", "value").join(
+        F.broadcast(med.select("event_type", "_med")), "event_type"
+    )
+    mad = j.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("_med")), 0.5).alias(
+            "_mad"
+        ),
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("_med"), 6).alias("median_r"),
+            F.round(F.col("_mad"), 6).alias("mad_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+def x94_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI-ranked collocations (adjacent word pairs) — the
+    phrase-mining signal tokenizer and vocabulary curation use to
+    decide what deserves a single token (x65's BPE pair counts are the
+    frequency half; PMI adds the independence correction).
+
+    One explode for unigrams, one for bigrams (shared normalized word
+    array), exact integer counts, then two hash equi-joins on the word
+    key to attach unigram counts — shuffled joins on purpose: the
+    vocabulary is unbounded, so broadcasting it is the trap (cf. x25's
+    no-vocab-join note; here the join IS on the vocab key so each side
+    shuffles once and AQE sizes the exchange). ln + round(6) as in x81.
+    """
+    from mc_ns_data_pipeline_spark.functions.text import ngrams_or_empty
+
+    from mc_ns_data_pipeline_spark.operators.dedup import _materialize
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    bound = docs.select("doc_id", words(F.col("text")).alias("_ws"))
+    # the unigram relation feeds BOTH vocab joins and the totals —
+    # cut its lineage so the explode+aggregate runs once, not thrice
+    uni = _materialize(
+        bound.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    totals = uni.agg(
+        F.sum("c_w").cast("double").alias("n_uni"),
+    )
+    bi = (
+        bound.select(
+            F.explode(ngrams_or_empty(F.col("_ws"), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .select(
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+            "c_ab",
+        )
+    )
+    n_bi = (
+        bound.select(
+            (F.greatest(F.size("_ws") - 1, F.lit(0))).alias("nb")
+        )
+        .agg(F.sum("nb").cast("double").alias("n_bi"))
+    )
+    j = (
+        bi.join(uni.withColumnRenamed("w", "w1")
+                .withColumnRenamed("c_w", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c_w", "c_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_bi"))
+            / ((F.col("c_a") / F.col("n_uni"))
+               * (F.col("c_b") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        j.select("w1", "w2", "c_ab", pmi.alias("pmi_r"))
+        .orderBy(F.col("pmi_r").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+def xs13_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS13 — streaming maintenance of x88's zone maps: per-batch
+    partial bucket stats combine-merged (sum/min/max) into the stats
+    table via a replay-safe foreachBatch (epoch markers travel
+    atomically with the staged swap). End state equals the batch
+    computation — same oracle as x88."""
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_zone_maps,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="xs13_ckpt_")
+    target = tempfile.mkdtemp(prefix="xs13_tgt_") + "/zm"
+    return run_stream_zone_maps(
+        spark, f"{sf_dir}/events.parquet", ckpt, target
+    )
+
+
 def q17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate name for xs1 (§2.8 T1/T2 streaming tumbling window).
 
@@ -2706,6 +2836,8 @@ EXT_QUERIES = {
     "x90_er_scoring": x90_er_scoring,
     "x91_winsorize": x91_winsorize,
     "x92_embed_quantize": x92_embed_quantize,
+    "x93_robust_scale": x93_robust_scale,
+    "x94_pmi_collocations": x94_pmi_collocations,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
@@ -2772,6 +2904,7 @@ EXT_QUERIES = {
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
     "xs12_stream_anomaly": xs12_stream_anomaly,
+    "xs13_stream_zone_maps": xs13_stream_zone_maps,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -5400,6 +5533,73 @@ EXT_ORACLES["x92_embed_quantize"] = """
     FROM c
     ORDER BY vec_id
 """
+
+# x93: robust scaling — two quantile_cont passes, round 6.
+EXT_ORACLES["x93_robust_scale"] = """
+    WITH med AS (
+        SELECT event_type, count(*) AS n_rows,
+               quantile_cont(value, 0.5) AS _med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m._med), 0.5) AS _mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT event_type, n_rows,
+           round(_med, 6) AS median_r,
+           round(_mad, 6) AS mad_r
+    FROM med JOIN mad USING (event_type)
+    ORDER BY event_type
+"""
+
+# x94: PMI collocations — same tokenizer CTE as the text family,
+# exact integer counts, ln + round 6 (x81's log discipline), total
+# order (pmi desc, w1, w2) before the LIMIT on both sides.
+EXT_ORACLES["x94_pmi_collocations"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT s AS word, count(*) AS c_w
+        FROM w, UNNEST(ws) AS t(s) GROUP BY s
+    ),
+    tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n_uni FROM uni),
+    nb AS (
+        SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS n_bi
+        FROM w
+    ),
+    big AS (
+        SELECT bg, count(*) AS c_ab FROM (
+            SELECT UNNEST(
+                CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i+1])
+                     ELSE [] END) AS bg
+            FROM w
+        ) GROUP BY bg HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    parts AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               CAST(c_ab AS BIGINT) AS c_ab
+        FROM big
+    )
+    SELECT p.w1, p.w2, p.c_ab,
+           round(ln((p.c_ab / nb.n_bi)
+                    / ((a.c_w / tot.n_uni) * (b.c_w / tot.n_uni))),
+                 6) AS pmi_r
+    FROM parts p
+    JOIN uni a ON a.word = p.w1
+    JOIN uni b ON b.word = p.w2, tot, nb
+    ORDER BY pmi_r DESC, p.w1, p.w2
+    LIMIT {PMI_TOP_K}
+"""
+
+# xs13 shares x88's oracle: the streaming merge must land exactly on
+# the batch zone-map computation.
+EXT_ORACLES["xs13_stream_zone_maps"] = EXT_ORACLES["x88_zone_maps"]
 
 # x74: lead() over the same deterministic (ts, event_id) ordering;
 # probabilities are exact-int divisions.

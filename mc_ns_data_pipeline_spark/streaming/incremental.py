@@ -558,3 +558,112 @@ def run_stream_quality_gate(spark: SparkSession, events_path: str,
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# XS13: streaming zone-map maintenance (x88's data-skipping stats,
+# kept current incrementally)
+# ---------------------------------------------------------------------------
+
+ZONE_MAP_BUCKET = 250
+
+
+def merge_zone_maps(spark: SparkSession, incoming: DataFrame,
+                    target_dir: str, epoch_id: int) -> None:
+    """Combine-merge per-bucket zone-map stats into the target table:
+    counts SUM, mins re-min, maxes re-max — the mergeability that lets
+    the stats update from each micro-batch's partial aggregate without
+    ever rescanning history.
+
+    A sum-merge is NOT naturally idempotent under foreachBatch replay
+    (a re-applied batch double-counts), so each applied epoch leaves a
+    `_applied_epoch_{id}` marker INSIDE the table directory: the marker
+    travels atomically with the staged-swap data (written into staging
+    before the rename), so a crash between "swap" and "record applied"
+    cannot occur, and a replayed epoch is skipped exactly. Underscore
+    files are invisible to parquet readers.
+    """
+    import os
+    import shutil
+
+    from mc_ns_data_pipeline_spark.sinks.layout import (
+        restore_interrupted_swap,
+    )
+
+    restore_interrupted_swap(target_dir)
+    marker = f"_applied_epoch_{epoch_id}"
+    if os.path.exists(os.path.join(target_dir, marker)):
+        return  # replayed batch after a crash: already merged
+    if os.path.exists(target_dir):
+        existing = spark.read.parquet(target_dir)
+        incoming = incoming.unionByName(existing)
+    merged = incoming.groupBy("bucket").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    staging = f"{target_dir}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    # carry prior epoch markers + stamp this one BEFORE the atomic swap
+    if os.path.exists(target_dir):
+        for f in os.listdir(target_dir):
+            if f.startswith("_applied_epoch_"):
+                open(os.path.join(staging, f), "w").close()
+    open(os.path.join(staging, marker), "w").close()
+    backup = f"{target_dir}__old"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(target_dir):
+        os.rename(target_dir, backup)
+    os.rename(staging, target_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def run_stream_zone_maps(spark: SparkSession, events_path: str,
+                         checkpoint_dir: str, target_dir: str) -> DataFrame:
+    """XS13 — keep x88's file-level zone maps current over a change
+    stream: each micro-batch partial-aggregates its own bucket stats
+    (map-side combine, #buckets rows leave the batch) and combine-
+    merges them into the stats table. End-of-input state equals the
+    batch zone-map computation — the oracle — and the final select
+    derives the same stats-only pruning verdict.
+    """
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    ev = _events_stream(spark, events_path).selectExpr(
+        f"event_id div {ZONE_MAP_BUCKET} AS bucket", "ts", "value"
+    )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        part = batch_df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        merge_zone_maps(spark, part, target_dir, epoch_id)
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            ev.writeStream.outputMode("append")
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    zm = spark.read.parquet(target_dir)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-12 00:00:00").cast("timestamp")
+    return (
+        zm.select(
+            "bucket", "n_rows", "min_ts", "max_ts",
+            "min_value", "max_value",
+            (~((F.col("max_ts") < lo) | (F.col("min_ts") > hi))).alias(
+                "would_scan"
+            ),
+        )
+        .orderBy("bucket")
+    )

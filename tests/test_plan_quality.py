@@ -567,3 +567,26 @@ def test_x92_quantize_is_map_only(spark, sf_dir):
     assert "hashpartitioning" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("rangepartitioning") == 1
+
+
+def test_x94_pmi_no_cartesian_two_explodes(spark, sf_dir):
+    """PMI: unigram and bigram explodes computed once each; the only
+    nested-loop joins are the two 1-row totals broadcasts — the vocab
+    joins must be equi-joins, never a product."""
+    plan = plan_of(spark, sf_dir, "x94_pmi_collocations")
+    # the unigram explode is materialized (localCheckpoint lineage cut)
+    # so only the bigram explode appears here — exactly one, shared by
+    # every consumer; a second Generate means the vocab is recomputing
+    assert n_ops(plan, "Generate") == 1
+    assert n_ops(plan, "CartesianProduct") == 0
+    # 1-row totals come back as BroadcastNestedLoopJoin (cross with a
+    # singleton) — that's the cheap scalar attach, cap it at the two
+    assert n_ops(plan, "BroadcastNestedLoopJoin") <= 2
+
+
+def test_x93_median_broadcast_back(spark, sf_dir):
+    """The per-group median relation is tiny: the MAD pass must join it
+    back broadcast, never shuffle the fact side for the join."""
+    plan = plan_of(spark, sf_dir, "x93_robust_scale")
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan

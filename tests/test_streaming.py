@@ -621,3 +621,31 @@ def test_stream_anomaly_end_to_end_matches_static(spark, tmp_path):
     assert by_hour[4].is_anomaly  # 50 vs prior mean 6.5, ~39 sigma
     assert by_hour[2].z_r is None  # k=2 < 3: not scoreable yet
     assert by_hour[0].z_r is None and not by_hour[0].is_anomaly
+
+
+def test_merge_zone_maps_replay_is_exactly_once(spark, tmp_path):
+    """XS13's combine-merge is sum-based, so replay safety rides on the
+    epoch markers: re-applying an epoch after a simulated crash must
+    not double-count, and a NEW epoch must still merge."""
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        merge_zone_maps,
+    )
+
+    target = str(tmp_path / "zm")
+    part = spark.createDataFrame(
+        [(0, 10, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 1.0, 9.0)],
+        "bucket long, n_rows long, min_ts string, max_ts string,"
+        " min_value double, max_value double",
+    ).selectExpr(
+        "bucket", "n_rows", "CAST(min_ts AS TIMESTAMP) min_ts",
+        "CAST(max_ts AS TIMESTAMP) max_ts", "min_value", "max_value",
+    )
+    merge_zone_maps(spark, part, target, epoch_id=0)
+    merge_zone_maps(spark, part, target, epoch_id=0)  # replayed batch
+    got = spark.read.parquet(target).collect()
+    assert len(got) == 1 and got[0].n_rows == 10
+
+    merge_zone_maps(spark, part, target, epoch_id=1)  # genuinely new
+    got = spark.read.parquet(target).collect()
+    assert got[0].n_rows == 20
+    assert got[0].min_value == 1.0 and got[0].max_value == 9.0
