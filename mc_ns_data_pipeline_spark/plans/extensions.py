@@ -2762,6 +2762,72 @@ def x94_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def x95_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift detection per event type:
+    compare the value distribution before/after a split point (the
+    check a training pipeline runs to notice feature drift between
+    ingestion windows before a model retrains on skewed data).
+
+    KS = max_x |F1(x) - F2(x)| computed on the MERGED order statistics:
+    counts collapse to one row per distinct (type, value) first (ties
+    then contribute a single step, making the statistic well-defined
+    and engine-deterministic), a cumulative window walks each type's
+    value order, and a final max aggregates the gap. One shuffle keyed
+    by type carries the distinct-value relation; the window and final
+    aggregate reuse its partitioning. The drift flag applies the
+    two-sided 95% threshold c(α)·sqrt((n1+n2)/(n1·n2)), c = 1.358.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(KS_SPLIT_TS).cast("timestamp")
+    tagged = ev.select(
+        "event_type", "value",
+        F.when(F.col("ts") < split, 1).otherwise(2).alias("side"),
+    )
+    per_val = tagged.groupBy("event_type", "value").agg(
+        F.sum((F.col("side") == 1).cast("long")).alias("c1"),
+        F.sum((F.col("side") == 2).cast("long")).alias("c2"),
+    )
+    totals = tagged.groupBy("event_type").agg(
+        F.sum((F.col("side") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("side") == 2).cast("long")).alias("n2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = per_val.select(
+        "event_type",
+        F.sum("c1").over(w).alias("_C1"),
+        F.sum("c2").over(w).alias("_C2"),
+    )
+    gaps = stepped.join(F.broadcast(totals), "event_type").select(
+        "event_type", "n1", "n2",
+        F.abs(
+            F.col("_C1") / F.col("n1") - F.col("_C2") / F.col("n2")
+        ).alias("_gap"),
+    )
+    thresh = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2"))
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        gaps.groupBy("event_type", "n1", "n2")
+        .agg(F.max("_gap").alias("_ks"))
+        .select(
+            "event_type", "n1", "n2",
+            F.round(F.col("_ks"), 6).alias("ks_r"),
+            (F.col("_ks") > thresh).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def xs13_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS13 — streaming maintenance of x88's zone maps: per-batch
     partial bucket stats combine-merged (sum/min/max) into the stats
@@ -2838,6 +2904,7 @@ EXT_QUERIES = {
     "x92_embed_quantize": x92_embed_quantize,
     "x93_robust_scale": x93_robust_scale,
     "x94_pmi_collocations": x94_pmi_collocations,
+    "x95_ks_drift": x95_ks_drift,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
@@ -5595,6 +5662,56 @@ EXT_ORACLES["x94_pmi_collocations"] = f"""
     JOIN uni b ON b.word = p.w2, tot, nb
     ORDER BY pmi_r DESC, p.w1, p.w2
     LIMIT {PMI_TOP_K}
+"""
+
+# x95: two-sample KS on merged order statistics; the division chain
+# (BIGINT/BIGINT -> DOUBLE) and threshold arithmetic mirror the Spark
+# expressions operator-for-operator so the unrounded drift comparison
+# agrees bit-for-bit.
+EXT_ORACLES["x95_ks_drift"] = f"""
+    WITH tagged AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '{KS_SPLIT_TS}' THEN 1 ELSE 2
+               END AS side
+        FROM events
+    ),
+    per_val AS (
+        SELECT event_type, value,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS c2
+        FROM tagged GROUP BY event_type, value
+    ),
+    totals AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM tagged GROUP BY event_type
+    ),
+    stepped AS (
+        SELECT event_type,
+               CAST(sum(c1) OVER w AS BIGINT) AS C1,
+               CAST(sum(c2) OVER w AS BIGINT) AS C2
+        FROM per_val
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    gaps AS (
+        SELECT s.event_type, t.n1, t.n2,
+               abs(s.C1 / t.n1 - s.C2 / t.n2) AS gap
+        FROM stepped s JOIN totals t USING (event_type)
+    ),
+    ks AS (
+        SELECT event_type, n1, n2, max(gap) AS _ks
+        FROM gaps GROUP BY event_type, n1, n2
+    )
+    SELECT event_type, n1, n2,
+           round(_ks, 6) AS ks_r,
+           _ks > 1.358 * sqrt((n1 + n2) / (CAST(n1 AS DOUBLE) * n2))
+               AS drifted
+    FROM ks
+    ORDER BY event_type
 """
 
 # xs13 shares x88's oracle: the streaming merge must land exactly on

@@ -590,3 +590,13 @@ def test_x93_median_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x93_robust_scale")
     assert n_ops(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_x95_ks_single_window_broadcast_totals(spark, sf_dir):
+    """KS drift: one window pass over the distinct-value relation, the
+    per-type totals broadcast back, no product joins."""
+    plan = plan_of(spark, sf_dir, "x95_ks_drift")
+    assert n_ops(plan, "Window") == 1
+    assert n_ops(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert n_ops(plan, "CartesianProduct") == 0
