@@ -2516,23 +2516,42 @@ def x90_er_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-field agreement/disagreement weights; pairs at or above the
     threshold are emitted as match candidates.
 
-    Blocking on (nation, market segment) keeps the pair space at
-    sum-of-block-squares, never n²; the self-join shuffles each side
-    once on the block key. Weights are integer-scaled log-odds so the
+    Blocking is (nation, market segment, BALANCE BAND): the threshold
+    (10) is reachable only with the balance-agreement weight (12 - 2 =
+    10; without it the best score is -4 + 3 = -1), so every emittable
+    pair has |bal_a - bal_b| < 100 — and any such pair's floor(bal/100)
+    bands differ by at most 1. One side therefore carries its own band
+    and the other explodes to {band-1, band, band+1}; the join is a
+    plain equi-join on the enriched block key and provably loses NO
+    emittable pair (the ORACLE stays the coarse-blocked all-pairs SQL,
+    so the gate verifies the pruning is exact). This keeps block sizes
+    bounded by balance locality instead of nation x segment population:
+    the r3 10x stress run measured the coarse blocking at 71 s (90M
+    pairs) vs 2-3 s banded. Weights are integer-scaled log-odds so the
     score is engine-exact.
     """
     cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 100)
     side = cust.select(
         "c_custkey", "c_nationkey", "c_mktsegment",
         F.col("c_acctbal").cast("decimal(12,2)").alias("_bal"),
         F.substring("c_name", -1, 1).alias("_digit"),
+        band.cast("long").alias("_band"),
     )
-    a, b = side.alias("a"), side.alias("b")
+    a = side.alias("a")
+    b = side.select(
+        "*", F.explode(
+            F.array(
+                F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+            )
+        ).alias("_probe"),
+    ).alias("b")
     pairs = a.join(
         b,
         on=[
             F.col("a.c_nationkey") == F.col("b.c_nationkey"),
             F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+            F.col("a._band") == F.col("b._probe"),
             F.col("a.c_custkey") < F.col("b.c_custkey"),
         ],
     )
