@@ -333,6 +333,35 @@ def cmd_load(args) -> int:
             args.report_dir,
         )
         did_anything = True
+    if getattr(args, "to_jdbc", False):
+        # Mirror the parquet warehouse to the remote JDBC warehouse via
+        # truncate-reload (the reference's refresh pattern: parquet is
+        # the source of truth, the remote copy is fully rebuilt but its
+        # DDL/indexes survive — inventory_data.py:83-106). Credentials
+        # come from DB_CONFIG (settings.py parity) or --jdbc-url.
+        from mc_ns_data_pipeline_spark.config import (
+            env_config,
+            jdbc_properties,
+        )
+        from mc_ns_data_pipeline_spark.sinks.jdbc import (
+            write_truncate_reload,
+        )
+
+        props = jdbc_properties(env_config()) or {}
+        url = args.jdbc_url or props.pop("url", None)
+        if not url:
+            raise SystemExit(
+                "load --to-jdbc: set --jdbc-url or DB_CONFIG "
+                '(JSON with a "url" key)'
+            )
+        props.pop("url", None)
+        for table in ("lots", "lot_data"):
+            df = spark.read.parquet(f"{args.warehouse_dir}/{table}")
+            write_truncate_reload(
+                df, url, table, properties=props or None,
+                num_connections=4,
+            )
+        did_anything = True
     if not did_anything:
         print("load: nothing to do (pass --bulk, --incremental or --report)")
         return 2
@@ -394,6 +423,11 @@ def build_parser() -> argparse.ArgumentParser:
     ld.add_argument("--warehouse-dir", default=None,
                     help="[WAREHOUSE_DIR]")
     ld.add_argument("--report-dir", default=None, help="[REPORT_DIR]")
+    ld.add_argument("--to-jdbc", action="store_true",
+                    help="also truncate-reload lots/lot_data into the "
+                    "JDBC warehouse [DB_CONFIG]")
+    ld.add_argument("--jdbc-url", default=None,
+                    help="JDBC url override (else DB_CONFIG.url)")
     ld.set_defaults(fn=cmd_load)
     return p
 

@@ -572,3 +572,89 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     assert len(schema.fields) == 2
     good2, _ = read_jsonl(spark, str(src), schema)  # would raise on dup
     assert good1.count() == good2.count() == 1
+
+
+def test_alert_rules_fire_and_deliver(spark, tmp_path):
+    """README-promised alerting, implemented: dead-letter metrics feed
+    threshold rules; firing alerts append JSONL and reach the injected
+    transport; a quiet batch delivers nothing."""
+    import json
+
+    from mc_ns_data_pipeline_spark.sinks.alerts import (
+        dead_letter_metrics,
+        default_rules,
+        deliver,
+        evaluate_alerts,
+    )
+
+    accepted = spark.range(90)
+    dead = spark.range(10)
+    metrics = dead_letter_metrics(accepted, dead)
+    assert metrics["dead_letter_rate"] == 0.1
+    alerts = evaluate_alerts(metrics, default_rules(),
+                             context={"batch": "b1"})
+    assert [a["alert"] for a in alerts] == ["dead_letter_rate_high"]
+
+    seen = []
+    log = str(tmp_path / "alerts" / "alerts.jsonl")
+    n = deliver(alerts, log, transport=seen.append)
+    assert n == 1 and len(seen) == 1
+    rec = json.loads(open(log).read().strip())
+    assert rec["batch"] == "b1" and rec["severity"] == "warning"
+
+    # quiet batch: nothing fires, nothing delivered, log unchanged
+    quiet = evaluate_alerts(
+        dead_letter_metrics(spark.range(100), spark.range(0)),
+        default_rules(),
+    )
+    assert quiet == []
+    assert deliver(quiet, log) == 0
+    assert len(open(log).read().strip().splitlines()) == 1
+
+    # total rejection escalates to critical
+    crit = evaluate_alerts(
+        dead_letter_metrics(spark.range(0), spark.range(5)),
+        default_rules(),
+    )
+    # both rules fire (rate 1.0 > 0.05 AND zero accepted); the
+    # escalation is the critical row
+    assert {a["severity"] for a in crit} == {"warning", "critical"}
+
+
+def test_cli_load_to_jdbc_mirrors_warehouse(spark, tmp_path, monkeypatch):
+    """`load --bulk --to-jdbc` with DB_CONFIG must land lots/lot_data
+    in the JDBC warehouse (Derby), twice idempotently (truncate-reload)."""
+    import json
+    import os
+
+    from mc_ns_data_pipeline_spark.cli import main
+    from mc_ns_data_pipeline_spark.sources.jdbc import read_query
+
+    fx = "mc_ns_data_pipeline_spark.sources.rest_fixture"
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    wh = str(tmp_path / "warehouse")
+    assert main([
+        "fetch-bulk", "--n-pages", "4",
+        "--captures-fetcher", f"{fx}:fetch_captures_page",
+        "--meta-fetcher", f"{fx}:batch_meta_records",
+        "--structures-fetcher", f"{fx}:structure_records",
+        "--out-dir", out, "--state-dir", state,
+    ]) == 0
+
+    url = "jdbc:derby:memory:climirror;create=true"
+    monkeypatch.setenv("DB_CONFIG", json.dumps({"url": url}))
+    assert main([
+        "load", "--bulk", "--input-dir", out, "--warehouse-dir", wh,
+        "--to-jdbc",
+    ]) == 0
+    n1 = read_query(spark, url, "SELECT * FROM lot_data").count()
+    assert 0 < n1 < 37
+    assert read_query(spark, url, "SELECT * FROM lots").count() == 1
+
+    # re-mirror without reloading: truncate-reload keeps the remote an
+    # exact copy of the (unchanged) parquet warehouse, not an append
+    assert main(["load", "--warehouse-dir", wh, "--to-jdbc"]) == 0
+    assert read_query(
+        spark, url, "SELECT * FROM lot_data"
+    ).count() == n1
