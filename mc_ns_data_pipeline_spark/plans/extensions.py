@@ -2866,6 +2866,25 @@ def xs13_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS14 — the daily-crawl dedup loop as a stream: each micro-batch
+    dedups against the LSH index persisted by prior batches and appends
+    its own bands/shingle sets (x51's incremental operator + streaming
+    state maintenance; old text never re-read). Sequencing increments
+    reproduces the batch LSH pairs, so the oracle is x06's."""
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_incremental_dedup,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="xs14_ckpt_")
+    store = tempfile.mkdtemp(prefix="xs14_store_") + "/index"
+    return run_stream_incremental_dedup(
+        spark, f"{sf_dir}/documents.parquet", ckpt, store
+    )
+
+
 def q17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate name for xs1 (§2.8 T1/T2 streaming tumbling window).
 
@@ -2991,6 +3010,7 @@ EXT_QUERIES = {
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
     "xs12_stream_anomaly": xs12_stream_anomaly,
     "xs13_stream_zone_maps": xs13_stream_zone_maps,
+    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs4_stream_session": xs4_stream_session,
     "xs5_stream_stream_join": xs5_stream_stream_join,
@@ -5736,6 +5756,10 @@ EXT_ORACLES["x95_ks_drift"] = f"""
 # xs13 shares x88's oracle: the streaming merge must land exactly on
 # the batch zone-map computation.
 EXT_ORACLES["xs13_stream_zone_maps"] = EXT_ORACLES["x88_zone_maps"]
+
+# xs14 shares x06's oracle: increments in sequence reproduce the batch
+# MinHash+LSH pair set (incremental_dedup_pairs' contract).
+EXT_ORACLES["xs14_stream_incremental_dedup"] = EXT_ORACLES["x06_dedup_minhash"]
 
 # x74: lead() over the same deterministic (ts, event_id) ordering;
 # probabilities are exact-int divisions.

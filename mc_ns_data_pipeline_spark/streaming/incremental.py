@@ -667,3 +667,85 @@ def run_stream_zone_maps(spark: SparkSession, events_path: str,
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# XS14: streaming incremental near-dup (the daily-crawl dedup loop of
+# x51, run as a stream that maintains its own LSH index)
+# ---------------------------------------------------------------------------
+
+
+def run_stream_incremental_dedup(spark: SparkSession, docs_path: str,
+                                 checkpoint_dir: str,
+                                 store_dir: str) -> DataFrame:
+    """XS14 — each micro-batch of documents is deduped against the LSH
+    band/shingle index persisted by every PRIOR batch (old text never
+    re-read), emits its near-dup pairs, and appends its own bands/sets
+    to the index. Running the increments in sequence reproduces the
+    batch LSH result (incremental_dedup_pairs' contract), so the
+    end-of-input pair set hash-matches x06's batch oracle.
+
+    Exactly-once without markers: every per-epoch artifact writes to
+    its OWN `epoch=N` subdirectory with overwrite — a replayed batch
+    rewrites identical content instead of appending twice — and each
+    batch reads only strictly-earlier epochs, so a replay also can't
+    see its own partial writes. Index growth is bands+set-arrays per
+    document (a sliver of the text), the crawl-scale property.
+    """
+    import os
+
+    from mc_ns_data_pipeline_spark.operators import dedup as D
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    # _events_stream is the generic single-file staging helper (the
+    # name predates non-event streams); documents carry no timestamps,
+    # so its nanos handling is a no-op here
+    docs = _events_stream(spark, docs_path)
+
+    def _store(kind: str) -> str:
+        return os.path.join(store_dir, kind)
+
+    def _read_prior(kind: str, template, epoch_id: int):
+        path = _store(kind)
+        if os.path.exists(path) and any(
+            e.startswith("epoch=") for e in os.listdir(path)
+        ):
+            df = spark.read.option("basePath", path).parquet(path)
+            return df.filter(F.col("epoch") < epoch_id).drop("epoch")
+        return template
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sets = D._materialize(D.doc_shingle_sets(batch_df))
+        bands = D.lsh_band_keys(D.minhash_signatures(sets))
+        empty_bands = bands.limit(0)
+        empty_sets = sets.limit(0)
+        index_bands = _read_prior("bands", empty_bands, epoch_id)
+        index_sets = _read_prior("sets", empty_sets, epoch_id)
+        pairs = D.incremental_dedup_pairs(
+            batch_df, index_bands, index_sets
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{_store('pairs')}/epoch={epoch_id}"
+        )
+        bands.write.mode("overwrite").parquet(
+            f"{_store('bands')}/epoch={epoch_id}"
+        )
+        sets.write.mode("overwrite").parquet(
+            f"{_store('sets')}/epoch={epoch_id}"
+        )
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            docs.writeStream.outputMode("append")
+            .foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.option("basePath", _store("pairs"))
+        .parquet(_store("pairs"))
+        .drop("epoch")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -649,3 +649,54 @@ def test_merge_zone_maps_replay_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(target).collect()
     assert got[0].n_rows == 20
     assert got[0].min_value == 1.0 and got[0].max_value == 9.0
+
+
+def test_stream_incremental_dedup_across_batches(spark, sf_dir, tmp_path):
+    """XS14 kill/resume: half the corpus streams, the index persists,
+    the second half streams against it. The union of pair emissions
+    must equal the batch MinHash+LSH pairs over the WHOLE corpus, and
+    crucially the second run must emit old-new pairs it can only find
+    via the persisted index (its own batch lacks the old text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    mid = len(pdf) // 2
+    early, late = pdf.iloc[:mid], pdf.iloc[mid:]
+    early_ids = set(early["doc_id"])
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt14")
+    store = str(tmp_path / "store14")
+    pq.write_table(pa.Table.from_pandas(early), str(src / "p1.parquet"))
+    first = run_stream_incremental_dedup(
+        spark, str(src), ckpt, store
+    ).collect()
+
+    pq.write_table(pa.Table.from_pandas(late), str(src / "p2.parquet"))
+    both = run_stream_incremental_dedup(
+        spark, str(src), ckpt, store
+    ).collect()
+    assert len(both) > len(first)
+
+    # cross-batch evidence: an old-new pair found via the stored index
+    crossed = [
+        r for r in both
+        if (r.doc_a in early_ids) != (r.doc_b in early_ids)
+    ]
+    assert crossed, "no pair used the persisted LSH index"
+
+    batch = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    fmt = lambda rows: sorted(  # noqa: E731
+        (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in rows
+    )
+    assert fmt(both) == fmt(batch)
