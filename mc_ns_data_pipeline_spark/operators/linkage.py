@@ -9,17 +9,34 @@ surface a real ingest pipeline needs for near-identical records.
 
 Blocking design (the 100 TB part):
 
-- Pair generation is an EQUI-join on (lang, length-band) — never a
-  cartesian. Block size is the scale knob: bands bound the join's
-  per-key fan-out the way LSH bands do in dedup.minhash_neardup.
-- Length-banding alone misses near-pairs that straddle a band
-  boundary, so each record probes TWO overlapping bands (its own and
-  its +half-width neighbor) — the standard multi-probe fix. The probe
-  explode is map-only (2 rows per record); candidate pairs seen via
-  both bands are deduplicated BEFORE the expensive verify, so
-  Levenshtein runs once per candidate.
-- Verify is integer Levenshtein on a fixed-length prefix — exact and
-  engine-reproducible (no float similarity), bounded cost per pair.
+- The r3 10× stress run falsified the original (lang, length-band)
+  blocking: real corpora have few languages and a narrow length
+  distribution, so block population — and the within-block candidate
+  quadratic — grows linearly with the corpus (measured 319M candidates
+  / 246 s at ~sf1). Selectivity must come from the CONTENT the verify
+  actually checks.
+- The fix is PassJoin segment blocking (Li, Deng & Feng, ICDE 2011,
+  "PASS-JOIN: a partition-based method for similarity joins"): with an
+  edit threshold k, partition one side's prefix into k+1 segments — at
+  most k edits can disturb at most k of them, so SOME segment survives
+  verbatim in the other string, displaced by at most k positions (one
+  per preceding indel). The partitioned side emits its k+1 segments at
+  fixed positions; the probe side emits its substrings at every
+  position within ±k of each segment slot; candidates are the
+  EQUI-join on (lang, band, segment-slot, segment-text). Exactness-
+  preserving by the pigeonhole above, and selective because 7-char
+  segment equality is rare across non-near-identical text. The oracle
+  stays the naive blocked all-pairs SQL, so the gate verifies the
+  pruning loses nothing.
+- The pigeonhole is only this sharp for small k, which is also the ER
+  regime this operator owns (near-identical records, k=6 over a
+  48-char prefix). The permissive-similarity regime belongs to the
+  MinHash/SimHash family (x06/x14), whose signatures are built for it.
+- Records with prefixes shorter than the template (rare) pair through
+  a small length-keyed fallback block; a short-full pair needs
+  |len difference| ≤ k, which the fallback enforces exactly.
+- Verify is integer Levenshtein on the fixed-length prefix — exact,
+  engine-reproducible, and run once per distinct candidate.
 """
 
 from __future__ import annotations
@@ -29,24 +46,47 @@ from pyspark.sql import functions as F
 
 BAND_WIDTH = 400
 PREFIX_LEN = 48
+MAX_DIST = 6
+# Segment-frequency cap (the x07 max_shingle_df pattern): templated
+# corpora make some 7-char openings hot, and a hot segment's candidate
+# contribution is df² with ~zero precision. Slots whose partitioned-side
+# df exceeds the cap are dropped from candidate generation; a true pair
+# is missed only if EVERY slot that survives its edits is hot — with
+# k+1 = 7 slots that needs pervasive templating, the same recall trade
+# x07 documents. Inactive at the gate scale factors (max observed group
+# at sf0.1 is 192), so the naive oracle still matches exactly.
+MAX_SEGMENT_DF = 300
 
 
-def blocked_near_pairs(docs: DataFrame, max_dist: int = 25,
+def _segments(prefix_len: int, n_seg: int) -> list[tuple[int, int]]:
+    """Even partition of [1, prefix_len] into (1-based pos, length)."""
+    base_len, rem = divmod(prefix_len, n_seg)
+    out, pos = [], 1
+    for i in range(n_seg):
+        ln = base_len + (1 if i < rem else 0)
+        out.append((pos, ln))
+        pos += ln
+    return out
+
+
+def blocked_near_pairs(docs: DataFrame, max_dist: int = MAX_DIST,
                        band_width: int = BAND_WIDTH,
-                       prefix_len: int = PREFIX_LEN) -> DataFrame:
+                       prefix_len: int = PREFIX_LEN,
+                       max_segment_df: int | None = MAX_SEGMENT_DF) -> DataFrame:
     """(doc_a, doc_b, lang, lev_dist) for same-language candidate
-    pairs within `max_dist` prefix edit distance."""
+    pairs within `max_dist` prefix edit distance (see module doc for
+    the PassJoin blocking argument)."""
+    k = max_dist
+    segs = _segments(prefix_len, k + 1)
     half = band_width // 2
     base = docs.select(
         "doc_id",
         "lang",
         "n_chars",
         F.substring("text", 1, prefix_len).alias("pfx"),
-    )
-    probes = base.select(
-        "doc_id",
-        "lang",
-        "pfx",
+    ).withColumn("plen", F.length("pfx"))
+    rel = base.select(
+        "doc_id", "lang", "pfx", "plen",
         F.explode(
             F.array_distinct(
                 F.array(
@@ -56,24 +96,118 @@ def blocked_near_pairs(docs: DataFrame, max_dist: int = 25,
             )
         ).alias("band"),
     )
-    a = probes.select(
-        F.col("doc_id").alias("doc_a"), "lang", "band",
-        F.col("pfx").alias("pfx_a"),
+
+    # partitioned side: full-length prefixes emit their k+1 segments
+    seg_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.substring("pfx", pos, ln).alias("seg"),
+        )
+        for i, (pos, ln) in enumerate(segs)
+    ])
+    a_rows = (
+        rel.filter(F.col("plen") == prefix_len)
+        .select(
+            F.col("doc_id").alias("src"), "lang", "band",
+            F.explode(seg_structs).alias("t"),
+        )
+        .select("src", "lang", "band", "t.i", "t.seg")
     )
-    b = probes.select(
-        F.col("doc_id").alias("doc_b"), "lang", "band",
-        F.col("pfx").alias("pfx_b"),
+
+    # probe side: every doc emits its substrings at positions within
+    # ±k of each segment slot (clipped to the string — a segment's
+    # surviving image is a real substring, so valid positions suffice).
+    # The two-sided indel bound tightens the window per row: a shift s
+    # needs >= |s| indels BEFORE the segment and >= |d - s| AFTER it
+    # (d = probe length - template length, disjoint edit sets), so
+    # probes with |s| + |d - s| > k cannot witness a pair — for equal
+    # lengths this halves the window to ±k/2.
+    probe_specs = [
+        (i, p, ln, p - pos)
+        for i, (pos, ln) in enumerate(segs)
+        for p in range(max(1, pos - k), pos + k + 1)
+    ]
+    probe_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(p).alias("p"),
+            F.lit(ln).alias("l"),
+            F.lit(s).alias("s"),
+        )
+        for i, p, ln, s in probe_specs
+    ])
+    d = F.col("plen") - F.lit(prefix_len)
+    b_rows = (
+        rel.select(
+            F.col("doc_id").alias("dst"), "lang", "band", "pfx", "plen",
+            F.explode(probe_structs).alias("t"),
+        )
+        .filter(
+            F.abs(F.col("t.s")) + F.abs(d - F.col("t.s")) <= F.lit(k)
+        )
+        .select(
+            "dst", "lang", "band", F.col("t.i").alias("i"),
+            F.expr("substring(pfx, t.p, t.l)").alias("seg"),
+            F.col("t.l").alias("_l"),
+        )
+        .filter(F.length("seg") == F.col("_l"))
+        .drop("_l")
     )
-    cand = (
-        a.join(b, ["lang", "band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # Dedup pairs discovered via both probe bands BEFORE the
-        # verify, so each candidate pays Levenshtein exactly once.
-        .select("doc_a", "doc_b", "lang", "pfx_a", "pfx_b")
-        .distinct()
+    if max_segment_df is not None:
+        hot = (
+            a_rows.groupBy("lang", "band", "i", "seg")
+            .count()
+            .filter(F.col("count") > max_segment_df)
+            .select("lang", "band", "i", "seg")
+        )
+        a_rows = a_rows.join(
+            F.broadcast(hot), ["lang", "band", "i", "seg"], "left_anti"
+        )
+        b_rows = b_rows.join(
+            F.broadcast(hot), ["lang", "band", "i", "seg"], "left_anti"
+        )
+    pass_cand = (
+        a_rows.join(b_rows, ["lang", "band", "i", "seg"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+            "lang",
+        )
+    )
+
+    # fallback: pairs touching a short prefix (plen < template) block
+    # on (lang, band) with the |len diff| <= k necessary condition
+    shorts = rel.filter(F.col("plen") < prefix_len).select(
+        F.col("doc_id").alias("src"), "lang", "band",
+        F.col("plen").alias("plen_s"),
+    )
+    others = rel.select(
+        F.col("doc_id").alias("dst"), "lang", "band",
+        F.col("plen").alias("plen_o"),
+    )
+    short_cand = (
+        shorts.join(others, ["lang", "band"])
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.abs(F.col("plen_s") - F.col("plen_o")) <= k)
+        .select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+            "lang",
+        )
+    )
+
+    cand = pass_cand.unionByName(short_cand).distinct()
+    pa = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a")
+    )
+    pb = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b")
     )
     return (
-        cand.withColumn(
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn(
             "lev_dist", F.levenshtein(F.col("pfx_a"), F.col("pfx_b"))
         )
         .filter(F.col("lev_dist") <= max_dist)

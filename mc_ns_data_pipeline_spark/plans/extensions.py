@@ -1330,8 +1330,11 @@ def x61_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x62_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking + Levenshtein verify (operators/linkage.py):
-    multi-probe (lang, length-band) candidate join, prefix edit
-    distance ≤ 25."""
+    PassJoin pigeonhole segment blocking (+ lang/length-band keys),
+    prefix edit distance ≤ 6 — the strict near-identical regime exact
+    ER owns (x06/x14 cover permissive similarity). The oracle is the
+    NAIVE blocked all-pairs SQL, so the hash match proves the segment
+    pruning loses no pair."""
     from mc_ns_data_pipeline_spark.operators.linkage import (
         blocked_near_pairs,
     )
@@ -5053,7 +5056,7 @@ EXT_ORACLES["x62_entity_blocking"] = """
     SELECT doc_a, doc_b, lang,
            levenshtein(pfx_a, pfx_b) AS lev_dist
     FROM cand
-    WHERE levenshtein(pfx_a, pfx_b) <= 25
+    WHERE levenshtein(pfx_a, pfx_b) <= 6
     ORDER BY doc_a, doc_b
 """
 
