@@ -2856,6 +2856,84 @@ def x95_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_QUALITY_MIN = 0.45
+CURATION_LANG = "en"
+
+
+def x96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: the full training-data curation pass as
+    ONE declarative plan — exact dedup (canonical survivor per
+    fingerprint cluster), language selection, quality-score threshold,
+    then token-budget packing of the survivors into shard manifests.
+    This is the end-to-end artifact a 100 TB curation run materializes:
+    the shard manifest the trainer reads.
+
+    Plan shape: fingerprint window (one shuffle) -> row-local quality
+    and token expressions (fused map stages, no extra scan — Catalyst
+    collapses the whole filter chain onto the dedup window's output)
+    -> bucketed cumulative-sum packing (window partitioned by shard
+    bucket, no global sort). Everything reuses the operator library
+    (dedup.exact_dedup semantics, x02's scoring, x19's packing), so
+    this also pins that the pieces COMPOSE.
+    """
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.functions.text import (
+        bpe_token_count,
+        hash_sample_bucket,
+        stopword_count,
+        word_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    fp = fingerprint_full(F.col("text"))
+    w = Window.partitionBy("_fp")
+    n_words = word_count(F.col("text"))
+    n_stop = stopword_count(F.col("text"))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), PUNCT_CLASS, "")
+    )
+    stop_ratio = n_stop.cast("double") / n_words.cast("double")
+    punct_ratio = F.when(
+        F.length("text") > 0,
+        n_punct.cast("double") / F.length("text").cast("double"),
+    )
+    score = (
+        stop_ratio * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+        + F.least(n_words, F.lit(100)).cast("double")
+        / F.lit(100.0) * F.lit(0.5)
+    )
+    flagged = (
+        docs.select(
+            "doc_id", "lang",
+            fp.alias("_fp"),
+            score.alias("quality_score"),
+            bpe_token_count(F.col("text")).alias("n_tokens"),
+        )
+        .withColumn("_canonical", F.min("doc_id").over(w))
+    )
+    kept = flagged.filter(
+        (F.col("doc_id") == F.col("_canonical"))
+        & (F.col("lang") == CURATION_LANG)
+        & (F.col("quality_score") >= CURATION_QUALITY_MIN)
+    )
+    shard = hash_sample_bucket(F.col("doc_id"), 32)
+    wp = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(wp)
+    return (
+        kept.select(
+            "doc_id", "n_tokens", "quality_score", shard.alias("shard")
+        )
+        .select(
+            "doc_id", "n_tokens", "quality_score", "shard",
+            F.floor((cum - F.col("n_tokens")) / F.lit(2048.0))
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
+
+
 def xs13_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS13 — streaming maintenance of x88's zone maps: per-batch
     partial bucket stats combine-merged (sum/min/max) into the stats
@@ -2952,6 +3030,7 @@ EXT_QUERIES = {
     "x93_robust_scale": x93_robust_scale,
     "x94_pmi_collocations": x94_pmi_collocations,
     "x95_ks_drift": x95_ks_drift,
+    "x96_curation_pipeline": x96_curation_pipeline,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
@@ -5760,6 +5839,55 @@ EXT_ORACLES["x95_ks_drift"] = f"""
                AS drifted
     FROM ks
     ORDER BY event_type
+"""
+
+# x96: the composed pipeline's twin, assembled from the same pieces
+# the component oracles use (x05's fingerprint window, x02's scoring
+# expressions, x19's bucketed packing) — if any piece's semantics
+# drifted, the composition would hash-mismatch even while the
+# per-component oracles still matched their own queries.
+EXT_ORACLES["x96_curation_pipeline"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               md5({_NORM}) AS fp,
+               string_split({_NORM}, ' ') AS ws,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens,
+               length(text) - length(regexp_replace(text,
+                   '{PUNCT_CLASS}', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang, text, fp, n_tokens, n_punct,
+               len(ws) AS n_words,
+               len(list_filter(ws, x -> x IN ({_in_list(EN_STOPWORDS)})))
+                   AS n_stop,
+               min(doc_id) OVER (PARTITION BY fp) AS canonical
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_tokens, canonical,
+               (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.3
+               + (1.0 - CASE WHEN length(text) > 0
+                             THEN CAST(n_punct AS DOUBLE)
+                                  / CAST(length(text) AS DOUBLE)
+                             END) * 0.2
+               + CAST(least(n_words, 100) AS DOUBLE) / 100.0 * 0.5
+                   AS quality_score
+        FROM m
+    ),
+    kept AS (
+        SELECT doc_id, n_tokens, quality_score,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 32
+                   AS shard
+        FROM scored
+        WHERE doc_id = canonical AND lang = '{CURATION_LANG}'
+          AND quality_score >= {CURATION_QUALITY_MIN}
+    )
+    SELECT doc_id, n_tokens, quality_score, shard,
+           CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id)
+                - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM kept
 """
 
 # xs13 shares x88's oracle: the streaming merge must land exactly on

@@ -600,3 +600,15 @@ def test_x95_ks_single_window_broadcast_totals(spark, sf_dir):
     assert n_ops(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert n_ops(plan, "CartesianProduct") == 0
+
+
+def test_x96_pipeline_fuses_filters_onto_dedup_window(spark, sf_dir):
+    """The composed curation pipeline must stay two keyed shuffles
+    (fingerprint window, shard-bucket packing window) with the
+    language/quality/dedup filters fused between them — a third hash
+    exchange means a filter stopped composing."""
+    plan = plan_of(spark, sf_dir, "x96_curation_pipeline")
+    assert n_ops(plan, "Window") == 2
+    assert plan.count("hashpartitioning") == 2
+    assert n_ops(plan, "CartesianProduct") == 0
+    assert "InPandas" not in plan  # whole pipeline stays JVM-side
