@@ -121,6 +121,11 @@ def _fetch_exchange(spark: SparkSession, args,
         fetch_page=_resolve(args.captures_fetcher),
         schema=DATA_CAPTURES_SCHEMA,
         pages_per_task=args.batch_size,
+        # O3 pushdown — the reference sends sortColumn=create_date so
+        # the API pre-sorts (data_processor.py:99-105); None when the
+        # operator asks for no ordering, keeping plain fetchers valid
+        sort_column=getattr(args, "sort_column", None),
+        sort_direction=getattr(args, "sort_direction", None),
     )
     if id_lo is not None:
         captures = captures.filter(F.col("productionRecordId") >= id_lo)
@@ -400,6 +405,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="[OUTPUT_DATA_DIR]")
         sp.add_argument("--state-dir", default=None,
                         help="[STATE_DIR or CHECKPOINT_FILE_PATH's dir]")
+        sp.add_argument("--sort-column", default=None,
+                        help="server-side sort pushdown (O3), e.g. "
+                        "create_date [SORT_COLUMN]")
+        sp.add_argument("--sort-direction", default=None,
+                        help="asc|desc [SORT_DIRECTION]")
 
     fb = sub.add_parser("fetch-bulk", help="bulk_fetch.py parity")
     add_fetch_common(fb)
@@ -465,6 +475,9 @@ def _resolve_env(args: argparse.Namespace) -> argparse.Namespace:
             args.state_dir, cfg.state_dir,
             name="--state-dir/STATE_DIR|CHECKPOINT_FILE_PATH",
             required=True)
+        args.sort_column = resolve(args.sort_column, cfg.sort_column)
+        args.sort_direction = resolve(
+            args.sort_direction, cfg.sort_direction)
     elif args.command == "load":
         args.input_dir = resolve(args.input_dir, cfg.out_dir)
         args.warehouse_dir = resolve(

@@ -30,6 +30,8 @@ exists):
   N_PAGES               --n-pages
   CAPTURES_FETCHER, META_FETCHER, STRUCTURES_FETCHER
                         transport injection (module.path:function)
+  SORT_COLUMN, SORT_DIRECTION
+                        O3 server-side sort pushdown for the fetch
   WAREHOUSE_DIR         load --warehouse-dir
   REPORT_DIR            load --report-dir
   DB_CONFIG             JSON dict of JDBC properties (url/user/password
@@ -83,6 +85,8 @@ class EnvConfig:
     warehouse_dir: str | None
     report_dir: str | None
     db_config: dict | None
+    sort_column: str | None
+    sort_direction: str | None
 
 
 def env_config(env: dict[str, str] | None = None) -> EnvConfig:
@@ -110,6 +114,8 @@ def env_config(env: dict[str, str] | None = None) -> EnvConfig:
         warehouse_dir=e.get("WAREHOUSE_DIR"),
         report_dir=e.get("REPORT_DIR"),
         db_config=db_config,
+        sort_column=e.get("SORT_COLUMN"),
+        sort_direction=e.get("SORT_DIRECTION"),
     )
 
 

@@ -90,6 +90,27 @@ def fetch_captures_page(page: int) -> dict:
     return {"content": records}
 
 
+def fetch_captures_page_sortable(page: int, sortColumn: str | None = None,
+                                 sortDirection: str = "asc") -> dict:
+    """Sortable variant of fetch_captures_page (O3 CLI pushdown test):
+    stamps each record's dataCaptureName with the params the server
+    received, and serves pages of the globally re-sorted record list."""
+    records = [
+        rec
+        for p in range((CAPTURE_TOTAL + CAPTURE_PAGE_SIZE - 1)
+                       // CAPTURE_PAGE_SIZE)
+        for rec in fetch_captures_page(p)["content"]
+    ]
+    for rec in records:
+        rec["dataCaptureName"] = f"sort={sortColumn}:{sortDirection}"
+    if sortColumn:
+        records.sort(
+            key=lambda r: r[sortColumn], reverse=sortDirection == "desc"
+        )
+    start = page * CAPTURE_PAGE_SIZE
+    return {"content": records[start:start + CAPTURE_PAGE_SIZE]}
+
+
 def batch_meta_records() -> list[dict]:
     """Single-lot batch metadata (the reference fetches one lot per
     record id; the fixture models one lot batch)."""

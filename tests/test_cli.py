@@ -259,3 +259,26 @@ def test_db_config_json_to_jdbc_properties():
     assert props == {
         "url": "jdbc:postgresql://h/db", "user": "u", "password": "p"
     }
+
+
+def test_fetch_bulk_sort_pushdown_reaches_transport(spark, tmp_path):
+    """O3 through the CLI: --sort-column/--sort-direction must reach
+    the captures fetcher as sortColumn/sortDirection (the fixture
+    stamps what it received into every record)."""
+    out = str(tmp_path / "exchange")
+    state = str(tmp_path / "state")
+    fx = "mc_ns_data_pipeline_spark.sources.rest_fixture"
+    assert main([
+        "fetch-bulk", "--n-pages", "4",
+        "--captures-fetcher", f"{fx}:fetch_captures_page_sortable",
+        "--meta-fetcher", f"{fx}:batch_meta_records",
+        "--structures-fetcher", f"{fx}:structure_records",
+        "--out-dir", out, "--state-dir", state,
+        "--sort-column", "dateTime", "--sort-direction", "desc",
+    ]) == 0
+    delivered = spark.read.option("header", True).option(
+        "recursiveFileLookup", True
+    ).csv(out)
+    col = "Captured Data Type"  # merge_lot_data maps dataCaptureName here
+    stamps = {r[col] for r in delivered.select(col).distinct().collect()}
+    assert stamps == {"sort=dateTime:desc"}
