@@ -2592,12 +2592,26 @@ def x91_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two aggregates over the fact table (bounds, then clipped rollup)
     joined by broadcast of the tiny bounds relation — no extra shuffle
-    of the fact side beyond its groupBy.
+    of the fact side beyond its groupBy. The bounds use
+    operators/percentiles.percentiles_by_counts — exact percentile_cont
+    from order statistics over the DISTINCT-VALUE relation — instead of
+    F.percentile, whose per-group value buffer was the r3 stress run's
+    only heap hazard (needed 24 GiB at ~sf1; the counts form runs on
+    the default heap).
     """
+    from mc_ns_data_pipeline_spark.operators.percentiles import (
+        percentiles_by_counts,
+    )
+
     li = load_table(spark, sf_dir, "lineitem", fan_out=True)
-    bounds = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.01), 6).alias("p01"),
-        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    raw = percentiles_by_counts(
+        li, "l_returnflag", "l_extendedprice",
+        {"_p01": 0.01, "_p99": 0.99},
+    )
+    bounds = raw.select(
+        "l_returnflag",
+        F.round(F.col("_p01"), 6).alias("p01"),
+        F.round(F.col("_p99"), 6).alias("p99"),
     )
     j = li.select("l_returnflag", "l_extendedprice").join(
         F.broadcast(bounds), "l_returnflag"

@@ -534,3 +534,42 @@ def test_cdc_chunks_partition_and_edit_stability(spark):
     # all but the first boundary's chunk(s) survive the front edit
     shared = len(h1 & h2)
     assert shared >= len(h1) - 2, (shared, len(h1))
+
+
+def test_percentiles_by_counts_matches_builtin(spark, sf_dir):
+    """The order-statistics percentile (no per-group value buffer) must
+    agree with F.percentile's percentile_cont semantics to float
+    precision, including interpolated (frac != 0) and tied-value
+    cases (l_quantity has few distinct values, so bracketing ranks
+    routinely fall inside tied runs)."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators.percentiles import (
+        percentiles_by_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    targets = {"p01": 0.01, "p50": 0.5, "p99": 0.99}
+    for col in ("l_extendedprice", "l_quantity"):
+        got = {
+            r["l_returnflag"]: r.asDict()
+            for r in percentiles_by_counts(
+                li, "l_returnflag", col, targets
+            ).collect()
+        }
+        want = {
+            r["l_returnflag"]: r.asDict()
+            for r in li.groupBy("l_returnflag")
+            .agg(*[
+                F.percentile(col, p).alias(name)
+                for name, p in targets.items()
+            ])
+            .collect()
+        }
+        assert got.keys() == want.keys()
+        for flag in want:
+            for name in targets:
+                assert abs(got[flag][name] - want[flag][name]) <= (
+                    1e-9 * max(1.0, abs(want[flag][name]))
+                ), (col, flag, name, got[flag][name], want[flag][name])
