@@ -2948,6 +2948,51 @@ def x96_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_TARGET_ROWS = 1500
+
+
+def x97_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance pass that
+    turns many undersized files into target-sized ones. Completes the
+    layout family: x87 picks the clustering key, x88 maintains the
+    per-file stats, x97 plans the rewrite FROM THOSE STATS ALONE (a
+    metadata-only computation, like the pruning verdict).
+
+    Files (bucket = file id proxy, x88's grain) merge in KEY ORDER via
+    the cumulative-start rule (x19's packing shape): a file whose
+    cumulative row-start falls in span g joins merge group g. Order-
+    preserving grouping is the point — compaction must not destroy the
+    clustering x87 paid for, so groups are consecutive runs, never
+    arbitrary bin packing. One partial-aggregable stats aggregate, one
+    ordered window over #files rows.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    zm = (
+        ev.selectExpr(f"event_id div {ZONE_BUCKET} AS bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy("bucket")
+    cum = F.sum("n_rows").over(w)
+    planned = zm.select(
+        "bucket", "n_rows",
+        F.floor((cum - F.col("n_rows")) / F.lit(float(COMPACT_TARGET_ROWS)))
+        .cast("long")
+        .alias("merge_group"),
+    )
+    wg = Window.partitionBy("merge_group")
+    return (
+        planned.select(
+            "bucket", "n_rows", "merge_group",
+            F.sum("n_rows").over(wg).alias("group_rows"),
+            F.count(F.lit(1)).over(wg).cast("int").alias("group_files"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def xs13_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS13 — streaming maintenance of x88's zone maps: per-batch
     partial bucket stats combine-merged (sum/min/max) into the stats
@@ -3045,6 +3090,7 @@ EXT_QUERIES = {
     "x94_pmi_collocations": x94_pmi_collocations,
     "x95_ks_drift": x95_ks_drift,
     "x96_curation_pipeline": x96_curation_pipeline,
+    "x97_compaction_plan": x97_compaction_plan,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
@@ -5907,6 +5953,26 @@ EXT_ORACLES["x96_curation_pipeline"] = f"""
 # xs13 shares x88's oracle: the streaming merge must land exactly on
 # the batch zone-map computation.
 EXT_ORACLES["xs13_stream_zone_maps"] = EXT_ORACLES["x88_zone_maps"]
+
+# x97: order-preserving compaction grouping by cumulative row-start.
+EXT_ORACLES["x97_compaction_plan"] = f"""
+    WITH zm AS (
+        SELECT event_id // {ZONE_BUCKET} AS bucket, count(*) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    planned AS (
+        SELECT bucket, n_rows,
+               CAST(floor((sum(n_rows) OVER (ORDER BY bucket) - n_rows)
+                    / {COMPACT_TARGET_ROWS}.0) AS BIGINT) AS merge_group
+        FROM zm
+    )
+    SELECT bucket, n_rows, merge_group,
+           CAST(sum(n_rows) OVER wg AS BIGINT) AS group_rows,
+           CAST(count(*) OVER wg AS INTEGER) AS group_files
+    FROM planned
+    WINDOW wg AS (PARTITION BY merge_group)
+    ORDER BY bucket
+"""
 
 # xs14 shares x06's oracle: increments in sequence reproduce the batch
 # MinHash+LSH pair set (incremental_dedup_pairs' contract).
