@@ -24,16 +24,42 @@ def test_queries_nonempty(spark, sf_dir):
         assert fn(spark, sf_dir).count() >= 0, name
 
 
+# The external driver hash-checks the FIRST 50 names of queries() in
+# REGISTRATION (dict-insertion) order — NOT sort order. Proven by
+# CORRECTNESS_r03: its key set and order exactly match list(QUERIES)[:50]
+# of the r3 tree, while sorted(QUERIES)[:50] does not (VERDICT r03 #1).
+#
+# Round-4 window, chosen per the rotation policy (SURVEY.md §8):
+#   * q01–q18 — reference-parity core, always in.
+#   * x30/x31 — red in r02, fixed, then accidentally evicted from the
+#     r03 window; their fixes land driver evidence this round.
+#   * x59/x61/x62/x80/x97/xs12–xs14 — implementation changed after
+#     their last driver-green row (r3 rework).
+#   * x91/x90/x12 — touched in round 4 (percentiles NULL contract,
+#     linkage cap observability, multimodal codec surface).
+#   * x23–x29/x32–x34 — green r02, evicted r03, re-verified.
+#   * x35–x43 — never driver-verified before; rotate in.
+DRIVER_GATE_WINDOW = [
+    *[f"q{i:02d}" for i in range(1, 19)],
+    "x30", "x31", "x59", "x61", "x62", "x80", "x97",
+    "xs12", "xs13", "xs14", "x91", "x90", "x12",
+    "x23", "x24", "x25", "x26", "x27", "x28", "x29",
+    "x32", "x33", "x34", "x35", "x36", "x37", "x38",
+    "x39", "x40", "x41", "x42", "x43",
+]
+
+
 def test_driver_gate_window_composition():
-    """The external driver hash-checks only the FIRST 50 registered
-    names in sort order. This pin keeps the window's composition
-    deliberate: all reference-parity q-queries (incl. the two streaming
-    ones) plus x01–x34, every one oracle-checked. A new registration
-    that sorts before x35 would silently evict a gate row — name new
-    queries x97+/xs15+ unless displacement is intended."""
-    window = sorted(QUERIES)[:50]
-    q_names = [n for n in window if n.startswith("q")]
-    assert len(q_names) == 18 and q_names[-1] == "q18_stream_dedup"
-    assert [n for n in window if n.startswith("xs")] == []
-    assert window[-1].startswith("x34")
+    """Pin the EXACT first-50 registration window the driver checks.
+
+    Any new registration inserted before the gate marker in
+    plans/extensions.py silently evicts a gate row — this test makes
+    that a loud failure. Append new queries at the bottom of
+    EXT_QUERIES; rotate the window deliberately (SURVEY.md §8)."""
+    window = list(QUERIES)[:50]
+    prefixes = [n.split("_", 1)[0] for n in window]
+    assert prefixes == DRIVER_GATE_WINDOW, (
+        "driver gate window drifted from the pinned rotation; "
+        "see SURVEY.md §8 before changing this list"
+    )
     assert all(n in ORACLES for n in window), "no_oracle row inside gate"
