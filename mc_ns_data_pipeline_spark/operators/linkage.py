@@ -53,9 +53,22 @@ MAX_DIST = 6
 # df exceeds the cap are dropped from candidate generation; a true pair
 # is missed only if EVERY slot that survives its edits is hot — with
 # k+1 = 7 slots that needs pervasive templating, the same recall trade
-# x07 documents. Inactive at the gate scale factors (max observed group
-# at sf0.1 is 192), so the naive oracle still matches exactly.
-MAX_SEGMENT_DF = 300
+# x07 documents.
+#
+# The default cap is "auto": greatest(MAX_SEGMENT_DF_FLOOR,
+# n_docs div AUTO_CAP_DIVISOR), computed IN-PLAN from a broadcast
+# 1-row corpus count — segment df grows roughly linearly with corpus
+# size, so a fixed cap that is inactive at sf0.1 would silently start
+# dropping true near-pairs at modestly larger data (ADVICE r3). With
+# the auto cap the "inactive at gate scale" property is structural:
+# uniform-density slots stay under n/AUTO_CAP_DIVISOR at every scale,
+# and only genuinely templated openings (density > 0.5% of the corpus
+# on one 7-char slot) are dropped. `hot_segment_slots` makes whatever
+# IS dropped observable (slot, df, cap) instead of silent.
+MAX_SEGMENT_DF_FLOOR = 300
+AUTO_CAP_DIVISOR = 200
+# Backwards-compatible alias (pre-r4 name for the fixed cap).
+MAX_SEGMENT_DF = MAX_SEGMENT_DF_FLOOR
 
 
 def _segments(prefix_len: int, n_seg: int) -> list[tuple[int, int]]:
@@ -69,14 +82,11 @@ def _segments(prefix_len: int, n_seg: int) -> list[tuple[int, int]]:
     return out
 
 
-def blocked_near_pairs(docs: DataFrame, max_dist: int = MAX_DIST,
-                       band_width: int = BAND_WIDTH,
-                       prefix_len: int = PREFIX_LEN,
-                       max_segment_df: int | None = MAX_SEGMENT_DF) -> DataFrame:
-    """(doc_a, doc_b, lang, lev_dist) for same-language candidate
-    pairs within `max_dist` prefix edit distance (see module doc for
-    the PassJoin blocking argument)."""
-    k = max_dist
+def _template_rows(docs: DataFrame, k: int, band_width: int,
+                   prefix_len: int):
+    """(base, rel, a_rows): the prefix relation, its banded copy, and
+    the partitioned (template) side's exploded segment slots — shared
+    by candidate generation and hot-slot observability."""
     segs = _segments(prefix_len, k + 1)
     half = band_width // 2
     base = docs.select(
@@ -113,6 +123,61 @@ def blocked_near_pairs(docs: DataFrame, max_dist: int = MAX_DIST,
         )
         .select("src", "lang", "band", "t.i", "t.seg")
     )
+    return base, rel, a_rows
+
+
+def _hot_slots(a_rows: DataFrame, base: DataFrame,
+               max_segment_df) -> DataFrame:
+    """Slots whose template-side df exceeds the cap:
+    (lang, band, i, seg, df, cap). `max_segment_df` is an int, or
+    "auto" for greatest(MAX_SEGMENT_DF_FLOOR, n_docs div
+    AUTO_CAP_DIVISOR) — the corpus count enters the plan as a
+    broadcast 1-row aggregate, never a driver action."""
+    counts = a_rows.groupBy("lang", "band", "i", "seg").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    if max_segment_df == "auto":
+        total = base.agg(F.count(F.lit(1)).alias("_n"))
+        counts = counts.join(F.broadcast(total)).withColumn(
+            "cap",
+            F.greatest(
+                F.lit(MAX_SEGMENT_DF_FLOOR),
+                F.expr(f"_n div {AUTO_CAP_DIVISOR}"),
+            ),
+        ).drop("_n")
+    else:
+        counts = counts.withColumn("cap", F.lit(int(max_segment_df)))
+    return counts.filter(F.col("df") > F.col("cap"))
+
+
+def hot_segment_slots(docs: DataFrame, max_dist: int = MAX_DIST,
+                      band_width: int = BAND_WIDTH,
+                      prefix_len: int = PREFIX_LEN,
+                      max_segment_df="auto") -> DataFrame:
+    """Observability for the recall knob (ADVICE r3): the exact slots
+    `blocked_near_pairs` drops under the given cap, with their df and
+    the effective cap. Empty result == the cap is inactive and the
+    blocking is provably lossless at this corpus; non-empty rows tell
+    an operator precisely where templating is eating recall."""
+    base, _rel, a_rows = _template_rows(docs, max_dist, band_width,
+                                        prefix_len)
+    return _hot_slots(a_rows, base, max_segment_df)
+
+
+def blocked_near_pairs(docs: DataFrame, max_dist: int = MAX_DIST,
+                       band_width: int = BAND_WIDTH,
+                       prefix_len: int = PREFIX_LEN,
+                       max_segment_df="auto") -> DataFrame:
+    """(doc_a, doc_b, lang, lev_dist) for same-language candidate
+    pairs within `max_dist` prefix edit distance (see module doc for
+    the PassJoin blocking argument).
+
+    `max_segment_df`: "auto" (default — corpus-scaled cap, see module
+    doc), an int for a fixed cap, or None to disable capping.
+    """
+    k = max_dist
+    segs = _segments(prefix_len, k + 1)
+    base, rel, a_rows = _template_rows(docs, k, band_width, prefix_len)
 
     # probe side: every doc emits its substrings at positions within
     # ±k of each segment slot (clipped to the string — a segment's
@@ -154,11 +219,8 @@ def blocked_near_pairs(docs: DataFrame, max_dist: int = MAX_DIST,
         .drop("_l")
     )
     if max_segment_df is not None:
-        hot = (
-            a_rows.groupBy("lang", "band", "i", "seg")
-            .count()
-            .filter(F.col("count") > max_segment_df)
-            .select("lang", "band", "i", "seg")
+        hot = _hot_slots(a_rows, base, max_segment_df).select(
+            "lang", "band", "i", "seg"
         )
         a_rows = a_rows.join(
             F.broadcast(hot), ["lang", "band", "i", "seg"], "left_anti"

@@ -99,7 +99,60 @@ def _decode_image_pil(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [float(h) / total for h in hist]
 
 
-_IMAGE_CODECS = {"stub": _decode_image_stub, "pil": _decode_image_pil}
+def _decode_image_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode for uncompressed BMP (BI_RGB, 24/32-bit) —
+    pure stdlib+numpy, always importable, so the real-codec dataflow
+    is exercised in every environment (the Pillow path stays for
+    compressed formats where available).
+
+    Features match `_decode_image_pil`'s contract: 8-dim normalized
+    gray-histogram mass over ITU-R 601 luminance
+    (L = (299·R + 587·G + 114·B) / 1000, truncating division — the
+    same integer formula Pillow's convert("L") documents).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BI_RGB supported "
+            f"(got bpp={bpp}, compression={compression}); "
+            "use codec='pil' for compressed formats"
+        )
+    top_down = height < 0
+    height = abs(height)
+    nchan = bpp // 8
+    stride = (nchan * width + 3) // 4 * 4
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    px = raw[:, : nchan * width].reshape(height, width, nchan)
+    if not top_down:
+        px = px[::-1]
+    b = px[:, :, 0].astype(np.uint32)
+    g = px[:, :, 1].astype(np.uint32)
+    r = px[:, :, 2].astype(np.uint32)
+    gray = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    hist, _ = np.histogram(gray, bins=IMAGE_FEATURE_DIM, range=(0, 256))
+    total = max(int(hist.sum()), 1)
+    return width, height, [float(h) / total for h in hist]
+
+
+_IMAGE_CODECS = {
+    "stub": _decode_image_stub,
+    "pil": _decode_image_pil,
+    "bmp": _decode_image_bmp,
+}
 
 
 def decode_media(df: DataFrame, id_col: str = "doc_id",
@@ -107,13 +160,19 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     """Arrow-batched decode + feature extraction over binary payloads.
 
     `codec` picks the executor-side decoder: "stub" (deterministic
-    fixture, the oracle path) or "pil" (real Pillow decode). The
-    dataflow — schema, Arrow batching, partition memory bounds — is
-    identical for both; that is the point of the swap-point design.
+    fixture, the oracle path), "bmp" (real stdlib decode, uncompressed
+    BI_RGB) or "pil" (real Pillow decode, any format). The dataflow —
+    schema, Arrow batching, partition memory bounds — is identical for
+    all three; that is the point of the swap-point design.
     """
     from ..session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
+    if codec not in _IMAGE_CODECS:
+        raise ValueError(
+            f"unknown image codec {codec!r}; "
+            f"valid: {sorted(_IMAGE_CODECS)}"
+        )
     decode = _IMAGE_CODECS[codec]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -35,9 +35,17 @@ def percentiles_by_counts(df: DataFrame, group_col: str, value_col: str,
     """One row per group with a column per named target percentile.
 
     `targets` maps output column name -> percentage in [0, 1].
+
+    NULL handling matches percentile_cont: NULL values are ignored
+    (filtered before the count aggregate, so they neither enter `_n`
+    nor shift ranks). A group whose values are ALL NULL is absent from
+    the output — callers needing a NULL row for such groups should
+    left-join this result back onto the group relation.
     """
-    counts = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     w = Window.partitionBy(group_col).orderBy(value_col)
     cum = counts.select(

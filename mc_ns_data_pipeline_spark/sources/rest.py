@@ -56,11 +56,20 @@ def sort_params(sort_column: str | None,
 def with_retries(fetch: Callable[..., object], *args,
                  max_retries: int = MAX_RETRIES,
                  delay_s: float = RETRY_DELAY_S, **kwargs):
-    """S2: the reference's retry policy (3 attempts, 0.2 s delay)."""
+    """S2: the reference's retry policy (3 attempts, 0.2 s delay).
+
+    TypeError is NOT retried: the only way the call itself raises it
+    is a signature mismatch (e.g. a sort param pushed at a plain
+    `(page) -> dict` fetcher) — a programming error that three sleeps
+    per executor task would mask as a transient fetch failure
+    (ADVICE r3). Transport errors never surface as TypeError.
+    """
     last_err: Exception | None = None
     for _ in range(max_retries):
         try:
             return fetch(*args, **kwargs)
+        except TypeError:
+            raise
         except Exception as err:  # noqa: BLE001 - transport errors vary
             last_err = err
             time.sleep(delay_s)

@@ -573,3 +573,82 @@ def test_percentiles_by_counts_matches_builtin(spark, sf_dir):
                 assert abs(got[flag][name] - want[flag][name]) <= (
                     1e-9 * max(1.0, abs(want[flag][name]))
                 ), (col, flag, name, got[flag][name], want[flag][name])
+
+
+def test_percentiles_by_counts_ignores_nulls(spark):
+    """NULL values must not enter _n or shift ranks (percentile_cont
+    contract — ADVICE r3). A mixed group matches F.percentile over the
+    same data; an all-NULL group is absent from the output (documented
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.operators.percentiles import (
+        percentiles_by_counts,
+    )
+
+    rows = [("a", v) for v in [1.0, None, 2.0, None, 3.0, 4.0]] + [
+        ("b", None),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r.asDict()
+        for r in percentiles_by_counts(
+            df, "g", "v", {"p50": 0.5, "p75": 0.75}
+        ).collect()
+    }
+    want = df.filter(F.col("v").isNotNull()).groupBy("g").agg(
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.75).alias("p75"),
+    ).collect()[0].asDict()
+    assert set(got) == {"a"}, "all-NULL group must be absent"
+    assert got["a"]["p50"] == want["p50"] == 2.5
+    assert got["a"]["p75"] == want["p75"] == 3.25
+
+
+def test_linkage_hot_slot_cap_observable_and_auto_scaled(spark):
+    """ADVICE r3: the segment-df cap must be observable (which slots
+    were dropped, at what df, under what cap) and must scale with
+    corpus size instead of silently activating at larger data. At a
+    small corpus the auto cap bottoms out at the floor and drops
+    nothing; a deliberately tiny fixed cap drops exactly the templated
+    opening, and hot_segment_slots reports it."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.operators.linkage import (
+        MAX_SEGMENT_DF_FLOOR,
+        blocked_near_pairs,
+        hot_segment_slots,
+    )
+
+    template = "INVOICE 2024 STANDARD FORM SECTION A FIELD 00 ROW"
+    rows = []
+    for i in range(40):  # templated family: identical 48-char opening
+        rows.append((i, "en", template + f" body {i}"))
+    rows.append((100, "en", "a unique document opening nobody shares x1"))
+    rows.append((101, "en", "a unique document opening nobody shares x2"))
+    docs = spark.createDataFrame(
+        rows, "doc_id int, lang string, text string"
+    ).withColumn("n_chars", F.length("text"))
+
+    # auto cap at 42 docs == the floor -> inactive, equals uncapped
+    hot_auto = hot_segment_slots(docs, max_segment_df="auto")
+    assert hot_auto.count() == 0
+    uncapped = blocked_near_pairs(docs, max_segment_df=None)
+    auto = blocked_near_pairs(docs, max_segment_df="auto")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+    assert uncapped.count() > 0  # templated family pairs + unique pair
+
+    # tiny fixed cap: the templated slots (df=40) are hot and reported
+    hot = hot_segment_slots(docs, max_segment_df=10)
+    hot_rows = hot.collect()
+    assert hot_rows and all(r["df"] == 40 and r["cap"] == 10
+                            for r in hot_rows)
+    capped = blocked_near_pairs(docs, max_segment_df=10)
+    # capping only removes pairs, never invents them
+    assert set(map(tuple, capped.collect())) <= set(
+        map(tuple, uncapped.collect())
+    )
+    assert MAX_SEGMENT_DF_FLOOR == 300

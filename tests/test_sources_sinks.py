@@ -106,6 +106,21 @@ def test_fetch_retries():
         rest.with_retries(always_fails, 0, delay_s=0.0)
 
 
+def test_retries_fail_fast_on_signature_mismatch():
+    """A sort param pushed at a plain (page)->dict fetcher is a
+    programming error — surface the TypeError on attempt 1 instead of
+    sleeping through retries (ADVICE r3)."""
+    calls = {"n": 0}
+
+    def plain(page: int) -> dict:
+        calls["n"] += 1
+        return {"content": [], "last": True}
+
+    with pytest.raises(TypeError):
+        rest.with_retries(plain, 0, sortColumn="create_date")
+    assert calls["n"] == 0  # raised at call binding, never retried
+
+
 def test_fetch_distributed(spark):
     pages = _PAGES  # captured by value (cloudpickle) for executors
     df = rest.fetch_distributed(
