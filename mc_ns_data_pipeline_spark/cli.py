@@ -63,10 +63,43 @@ def _resolve(path: str):
     return getattr(importlib.import_module(mod), fn)
 
 
-def _records_df(spark: SparkSession, fetcher_path: str, schema) -> DataFrame:
+def _fetchers(args) -> dict:
+    """The three transport callables for a fetch run.
+
+    ``--transport requests`` (or TRANSPORT=requests) builds the
+    production HTTP client from BASE_URL/API_TOKEN/API_COOKIE ON THE
+    DRIVER (sources/http_transport.py — reference api_client.py:14-37);
+    the resulting `HttpFetcher` instances carry their config, so
+    executors need no environment. The default keeps the
+    module:function injection contract for the three --*-fetcher flags.
+    """
+    if getattr(args, "transport", None) == "requests":
+        from mc_ns_data_pipeline_spark.sources.http_transport import (
+            CAPTURES_PATH,
+            META_PATH,
+            STRUCTURES_PATH,
+            fetcher_from_env,
+        )
+        from mc_ns_data_pipeline_spark.sources.rest import fetch_paginated
+
+        meta_f = fetcher_from_env("META_PATH", META_PATH)
+        structures_f = fetcher_from_env("STRUCTURES_PATH", STRUCTURES_PATH)
+        return {
+            "captures": fetcher_from_env("CAPTURES_PATH", CAPTURES_PATH),
+            "meta_records": lambda: fetch_paginated(meta_f),
+            "structures_records": lambda: fetch_paginated(structures_f),
+        }
+    return {
+        "captures": _resolve(args.captures_fetcher),
+        "meta_records": _resolve(args.meta_fetcher),
+        "structures_records": _resolve(args.structures_fetcher),
+    }
+
+
+def _records_df(spark: SparkSession, records_fn, schema) -> DataFrame:
     from mc_ns_data_pipeline_spark.sources.rest import records_to_df
 
-    return records_to_df(spark, list(_resolve(fetcher_path)()), schema)
+    return records_to_df(spark, list(records_fn()), schema)
 
 
 def _session(app_name: str) -> SparkSession:
@@ -115,10 +148,11 @@ def _fetch_exchange(spark: SparkSession, args,
     )
     from mc_ns_data_pipeline_spark.sources.rest import fetch_distributed
 
+    fetchers = _fetchers(args)
     captures = fetch_distributed(
         spark,
         n_pages=args.n_pages,
-        fetch_page=_resolve(args.captures_fetcher),
+        fetch_page=fetchers["captures"],
         schema=DATA_CAPTURES_SCHEMA,
         pages_per_task=args.batch_size,
         # O3 pushdown — the reference sends sortColumn=create_date so
@@ -154,9 +188,10 @@ def _fetch_exchange(spark: SparkSession, args,
         if epoch_hi is not None:
             captures = captures.filter(epoch < epoch_hi)
     captures = captures.persist()
-    meta = _records_df(spark, args.meta_fetcher, BATCH_RECORDS_SCHEMA)
+    meta = _records_df(spark, fetchers["meta_records"],
+                       BATCH_RECORDS_SCHEMA)
     structures = _records_df(
-        spark, args.structures_fetcher, STRUCTURES_SCHEMA
+        spark, fetchers["structures_records"], STRUCTURES_SCHEMA
     )
     return merge_lot_data(captures, meta, structures), captures
 
@@ -173,7 +208,7 @@ def _require_page_coverage(args, what: str) -> int | None:
     """
     from mc_ns_data_pipeline_spark.sources.rest import pages_exhausted
 
-    if pages_exhausted(_resolve(args.captures_fetcher), args.n_pages):
+    if pages_exhausted(_fetchers(args)["captures"], args.n_pages):
         return None
     print(
         f"{what}: page budget --n-pages {args.n_pages} did not cover "
@@ -392,6 +427,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="pages of capture records to scan [N_PAGES]")
         sp.add_argument("--batch-size", type=int, default=None,
                         help="pages per executor task [BATCH_SIZE]")
+        sp.add_argument("--transport", default=None,
+                        choices=["injected", "requests"],
+                        help="'requests' builds the production HTTP "
+                        "client from BASE_URL/API_TOKEN/API_COOKIE "
+                        "(reference api_client.py); default 'injected' "
+                        "uses the --*-fetcher paths [TRANSPORT]")
         sp.add_argument("--captures-fetcher", default=None,
                         help="module.path:function returning a captures "
                         "page [CAPTURES_FETCHER]")
@@ -459,15 +500,22 @@ def _resolve_env(args: argparse.Namespace) -> argparse.Namespace:
         args.n_pages = resolve(args.n_pages, cfg.n_pages,
                                name="--n-pages/N_PAGES", required=True)
         args.batch_size = resolve(args.batch_size, cfg.batch_size, 4)
+        args.transport = resolve(args.transport, cfg.transport,
+                                 "injected")
+        # the module:function paths are only required for the injected
+        # transport — 'requests' builds its client from BASE_URL et al.
+        need_paths = args.transport != "requests"
         args.captures_fetcher = resolve(
             args.captures_fetcher, cfg.captures_fetcher,
-            name="--captures-fetcher/CAPTURES_FETCHER", required=True)
+            name="--captures-fetcher/CAPTURES_FETCHER",
+            required=need_paths)
         args.meta_fetcher = resolve(
             args.meta_fetcher, cfg.meta_fetcher,
-            name="--meta-fetcher/META_FETCHER", required=True)
+            name="--meta-fetcher/META_FETCHER", required=need_paths)
         args.structures_fetcher = resolve(
             args.structures_fetcher, cfg.structures_fetcher,
-            name="--structures-fetcher/STRUCTURES_FETCHER", required=True)
+            name="--structures-fetcher/STRUCTURES_FETCHER",
+            required=need_paths)
         args.out_dir = resolve(args.out_dir, cfg.out_dir,
                                name="--out-dir/OUTPUT_DATA_DIR",
                                required=True)

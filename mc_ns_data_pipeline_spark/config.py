@@ -32,6 +32,9 @@ exists):
                         transport injection (module.path:function)
   SORT_COLUMN, SORT_DIRECTION
                         O3 server-side sort pushdown for the fetch
+  TRANSPORT             'requests' (production HTTP client from
+                        BASE_URL/API_TOKEN/API_COOKIE — reference
+                        api_client.py) or 'injected' (default)
   WAREHOUSE_DIR         load --warehouse-dir
   REPORT_DIR            load --report-dir
   DB_CONFIG             JSON dict of JDBC properties (url/user/password
@@ -87,6 +90,7 @@ class EnvConfig:
     db_config: dict | None
     sort_column: str | None
     sort_direction: str | None
+    transport: str | None
 
 
 def env_config(env: dict[str, str] | None = None) -> EnvConfig:
@@ -116,6 +120,7 @@ def env_config(env: dict[str, str] | None = None) -> EnvConfig:
         db_config=db_config,
         sort_column=e.get("SORT_COLUMN"),
         sort_direction=e.get("SORT_DIRECTION"),
+        transport=e.get("TRANSPORT"),
     )
 
 
