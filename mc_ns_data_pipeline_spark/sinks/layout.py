@@ -187,30 +187,87 @@ def compact_files(spark: SparkSession, path: str,
     import os
     import shutil
 
-    restore_interrupted_swap(path)
-    files = glob.glob(
-        os.path.join(path, "**", "*.parquet"), recursive=True
-    )
-    total = sum(os.path.getsize(f) for f in files)
-    n = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    staging = f"{path}__compacting"
-    if partition_by:
-        # Hash-colocate by the partition columns so each output task
-        # holds whole partition values (≈1 file per value, not n×P).
-        writer = df.repartition(n, *[F.col(c) for c in partition_by])
-        writer.write.mode("overwrite").partitionBy(*partition_by) \
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+    # Maintenance races writers: a merge/replace swapping the dir
+    # mid-compaction would be overwritten by the compactor's stale
+    # staged copy. Same lease as the mutating sinks — the compactor
+    # fails fast (or queues via wait_s at the call site) instead.
+    with table_lease(path, owner="compact_files"):
+        restore_interrupted_swap(path)
+        files = glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(path)
+        staging = f"{path}__compacting"
+        if partition_by:
+            # Hash-colocate by the partition columns so each output task
+            # holds whole partition values (≈1 file per value, not n×P).
+            writer = df.repartition(n, *[F.col(c) for c in partition_by])
+            writer.write.mode("overwrite").partitionBy(*partition_by) \
+                .parquet(staging)
+        else:
+            df.repartition(n).write.mode("overwrite").parquet(staging)
+        backup = f"{path}__old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+        return len(glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        ))
+
+
+def compact_clustered(spark: SparkSession, path: str, cluster_col: str,
+                      target_file_bytes: int = 128 << 20) -> int:
+    """Order-PRESERVING compaction: execute the rewrite x97 plans.
+
+    `compact_files` bin-packs by size with a hash repartition — right
+    for unordered tables, but it destroys the clustering x87 paid for
+    (each output file then spans the whole key range and zone-map
+    pruning collapses to 0%). This executor keeps the layout
+    investment: `repartitionByRange(n, cluster_col)` makes each output
+    task own a CONTIGUOUS key span (range boundaries from a sampled
+    sketch — one extra lightweight job), and `sortWithinPartitions`
+    keeps rows ordered inside each file, so the compacted table has
+    non-overlapping per-file min/max on the cluster key — exactly the
+    x97 merge-group contract (consecutive runs, never arbitrary bins).
+
+    Same staged-swap + single-writer lease discipline as
+    `compact_files`; returns the new file count.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+    with table_lease(path, owner="compact_clustered"):
+        restore_interrupted_swap(path)
+        files = glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(path)
+        staging = f"{path}__compacting"
+        (
+            df.repartitionByRange(n, F.col(cluster_col))
+            .sortWithinPartitions(cluster_col)
+            .write.mode("overwrite")
             .parquet(staging)
-    else:
-        df.repartition(n).write.mode("overwrite").parquet(staging)
-    backup = f"{path}__old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
-    return len(glob.glob(
-        os.path.join(path, "**", "*.parquet"), recursive=True
-    ))
+        )
+        backup = f"{path}__old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+        return len(glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        ))
 
 
 def write_shards(df: DataFrame, path: str, n_shards: int,

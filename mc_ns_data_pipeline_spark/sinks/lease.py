@@ -1,0 +1,129 @@
+"""Single-writer lease for staged-swap table sinks.
+
+The reference gets per-file transactions from PostgreSQL
+(file_processor.py:111 — every upsert rides a DB transaction). The
+Spark-native sinks emulate MERGE/compact with staged-directory renames
+(sinks/upsert.py, sinks/layout.py): crash-safe for ONE writer, but two
+pipelines landing on the same table could interleave their
+read-stage-swap cycles and silently lose one writer's rows (the last
+swap wins over a merge that never saw the other's output).
+
+This module makes the single-writer assumption ENFORCED instead of
+implicit: an `O_CREAT | O_EXCL` lease file beside the table — atomic
+on POSIX filesystems — held for the duration of the mutation. A second
+writer fails fast with `TableLockedError` (naming the holder) rather
+than corrupting; a lease whose holder crashed is reclaimed after its
+TTL expires.
+
+Scope honesty: this is local/NFS-filesystem advisory locking, matching
+the sinks' own staged-rename reliance on atomic `os.rename`. On an
+object store neither holds — there the Delta/Iceberg branch of
+`merge_upsert` (a real transaction log) is the answer, and this lease
+is simply unused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from contextlib import contextmanager
+
+DEFAULT_TTL_S = 3600.0
+
+
+class TableLockedError(RuntimeError):
+    """Another writer holds the table lease (fail fast, don't corrupt)."""
+
+
+def _lease_path(path: str) -> str:
+    return f"{path.rstrip('/')}__lease"
+
+
+def read_lease(path: str) -> dict | None:
+    """The current lease record, or None (missing or unreadable —
+    an unreadable/partial lease is treated as held until its TTL
+    passes, erring on the safe side)."""
+    try:
+        with open(_lease_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+    except (json.JSONDecodeError, OSError):
+        return {}
+
+
+def _is_expired(lease_file: str, record: dict, now: float) -> bool:
+    ttl = float(record.get("ttl_s", DEFAULT_TTL_S) or DEFAULT_TTL_S)
+    try:
+        age = now - os.stat(lease_file).st_mtime
+    except FileNotFoundError:
+        return False  # released between read and stat: not ours to reap
+    return age > ttl
+
+
+@contextmanager
+def table_lease(path: str, owner: str | None = None,
+                ttl_s: float = DEFAULT_TTL_S, wait_s: float = 0.0,
+                poll_s: float = 0.2):
+    """Hold the exclusive writer lease for `path`'s mutation window.
+
+    * acquisition is `O_CREAT | O_EXCL` — exactly one writer wins;
+    * a live lease makes the second writer raise `TableLockedError`
+      immediately (or after polling up to `wait_s`);
+    * a lease older than its own declared TTL is reclaimed: the stale
+      file is renamed aside (itself atomic — only one reclaimer wins
+      the rename) and acquisition retries;
+    * release only removes the lease THIS acquisition created (token
+      check), so a crashed-then-reclaimed writer cannot release the
+      reclaimer's lease.
+    """
+    lease_file = _lease_path(path)
+    os.makedirs(os.path.dirname(os.path.abspath(lease_file)),
+                exist_ok=True)
+    token = uuid.uuid4().hex
+    record = {
+        "owner": owner or f"pid-{os.getpid()}",
+        "pid": os.getpid(),
+        "token": token,
+        "ttl_s": ttl_s,
+    }
+    deadline = time.monotonic() + wait_s
+    while True:
+        try:
+            fd = os.open(lease_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                json.dump(record, fh)
+            break
+        except FileExistsError:
+            now = time.time()
+            current = read_lease(path)
+            if current is not None and _is_expired(lease_file, current,
+                                                  now):
+                # reclaim: atomic rename-aside; the loser of the race
+                # just finds the file gone and retries the O_EXCL create
+                try:
+                    os.rename(lease_file, f"{lease_file}.stale.{token}")
+                    os.remove(f"{lease_file}.stale.{token}")
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() >= deadline:
+                holder = (current or {}).get("owner", "unknown")
+                raise TableLockedError(
+                    f"table {path} is being written by {holder!r} "
+                    f"(lease {lease_file}); concurrent staged-swap "
+                    "writes would corrupt — retry later or raise "
+                    "wait_s"
+                ) from None
+            time.sleep(poll_s)
+    try:
+        yield record
+    finally:
+        current = read_lease(path)
+        if current and current.get("token") == token:
+            try:
+                os.remove(lease_file)
+            except FileNotFoundError:
+                pass

@@ -58,41 +58,54 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     from mc_ns_data_pipeline_spark.sinks.layout import (
         restore_interrupted_swap,
     )
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
 
-    # A crash between the two renames below leaves the data only in
-    # the __old backup; without this recovery the not-exists branch
-    # would treat the next merge as a fresh table and silently drop
-    # every pre-existing row.
-    restore_interrupted_swap(path)
-    if not os.path.exists(path):
-        updates.write.mode("overwrite").parquet(path)
-        return
-    target = spark.read.parquet(path)
-    keys = updates.select(key).distinct()
-    kept = target.join(F.broadcast(keys), key, "left_anti")
-    merged = kept.unionByName(updates)
-    staging = f"{path}__staging"
-    merged.write.mode("overwrite").parquet(staging)
+    # The read-stage-swap cycle below is single-writer: a second merge
+    # interleaving its read before this swap would base its output on
+    # pre-merge state and silently drop these updates at ITS swap. The
+    # lease turns that corruption into a fail-fast TableLockedError.
+    with table_lease(path, owner=f"merge_upsert:{key}"):
+        # A crash between the two renames below leaves the data only in
+        # the __old backup; without this recovery the not-exists branch
+        # would treat the next merge as a fresh table and silently drop
+        # every pre-existing row.
+        restore_interrupted_swap(path)
+        if not os.path.exists(path):
+            updates.write.mode("overwrite").parquet(path)
+            return
+        target = spark.read.parquet(path)
+        keys = updates.select(key).distinct()
+        kept = target.join(F.broadcast(keys), key, "left_anti")
+        merged = kept.unionByName(updates)
+        staging = f"{path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
 
-    import shutil
+        import shutil
 
-    backup = f"{path}__old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+        backup = f"{path}__old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup)
 
 
 def replace_by_key(updates: DataFrame, path: str, key: str) -> None:
     """K7: delete-then-insert per key (file_processor.py:95-102) as
     dynamic partition overwrite — only the keys present in `updates`
-    are replaced; other partitions untouched."""
-    (
-        updates.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(key)
-        .parquet(path)
-    )
+    are replaced; other partitions untouched.
+
+    Single-writer enforced (sinks/lease): two concurrent replaces
+    landing the same key partition race Spark's per-partition
+    delete+write with no transaction around them."""
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+    with table_lease(path, owner=f"replace_by_key:{key}"):
+        (
+            updates.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key)
+            .parquet(path)
+        )
 
 
 def delete_keys_targeted(spark: SparkSession, path: str, key: str,
@@ -122,10 +135,17 @@ def delete_keys_targeted(spark: SparkSession, path: str, key: str,
     set degrades gracefully: every file matches and this becomes the
     full rewrite it would have to be anyway.
     """
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+    doomed_keys = doomed.select(key).distinct()
+    with table_lease(path, owner=f"delete_keys:{key}"):
+        return _delete_keys_locked(spark, path, key, doomed_keys)
+
+
+def _delete_keys_locked(spark, path, key, doomed_keys) -> int:
     import shutil
     import uuid
 
-    doomed_keys = doomed.select(key).distinct()
     affected = [
         r["_file"]
         for r in (

@@ -302,30 +302,36 @@ def merge_latest_state(spark: SparkSession, incoming: DataFrame,
     from mc_ns_data_pipeline_spark.sinks.layout import (
         restore_interrupted_swap,
     )
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
 
-    # Recover a swap interrupted between its two renames — otherwise
-    # the missing target reads as an empty table and the merge loses
-    # every previously-materialized row.
-    restore_interrupted_swap(target_dir)
-    if os.path.exists(target_dir):
-        existing = spark.read.parquet(target_dir)
-        incoming = incoming.unionByName(existing)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        incoming.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
-    )
-    staging = f"{target_dir}__staging"
-    latest.write.mode("overwrite").parquet(staging)
-    backup = f"{target_dir}__old"
-    shutil.rmtree(backup, ignore_errors=True)
-    if os.path.exists(target_dir):
-        os.rename(target_dir, backup)
-    os.rename(staging, target_dir)
-    shutil.rmtree(backup, ignore_errors=True)
+    # Single-writer lease around the read-stage-swap cycle (the
+    # streaming query serializes its OWN micro-batches; the lease
+    # guards against a second pipeline or a maintenance compaction
+    # landing on the same table).
+    with table_lease(target_dir, owner="merge_latest_state"):
+        # Recover a swap interrupted between its two renames — otherwise
+        # the missing target reads as an empty table and the merge loses
+        # every previously-materialized row.
+        restore_interrupted_swap(target_dir)
+        if os.path.exists(target_dir):
+            existing = spark.read.parquet(target_dir)
+            incoming = incoming.unionByName(existing)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            incoming.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        staging = f"{target_dir}__staging"
+        latest.write.mode("overwrite").parquet(staging)
+        backup = f"{target_dir}__old"
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(target_dir):
+            os.rename(target_dir, backup)
+        os.rename(staging, target_dir)
+        shutil.rmtree(backup, ignore_errors=True)
 
 
 def run_latest_state(spark: SparkSession, events_path: str,
