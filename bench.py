@@ -75,7 +75,7 @@ def main() -> None:
     wall = round(time.perf_counter() - t_suite, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    result = {
         "metric": "suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -83,7 +83,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS,
         "wall_seconds": wall,
-    }))
+    }
+    # Sidecar with the FULL result: the driver's BENCH_r{N}.json keeps
+    # only the last 2000 chars of stdout, which truncates the 127-entry
+    # per-query map (VERDICT r3 #3 minor). The sidecar is the mechanical
+    # per-query record; commit it after a baseline run.
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SIDECAR.json"),
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

