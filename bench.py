@@ -59,6 +59,17 @@ def main() -> None:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
+        # clearCache only drops DataFrame-cache entries; RDDs pinned by
+        # localCheckpoint (x60's lineage cuts) and direct .persist()
+        # survive it and accumulate executor memory across the suite —
+        # part of the in-suite wobble BASELINE.md's round-4 study
+        # measured on heavyweight queries. Unpersist them explicitly.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in jmap.values():
+                rdd.unpersist()
+        except Exception:
+            pass  # private API; the GC below still applies
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 

@@ -258,6 +258,16 @@ def _shared_shingle_counts(df: DataFrame, text_col: str, id_col: str,
     corpus scale; None = exact. Per-doc set sizes ride along as an int
     column through the join (array length — map-only), so no sizes
     relation and no post-join enrichment joins are needed.
+
+    Cap semantics (round-4 fix, measured on the 10x corpus): with a
+    cap, sizes are RECOUNTED over the surviving shingles, so the
+    result is the EXACT Jaccard over the df-filtered shingle universe
+    — frequent-shingle removal acts like stopword removal. The naive
+    pre-fix behavior (full-set sizes, capped shared counts) biased
+    every estimate toward zero: at max_shingle_df=50 on the templated
+    10x corpus (mean shingle df ~100) it missed ALL 250,600 true pairs
+    (recall 0.0); the filtered-universe semantics keeps recall high at
+    the same cost (see BASELINE.md round-4 recall study).
     """
     sets = doc_shingle_sets(df, text_col, id_col, k=k)
     # explode_outer, not explode: a plain explode makes Catalyst infer a
@@ -280,6 +290,18 @@ def _shared_shingle_counts(df: DataFrame, text_col: str, id_col: str,
             .select("sh_id")
         )
         postings = postings.join(small, "sh_id")
+        # Exact-on-filtered-universe: recount per-doc sizes over the
+        # SURVIVING shingles. Keeping the full-set sizes here would
+        # bias every Jaccard toward zero as the cap bites (measured:
+        # recall 0.0 at cap=50 on the 10x corpus — BASELINE.md r4).
+        surv = postings.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n_surv")
+        )
+        postings = (
+            postings.drop("n")
+            .join(surv, id_col)
+            .withColumnRenamed("_n_surv", "n")
+        )
     a = postings.select(
         F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"), "sh_id"
     )

@@ -55,16 +55,22 @@ MAX_DIST = 6
 # k+1 = 7 slots that needs pervasive templating, the same recall trade
 # x07 documents.
 #
-# The default cap is "auto": greatest(MAX_SEGMENT_DF_FLOOR,
-# n_docs div AUTO_CAP_DIVISOR), computed IN-PLAN from a broadcast
-# 1-row corpus count — segment df grows roughly linearly with corpus
-# size, so a fixed cap that is inactive at sf0.1 would silently start
-# dropping true near-pairs at modestly larger data (ADVICE r3). With
-# the auto cap the "inactive at gate scale" property is structural:
-# uniform-density slots stay under n/AUTO_CAP_DIVISOR at every scale,
-# and only genuinely templated openings (density > 0.5% of the corpus
-# on one 7-char slot) are dropped. `hot_segment_slots` makes whatever
-# IS dropped observable (slot, df, cap) instead of silent.
+# The default cap is "auto": max(MAX_SEGMENT_DF_FLOOR, n_docs div
+# AUTO_CAP_DIVISOR), with the corpus count entering the plan as a
+# LITERAL from one lightweight driver-side count (the x59 k=n/1000
+# pattern — an in-plan 1-row cross join would compile to the
+# BroadcastNestedLoopJoin the plan pins forbid). Segment df grows
+# roughly linearly with corpus size, so a fixed cap that is inactive
+# at sf0.1 would silently start dropping true near-pairs at modestly
+# larger data (ADVICE r3). With the auto cap the "inactive at gate
+# scale" property is structural: uniform-density slots stay under
+# n/AUTO_CAP_DIVISOR at every scale, and only genuinely templated
+# openings (density > 0.5% of the corpus on one 7-char slot) are
+# dropped. `hot_segment_slots` makes whatever IS dropped observable
+# (slot, df, cap) instead of silent. Measured at 10x (BASELINE.md r4
+# recall study): 12 hot slots dropped, pair recall 1.0 (pigeonhole
+# redundancy — a pair is lost only if ALL its surviving slots are
+# hot), runtime halved vs uncapped.
 MAX_SEGMENT_DF_FLOOR = 300
 AUTO_CAP_DIVISOR = 200
 # Backwards-compatible alias (pre-r4 name for the fixed cap).
@@ -130,24 +136,20 @@ def _hot_slots(a_rows: DataFrame, base: DataFrame,
                max_segment_df) -> DataFrame:
     """Slots whose template-side df exceeds the cap:
     (lang, band, i, seg, df, cap). `max_segment_df` is an int, or
-    "auto" for greatest(MAX_SEGMENT_DF_FLOOR, n_docs div
-    AUTO_CAP_DIVISOR) — the corpus count enters the plan as a
-    broadcast 1-row aggregate, never a driver action."""
+    "auto" for max(MAX_SEGMENT_DF_FLOOR, n_docs div AUTO_CAP_DIVISOR)
+    — the corpus count becomes a plan literal via one lightweight
+    driver-side count (see module doc for why not an in-plan join)."""
     counts = a_rows.groupBy("lang", "band", "i", "seg").agg(
         F.count(F.lit(1)).alias("df")
     )
     if max_segment_df == "auto":
-        total = base.agg(F.count(F.lit(1)).alias("_n"))
-        counts = counts.join(F.broadcast(total)).withColumn(
-            "cap",
-            F.greatest(
-                F.lit(MAX_SEGMENT_DF_FLOOR),
-                F.expr(f"_n div {AUTO_CAP_DIVISOR}"),
-            ),
-        ).drop("_n")
+        cap = max(MAX_SEGMENT_DF_FLOOR,
+                  base.count() // AUTO_CAP_DIVISOR)
     else:
-        counts = counts.withColumn("cap", F.lit(int(max_segment_df)))
-    return counts.filter(F.col("df") > F.col("cap"))
+        cap = int(max_segment_df)
+    return counts.withColumn("cap", F.lit(cap)).filter(
+        F.col("df") > F.col("cap")
+    )
 
 
 def hot_segment_slots(docs: DataFrame, max_dist: int = MAX_DIST,

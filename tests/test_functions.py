@@ -652,3 +652,45 @@ def test_linkage_hot_slot_cap_observable_and_auto_scaled(spark):
         map(tuple, uncapped.collect())
     )
     assert MAX_SEGMENT_DF_FLOOR == 300
+
+
+def test_ngram_cap_filtered_universe_semantics(spark):
+    """r4 recall fix: with a df cap, Jaccard is computed EXACTLY on the
+    filtered shingle universe (sizes recounted over survivors). The
+    pre-fix behavior kept full-set sizes, so on a templated corpus
+    where boilerplate shingles exceed the cap, every true pair's
+    estimate collapsed below threshold (measured recall 0.0 at 10x).
+    Here: 30 docs share a boilerplate opening (df > cap); two docs
+    additionally share a distinctive tail. Under the cap, only the
+    tail shingles survive, and the true pair MUST still be found."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    template = ("terms and conditions apply to every order placed "
+                "through this portal subject to review")
+    tail = "quantum flux capacitor alignment procedure revision seven"
+    rows = [(1, f"{template} {tail} alpha"),
+            (2, f"{template} {tail} beta")]
+    rows += [
+        (10 + i, f"{template} unique{i}a unique{i}b unique{i}c "
+                 f"unique{i}d unique{i}e unique{i}f")
+        for i in range(28)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = ngram_jaccard_pairs(docs, max_shingle_df=10, threshold=0.4)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1, 2) in pairs, (
+        "true near-pair lost under the cap: filtered-universe sizes "
+        "not applied"
+    )
+    # boilerplate-only overlaps must NOT pair up under the cap
+    assert all(a == 1 and b == 2 for a, b in pairs), pairs
+    # the uncapped path is untouched: exact Jaccard over full sets
+    uncapped = ngram_jaccard_pairs(docs, max_shingle_df=None)
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in uncapped.collect()}
+    assert full[(1, 2)] > 0.4
