@@ -208,3 +208,37 @@ def test_cli_sort_pushdown_over_real_http(spark, tmp_path, monkeypatch,
         and q["sortDirection"] == "desc"
         for q in capture_queries
     )
+
+
+def test_cli_fetch_incremental_over_real_http(spark, tmp_path,
+                                              monkeypatch, api_server):
+    """fetch-incremental with --transport requests: the 6-hour window
+    accounting runs against live HTTP (executor fan-out + driver dim
+    fetches), and a rerun at the same now-epoch is exactly-once."""
+    import os as _os
+
+    from mc_ns_data_pipeline_spark.cli import FIRST_RUN_EPOCH, main
+
+    base, state_ = api_server
+    monkeypatch.setenv("BASE_URL", base)
+    monkeypatch.setenv("API_TOKEN", "test-token")
+    out = str(tmp_path / "exchange")
+    sdir = str(tmp_path / "state")
+    now = FIRST_RUN_EPOCH + 4 * 6 * 3600
+    args = [
+        "fetch-incremental", "--n-pages", "4", "--transport", "requests",
+        "--out-dir", out, "--state-dir", sdir, "--now-epoch", str(now),
+    ]
+    assert main(args) == 0
+    log = spark.read.csv(
+        _os.path.join(sdir, "window_log.csv"), header=True,
+        inferSchema=True,
+    )
+    assert log.count() == 3
+    assert main(args) == 0  # exactly-once on rerun
+    assert spark.read.csv(
+        _os.path.join(sdir, "window_log.csv"), header=True,
+        inferSchema=True,
+    ).count() == 3
+    assert all(r["auth"] == "Bearer test-token"
+               for r in state_["requests"])

@@ -612,3 +612,58 @@ def test_x96_pipeline_fuses_filters_onto_dedup_window(spark, sf_dir):
     assert plan.count("hashpartitioning") == 2
     assert n_ops(plan, "CartesianProduct") == 0
     assert "InPandas" not in plan  # whole pipeline stays JVM-side
+
+
+# Queries where a nested-loop/cartesian operator is DELIBERATE and
+# bounded: a 1-row scalar broadcast (the as-of/total/threshold
+# enrichment idiom), a broadcast-small query/benchmark set against the
+# corpus (brute-force ANN and its evaluators), or a group-level
+# relation whose cardinality is the number of groups, not rows.
+# Anything NOT on this list must never compile to one — an unbounded
+# cross join at 100 TB is the difference between hours and never.
+BOUNDED_CROSS_JOIN_OK = {
+    "q16_recent_report",        # 1-row as-of anchor broadcast
+    "x09_ann_cosine_topk",      # broadcast query set x corpus (brute ANN)
+    "x25_tfidf_topk",           # 1-row doc-count scalar (idf)
+    "x36_ann_recall",           # broadcast query set (recall eval)
+    "x40_lm_score",             # 1-row vocab/total scalars
+    "x46_quantile_binning",     # 1-row quantile-bounds broadcast
+    "x57_pq_ann",               # broadcast query set (PQ ADC)
+    "x61_dsir_select",          # 1-row feature-total scalars
+    "x63_hard_negatives",       # broadcast anchor set
+    "x64_label_balance",        # 1-row min-class-count scalar
+    "x69_source_overlap",       # source-sketch pairs (#sources^2)
+    "x70_retrieval_mrr",        # broadcast query set (MRR eval)
+    "x73_funnel_conversion",    # 1-row step-total scalars
+    "x79_token_budget_mixture", # 1-row budget scalar
+    "x81_bm25_topk",            # 1-row corpus stats (avgdl, N)
+    "x94_pmi_collocations",     # 1-row token-total scalar
+}
+
+
+def test_no_unbounded_cross_join_in_any_batch_query(spark, sf_dir):
+    """Blanket guard over EVERY declared batch query: a physical
+    CartesianProduct or BroadcastNestedLoopJoin may appear only in the
+    allowlisted bounded patterns above. A new query (or a regression
+    in an old one) that pairs two row-scale relations without an
+    equi-key fails here before it ever reaches the driver gate.
+    Streaming queries are excluded (explaining them would execute the
+    stream); their plan discipline is pinned per-query in
+    test_streaming."""
+    offenders = {}
+    for name in QUERIES:
+        if name.startswith("xs") or name in (
+            "q17_stream_tumbling", "q18_stream_dedup"
+        ):
+            continue
+        if name in BOUNDED_CROSS_JOIN_OK:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        hits = [op for op in ("CartesianProduct",
+                              "BroadcastNestedLoopJoin") if op in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"unreviewed cross joins: {offenders} — either fix the plan or "
+        "allowlist with a bounded-side justification"
+    )
