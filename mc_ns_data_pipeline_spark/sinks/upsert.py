@@ -25,8 +25,16 @@ def append(df: DataFrame, path: str) -> None:
 
 
 def full_refresh(df: DataFrame, path: str) -> None:
-    """K8: truncate-reload (inventory_data.py:83,106)."""
-    df.write.mode("overwrite").parquet(path)
+    """K8: truncate-reload (inventory_data.py:83,106).
+
+    Single-writer enforced like the other mutating sinks: two
+    concurrent overwrites race the `_temporary` staging directory and
+    the delete-then-commit window with no transaction around either.
+    """
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+    with table_lease(path, owner="full_refresh"):
+        df.write.mode("overwrite").parquet(path)
 
 
 def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,

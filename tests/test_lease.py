@@ -151,3 +151,16 @@ def test_concurrent_merges_one_wins_one_fails_no_corruption(spark,
     for tid, result in outcomes.items():
         if result == "ok":
             assert rows[100 + tid] == f"t{tid}"
+
+
+def test_full_refresh_refused_while_writer_active(spark, tmp_path):
+    from mc_ns_data_pipeline_spark.sinks.upsert import full_refresh
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "k int")
+    full_refresh(df, path)
+    with table_lease(path, owner="other"):
+        with pytest.raises(TableLockedError, match="other"):
+            full_refresh(df, path)
+    full_refresh(df, path)  # fine after release
+    assert spark.read.parquet(path).count() == 1
