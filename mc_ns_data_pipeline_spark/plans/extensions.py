@@ -3052,6 +3052,54 @@ def q18_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xs3_stream_dedup(spark, sf_dir)
 
 
+def x98_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC snapshot-table lifecycle (sinks/versioned.py) end-to-end,
+    gate-checked: publish a base snapshot derived from `orders`,
+    commit an update batch through the file-granular copy-on-write
+    merge (updated keys win, unmatched rows survive, untouched files
+    REUSED by the new manifest), then read the CURRENT pointer back
+    and aggregate the final state.
+
+    The oracle states the post-merge algebra directly — base rows
+    whose key is not updated, plus the perturbed update rows — so a
+    hash match proves the commit protocol preserved exactly the
+    upsert contract (reference semantics: operations.py:14-28
+    SELECT-then-INSERT-or-UPDATE, here as snapshot publication instead
+    of an in-place transaction). Scale: the merge's locate step is a
+    key-column + input_file_name scan semi-joined against broadcast
+    update keys; write amplification is bounded by affected files.
+    """
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter((F.col("o_orderkey") % 11) != 0)
+        .select("o_orderkey", F.col("o_totalprice").alias("price"),
+                F.lit("base").alias("src"))
+        .repartitionByRange(8, "o_orderkey")
+    )
+    upd = orders.filter((F.col("o_orderkey") % 7) == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + F.lit(1.5)).alias("price"),
+        F.lit("upd").alias("src"))
+
+    table = os.path.join(tempfile.mkdtemp(prefix="x98_snap_"), "tbl")
+    V.write_snapshot(base, table)
+    V.merge_snapshot(spark, upd, table, "o_orderkey")
+    return (
+        V.read_current(spark, table)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy("src")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3174,6 +3222,7 @@ EXT_QUERIES = {
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
+    "x98_snapshot_merge": x98_snapshot_merge,
 }
 
 # ---------------------------------------------------------------------------
@@ -6186,4 +6235,21 @@ EXT_ORACLES["x79_token_budget_mixture"] = f"""
            coalesce(s.selected_tokens, 0)::BIGINT AS selected_tokens
     FROM plan p LEFT JOIN sel s USING (source)
     ORDER BY p.source
+"""
+
+# x98: the post-merge state stated algebraically — update batch
+# (keys % 7 = 0, perturbed price) wins; base rows (% 11 <> 0) survive
+# unless updated. A hash match proves the COW snapshot commit preserved
+# exactly the upsert contract.
+EXT_ORACLES["x98_snapshot_merge"] = """
+    WITH final AS (
+        SELECT o_orderkey, o_totalprice + 1.5 AS price, 'upd' AS src
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice AS price, 'base' AS src
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+    )
+    SELECT src, count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM final GROUP BY src ORDER BY src
 """

@@ -1,0 +1,265 @@
+"""Manifest-versioned tables: MVCC reader isolation, file-granular
+copy-on-write commits, crash safety, single-writer enforcement,
+reference-counted vacuum (sinks/versioned.py).
+
+The property under test throughout: a READER never needs a lock and
+never observes a half-committed state — every read equals exactly one
+published snapshot — while a merge COMMIT rewrites only the files
+that contain an updated key.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+from mc_ns_data_pipeline_spark.sinks.lease import (
+    TableLockedError,
+    table_lease,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_write_read_roundtrip_and_manifest(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    man = V.read_manifest(table, snap)
+    assert man["rows"] == 2 and man["parent"] is None
+    assert man["files"] and man["reused_files"] == 0
+
+
+def test_read_unpublished_table_raises(spark, tmp_path):
+    with pytest.raises(V.NoCurrentSnapshotError):
+        V.read_current(spark, str(tmp_path / "missing"))
+
+
+def test_merge_matches_upsert_contract(spark, tmp_path):
+    """Same semantics as upsert.merge_upsert: updated keys win,
+    unmatched target rows survive, idempotent on re-apply."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    batch = _df(spark, [(2, "B"), (4, "D")])
+    V.merge_snapshot(spark, batch, table, "k")
+    expect = {(1, "a"), (2, "B"), (3, "c"), (4, "D")}
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == expect
+    V.merge_snapshot(spark, batch, table, "k")  # idempotent
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == expect
+
+
+def test_merge_into_empty_table_is_first_publish(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.merge_snapshot(spark, _df(spark, [(1, "a")]), table, "k")
+    assert V.read_current(spark, table).count() == 1
+
+
+def test_merge_is_copy_on_write_at_file_granularity(spark, tmp_path):
+    """A merge hitting one key range must REUSE every file that holds
+    no updated key — by name, in the new manifest — and rewrite only
+    the affected ones. This is the bounded-write-amplification
+    property the 100 TB table depends on."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, "base") for i in range(100)],
+                              "k int, v string")
+        .repartitionByRange(4, "k")  # 4 files, disjoint key ranges
+    )
+    snap1 = V.write_snapshot(base, table)
+    files1 = set(V.read_manifest(table, snap1)["files"])
+    assert len(files1) == 4
+
+    snap2 = V.merge_snapshot(
+        spark, _df(spark, [(1, "UPD"), (3, "UPD")]), table, "k")
+    man2 = V.read_manifest(table, snap2)
+    files2 = set(man2["files"])
+    # keys 1 and 3 live in ONE range file: 3 of 4 shared forward.
+    assert man2["reused_files"] == 3
+    assert len(files1 & files2) == 3
+    # Incremental row accounting (no full-table scan per commit).
+    assert man2["rows"] == 100
+    # Content is still the full merged table.
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(i, "base") for i in range(100) if i not in (1, 3)} | {
+        (1, "UPD"), (3, "UPD")}
+    # Old snapshot still reads in full (time travel over shared files).
+    assert V.read_snapshot(spark, table, snap1).count() == 100
+
+
+def test_append_is_zero_rewrite(spark, tmp_path):
+    """Append publishes parent-files + new-files: every prior pool
+    file is reused by name, none re-read."""
+    table = str(tmp_path / "t")
+    snap1 = V.write_snapshot(_df(spark, [(1, "a")]), table)
+    files1 = set(V.read_manifest(table, snap1)["files"])
+    snap2 = V.append_snapshot(_df(spark, [(2, "b"), (3, "c")]), table)
+    man2 = V.read_manifest(table, snap2)
+    assert files1 < set(man2["files"])
+    assert man2["reused_files"] == len(files1)
+    assert man2["rows"] == 3
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # Appending to an empty table is the first publish.
+    t2 = str(tmp_path / "t2")
+    V.append_snapshot(_df(spark, [(9, "z")]), t2)
+    assert V.read_current(spark, t2).count() == 1
+
+
+def test_compact_preserves_content_and_readers(spark, tmp_path):
+    """Many append-landed files compact into one clustered file in a
+    NEW snapshot; an in-flight reader of the old snapshot is
+    undisturbed, and content/rows are unchanged."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(0, "v0")]), table)
+    for i in range(1, 6):
+        V.append_snapshot(_df(spark, [(i, f"v{i}")]), table)
+    pre = V.current_snapshot(table)
+    assert len(V.read_manifest(table, pre)["files"]) >= 6
+    old_reader = V.read_current(spark, table)
+
+    snap = V.compact_snapshot(spark, table, sort_col="k",
+                              target_files=1)
+    man = V.read_manifest(table, snap)
+    assert len(man["files"]) == 1 and man["rows"] == 6
+    got = [(r.k, r.v)
+           for r in V.read_current(spark, table).orderBy("k").collect()]
+    assert got == [(i, f"v{i}") for i in range(6)]
+    assert old_reader.count() == 6  # old files still on disk
+    with pytest.raises(V.NoCurrentSnapshotError):
+        V.compact_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_reader_keeps_consistent_view_across_publish(spark, tmp_path):
+    """MVCC: a DataFrame resolved before a publish still scans the OLD
+    snapshot's immutable files — the staged-swap sinks would have
+    deleted them out from under it."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    old_reader = V.read_current(spark, table)  # resolves pointer NOW
+    V.write_snapshot(_df(spark, [(9, "z")]), table)
+    assert {(r.k, r.v) for r in old_reader.collect()} == {(1, "a"),
+                                                          (2, "b")}
+    assert {(r.k, r.v)
+            for r in V.read_current(spark, table).collect()} == {(9, "z")}
+
+
+def test_crash_before_flip_leaves_old_state(spark, tmp_path):
+    """A fully-written-but-unflipped commit (crash between manifest
+    write and pointer replace) must be invisible to readers, and its
+    manifest + pool files reaped by vacuum once superseded out of the
+    keep window."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    # Simulate the crash: orphan pool file + manifest, never flipped.
+    orphan_file = "deadbeef-orphan.parquet"
+    _df(spark, [(7, "crash")]).coalesce(1).write.mode(
+        "overwrite").parquet(str(tmp_path / "stage"))
+    src = next(f for f in os.listdir(tmp_path / "stage")
+               if f.endswith(".parquet"))
+    os.rename(tmp_path / "stage" / src,
+              os.path.join(table, "data", orphan_file))
+    with open(os.path.join(table, "snapshots",
+                           "00000002-deadbeef.json"), "w") as fh:
+        json.dump({"snapshot": "00000002-deadbeef", "parent": None,
+                   "rows": 1, "files": [orphan_file],
+                   "reused_files": 0}, fh)
+
+    assert {(r.k, r.v)
+            for r in V.read_current(spark, table).collect()} == {(1, "a")}
+    # Next publish allocates generation 3 (above the orphan) and flips
+    # past it; vacuum keep=1 reaps the orphan manifest AND its file.
+    V.write_snapshot(_df(spark, [(2, "b")]), table)
+    reaped = V.vacuum_snapshots(table, keep=1)
+    assert "00000002-deadbeef" in reaped["snapshots"]
+    assert not os.path.exists(os.path.join(table, "data", orphan_file))
+    assert V.list_snapshots(table) == [V.current_snapshot(table)]
+    assert V.read_current(spark, table).count() == 1
+
+
+def test_concurrent_merge_one_wins_one_fails(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    with table_lease(table, owner="other-pipeline"):
+        with pytest.raises(TableLockedError, match="other-pipeline"):
+            V.merge_snapshot(spark, _df(spark, [(2, "b")]), table, "k")
+    V.merge_snapshot(spark, _df(spark, [(2, "b")]), table, "k")
+    assert V.read_current(spark, table).count() == 2
+
+
+def test_vacuum_refcounts_shared_files(spark, tmp_path):
+    """Vacuum must not delete a pool file a RETAINED manifest still
+    references, even when the manifest that introduced it is reaped —
+    COW shares files forward across commits."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, "base") for i in range(100)],
+                              "k int, v string")
+        .repartitionByRange(4, "k")
+    )
+    snap1 = V.write_snapshot(base, table)
+    V.merge_snapshot(spark, _df(spark, [(1, "U")]), table, "k")
+    shared = set(V.read_manifest(table, snap1)["files"]) & set(
+        V.read_manifest(table, V.current_snapshot(table))["files"])
+    assert shared  # COW actually shared something
+    reaped = V.vacuum_snapshots(table, keep=1)  # drops snap1
+    assert reaped["snapshots"] == [snap1]
+    for f in shared:  # introduced by snap1, still live in current
+        assert os.path.exists(os.path.join(table, "data", f))
+    assert V.read_current(spark, table).count() == 100
+    with pytest.raises(ValueError):
+        V.vacuum_snapshots(table, keep=0)
+
+
+def test_vacuum_never_deletes_current_and_keeps_n(spark, tmp_path):
+    table = str(tmp_path / "t")
+    names = [V.write_snapshot(_df(spark, [(i, "v")]), table)
+             for i in range(4)]
+    reaped = V.vacuum_snapshots(table, keep=2)
+    assert set(reaped["snapshots"]) == set(names[:2])
+    assert V.list_snapshots(table) == names[2:]
+    assert V.current_snapshot(table) == names[3]
+    # Time travel within the keep window still works.
+    assert V.read_snapshot(spark, table, names[2]).count() == 1
+
+
+def test_hammer_readers_during_publishes(spark, tmp_path):
+    """Stress the commit protocol: readers loop while a writer flips
+    through generations; every read must equal exactly one published
+    state (row count == generation size), never an error, never a
+    mix."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(0, "g0")]), table)
+    stop = threading.Event()
+    bad: list[object] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = V.read_current(spark, table).collect()
+                vals = {r.v for r in rows}
+                if len(vals) != 1 or len(rows) != int(
+                        next(iter(vals))[1:]) + 1:
+                    bad.append(rows)
+            except Exception as exc:  # noqa: BLE001 — any error fails
+                bad.append(exc)
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for gen in range(1, 5):
+            V.write_snapshot(
+                _df(spark, [(i, f"g{gen}") for i in range(gen + 1)]),
+                table)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert bad == [], bad[:3]
