@@ -164,7 +164,8 @@ def _land_in_pool(df: DataFrame, table: str) -> list[str]:
 
 
 def _publish(table: str, files: list[str], rows: int,
-             parent: str | None, reused: int) -> str:
+             parent: str | None, reused: int,
+             txn_id: str | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease."""
     name = _next_snapshot_name(table)
@@ -175,6 +176,7 @@ def _publish(table: str, files: list[str], rows: int,
         "rows": rows,
         "files": files,
         "reused_files": reused,
+        "txn_id": txn_id,
     }
     mpath = _manifest_path(table, name)
     with open(mpath, "w") as fh:
@@ -212,14 +214,46 @@ def write_snapshot(df: DataFrame, table: str) -> str:
         return _publish(table, files, rows, current_snapshot(table), 0)
 
 
-def append_snapshot(df: DataFrame, table: str) -> str:
+def _txn_already_applied(table: str, txn_id: str) -> str | None:
+    """Walk the manifest parent chain from CURRENT looking for a
+    commit stamped with `txn_id`; returns that snapshot's name, or
+    None. The walk stops at a vacuumed-away parent — retention
+    (vacuum `keep`) must therefore cover the longest plausible replay
+    gap, which for streaming retries (the next micro-batch after a
+    crash) is one commit."""
+    snap = current_snapshot(table)
+    while snap is not None:
+        try:
+            man = read_manifest(table, snap)
+        except FileNotFoundError:
+            return None
+        if man.get("txn_id") == txn_id:
+            return snap
+        snap = man.get("parent")
+    return None
+
+
+def append_snapshot(df: DataFrame, table: str,
+                    txn_id: str | None = None) -> str:
     """Zero-rewrite append (K5 semantics, reader-safe): land the new
     rows as fresh pool files and publish a manifest that is the parent
     file list PLUS the new files — nothing existing is read or
     rewritten, so micro-batch/streaming landers pay only for their own
-    rows (the foreachBatch sink shape at 100 TB)."""
+    rows (the foreachBatch sink shape at 100 TB).
+
+    Exactly-once under micro-batch replay: pass a deterministic
+    ``txn_id`` (e.g. ``f"{query_name}:{batch_id}"`` from foreachBatch)
+    and a replayed batch whose commit already published is a no-op
+    returning the existing snapshot — the Delta txnAppId/txnVersion
+    idempotence contract, here as a manifest stamp. A batch that
+    crashed BEFORE its pointer flip left only unreferenced pool files
+    (vacuum reaps them) and the replay commits normally."""
     os.makedirs(table, exist_ok=True)
     with table_lease(table, owner="append_snapshot"):
+        if txn_id is not None:
+            applied = _txn_already_applied(table, txn_id)
+            if applied is not None:
+                return applied
         parent = current_snapshot(table)
         old_files = (read_manifest(table, parent)["files"]
                      if parent else [])
@@ -229,7 +263,7 @@ def append_snapshot(df: DataFrame, table: str) -> str:
         rows = old_rows + _count_pool_rows(df.sparkSession, table,
                                            new_files)
         return _publish(table, old_files + new_files, rows, parent,
-                        len(old_files))
+                        len(old_files), txn_id=txn_id)
 
 
 def compact_snapshot(spark: SparkSession, table: str,
@@ -258,6 +292,36 @@ def compact_snapshot(spark: SparkSession, table: str,
         return _publish(table, files, rows, parent, 0)
 
 
+def _locate_affected(spark: SparkSession, table: str, parent: str,
+                     key: str, keys_df: DataFrame
+                     ) -> tuple[list[str], list[str]]:
+    """Which of `parent`'s files contain one of `keys_df`'s keys —
+    a key-column + input_file_name scan semi-joined against the
+    broadcast key set (column-pruned; footer stats prune clustered
+    layouts before rows are read). Returns (affected absolute paths,
+    untouched pool-relative names)."""
+    old_files = read_manifest(table, parent)["files"]
+    root = _data_root(table)
+    affected_uris = {
+        r["_file"]
+        for r in (
+            spark.read.parquet(
+                *(os.path.join(root, f) for f in old_files))
+            .select(key, F.input_file_name().alias("_file"))
+            .join(F.broadcast(keys_df), key, "left_semi")
+            .select("_file").distinct().collect()
+        )
+    }
+    affected = {
+        os.path.basename(
+            u[len("file://"):] if u.startswith("file://") else u)
+        for u in affected_uris
+    }
+    untouched = [f for f in old_files if f not in affected]
+    return ([os.path.join(root, f) for f in sorted(affected)],
+            untouched)
+
+
 def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                    key: str) -> str:
     """MVCC upsert (K6 semantics, reader-safe, file-granular COW):
@@ -275,33 +339,12 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
             rows = _count_pool_rows(spark, table, files)
             return _publish(table, files, rows, None, 0)
 
-        old_files = read_manifest(table, parent)["files"]
-        root = _data_root(table)
         keys = updates.select(key).distinct()
-
-        # Locate: key column + file name only — column-pruned scan,
-        # footer stats prune clustered layouts before rows are read.
-        affected_uris = {
-            r["_file"]
-            for r in (
-                spark.read.parquet(
-                    *(os.path.join(root, f) for f in old_files))
-                .select(key, F.input_file_name().alias("_file"))
-                .join(F.broadcast(keys), key, "left_semi")
-                .select("_file").distinct().collect()
-            )
-        }
-        affected = {
-            os.path.basename(
-                u[len("file://"):] if u.startswith("file://") else u)
-            for u in affected_uris
-        }
-        untouched = [f for f in old_files if f not in affected]
+        affected_paths, untouched = _locate_affected(
+            spark, table, parent, key, keys)
 
         # Rewrite: survivors of ONLY the affected files, plus updates.
-        if affected:
-            affected_paths = [os.path.join(root, f)
-                              for f in sorted(affected)]
+        if affected_paths:
             affected_rows = spark.read.parquet(*affected_paths).count()
             survivors = (
                 spark.read.parquet(*affected_paths)
@@ -352,3 +395,65 @@ def vacuum_snapshots(table: str, keep: int = 2) -> dict:
                     os.remove(os.path.join(root, f))
                     removed_files += 1
         return {"snapshots": doomed, "files": removed_files}
+
+
+def run_stream_append(spark: SparkSession, events_path: str,
+                      table: str, checkpoint_dir: str,
+                      app_id: str = "stream_append") -> None:
+    """Land a stream into a versioned table, exactly-once: foreachBatch
+    → ``append_snapshot`` stamped ``f"{app_id}:{batch_id}"``. The
+    streaming checkpoint dedups offsets ACROSS restarts; the txn stamp
+    dedups the one batch a crash can replay AFTER its commit already
+    flipped the pointer (checkpoint not yet advanced) — together the
+    table sees each micro-batch exactly once. Readers meanwhile get
+    lock-free consistent snapshots between every batch (T6/T8 made
+    reader-safe; reference anchor: the per-file transaction
+    file_processor.py:111 gives its readers the same guarantee)."""
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        _events_stream,
+    )
+
+    q = (
+        _events_stream(spark, events_path)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: append_snapshot(
+                df, table, txn_id=f"{app_id}:{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
+                         doomed: DataFrame) -> str:
+    """Right-to-be-forgotten as a COW snapshot commit: rewrite ONLY
+    the files containing a doomed key (same locate/rewrite dataflow as
+    ``upsert.delete_keys_targeted``), publish survivors + untouched
+    files as a NEW snapshot. Unlike the in-place variant, readers
+    never race the per-file removal — the old snapshot stays intact
+    until vacuum, and the deletion "takes effect" atomically at the
+    pointer flip. (Compliance note: the doomed rows' bytes leave disk
+    when vacuum reaps the superseded snapshots, so retention `keep`
+    bounds the erasure latency.)"""
+    with table_lease(table, owner=f"delete_keys:{key}"):
+        parent = current_snapshot(table)
+        if parent is None:
+            raise NoCurrentSnapshotError(table)
+        doomed_keys = doomed.select(key).distinct()
+        affected_paths, untouched = _locate_affected(
+            spark, table, parent, key, doomed_keys)
+        if not affected_paths:
+            return parent  # nothing to forget: current stays
+        affected_rows = spark.read.parquet(*affected_paths).count()
+        survivors = (
+            spark.read.parquet(*affected_paths)
+            .join(F.broadcast(doomed_keys), key, "left_anti")
+        )
+        new_files = _land_in_pool(survivors, table)
+        rows = (read_manifest(table, parent)["rows"] - affected_rows
+                + _count_pool_rows(spark, table, new_files))
+        return _publish(table, untouched + new_files, rows, parent,
+                        len(untouched))

@@ -112,6 +112,55 @@ def test_append_is_zero_rewrite(spark, tmp_path):
     assert V.read_current(spark, t2).count() == 1
 
 
+def test_txn_stamped_replay_is_noop(spark, tmp_path):
+    """The foreachBatch crash window: a batch whose commit already
+    flipped the pointer (but whose checkpoint didn't advance) is
+    replayed on restart — the txn stamp turns the replay into a no-op
+    returning the existing snapshot."""
+    table = str(tmp_path / "t")
+    batch = _df(spark, [(1, "a"), (2, "b")])
+    s1 = V.append_snapshot(batch, table, txn_id="app:0")
+    s2 = V.append_snapshot(batch, table, txn_id="app:0")  # the replay
+    assert s1 == s2
+    assert V.read_current(spark, table).count() == 2
+    # A NEW txn commits normally, even with older stamps in the chain.
+    V.append_snapshot(_df(spark, [(3, "c")]), table, txn_id="app:1")
+    assert V.read_current(spark, table).count() == 3
+    V.append_snapshot(batch, table, txn_id="app:0")  # replay of old txn
+    assert V.read_current(spark, table).count() == 3
+    # Unstamped appends never dedup.
+    V.append_snapshot(_df(spark, [(4, "d")]), table)
+    V.append_snapshot(_df(spark, [(4, "d")]), table)
+    assert V.read_current(spark, table).count() == 5
+
+
+def test_stream_lands_versioned_exactly_once(spark, sf_dir, tmp_path):
+    """availableNow stream → foreachBatch append_snapshot: the table
+    equals the static read; re-running on the same checkpoint appends
+    nothing; every commit carries its txn stamp."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+
+    table = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    events = f"{sf_dir}/events.parquet"
+    V.run_stream_append(spark, events, table, ckpt)
+    static_n = load_table(spark, sf_dir, "events").count()
+    assert V.read_current(spark, table).count() == static_n
+
+    V.run_stream_append(spark, events, table, ckpt)  # offsets exhausted
+    assert V.read_current(spark, table).count() == static_n
+
+    snap = V.current_snapshot(table)
+    man = V.read_manifest(table, snap)
+    assert man["txn_id"].startswith("stream_append:")
+    # Simulated post-commit crash replay of the last batch.
+    last_bid = int(man["txn_id"].split(":")[1])
+    replay = V.read_current(spark, table).limit(5)
+    V.append_snapshot(replay, table,
+                      txn_id=f"stream_append:{last_bid}")
+    assert V.read_current(spark, table).count() == static_n
+
+
 def test_compact_preserves_content_and_readers(spark, tmp_path):
     """Many append-landed files compact into one clustered file in a
     NEW snapshot; an in-flight reader of the old snapshot is
@@ -134,6 +183,34 @@ def test_compact_preserves_content_and_readers(spark, tmp_path):
     assert old_reader.count() == 6  # old files still on disk
     with pytest.raises(V.NoCurrentSnapshotError):
         V.compact_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_delete_keys_is_cow_and_atomic(spark, tmp_path):
+    """GDPR delete: only files holding a doomed key are rewritten; the
+    deletion lands atomically at the pointer flip; old snapshot stays
+    readable until vacuum reaps it (erasure latency == retention)."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, "v") for i in range(100)],
+                              "k int, v string")
+        .repartitionByRange(4, "k")
+    )
+    snap1 = V.write_snapshot(base, table)
+    old_reader = V.read_current(spark, table)
+    snap2 = V.delete_keys_snapshot(
+        spark, table, "k", _df(spark, [(1, "x"), (2, "x")]))
+    man = V.read_manifest(table, snap2)
+    assert man["reused_files"] == 3 and man["rows"] == 98
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == set(range(100)) - {1, 2}
+    assert old_reader.count() == 100  # pre-delete view intact
+    # No doomed key present -> no new snapshot published.
+    assert V.delete_keys_snapshot(
+        spark, table, "k", _df(spark, [(999, "x")])) == snap2
+    # After vacuum the doomed bytes are gone from disk.
+    V.vacuum_snapshots(table, keep=1)
+    assert V.list_snapshots(table) == [snap2]
+    assert snap1 not in V.list_snapshots(table)
 
 
 def test_reader_keeps_consistent_view_across_publish(spark, tmp_path):
