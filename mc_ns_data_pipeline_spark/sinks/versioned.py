@@ -51,13 +51,15 @@ sites keep the same shape.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from mc_ns_data_pipeline_spark.sinks.lease import table_lease
 
@@ -69,6 +71,18 @@ _POINTER = "CURRENT"
 class NoCurrentSnapshotError(RuntimeError):
     """The table has no published snapshot (never written, or the
     pointer was deleted)."""
+
+
+class SchemaEvolutionError(ValueError):
+    """An incoming batch redefines an existing column's type. Adding
+    NEW columns is legal evolution; changing a type is not."""
+
+
+class NonIncrementalHistoryError(RuntimeError):
+    """The snapshot range contains a commit that rewrote rows (merge /
+    delete / overwrite) or predates the lineage kept on disk, so the
+    append-only fast path cannot represent it — use
+    ``changes_between`` (keyed diff) instead."""
 
 
 def _data_root(table: str) -> str:
@@ -121,20 +135,129 @@ def snapshot_files(table: str, snapshot: str) -> list[str]:
             for f in read_manifest(table, snapshot)["files"]]
 
 
-def read_snapshot(spark: SparkSession, table: str,
-                  snapshot: str) -> DataFrame:
-    """Time travel: scan an explicit (possibly superseded) snapshot."""
-    return spark.read.parquet(*snapshot_files(table, snapshot))
+def table_schema(table: str, snapshot: str) -> StructType | None:
+    """The snapshot's logical schema as recorded in its manifest, or
+    None for manifests that predate schema stamping."""
+    sj = read_manifest(table, snapshot).get("schema")
+    return StructType.fromJson(json.loads(sj)) if sj else None
 
 
-def read_current(spark: SparkSession, table: str) -> DataFrame:
+def _stat_value(v):
+    """Normalize a Spark min/max scalar to a JSON-storable value whose
+    Python ordering matches Spark's column ordering (ints/floats
+    numeric; strings codepoint; dates/timestamps via ISO-8601 text,
+    which orders identically)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+# Can a file whose [lo, hi] column range satisfy `col OP val`? Files
+# with NO stats entry always survive (opt-in metadata, never required
+# for correctness); a present-but-[None, None] entry means the column
+# is all-NULL in that file, and a comparison predicate can never hold
+# on NULL, so the file is skippable.
+_PRUNE_OPS = {
+    "<": lambda lo, hi, v: lo is None or lo < v,
+    "<=": lambda lo, hi, v: lo is None or lo <= v,
+    ">": lambda lo, hi, v: hi is None or hi > v,
+    ">=": lambda lo, hi, v: hi is None or hi >= v,
+    "=": lambda lo, hi, v: (lo is not None and lo <= v
+                            and hi is not None and hi >= v),
+}
+
+_COL_OPS = {
+    "<": Column.__lt__,
+    "<=": Column.__le__,
+    ">": Column.__gt__,
+    ">=": Column.__ge__,
+    "=": Column.__eq__,
+}
+
+
+def _file_survives(stats: dict, name: str, col: str, op: str,
+                   val) -> bool:
+    per_file = stats.get(name)
+    if per_file is None or col not in per_file:
+        return True  # no metadata for this file/column: must scan
+    lo, hi = per_file[col]
+    if lo is None and hi is None:
+        return False  # all-NULL column: comparison never matches
+    try:
+        return _PRUNE_OPS[op](lo, hi, _stat_value(val))
+    except TypeError:
+        return True  # incomparable literal type: be conservative
+
+
+def prune_report(table: str, snapshot: str,
+                 predicates: list[tuple]) -> dict:
+    """Metadata-only pruning decision for ``predicates`` (each
+    ``(col, op, value)``, op in <, <=, >, >=, =, AND-combined):
+    ``{"total": n, "kept": [names], "skipped": m}``. This is the
+    planning step of a pruned read — no data file is opened."""
+    man = read_manifest(table, snapshot)
+    stats = man.get("stats") or {}
+    kept = [
+        name for name in man["files"]
+        if all(_file_survives(stats, name, c, op, v)
+               for (c, op, v) in predicates)
+    ]
+    return {"total": len(man["files"]), "kept": kept,
+            "skipped": len(man["files"]) - len(kept)}
+
+
+def read_snapshot(spark: SparkSession, table: str, snapshot: str,
+                  predicates: list[tuple] | None = None) -> DataFrame:
+    """Time travel: scan an explicit (possibly superseded) snapshot.
+
+    With ``predicates`` (``(col, op, value)`` conjuncts), files whose
+    manifest min/max ranges cannot match are never handed to Spark at
+    all — manifest-level pruning one layer ABOVE parquet footer
+    skipping, which on a 100 TB table is the difference between
+    listing/footer-reading ~100k files and opening only the few a
+    clustered key range hits. The predicate is also applied as a real
+    ``filter`` (pruning is an optimization, never the semantics), so
+    the result equals an unpruned scan + filter exactly.
+
+    Reads carry the manifest-recorded schema when present, so files
+    written before a schema evolution project NULL for later-added
+    columns without a mergeSchema footer pass over every file."""
+    man = read_manifest(table, snapshot)
+    names = man["files"]
+    if predicates:
+        names = prune_report(table, snapshot, predicates)["kept"]
+    schema = table_schema(table, snapshot)
+    root = _data_root(table)
+    if not names:
+        if schema is None:  # pre-schema manifest: fall back to full scan
+            df = spark.read.parquet(*snapshot_files(table, snapshot))
+        else:
+            df = spark.createDataFrame([], schema)
+    else:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*(os.path.join(root, f) for f in names))
+    for col, op, val in predicates or []:
+        df = df.filter(_COL_OPS[op](F.col(col), F.lit(val)))
+    return df
+
+
+def read_current(spark: SparkSession, table: str,
+                 predicates: list[tuple] | None = None) -> DataFrame:
     """Scan the published snapshot. Lock-free: one atomic pointer
     read, then immutable files — no writer can invalidate what this
-    DataFrame will scan (until vacuum passes ``keep`` versions)."""
+    DataFrame will scan (until vacuum passes ``keep`` versions).
+    ``predicates`` enable manifest-stats file pruning (read_snapshot).
+    """
     snap = current_snapshot(table)
     if snap is None:
         raise NoCurrentSnapshotError(table)
-    return read_snapshot(spark, table, snap)
+    return read_snapshot(spark, table, snap, predicates=predicates)
 
 
 def _next_snapshot_name(table: str) -> str:
@@ -165,7 +288,12 @@ def _land_in_pool(df: DataFrame, table: str) -> list[str]:
 
 def _publish(table: str, files: list[str], rows: int,
              parent: str | None, reused: int,
-             txn_id: str | None = None) -> str:
+             txn_id: str | None = None,
+             op: str = "overwrite",
+             new_files: list[str] | None = None,
+             schema: StructType | None = None,
+             stats: dict | None = None,
+             stats_cols: list[str] | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease."""
     name = _next_snapshot_name(table)
@@ -177,6 +305,12 @@ def _publish(table: str, files: list[str], rows: int,
         "files": files,
         "reused_files": reused,
         "txn_id": txn_id,
+        "op": op,
+        "new_files": new_files if new_files is not None else files,
+        "schema": (json.dumps(schema.jsonValue())
+                   if schema is not None else None),
+        "stats": stats,
+        "stats_cols": stats_cols,
     }
     mpath = _manifest_path(table, name)
     with open(mpath, "w") as fh:
@@ -203,15 +337,93 @@ def _count_pool_rows(spark: SparkSession, table: str,
         *(os.path.join(root, f) for f in files)).count()
 
 
-def write_snapshot(df: DataFrame, table: str) -> str:
+def _scan_new_files(spark: SparkSession, table: str, files: list[str],
+                    stats_cols: list[str] | None
+                    ) -> tuple[int, dict | None]:
+    """One pass over the JUST-LANDED pool files: total rows plus, when
+    ``stats_cols`` is set, per-file [min, max] for each stat column —
+    the same scan that row accounting already pays, so manifest stats
+    are free metadata. Cost is bounded by the commit's own files,
+    never the table."""
+    if not files:
+        return 0, ({} if stats_cols else None)
+    root = _data_root(table)
+    df = spark.read.parquet(*(os.path.join(root, f) for f in files))
+    cols = [c for c in (stats_cols or []) if c in df.columns]
+    if not cols:
+        return df.count(), (None if stats_cols is None else {})
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}")]
+    per_file = (
+        df.groupBy(F.input_file_name().alias("_file"))
+        .agg(*aggs).collect()  # one row per landed file: bounded
+    )
+    rows, stats = 0, {}
+    for r in per_file:
+        name = os.path.basename(r["_file"])
+        rows += r["_rows"]
+        stats[name] = {
+            c: [_stat_value(r[f"_lo{i}"]), _stat_value(r[f"_hi{i}"])]
+            for i, c in enumerate(cols)
+        }
+    for name in files:  # zero-row files form no group: provably
+        if name not in stats:  # matchless, mark them skippable
+            stats[name] = {c: [None, None] for c in cols}
+    return rows, stats
+
+
+def _merge_schema(parent: StructType | None,
+                  incoming: StructType) -> StructType:
+    """Evolve the table schema: existing columns must keep their exact
+    type; columns new to the table append (nullable — old files
+    project NULL for them). Raises SchemaEvolutionError on a type
+    change."""
+    if parent is None:
+        return incoming
+    have = {f.name: f for f in parent.fields}
+    out = list(parent.fields)
+    for f in incoming.fields:
+        prev = have.get(f.name)
+        if prev is None:
+            out.append(StructField(f.name, f.dataType, True))
+        elif prev.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {prev.dataType}, "
+                f"batch has {f.dataType}")
+    return StructType(out)
+
+
+def _carry_stats(parent_man: dict, untouched: list[str],
+                 new_stats: dict | None) -> dict | None:
+    """Manifest stats for a COW commit: reused files keep their
+    already-recorded entries; freshly-landed files bring theirs."""
+    old = parent_man.get("stats") or {}
+    carried = {f: old[f] for f in untouched if f in old}
+    if new_stats:
+        carried.update(new_stats)
+    return carried or None
+
+
+def write_snapshot(df: DataFrame, table: str,
+                   stats_cols: list[str] | None = None) -> str:
     """Full-refresh publish (K8 semantics, reader-safe): the new state
     becomes visible in one atomic pointer flip; in-flight readers keep
-    the old snapshot's files, which this write never touches."""
+    the old snapshot's files, which this write never touches.
+
+    ``stats_cols`` opts the table into manifest column stats: per-file
+    [min, max] recorded at publish (same scan row accounting pays) and
+    inherited by every later append/merge/compact commit, enabling
+    metadata-only file pruning in ``read_snapshot(predicates=...)``
+    and the merge locate step."""
     os.makedirs(table, exist_ok=True)
     with table_lease(table, owner="write_snapshot"):
         files = _land_in_pool(df, table)
-        rows = _count_pool_rows(df.sparkSession, table, files)
-        return _publish(table, files, rows, current_snapshot(table), 0)
+        rows, stats = _scan_new_files(df.sparkSession, table, files,
+                                      stats_cols)
+        return _publish(table, files, rows, current_snapshot(table), 0,
+                        op="overwrite", schema=df.schema, stats=stats,
+                        stats_cols=stats_cols)
 
 
 def _txn_already_applied(table: str, txn_id: str) -> str | None:
@@ -255,15 +467,22 @@ def append_snapshot(df: DataFrame, table: str,
             if applied is not None:
                 return applied
         parent = current_snapshot(table)
-        old_files = (read_manifest(table, parent)["files"]
-                     if parent else [])
-        old_rows = (read_manifest(table, parent)["rows"]
-                    if parent else 0)
+        parent_man = read_manifest(table, parent) if parent else {}
+        old_files = parent_man.get("files", [])
+        old_rows = parent_man.get("rows", 0)
+        stats_cols = parent_man.get("stats_cols")
+        schema = _merge_schema(
+            table_schema(table, parent) if parent else None, df.schema)
         new_files = _land_in_pool(df, table)
-        rows = old_rows + _count_pool_rows(df.sparkSession, table,
-                                           new_files)
-        return _publish(table, old_files + new_files, rows, parent,
-                        len(old_files), txn_id=txn_id)
+        new_rows, new_stats = _scan_new_files(
+            df.sparkSession, table, new_files, stats_cols)
+        return _publish(table, old_files + new_files,
+                        old_rows + new_rows, parent,
+                        len(old_files), txn_id=txn_id, op="append",
+                        new_files=new_files, schema=schema,
+                        stats=_carry_stats(parent_man, old_files,
+                                           new_stats),
+                        stats_cols=stats_cols)
 
 
 def compact_snapshot(spark: SparkSession, table: str,
@@ -281,15 +500,19 @@ def compact_snapshot(spark: SparkSession, table: str,
         parent = current_snapshot(table)
         if parent is None:
             raise NoCurrentSnapshotError(table)
+        parent_man = read_manifest(table, parent)
         cur = read_snapshot(spark, table, parent)
         if sort_col is not None:
             cur = cur.repartitionByRange(
                 target_files, sort_col).sortWithinPartitions(sort_col)
         else:
             cur = cur.coalesce(target_files)
+        stats_cols = parent_man.get("stats_cols")
         files = _land_in_pool(cur, table)
-        rows = read_manifest(table, parent)["rows"]
-        return _publish(table, files, rows, parent, 0)
+        _, stats = _scan_new_files(spark, table, files, stats_cols)
+        return _publish(table, files, parent_man["rows"], parent, 0,
+                        op="compact", schema=cur.schema, stats=stats,
+                        stats_cols=stats_cols)
 
 
 def _locate_affected(spark: SparkSession, table: str, parent: str,
@@ -298,15 +521,32 @@ def _locate_affected(spark: SparkSession, table: str, parent: str,
     """Which of `parent`'s files contain one of `keys_df`'s keys —
     a key-column + input_file_name scan semi-joined against the
     broadcast key set (column-pruned; footer stats prune clustered
-    layouts before rows are read). Returns (affected absolute paths,
-    untouched pool-relative names)."""
-    old_files = read_manifest(table, parent)["files"]
+    layouts before rows are read). When the manifest carries stats
+    for `key`, files whose [min, max] lies outside the batch's key
+    range are excluded from the scan by METADATA alone — on a
+    clustered 100 TB table the locate step then opens only the files
+    a localized update batch can possibly hit. Returns (affected
+    absolute paths, untouched pool-relative names)."""
+    man = read_manifest(table, parent)
+    old_files = man["files"]
     root = _data_root(table)
+    candidates = old_files
+    if (man.get("stats_cols") or []) and key in man["stats_cols"]:
+        span = keys_df.agg(F.min(key).alias("lo"),
+                           F.max(key).alias("hi")).first()
+        stats = man.get("stats") or {}
+        candidates = [
+            f for f in old_files
+            if _file_survives(stats, f, key, ">=", span["lo"])
+            and _file_survives(stats, f, key, "<=", span["hi"])
+        ]
+    if not candidates:
+        return [], list(old_files)
     affected_uris = {
         r["_file"]
         for r in (
             spark.read.parquet(
-                *(os.path.join(root, f) for f in old_files))
+                *(os.path.join(root, f) for f in candidates))
             .select(key, F.input_file_name().alias("_file"))
             .join(F.broadcast(keys_df), key, "left_semi")
             .select("_file").distinct().collect()
@@ -337,8 +577,13 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
         if parent is None:
             files = _land_in_pool(updates, table)
             rows = _count_pool_rows(spark, table, files)
-            return _publish(table, files, rows, None, 0)
+            return _publish(table, files, rows, None, 0, op="merge",
+                            schema=updates.schema)
 
+        parent_man = read_manifest(table, parent)
+        stats_cols = parent_man.get("stats_cols")
+        schema = _merge_schema(table_schema(table, parent),
+                               updates.schema)
         keys = updates.select(key).distinct()
         affected_paths, untouched = _locate_affected(
             spark, table, parent, key, keys)
@@ -349,7 +594,7 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
             survivors = (
                 spark.read.parquet(*affected_paths)
                 .join(F.broadcast(keys), key, "left_anti")
-                .unionByName(updates)
+                .unionByName(updates, allowMissingColumns=True)
             )
         else:
             affected_rows = 0
@@ -358,10 +603,15 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
 
         # Row count maintained incrementally — metadata upkeep scans
         # only the touched files, never the whole table.
-        rows = (read_manifest(table, parent)["rows"] - affected_rows
-                + _count_pool_rows(spark, table, new_files))
+        new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                              stats_cols)
+        rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
-                        len(untouched))
+                        len(untouched), op="merge",
+                        new_files=new_files, schema=schema,
+                        stats=_carry_stats(parent_man, untouched,
+                                           new_stats),
+                        stats_cols=stats_cols)
 
 
 def vacuum_snapshots(table: str, keep: int = 2) -> dict:
@@ -447,13 +697,130 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
             spark, table, parent, key, doomed_keys)
         if not affected_paths:
             return parent  # nothing to forget: current stays
+        parent_man = read_manifest(table, parent)
+        stats_cols = parent_man.get("stats_cols")
         affected_rows = spark.read.parquet(*affected_paths).count()
         survivors = (
             spark.read.parquet(*affected_paths)
             .join(F.broadcast(doomed_keys), key, "left_anti")
         )
         new_files = _land_in_pool(survivors, table)
-        rows = (read_manifest(table, parent)["rows"] - affected_rows
-                + _count_pool_rows(spark, table, new_files))
+        new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                              stats_cols)
+        rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
-                        len(untouched))
+                        len(untouched), op="delete",
+                        new_files=new_files,
+                        schema=table_schema(table, parent),
+                        stats=_carry_stats(parent_man, untouched,
+                                           new_stats),
+                        stats_cols=stats_cols)
+
+
+def _chain_between(table: str, since: str,
+                   until: str | None = None) -> list[dict]:
+    """Manifests strictly after `since` up to `until` (default:
+    CURRENT), oldest first, by walking the parent chain. Raises
+    NonIncrementalHistoryError when `since` is not an ancestor (wrong
+    table, diverged lineage) or its manifest was vacuumed away."""
+    end = until if until is not None else current_snapshot(table)
+    if end is None:
+        raise NoCurrentSnapshotError(table)
+    chain: list[dict] = []
+    snap = end
+    while snap != since:
+        try:
+            man = read_manifest(table, snap)
+        except FileNotFoundError:
+            raise NonIncrementalHistoryError(
+                f"snapshot {snap} missing from {table!r} lineage — "
+                f"{since} vacuumed or not an ancestor of {end}"
+            ) from None
+        chain.append(man)
+        snap = man.get("parent")
+        if snap is None and since is not None:
+            raise NonIncrementalHistoryError(
+                f"{since} is not an ancestor of {end} in {table!r}")
+    chain.reverse()
+    return chain
+
+
+def read_appended_since(spark: SparkSession, table: str, since: str,
+                        until: str | None = None) -> DataFrame:
+    """Incremental (changelog) consumption, the 100 TB fast path: the
+    rows ADDED between `since` and `until` (default CURRENT), read
+    from ONLY the pool files the intervening append commits landed —
+    a downstream consumer that processed `since` catches up by
+    scanning megabytes of new files, never by rescanning the table.
+
+    Append commits contribute their `new_files`; compaction commits
+    are row-preserving rewrites and contribute nothing. Any commit in
+    range that changed rows in place (merge / delete / overwrite, or
+    a pre-`op` legacy manifest) makes a file-level answer impossible
+    — NonIncrementalHistoryError then directs callers to
+    ``changes_between`` (the keyed-diff slow path).
+
+    Reads use `until`'s manifest schema, so appends that evolved the
+    schema project consistently."""
+    chain = _chain_between(table, since, until)
+    files: list[str] = []
+    for man in chain:
+        op = man.get("op")
+        if op == "append":
+            files.extend(man.get("new_files", []))
+        elif op == "compact":
+            continue  # row-preserving: no logical change
+        else:
+            raise NonIncrementalHistoryError(
+                f"commit {man['snapshot']} is op={op!r} — history is "
+                "not append-only; use changes_between() for a keyed "
+                "diff")
+    end = chain[-1]["snapshot"] if chain else since
+    schema = table_schema(table, end)
+    if not files:
+        if schema is None:
+            return read_snapshot(spark, table, end).limit(0)
+        return spark.createDataFrame([], schema)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    root = _data_root(table)
+    return reader.parquet(*(os.path.join(root, f) for f in files))
+
+
+def changes_between(spark: SparkSession, table: str, since: str,
+                    until: str, key: str) -> DataFrame:
+    """General CDC between two snapshots of a keyed table (the x53
+    snapshot-diff shape, over time travel instead of two directories):
+    one full-outer join on `key` classifying every key as insert /
+    delete / update, dropping unchanged rows. Value columns come from
+    the NEW side for inserts/updates and the OLD side for deletes.
+
+    This is the honest fallback when history is not append-only: it
+    shuffles both snapshots on the key once. Bucketed/clustered
+    layouts keep that join exchange-light; for append-only ranges
+    prefer ``read_appended_since`` (no old data touched at all)."""
+    old = read_snapshot(spark, table, since)
+    new = read_snapshot(spark, table, until)
+    payload = [c for c in new.columns if c in old.columns and c != key]
+    o = old.select(
+        F.col(key), F.struct(*payload).alias("_old"),
+        F.lit(True).alias("_in_old"))
+    n = new.select(
+        F.col(key), F.struct(*payload).alias("_new"),
+        F.lit(True).alias("_in_new"))
+    j = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")),
+              F.lit("update"))
+    )
+    side = F.when(F.col("_in_new").isNull(),
+                  F.col("_old")).otherwise(F.col("_new"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key, "change_type",
+                *[side.getField(c).alias(c) for c in payload])
+    )

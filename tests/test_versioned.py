@@ -306,6 +306,190 @@ def test_vacuum_never_deletes_current_and_keeps_n(spark, tmp_path):
     assert V.read_snapshot(spark, table, names[2]).count() == 1
 
 
+def test_manifest_stats_recorded_and_pruned_read(spark, tmp_path):
+    """A stats-enabled clustered table records per-file [min, max] at
+    publish; a predicated read prunes files by METADATA before Spark
+    sees them, and still equals the unpruned scan + filter exactly."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                              "k int, v string")
+        .repartitionByRange(4, "k")
+    )
+    snap = V.write_snapshot(base, table, stats_cols=["k"])
+    man = V.read_manifest(table, snap)
+    assert man["stats_cols"] == ["k"] and len(man["stats"]) == 4
+    spans = sorted(tuple(s["k"]) for s in man["stats"].values())
+    # Disjoint, covering ranges — the property pruning depends on.
+    assert spans[0][0] == 0 and spans[-1][1] == 99
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+    rep = V.prune_report(table, snap, [("k", "<=", 10)])
+    assert rep["total"] == 4 and rep["skipped"] == 3
+    got = {r.k for r in
+           V.read_current(spark, table,
+                          predicates=[("k", "<=", 10)]).collect()}
+    assert got == set(range(11))
+    # Equality predicate hits exactly one file.
+    rep = V.prune_report(table, snap, [("k", "=", 99)])
+    assert rep["skipped"] == 3
+    # Stats survive append commits (inherited stats_cols + carry) —
+    # every file of the new manifest has an entry, including any
+    # zero-row landed files (marked skippable).
+    snap2 = V.append_snapshot(_df(spark, [(200, "z")]), table)
+    man2 = V.read_manifest(table, snap2)
+    assert set(man2["stats"]) == set(man2["files"])
+    rep = V.prune_report(table, snap2, [("k", ">", 150)])
+    assert len(rep["kept"]) == 1 and rep["skipped"] == rep["total"] - 1
+
+
+def test_pruning_is_conservative_without_stats(spark, tmp_path):
+    """Files in a table that never opted into stats are never pruned;
+    an all-NULL stat column IS skippable (a comparison can't match)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)  # no stats
+    snap = V.current_snapshot(table)
+    rep = V.prune_report(table, snap, [("k", ">", 1000)])
+    assert rep["skipped"] == 0  # conservative: no metadata, must scan
+    got = V.read_current(spark, table,
+                         predicates=[("k", ">", 1)]).collect()
+    assert {r.k for r in got} == {2}
+
+    t2 = str(tmp_path / "t2")
+    V.write_snapshot(
+        spark.createDataFrame([(None, "x"), (None, "y")],
+                              "k int, v string"),
+        t2, stats_cols=["k"])
+    rep = V.prune_report(t2, V.current_snapshot(t2), [("k", ">", 0)])
+    assert rep["skipped"] == rep["total"]  # NULLs never match >
+    assert V.read_current(spark, t2,
+                          predicates=[("k", ">", 0)]).count() == 0
+
+
+def test_merge_locate_prunes_files_by_stats(spark, tmp_path):
+    """The merge locate step must not OPEN files whose manifest key
+    range excludes the update batch — proven by deleting such a file
+    from disk: a stats-pruned locate never notices; a scan-everything
+    locate would crash."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, "base") for i in range(100)],
+                              "k int, v string")
+        .repartitionByRange(4, "k")
+    )
+    snap1 = V.write_snapshot(base, table, stats_cols=["k"])
+    man1 = V.read_manifest(table, snap1)
+    # Remove the file holding the TOP key range from disk entirely.
+    top = max(man1["stats"].items(), key=lambda kv: kv[1]["k"][1])[0]
+    os.remove(os.path.join(table, "data", top))
+
+    snap2 = V.merge_snapshot(
+        spark, _df(spark, [(1, "UPD"), (3, "UPD")]), table, "k")
+    man2 = V.read_manifest(table, snap2)
+    assert man2["reused_files"] == 3  # untouched incl. the missing one
+    # The three low-range files (one rewritten) are fully readable and
+    # correct even though the top file is gone.
+    rows = V.read_current(
+        spark, table, predicates=[("k", "<=", man1["stats"][top]["k"][0]
+                                   - 1)]).collect()
+    upd = {r.k for r in rows if r.v == "UPD"}
+    assert upd == {1, 3}
+
+
+def test_schema_evolution_append_and_merge(spark, tmp_path):
+    """Adding a column is legal evolution: the manifest schema gains
+    the field, old files project NULL for it (no mergeSchema footer
+    pass), and a keyed merge unions mixed-schema survivors. Changing
+    a column's type is rejected."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.append_snapshot(
+        spark.createDataFrame([(3, "c", 0.5)],
+                              "k int, v string, score double"),
+        table)
+    cur = V.read_current(spark, table)
+    assert cur.columns == ["k", "v", "score"]
+    got = {(r.k, r.v, r.score) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+
+    # Merge with the evolved schema updates + inserts across old files.
+    V.merge_snapshot(
+        spark,
+        spark.createDataFrame([(2, "B", 0.9), (4, "d", 0.1)],
+                              "k int, v string, score double"),
+        table, "k")
+    got = {(r.k, r.v, r.score)
+           for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a", None), (2, "B", 0.9), (3, "c", 0.5),
+                   (4, "d", 0.1)}
+
+    with pytest.raises(V.SchemaEvolutionError, match="column 'v'"):
+        V.append_snapshot(
+            spark.createDataFrame([(9, 9)], "k int, v int"), table)
+
+
+def test_incremental_read_across_compaction(spark, tmp_path):
+    """The changelog fast path: a consumer that processed snapshot A
+    catches up by reading ONLY the files appended since — compaction
+    commits in between are row-preserving and contribute nothing, so
+    the consumer is never re-fed rewritten data."""
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(0, "base")]), table)
+    V.append_snapshot(_df(spark, [(1, "b1"), (2, "b1")]), table)
+    V.compact_snapshot(spark, table, sort_col="k", target_files=1)
+    V.append_snapshot(_df(spark, [(3, "b2")]), table)
+
+    inc = V.read_appended_since(spark, table, s0)
+    assert {(r.k, r.v) for r in inc.collect()} == {
+        (1, "b1"), (2, "b1"), (3, "b2")}
+    # Bounded range [s0, pre-compact] sees only b1.
+    snaps = V.list_snapshots(table)
+    inc1 = V.read_appended_since(spark, table, s0, until=snaps[1])
+    assert {r.k for r in inc1.collect()} == {1, 2}
+    # Empty range.
+    assert V.read_appended_since(spark, table, snaps[-1]).count() == 0
+
+
+def test_incremental_read_rejects_rewrite_history(spark, tmp_path):
+    """Merge/delete/overwrite in range falsify a file-level changelog
+    — the fast path must refuse loudly, and the keyed diff is the
+    documented fallback. A vacuumed-away `since` also refuses."""
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.merge_snapshot(spark, _df(spark, [(2, "B")]), table, "k")
+    with pytest.raises(V.NonIncrementalHistoryError, match="merge"):
+        V.read_appended_since(spark, table, s0)
+    with pytest.raises(V.NonIncrementalHistoryError,
+                       match="not an ancestor"):
+        V.read_appended_since(spark, table, "00000099-nope")
+    # A `since` whose LINEAGE was vacuumed away (its manifest is only
+    # known transitively) refuses rather than silently under-reporting.
+    t2 = str(tmp_path / "t2")
+    a0 = V.write_snapshot(_df(spark, [(1, "a")]), t2)
+    V.append_snapshot(_df(spark, [(2, "b")]), t2)
+    V.append_snapshot(_df(spark, [(3, "c")]), t2)
+    V.vacuum_snapshots(t2, keep=1)  # drops a0 and the middle manifest
+    with pytest.raises(V.NonIncrementalHistoryError, match="vacuumed"):
+        V.read_appended_since(spark, t2, a0)
+
+
+def test_changes_between_keyed_diff(spark, tmp_path):
+    """General CDC over any history: full-outer keyed diff classifies
+    insert / update / delete and drops unchanged keys."""
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    V.merge_snapshot(spark, _df(spark, [(2, "B"), (4, "d")]), table,
+                     "k")
+    s2 = V.delete_keys_snapshot(spark, table, "k",
+                                _df(spark, [(3, "x")]))
+    diff = V.changes_between(spark, table, s0, s2, "k")
+    got = {(r.k, r.change_type, r.v) for r in diff.collect()}
+    assert got == {(2, "update", "B"), (3, "delete", "c"),
+                   (4, "insert", "d")}
+
+
 def test_hammer_readers_during_publishes(spark, tmp_path):
     """Stress the commit protocol: readers loop while a writer flips
     through generations; every read must equal exactly one published
