@@ -3100,6 +3100,153 @@ def x98_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x99_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only changelog consumption + additive schema evolution
+    over the versioned table (sinks/versioned.py), gate-checked:
+    publish a base snapshot, append one batch, compact (row-preserving
+    rewrite), append a second batch that EVOLVES the schema with a new
+    `tier` column, then catch a downstream consumer up from the base
+    snapshot with `read_appended_since`.
+
+    The changelog must contain exactly the two appended batches — the
+    base is never re-fed, the compaction commit contributes nothing,
+    and the first batch (written before the evolution) projects NULL
+    for `tier` under the manifest-recorded schema with no mergeSchema
+    footer pass. The oracle states the appended union algebraically.
+    Scale: a consumer that processed snapshot N catches up by scanning
+    ONLY the new pool files — megabytes against a 100 TB table —
+    never by diffing or rescanning table state (reference contrast:
+    incremental_fetch.py re-queries by last-modified timestamp; here
+    lineage metadata makes the increment a file list).
+    """
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slot(m: int) -> DataFrame:
+        return orders.filter((F.col("o_orderkey") % 3) == m)
+
+    base = slot(0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    b1 = slot(1).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    b2 = slot(2).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_totalprice") > 150000.0, F.lit("hi"))
+        .otherwise(F.lit("lo")).alias("tier"))
+
+    table = os.path.join(tempfile.mkdtemp(prefix="x99_clog_"), "tbl")
+    s0 = V.write_snapshot(base, table)
+    V.append_snapshot(b1, table)
+    V.compact_snapshot(spark, table, sort_col="o_orderkey",
+                       target_files=4)
+    V.append_snapshot(b2, table)
+    return (
+        V.read_appended_since(spark, table, s0)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy("tier")
+    )
+
+
+def x100_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General CDC between two snapshots of a versioned table
+    (`changes_between`), gate-checked: publish a base, run a COW merge
+    (updates + inserts) and a COW key delete, then classify every key
+    across the [base, current] range as insert / update / delete with
+    unchanged keys dropped.
+
+    The oracle states the classification algebraically from the same
+    key arithmetic, so a hash match proves the full-outer keyed diff
+    reports exactly the net row changes the two commits made — the
+    x53 snapshot-diff shape over time travel instead of two exported
+    directories. Scale: one key-shuffle join of the two snapshots;
+    the append-only ranges take `read_appended_since` (x99) and never
+    pay it."""
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    key5 = F.col("o_orderkey") % 5
+    base = orders.filter(key5.isin(0, 1, 2)).select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    upd = orders.filter(key5.isin(1, 3)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(2.5)).alias("price"))
+    doomed = orders.filter(key5 == 2).select("o_orderkey")
+
+    table = os.path.join(tempfile.mkdtemp(prefix="x100_cdc_"), "tbl")
+    s0 = V.write_snapshot(base, table)
+    V.merge_snapshot(spark, upd, table, "o_orderkey")
+    s2 = V.delete_keys_snapshot(spark, table, "o_orderkey", doomed)
+    return (
+        V.changes_between(spark, table, s0, s2, "o_orderkey")
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+def x101_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning on a clustered versioned table,
+    gate-checked: publish `orders` range-clustered on the key with
+    per-file [min, max] stats recorded in the manifest, then answer a
+    low-key-range predicate through `read_current(predicates=...)`.
+
+    The aggregate is hash-checked against DuckDB over the raw table
+    (pruning is an optimization, never the semantics), and the
+    `pruned_ok` witness column pins that the manifest planning step
+    skipped at least half the files by METADATA alone — no parquet
+    footer, no file open. Scale: on a 100 TB clustered table this is
+    the layer ABOVE footer skipping; a key-range query plans from the
+    manifest and hands Spark only the files the range can touch. The
+    cut literal is driver-computed from a metadata-cheap min/max agg
+    (x59 count-as-literal pattern), stated identically in the oracle.
+    """
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    span = orders.agg(F.min("o_orderkey").alias("lo"),
+                      F.max("o_orderkey").alias("hi")).first()
+    cut = span["lo"] + (span["hi"] - span["lo"]) / 8.0
+
+    base = (
+        orders.select("o_orderkey",
+                      F.col("o_totalprice").alias("price"))
+        .repartitionByRange(8, "o_orderkey")
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="x101_prune_"), "tbl")
+    snap = V.write_snapshot(base, table, stats_cols=["o_orderkey"])
+    rep = V.prune_report(table, snap, [("o_orderkey", "<=", cut)])
+    return (
+        V.read_current(spark, table,
+                       predicates=[("o_orderkey", "<=", cut)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("pruned_ok",
+                    F.lit(rep["skipped"] >= rep["total"] // 2))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3223,6 +3370,9 @@ EXT_QUERIES = {
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
     "x98_snapshot_merge": x98_snapshot_merge,
+    "x99_changelog_read": x99_changelog_read,
+    "x100_cdc_diff": x100_cdc_diff,
+    "x101_pruned_read": x101_pruned_read,
 }
 
 # ---------------------------------------------------------------------------
@@ -6252,4 +6402,64 @@ EXT_ORACLES["x98_snapshot_merge"] = """
     SELECT src, count(*)::BIGINT AS n_rows,
            CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
     FROM final GROUP BY src ORDER BY src
+"""
+
+# x99: the changelog stated algebraically — exactly the two appended
+# batches (keys % 3 = 1 with NULL tier, written before the evolution;
+# keys % 3 = 2 with the computed tier), never the base, never the
+# compaction rewrite. A hash match proves the file-level changelog and
+# the manifest-schema projection both hold.
+EXT_ORACLES["x99_changelog_read"] = """
+    WITH appended AS (
+        SELECT o_orderkey, o_totalprice AS price,
+               CAST(NULL AS VARCHAR) AS tier
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice AS price,
+               CASE WHEN o_totalprice > 150000.0
+                    THEN 'hi' ELSE 'lo' END AS tier
+        FROM orders WHERE o_orderkey % 3 = 2
+    )
+    SELECT tier, count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM appended GROUP BY tier ORDER BY tier
+"""
+
+# x100: the net change set stated from the same key arithmetic —
+# keys % 5 = 1 existed and were perturbed (update, new price),
+# % 5 = 3 are new (insert, perturbed price), % 5 = 2 were removed
+# (delete, old price), % 5 = 0 unchanged and absent.
+EXT_ORACLES["x100_cdc_diff"] = """
+    WITH diff AS (
+        SELECT o_orderkey, 'update' AS change_type,
+               o_totalprice + 2.5 AS price
+        FROM orders WHERE o_orderkey % 5 = 1
+        UNION ALL
+        SELECT o_orderkey, 'insert' AS change_type,
+               o_totalprice + 2.5 AS price
+        FROM orders WHERE o_orderkey % 5 = 3
+        UNION ALL
+        SELECT o_orderkey, 'delete' AS change_type,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 5 = 2
+    )
+    SELECT change_type, count(*)::BIGINT AS n_keys,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM diff GROUP BY change_type ORDER BY change_type
+"""
+
+# x101: the predicated aggregate over the raw table (pruning must
+# never change semantics) with the same driver-computed cut literal;
+# pruned_ok is the metadata-skip witness the Spark side pins.
+EXT_ORACLES["x101_pruned_read"] = """
+    WITH cut AS (
+        SELECT min(o_orderkey)
+               + (max(o_orderkey) - min(o_orderkey)) / 8.0 AS c
+        FROM orders
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           TRUE AS pruned_ok
+    FROM orders, cut WHERE o_orderkey <= cut.c
 """
