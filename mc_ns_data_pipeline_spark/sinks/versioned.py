@@ -51,8 +51,10 @@ sites keep the same shape.
 
 from __future__ import annotations
 
+import datetime as _dt
 import decimal
 import json
+import math
 import os
 import shutil
 import uuid
@@ -135,25 +137,87 @@ def snapshot_files(table: str, snapshot: str) -> list[str]:
             for f in read_manifest(table, snapshot)["files"]]
 
 
-def table_schema(table: str, snapshot: str) -> StructType | None:
-    """The snapshot's logical schema as recorded in its manifest, or
-    None for manifests that predate schema stamping."""
-    sj = read_manifest(table, snapshot).get("schema")
+def _schema_from_man(man: dict) -> StructType | None:
+    """The manifest's recorded logical schema, or None for manifests
+    that predate schema stamping."""
+    sj = man.get("schema")
     return StructType.fromJson(json.loads(sj)) if sj else None
 
 
+def table_schema(table: str, snapshot: str) -> StructType | None:
+    """The snapshot's logical schema as recorded in its manifest, or
+    None for manifests that predate schema stamping."""
+    return _schema_from_man(read_manifest(table, snapshot))
+
+
+def _read_pool(spark: SparkSession, table: str, names: list[str],
+               schema: StructType | None) -> DataFrame:
+    """Scan pool files under the table's RECORDED schema, so files
+    written before a schema evolution project NULL for later-added
+    columns. Never rely on parquet inference here: without an explicit
+    schema Spark takes the first footer it lists, which after an
+    evolution silently DROPS evolved columns whenever a pre-evolution
+    file happens to sort first (pool names are random uuids — the loss
+    would be nondeterministic). `names` may be pool-relative or
+    absolute; `schema` None (pre-schema manifest) falls back to
+    inference for backward compatibility."""
+    root = _data_root(table)
+    paths = [n if os.path.isabs(n) else os.path.join(root, n)
+             for n in names]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+# Sentinel: a value whose Python ordering cannot be proven to match
+# Spark's column ordering — never recorded, never pruned on.
+_UNSTATABLE = object()
+
+
 def _stat_value(v):
-    """Normalize a Spark min/max scalar to a JSON-storable value whose
-    Python ordering matches Spark's column ordering (ints/floats
-    numeric; strings codepoint; dates/timestamps via ISO-8601 text,
-    which orders identically)."""
+    """Normalize a min/max scalar (from a Spark collect OR a caller's
+    predicate literal) to a JSON-storable value whose Python ordering
+    matches Spark's column ordering: ints exact (arbitrary precision),
+    floats numeric, strings codepoint, dates/timestamps as fixed-width
+    ISO-8601 text (dates expand to midnight, timestamps always carry
+    microseconds, tz-aware values normalize to UTC — so DATE vs
+    TIMESTAMP granularities compare chronologically). Decimals become
+    floats — callers must widen bounds (``_stat_bounds``) because the
+    conversion rounds. Unknown types map to ``_UNSTATABLE``."""
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, decimal.Decimal):
         return float(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep="T", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat(
+            sep="T", timespec="microseconds")
+    return _UNSTATABLE
+
+
+def _stat_bounds(lo, hi) -> list | None:
+    """JSON-storable ``[lo, hi]`` for one file/column, or None when no
+    sound bound exists (the column is then simply not recorded for the
+    file — pruning stays conservative). NaN bounds are unstatable
+    (Spark orders NaN greatest; Python comparisons disagree). Decimal
+    bounds widen by one ulp outward so the float rounding can never
+    exclude a true value."""
+    if lo is None and hi is None:
+        return [None, None]  # all-NULL column: skippable by contract
+    if isinstance(lo, decimal.Decimal):
+        lo = math.nextafter(float(lo), -math.inf)
+    if isinstance(hi, decimal.Decimal):
+        hi = math.nextafter(float(hi), math.inf)
+    lo, hi = _stat_value(lo), _stat_value(hi)
+    if lo is _UNSTATABLE or hi is _UNSTATABLE:
+        return None
+    if any(isinstance(b, float) and math.isnan(b) for b in (lo, hi)):
+        return None
+    return [lo, hi]
 
 
 # Can a file whose [lo, hi] column range satisfy `col OP val`? Files
@@ -187,19 +251,18 @@ def _file_survives(stats: dict, name: str, col: str, op: str,
     lo, hi = per_file[col]
     if lo is None and hi is None:
         return False  # all-NULL column: comparison never matches
+    v = _stat_value(val)
+    if v is _UNSTATABLE:
+        return True  # literal we can't order soundly: must scan
+    if isinstance(v, float) and math.isnan(v):
+        return True  # Spark NaN ordering differs: never prune on NaN
     try:
-        return _PRUNE_OPS[op](lo, hi, _stat_value(val))
+        return _PRUNE_OPS[op](lo, hi, v)
     except TypeError:
         return True  # incomparable literal type: be conservative
 
 
-def prune_report(table: str, snapshot: str,
-                 predicates: list[tuple]) -> dict:
-    """Metadata-only pruning decision for ``predicates`` (each
-    ``(col, op, value)``, op in <, <=, >, >=, =, AND-combined):
-    ``{"total": n, "kept": [names], "skipped": m}``. This is the
-    planning step of a pruned read — no data file is opened."""
-    man = read_manifest(table, snapshot)
+def _prune_from_man(man: dict, predicates: list[tuple]) -> dict:
     stats = man.get("stats") or {}
     kept = [
         name for name in man["files"]
@@ -208,6 +271,15 @@ def prune_report(table: str, snapshot: str,
     ]
     return {"total": len(man["files"]), "kept": kept,
             "skipped": len(man["files"]) - len(kept)}
+
+
+def prune_report(table: str, snapshot: str,
+                 predicates: list[tuple]) -> dict:
+    """Metadata-only pruning decision for ``predicates`` (each
+    ``(col, op, value)``, op in <, <=, >, >=, =, AND-combined):
+    ``{"total": n, "kept": [names], "skipped": m}``. This is the
+    planning step of a pruned read — no data file is opened."""
+    return _prune_from_man(read_manifest(table, snapshot), predicates)
 
 
 def read_snapshot(spark: SparkSession, table: str, snapshot: str,
@@ -226,22 +298,18 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
     Reads carry the manifest-recorded schema when present, so files
     written before a schema evolution project NULL for later-added
     columns without a mergeSchema footer pass over every file."""
-    man = read_manifest(table, snapshot)
+    man = read_manifest(table, snapshot)  # parsed once per read
     names = man["files"]
     if predicates:
-        names = prune_report(table, snapshot, predicates)["kept"]
-    schema = table_schema(table, snapshot)
-    root = _data_root(table)
+        names = _prune_from_man(man, predicates)["kept"]
+    schema = _schema_from_man(man)
     if not names:
         if schema is None:  # pre-schema manifest: fall back to full scan
             df = spark.read.parquet(*snapshot_files(table, snapshot))
         else:
             df = spark.createDataFrame([], schema)
     else:
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(*(os.path.join(root, f) for f in names))
+        df = _read_pool(spark, table, names, schema)
     for col, op, val in predicates or []:
         df = df.filter(_COL_OPS[op](F.col(col), F.lit(val)))
     return df
@@ -363,10 +431,12 @@ def _scan_new_files(spark: SparkSession, table: str, files: list[str],
     for r in per_file:
         name = os.path.basename(r["_file"])
         rows += r["_rows"]
-        stats[name] = {
-            c: [_stat_value(r[f"_lo{i}"]), _stat_value(r[f"_hi{i}"])]
-            for i, c in enumerate(cols)
-        }
+        entry = {}
+        for i, c in enumerate(cols):
+            bounds = _stat_bounds(r[f"_lo{i}"], r[f"_hi{i}"])
+            if bounds is not None:  # unstatable (NaN/unknown type):
+                entry[c] = bounds   # omit -> file always scanned
+        stats[name] = entry
     for name in files:  # zero-row files form no group: provably
         if name not in stats:  # matchless, mark them skippable
             stats[name] = {c: [None, None] for c in cols}
@@ -471,8 +541,7 @@ def append_snapshot(df: DataFrame, table: str,
         old_files = parent_man.get("files", [])
         old_rows = parent_man.get("rows", 0)
         stats_cols = parent_man.get("stats_cols")
-        schema = _merge_schema(
-            table_schema(table, parent) if parent else None, df.schema)
+        schema = _merge_schema(_schema_from_man(parent_man), df.schema)
         new_files = _land_in_pool(df, table)
         new_rows, new_stats = _scan_new_files(
             df.sparkSession, table, new_files, stats_cols)
@@ -509,25 +578,29 @@ def compact_snapshot(spark: SparkSession, table: str,
             cur = cur.coalesce(target_files)
         stats_cols = parent_man.get("stats_cols")
         files = _land_in_pool(cur, table)
-        _, stats = _scan_new_files(spark, table, files, stats_cols)
+        if stats_cols:
+            _, stats = _scan_new_files(spark, table, files, stats_cols)
+        else:  # row count already known: no discarded full-table scan
+            stats = None
         return _publish(table, files, parent_man["rows"], parent, 0,
                         op="compact", schema=cur.schema, stats=stats,
                         stats_cols=stats_cols)
 
 
-def _locate_affected(spark: SparkSession, table: str, parent: str,
+def _locate_affected(spark: SparkSession, table: str, man: dict,
                      key: str, keys_df: DataFrame
                      ) -> tuple[list[str], list[str]]:
-    """Which of `parent`'s files contain one of `keys_df`'s keys —
-    a key-column + input_file_name scan semi-joined against the
+    """Which of the parent manifest's files contain one of `keys_df`'s
+    keys — a key-column + input_file_name scan semi-joined against the
     broadcast key set (column-pruned; footer stats prune clustered
     layouts before rows are read). When the manifest carries stats
     for `key`, files whose [min, max] lies outside the batch's key
     range are excluded from the scan by METADATA alone — on a
     clustered 100 TB table the locate step then opens only the files
-    a localized update batch can possibly hit. Returns (affected
-    absolute paths, untouched pool-relative names)."""
-    man = read_manifest(table, parent)
+    a localized update batch can possibly hit. The scan runs under the
+    manifest schema so pre-evolution files (which may lack `key`
+    entirely) project NULL instead of breaking inference. Returns
+    (affected absolute paths, untouched pool-relative names)."""
     old_files = man["files"]
     root = _data_root(table)
     candidates = old_files
@@ -545,8 +618,7 @@ def _locate_affected(spark: SparkSession, table: str, parent: str,
     affected_uris = {
         r["_file"]
         for r in (
-            spark.read.parquet(
-                *(os.path.join(root, f) for f in candidates))
+            _read_pool(spark, table, candidates, _schema_from_man(man))
             .select(key, F.input_file_name().alias("_file"))
             .join(F.broadcast(keys_df), key, "left_semi")
             .select("_file").distinct().collect()
@@ -582,17 +654,23 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
 
         parent_man = read_manifest(table, parent)
         stats_cols = parent_man.get("stats_cols")
-        schema = _merge_schema(table_schema(table, parent),
-                               updates.schema)
+        parent_schema = _schema_from_man(parent_man)
+        schema = _merge_schema(parent_schema, updates.schema)
         keys = updates.select(key).distinct()
         affected_paths, untouched = _locate_affected(
-            spark, table, parent, key, keys)
+            spark, table, parent_man, key, keys)
 
         # Rewrite: survivors of ONLY the affected files, plus updates.
+        # Affected files are read under the PARENT schema — post-
+        # evolution files keep their evolved values, pre-evolution
+        # files project NULL (inference would take whichever footer
+        # lists first and silently drop evolved columns).
         if affected_paths:
-            affected_rows = spark.read.parquet(*affected_paths).count()
+            affected = _read_pool(spark, table, affected_paths,
+                                  parent_schema)
+            affected_rows = affected.count()
             survivors = (
-                spark.read.parquet(*affected_paths)
+                affected
                 .join(F.broadcast(keys), key, "left_anti")
                 .unionByName(updates, allowMissingColumns=True)
             )
@@ -692,18 +770,19 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
         parent = current_snapshot(table)
         if parent is None:
             raise NoCurrentSnapshotError(table)
+        parent_man = read_manifest(table, parent)
+        parent_schema = _schema_from_man(parent_man)
         doomed_keys = doomed.select(key).distinct()
         affected_paths, untouched = _locate_affected(
-            spark, table, parent, key, doomed_keys)
+            spark, table, parent_man, key, doomed_keys)
         if not affected_paths:
             return parent  # nothing to forget: current stays
-        parent_man = read_manifest(table, parent)
         stats_cols = parent_man.get("stats_cols")
-        affected_rows = spark.read.parquet(*affected_paths).count()
-        survivors = (
-            spark.read.parquet(*affected_paths)
-            .join(F.broadcast(doomed_keys), key, "left_anti")
-        )
+        affected = _read_pool(spark, table, affected_paths,
+                              parent_schema)  # schema'd: see merge
+        affected_rows = affected.count()
+        survivors = affected.join(F.broadcast(doomed_keys), key,
+                                  "left_anti")
         new_files = _land_in_pool(survivors, table)
         new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                               stats_cols)
@@ -711,7 +790,7 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
         return _publish(table, untouched + new_files, rows, parent,
                         len(untouched), op="delete",
                         new_files=new_files,
-                        schema=table_schema(table, parent),
+                        schema=parent_schema,
                         stats=_carry_stats(parent_man, untouched,
                                            new_stats),
                         stats_cols=stats_cols)
@@ -775,17 +854,15 @@ def read_appended_since(spark: SparkSession, table: str, since: str,
                 f"commit {man['snapshot']} is op={op!r} — history is "
                 "not append-only; use changes_between() for a keyed "
                 "diff")
-    end = chain[-1]["snapshot"] if chain else since
-    schema = table_schema(table, end)
+    if chain:
+        end, schema = chain[-1]["snapshot"], _schema_from_man(chain[-1])
+    else:
+        end, schema = since, table_schema(table, since)
     if not files:
         if schema is None:
             return read_snapshot(spark, table, end).limit(0)
         return spark.createDataFrame([], schema)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    root = _data_root(table)
-    return reader.parquet(*(os.path.join(root, f) for f in files))
+    return _read_pool(spark, table, files, schema)
 
 
 def changes_between(spark: SparkSession, table: str, since: str,
@@ -796,18 +873,37 @@ def changes_between(spark: SparkSession, table: str, since: str,
     delete / update, dropping unchanged rows. Value columns come from
     the NEW side for inserts/updates and the OLD side for deletes.
 
+    The compared payload is the UNION of both snapshots' value
+    columns — a column present on only one side (schema evolution
+    between the snapshots) projects typed NULL on the other, so an
+    update that changed ONLY an evolved column still classifies as
+    an update rather than silently comparing equal on the shared
+    columns.
+
     This is the honest fallback when history is not append-only: it
     shuffles both snapshots on the key once. Bucketed/clustered
     layouts keep that join exchange-light; for append-only ranges
     prefer ``read_appended_since`` (no old data touched at all)."""
     old = read_snapshot(spark, table, since)
     new = read_snapshot(spark, table, until)
-    payload = [c for c in new.columns if c in old.columns and c != key]
+    types = {f.name: f.dataType
+             for df in (old, new) for f in df.schema.fields}
+    payload = [c for c in (*new.columns,
+                           *(c for c in old.columns
+                             if c not in new.columns))
+               if c != key]
+
+    def struct_of(df: DataFrame) -> Column:
+        return F.struct(*[
+            (F.col(c) if c in df.columns
+             else F.lit(None).cast(types[c])).alias(c)
+            for c in payload])
+
     o = old.select(
-        F.col(key), F.struct(*payload).alias("_old"),
+        F.col(key), struct_of(old).alias("_old"),
         F.lit(True).alias("_in_old"))
     n = new.select(
-        F.col(key), F.struct(*payload).alias("_new"),
+        F.col(key), struct_of(new).alias("_new"),
         F.lit(True).alias("_in_new"))
     j = o.join(n, key, "full_outer")
     change = (

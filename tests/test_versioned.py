@@ -524,3 +524,141 @@ def test_hammer_readers_during_publishes(spark, tmp_path):
         for t in threads:
             t.join()
     assert bad == [], bad[:3]
+
+
+class _SeqUUID:
+    """Deterministic uuid4 stand-in: hex names share a fixed prefix,
+    so a test can force pre- vs post-evolution pool files to a chosen
+    lexicographic order (parquet inference takes the FIRST footer —
+    the order-dependence these regressions pin)."""
+
+    def __init__(self, prefix):
+        self._prefix, self._n = prefix, 0
+
+    def __call__(self):
+        self._n += 1
+        out = lambda: None  # noqa: E731 - minimal .hex carrier
+        out.hex = f"{self._prefix}{self._n:030x}"
+        return out
+
+
+def test_merge_after_evolution_keeps_evolved_values(
+        spark, tmp_path, monkeypatch):
+    """COW merge must read affected files under the MANIFEST schema.
+    Regression: an unschema'd spark.read.parquet over [old-schema
+    file, new-schema file] infers from the lexicographically first
+    footer and silently DROPS the evolved column — survivors from the
+    evolved file then lose their values. Forced here by naming the
+    pre-evolution file '00…' (sorts first) and the evolved one 'ff…'.
+    """
+    table = str(tmp_path / "t")
+    monkeypatch.setattr(V.uuid, "uuid4", _SeqUUID("00"))
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    monkeypatch.setattr(V.uuid, "uuid4", _SeqUUID("ff"))
+    V.append_snapshot(
+        spark.createDataFrame([(3, "c", 0.5), (4, "d", 0.7)],
+                              "k int, v string, score double"),
+        table)
+    monkeypatch.setattr(V.uuid, "uuid4", _SeqUUID("aa"))
+    # Touch BOTH files: key 1 (old-schema file) and key 3 (evolved).
+    V.merge_snapshot(
+        spark,
+        spark.createDataFrame([(1, "A", 0.1), (3, "C", 0.9)],
+                              "k int, v string, score double"),
+        table, "k")
+    got = {(r.k, r.v, r.score)
+           for r in V.read_current(spark, table).collect()}
+    # Key 4 survived the rewrite of the evolved file — its score MUST
+    # still be 0.7, not NULL.
+    assert got == {(1, "A", 0.1), (2, "b", None), (3, "C", 0.9),
+                   (4, "d", 0.7)}
+
+
+def test_changes_between_sees_evolved_column_updates(spark, tmp_path):
+    """CDC payload is the UNION of both snapshots' value columns:
+    an update that changed ONLY a schema-evolved column must classify
+    as an update (regression: intersection-only payload compared
+    equal and silently dropped it), and inserts carry the evolved
+    values."""
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    s1 = V.merge_snapshot(
+        spark,
+        spark.createDataFrame([(2, "b", 0.9), (4, "d", 0.4)],
+                              "k int, v string, score double"),
+        table, "k")
+    diff = V.changes_between(spark, table, s0, s1, "k")
+    got = {(r.k, r.change_type, r.v, r.score) for r in diff.collect()}
+    assert got == {(2, "update", "b", 0.9), (4, "insert", "d", 0.4)}
+
+
+def test_pruning_soundness_nan_decimal_date(spark, tmp_path):
+    """Three unsound-pruning regressions: NaN bounds are never
+    recorded (Spark orders NaN greatest; Python disagrees), decimal
+    bounds widen one ulp outward (float() rounding must never exclude
+    a true key), and date predicates against timestamp stats compare
+    chronologically (midnight expansion), not lexicographically."""
+    import datetime
+    from decimal import Decimal
+
+    # NaN: the invariant pruned == unpruned must hold with NaN data.
+    t1 = str(tmp_path / "nan")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 250.0)],
+            "k int, val double").repartitionByRange(2, "k"),
+        t1, stats_cols=["val"])
+    snap = V.current_snapshot(t1)
+    man = V.read_manifest(t1, snap)
+    assert all("val" not in e or not any(
+        isinstance(b, float) and b != b for b in e["val"])
+        for e in man["stats"].values())
+    from pyspark.sql import functions as F
+
+    preds = [("val", ">", 100.0)]
+    # repr() canonicalizes NaN (nan != nan would falsify set equality)
+    pruned = {(r.k, repr(r.val)) for r in
+              V.read_snapshot(spark, t1, snap, predicates=preds)
+              .collect()}
+    full = {(r.k, repr(r.val)) for r in
+            V.read_snapshot(spark, t1, snap)
+            .filter(F.col("val") > F.lit(100.0)).collect()}
+    assert pruned == full and len(full) == 2  # NaN row included
+
+    # Decimal beyond float precision: 2^53 + 1 rounds DOWN as float;
+    # unwidened stats would prune the file holding the true key.
+    t2 = str(tmp_path / "dec")
+    big = Decimal(2**53 + 1)
+    V.write_snapshot(
+        spark.createDataFrame([(big, "x")], "k decimal(38,0), v string"),
+        t2, stats_cols=["k"])
+    got = V.read_current(spark, t2, predicates=[("k", "=", big)])
+    assert got.count() == 1
+    # Widening may conservatively keep the file; it must never lose
+    # the true key above — and the predicate filter still applies.
+    assert V.read_current(
+        spark, t2, predicates=[("k", ">", Decimal(2**53 + 2))]
+    ).count() == 0
+
+    # Timestamp stats vs date predicate: midnight row must be found.
+    t3 = str(tmp_path / "ts")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2026, 1, 1, 0, 0, 0)),
+             (2, datetime.datetime(2026, 1, 2, 12, 0, 0))],
+            "k int, ts timestamp"),
+        t3, stats_cols=["ts"])
+    got = V.read_current(
+        spark, t3,
+        predicates=[("ts", "<=", datetime.date(2026, 1, 1))])
+    assert [r.k for r in got.collect()] == [1]
+
+
+def test_compact_without_stats_records_no_stats(spark, tmp_path):
+    """A no-stats table's compaction publishes stats=None (and pays
+    no discarded full-table count — the row total is inherited)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    snap = V.compact_snapshot(spark, table, target_files=1)
+    man = V.read_manifest(table, snap)
+    assert man["stats"] is None and man["rows"] == 2
