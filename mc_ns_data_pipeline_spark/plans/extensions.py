@@ -3270,10 +3270,14 @@ EXT_QUERIES = {
     "x91_winsorize": x91_winsorize,
     "x90_er_scoring": x90_er_scoring,
     "x12_multimodal_features": x12_multimodal_features,
-    "x23_asof_join": x23_asof_join,
-    "x24_stratified_sample": x24_stratified_sample,
-    "x25_tfidf_topk": x25_tfidf_topk,
-    "x26_scd2_history": x26_scd2_history,
+    # Round-4 late rotation: the four versioned-table queries enter
+    # the window the round their machinery lands (rotation rule 2);
+    # x23-x26 rotate out on their unchanged r02-green driver rows and
+    # re-register below the marker.
+    "x98_snapshot_merge": x98_snapshot_merge,
+    "x99_changelog_read": x99_changelog_read,
+    "x100_cdc_diff": x100_cdc_diff,
+    "x101_pruned_read": x101_pruned_read,
     "x27_moving_window": x27_moving_window,
     "x28_pivot_matrix": x28_pivot_matrix,
     "x29_sessionize_batch": x29_sessionize_batch,
@@ -3369,10 +3373,10 @@ EXT_QUERIES = {
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
-    "x98_snapshot_merge": x98_snapshot_merge,
-    "x99_changelog_read": x99_changelog_read,
-    "x100_cdc_diff": x100_cdc_diff,
-    "x101_pruned_read": x101_pruned_read,
+    "x23_asof_join": x23_asof_join,
+    "x24_stratified_sample": x24_stratified_sample,
+    "x25_tfidf_topk": x25_tfidf_topk,
+    "x26_scd2_history": x26_scd2_history,
 }
 
 # ---------------------------------------------------------------------------

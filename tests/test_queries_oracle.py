@@ -43,7 +43,7 @@ DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x30", "x31", "x59", "x61", "x62", "x80", "x97",
     "xs12", "xs13", "xs14", "x91", "x90", "x12",
-    "x23", "x24", "x25", "x26", "x27", "x28", "x29",
+    "x98", "x99", "x100", "x101", "x27", "x28", "x29",
     "x32", "x33", "x34", "x35", "x36", "x37", "x38",
     "x39", "x40", "x41", "x42", "x43",
 ]
