@@ -865,6 +865,59 @@ def read_appended_since(spark: SparkSession, table: str, since: str,
     return _read_pool(spark, table, files, schema)
 
 
+def consume_appends(spark: SparkSession, table: str, cursor_path: str,
+                    process) -> dict:
+    """At-least-once incremental consumer over a versioned table's
+    append lineage — the reference's incremental-fetch shape
+    (mastercontrol_pipeline/incremental_fetch.py: remember a cursor,
+    fetch only what's new), but driven by table LINEAGE instead of
+    last-modified timestamps, so the increment is a file list and the
+    catch-up scan is bounded by new data (see read_appended_since).
+
+    One call = one unit of progress:
+      * no cursor on disk yet → bootstrap: ``process(df)`` gets the
+        full CURRENT snapshot;
+      * cursor present → increment: ``process(df)`` gets only the
+        rows appended since the cursor's snapshot (compaction commits
+        in between are invisible);
+      * cursor already at CURRENT → no-op, ``process`` not called.
+
+    The cursor file advances ATOMICALLY (tmp + rename) only after
+    ``process`` returns, so a crash mid-process replays the same
+    increment on retry — at-least-once delivery; make ``process``
+    idempotent (e.g. land into another versioned table with a
+    ``txn_id`` derived from the returned snapshot ids for
+    exactly-once). A merge/delete/overwrite inside the range raises
+    NonIncrementalHistoryError — the caller must decide (re-bootstrap,
+    or reconcile via ``changes_between``) rather than silently
+    double-reading rewritten rows.
+
+    The target snapshot is pinned once at entry: appends landing
+    while ``process`` runs are simply the next call's increment."""
+    until = current_snapshot(table)
+    if until is None:
+        raise NoCurrentSnapshotError(table)
+    cursor = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cursor = json.load(fh)["snapshot"]
+    if cursor == until:
+        return {"from": cursor, "to": until, "mode": "noop"}
+    if cursor is None:
+        df, mode = read_snapshot(spark, table, until), "bootstrap"
+    else:
+        df = read_appended_since(spark, table, cursor, until=until)
+        mode = "increment"
+    process(df)
+    tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"snapshot": until, "table": table}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, cursor_path)
+    return {"from": cursor, "to": until, "mode": mode}
+
+
 def changes_between(spark: SparkSession, table: str, since: str,
                     until: str, key: str) -> DataFrame:
     """General CDC between two snapshots of a keyed table (the x53

@@ -662,3 +662,87 @@ def test_compact_without_stats_records_no_stats(spark, tmp_path):
     snap = V.compact_snapshot(spark, table, target_files=1)
     man = V.read_manifest(table, snap)
     assert man["stats"] is None and man["rows"] == 2
+
+
+def test_consume_appends_lifecycle(spark, tmp_path):
+    """Durable-cursor incremental consumer: bootstrap sees the full
+    snapshot, each increment sees ONLY the newly appended rows
+    (compaction invisible), an up-to-date cursor is a no-op, and the
+    cursor only advances after `process` succeeds (at-least-once:
+    a failed process replays the same increment)."""
+    table = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor.json")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+
+    seen = []
+    out = V.consume_appends(
+        spark, table, cursor,
+        lambda df: seen.append({(r.k, r.v) for r in df.collect()}))
+    assert out["mode"] == "bootstrap"
+    assert seen[-1] == {(1, "a"), (2, "b")}
+
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    V.compact_snapshot(spark, table, sort_col="k", target_files=1)
+    V.append_snapshot(_df(spark, [(4, "d")]), table)
+    out = V.consume_appends(
+        spark, table, cursor,
+        lambda df: seen.append({(r.k, r.v) for r in df.collect()}))
+    assert out["mode"] == "increment"
+    assert seen[-1] == {(3, "c"), (4, "d")}
+
+    out = V.consume_appends(spark, table, cursor,
+                            lambda df: seen.append("CALLED"))
+    assert out["mode"] == "noop" and seen[-1] != "CALLED"
+
+    # Crash mid-process: cursor must NOT advance; retry replays.
+    V.append_snapshot(_df(spark, [(5, "e")]), table)
+    with pytest.raises(RuntimeError, match="boom"):
+        V.consume_appends(
+            spark, table, cursor,
+            lambda df: (_ for _ in ()).throw(RuntimeError("boom")))
+    out = V.consume_appends(
+        spark, table, cursor,
+        lambda df: seen.append({(r.k, r.v) for r in df.collect()}))
+    assert out["mode"] == "increment" and seen[-1] == {(5, "e")}
+
+
+def test_consume_appends_refuses_rewrite_history(spark, tmp_path):
+    """A merge between consumer runs falsifies the file-level
+    increment: the consumer must refuse loudly (caller re-bootstraps
+    or reconciles via changes_between), never silently double-read."""
+    table = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor.json")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.consume_appends(spark, table, cursor, lambda df: df.count())
+    V.merge_snapshot(spark, _df(spark, [(2, "B")]), table, "k")
+    with pytest.raises(V.NonIncrementalHistoryError):
+        V.consume_appends(spark, table, cursor, lambda df: df.count())
+
+
+def test_two_dim_stats_pruning(spark, tmp_path):
+    """stats_cols may carry several columns; AND-combined predicates
+    prune on each independently (the zone-map shape for clustered
+    layouts where a second column correlates with the clustering
+    key)."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame(
+            [(i, i * 2, f"v{i}") for i in range(100)],
+            "a int, b int, v string")
+        .repartitionByRange(4, "a")
+    )
+    snap = V.write_snapshot(base, table, stats_cols=["a", "b"])
+    rep = V.prune_report(table, snap, [("a", "<=", 10)])
+    assert rep["skipped"] == 3
+    rep = V.prune_report(table, snap, [("b", ">=", 190)])
+    assert rep["skipped"] == 3  # second dim prunes on its own stats
+    # a >= 50 forces b = 2a >= 100: contradictory with b <= 70 in
+    # EVERY file once both dims' stats apply — nothing to scan.
+    rep = V.prune_report(table, snap, [("a", ">=", 50), ("b", "<=", 70)])
+    assert rep["skipped"] == 4
+    got = V.read_current(spark, table,
+                         predicates=[("a", ">=", 50), ("b", "<=", 70)])
+    assert got.count() == 0
+    got = {r.a for r in V.read_current(
+        spark, table, predicates=[("b", ">=", 190)]).collect()}
+    assert got == {95, 96, 97, 98, 99}
