@@ -408,6 +408,74 @@ def cmd_load(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Versioned-table lifecycle from the command line
+    (sinks/versioned.py): publish / append / COW merge / GDPR delete /
+    reader-safe compaction / refcounted vacuum / lineage listing /
+    durable-cursor incremental consumption. The operational surface a
+    pipeline operator needs once tables live as MVCC snapshots instead
+    of staged-swap directories."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    def need(flag, value):
+        if value is None:
+            raise SystemExit(f"table {args.op}: {flag} is required")
+        return value
+
+    if args.op == "history":  # metadata-only: no Spark session
+        cur = V.current_snapshot(args.table)
+        for s in V.list_snapshots(args.table):
+            man = V.read_manifest(args.table, s)
+            star = "*" if s == cur else " "
+            print(f"{star} {s} op={man.get('op', '?'):9s} "
+                  f"rows={man['rows']:>12} files={len(man['files']):>5} "
+                  f"reused={man['reused_files']:>5} "
+                  f"txn={man.get('txn_id') or '-'}")
+        return 0
+    if args.op == "vacuum":  # filesystem-only: no Spark session
+        out = V.vacuum_snapshots(args.table, keep=args.keep)
+        print(f"vacuum: reaped {len(out['snapshots'])} snapshots, "
+              f"{out['files']} pool files")
+        return 0
+
+    spark = _session("table-lifecycle")
+    if args.op == "compact":
+        snap = V.compact_snapshot(spark, args.table,
+                                  sort_col=args.sort_col,
+                                  target_files=args.target_files)
+    elif args.op == "consume":
+        out_dir = need("--out-dir", args.out_dir)
+
+        def land(df, info):
+            # overwrite into a target-snapshot-named dir: a replay
+            # after a crash-before-cursor-advance rewrites the same
+            # directory — exactly-once landing per increment.
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"inc-{info['to']}"))
+
+        res = V.consume_appends(spark, args.table,
+                                need("--cursor", args.cursor), land)
+        print(f"consume: {res['mode']} {res['from']} -> {res['to']}")
+        return 0
+    else:
+        df = spark.read.parquet(need("--input", args.input))
+        if args.op == "write":
+            stats = (args.stats_cols.split(",")
+                     if args.stats_cols else None)
+            snap = V.write_snapshot(df, args.table, stats_cols=stats)
+        elif args.op == "append":
+            snap = V.append_snapshot(df, args.table,
+                                     txn_id=args.txn_id)
+        elif args.op == "merge":
+            snap = V.merge_snapshot(spark, df, args.table,
+                                    need("--key", args.key))
+        else:  # delete-keys
+            snap = V.delete_keys_snapshot(spark, args.table,
+                                          need("--key", args.key), df)
+    print(f"{args.op}: published {snap}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mc_ns_data_pipeline_spark",
@@ -480,6 +548,39 @@ def build_parser() -> argparse.ArgumentParser:
     ld.add_argument("--jdbc-url", default=None,
                     help="JDBC url override (else DB_CONFIG.url)")
     ld.set_defaults(fn=cmd_load)
+
+    tb = sub.add_parser(
+        "table",
+        help="versioned-table lifecycle: write/append/merge/"
+        "delete-keys/compact/vacuum/history/consume "
+        "(MVCC snapshots, sinks/versioned.py)")
+    tb.add_argument("op", choices=["write", "append", "merge",
+                                   "delete-keys", "compact", "vacuum",
+                                   "history", "consume"])
+    tb.add_argument("--table", required=True,
+                    help="versioned table directory")
+    tb.add_argument("--input", default=None,
+                    help="parquet path (write/append/merge/delete-keys)")
+    tb.add_argument("--key", default=None,
+                    help="merge/delete key column")
+    tb.add_argument("--stats-cols", default=None,
+                    help="comma list: record per-file [min,max] "
+                    "manifest stats at write (enables metadata file "
+                    "pruning on later reads and merges)")
+    tb.add_argument("--txn-id", default=None,
+                    help="exactly-once append stamp (replays no-op)")
+    tb.add_argument("--sort-col", default=None,
+                    help="compact: preserve clustering on this column")
+    tb.add_argument("--target-files", type=int, default=1,
+                    help="compact: output file count")
+    tb.add_argument("--keep", type=int, default=2,
+                    help="vacuum: snapshots to retain")
+    tb.add_argument("--cursor", default=None,
+                    help="consume: durable cursor file path")
+    tb.add_argument("--out-dir", default=None,
+                    help="consume: increments land as parquet under "
+                    "inc-<snapshot> here (overwrite => replay-safe)")
+    tb.set_defaults(fn=cmd_table)
     return p
 
 

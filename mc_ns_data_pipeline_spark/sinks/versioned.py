@@ -892,8 +892,14 @@ def consume_appends(spark: SparkSession, table: str, cursor_path: str,
     or reconcile via ``changes_between``) rather than silently
     double-reading rewritten rows.
 
+    ``process`` may declare a second parameter to receive
+    ``{"from", "to", "mode"}`` — e.g. to derive an idempotent output
+    path or txn stamp from the pinned target snapshot.
+
     The target snapshot is pinned once at entry: appends landing
     while ``process`` runs are simply the next call's increment."""
+    import inspect
+
     until = current_snapshot(table)
     if until is None:
         raise NoCurrentSnapshotError(table)
@@ -908,7 +914,11 @@ def consume_appends(spark: SparkSession, table: str, cursor_path: str,
     else:
         df = read_appended_since(spark, table, cursor, until=until)
         mode = "increment"
-    process(df)
+    info = {"from": cursor, "to": until, "mode": mode}
+    if len(inspect.signature(process).parameters) >= 2:
+        process(df, info)
+    else:
+        process(df)
     tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump({"snapshot": until, "table": table}, fh)

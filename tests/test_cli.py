@@ -282,3 +282,68 @@ def test_fetch_bulk_sort_pushdown_reaches_transport(spark, tmp_path):
     col = "Captured Data Type"  # merge_lot_data maps dataCaptureName here
     stamps = {r[col] for r in delivered.select(col).distinct().collect()}
     assert stamps == {"sort=dateTime:desc"}
+
+
+def test_table_lifecycle_cli(spark, tmp_path):
+    """Operator surface for versioned tables: write -> append (txn
+    stamp) -> merge -> delete-keys -> compact -> consume increments ->
+    vacuum -> history, end-to-end through the CLI with parquet
+    inputs."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    def land(rows, name):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "k int, v string").write.parquet(p)
+        return p
+
+    table = str(tmp_path / "vtbl")
+    cursor = str(tmp_path / "cursor.json")
+    inc_out = str(tmp_path / "increments")
+
+    base = land([(1, "a"), (2, "b"), (3, "c")], "base")
+    assert main(["table", "write", "--table", table, "--input", base,
+                 "--stats-cols", "k"]) == 0
+    # consume bootstraps on the full snapshot
+    assert main(["table", "consume", "--table", table,
+                 "--cursor", cursor, "--out-dir", inc_out]) == 0
+    boot = [d for d in os.listdir(inc_out) if d.startswith("inc-")]
+    assert len(boot) == 1
+    assert spark.read.parquet(os.path.join(inc_out, boot[0])).count() == 3
+
+    b1 = land([(4, "d")], "b1")
+    assert main(["table", "append", "--table", table, "--input", b1,
+                 "--txn-id", "cli:1"]) == 0
+    # replayed txn is a no-op commit
+    assert main(["table", "append", "--table", table, "--input", b1,
+                 "--txn-id", "cli:1"]) == 0
+    assert V.read_current(spark, table).count() == 4
+
+    # increment consumption sees ONLY the appended rows
+    assert main(["table", "consume", "--table", table,
+                 "--cursor", cursor, "--out-dir", inc_out]) == 0
+    incs = sorted(d for d in os.listdir(inc_out) if d.startswith("inc-"))
+    assert len(incs) == 2
+    newest = max(incs, key=lambda d: d.split("inc-")[1])
+    got = spark.read.parquet(os.path.join(inc_out, newest))
+    assert [(r.k, r.v) for r in got.collect()] == [(4, "d")]
+
+    upd = land([(2, "B"), (5, "e")], "upd")
+    assert main(["table", "merge", "--table", table, "--input", upd,
+                 "--key", "k"]) == 0
+    doom = land([(3, "x")], "doom")
+    assert main(["table", "delete-keys", "--table", table,
+                 "--input", doom, "--key", "k"]) == 0
+    assert main(["table", "compact", "--table", table,
+                 "--sort-col", "k", "--target-files", "1"]) == 0
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d"), (5, "e")}
+
+    assert main(["table", "vacuum", "--table", table,
+                 "--keep", "1"]) == 0
+    assert len(V.list_snapshots(table)) == 1
+    assert main(["table", "history", "--table", table]) == 0
+
+    # missing required flag fails fast with a named message
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="--key"):
+        main(["table", "merge", "--table", table, "--input", upd])
