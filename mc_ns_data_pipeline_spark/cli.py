@@ -422,14 +422,28 @@ def cmd_table(args) -> int:
             raise SystemExit(f"table {args.op}: {flag} is required")
         return value
 
+    # Validate op-specific required flags BEFORE any Spark session —
+    # a missing flag must fail in milliseconds, not after JVM startup.
+    if args.op in ("write", "append", "merge", "delete-keys"):
+        need("--input", args.input)
+    if args.op in ("merge", "delete-keys"):
+        need("--key", args.key)
+    if args.op == "consume":
+        need("--cursor", args.cursor)
+        need("--out-dir", args.out_dir)
+
     if args.op == "history":  # metadata-only: no Spark session
         cur = V.current_snapshot(args.table)
         for s in V.list_snapshots(args.table):
             man = V.read_manifest(args.table, s)
             star = "*" if s == cur else " "
+            # .get defaults throughout: pre-'op' legacy manifests must
+            # list, not crash — history is the tool you reach for when
+            # a table looks wrong.
             print(f"{star} {s} op={man.get('op', '?'):9s} "
-                  f"rows={man['rows']:>12} files={len(man['files']):>5} "
-                  f"reused={man['reused_files']:>5} "
+                  f"rows={man.get('rows', '?'):>12} "
+                  f"files={len(man.get('files', [])):>5} "
+                  f"reused={man.get('reused_files', 0):>5} "
                   f"txn={man.get('txn_id') or '-'}")
         return 0
     if args.op == "vacuum":  # filesystem-only: no Spark session
@@ -444,34 +458,43 @@ def cmd_table(args) -> int:
                                   sort_col=args.sort_col,
                                   target_files=args.target_files)
     elif args.op == "consume":
-        out_dir = need("--out-dir", args.out_dir)
+        out_dir = args.out_dir
 
         def land(df, info):
-            # overwrite into a target-snapshot-named dir: a replay
-            # after a crash-before-cursor-advance rewrites the same
-            # directory — exactly-once landing per increment.
+            # Keyed on the FROM snapshot — stable across retries: a
+            # replay after a crash-before-cursor-advance re-consumes
+            # [from .. newer-until], a superset of the crashed range,
+            # and the overwrite REPLACES the same directory instead of
+            # leaving a duplicate sibling (keying on 'to' would write
+            # a new dir whenever a commit landed between crash and
+            # retry, double-counting the overlap downstream).
             df.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"inc-{info['to']}"))
+                os.path.join(out_dir, f"inc-{info['from'] or 'bootstrap'}"))
 
-        res = V.consume_appends(spark, args.table,
-                                need("--cursor", args.cursor), land)
+        res = V.consume_appends(spark, args.table, args.cursor, land)
         print(f"consume: {res['mode']} {res['from']} -> {res['to']}")
         return 0
     else:
-        df = spark.read.parquet(need("--input", args.input))
+        df = spark.read.parquet(args.input)
         if args.op == "write":
-            stats = (args.stats_cols.split(",")
-                     if args.stats_cols else None)
+            stats = None
+            if args.stats_cols:
+                stats = [c.strip() for c in args.stats_cols.split(",")
+                         if c.strip()]
+                missing = [c for c in stats if c not in df.columns]
+                if missing:  # fail fast: silent typos would persist
+                    raise SystemExit(  # junk stats_cols in the manifest
+                        f"table write: --stats-cols {missing} not in "
+                        f"input columns {df.columns}")
             snap = V.write_snapshot(df, args.table, stats_cols=stats)
         elif args.op == "append":
             snap = V.append_snapshot(df, args.table,
                                      txn_id=args.txn_id)
         elif args.op == "merge":
-            snap = V.merge_snapshot(spark, df, args.table,
-                                    need("--key", args.key))
+            snap = V.merge_snapshot(spark, df, args.table, args.key)
         else:  # delete-keys
             snap = V.delete_keys_snapshot(spark, args.table,
-                                          need("--key", args.key), df)
+                                          args.key, df)
     print(f"{args.op}: published {snap}")
     return 0
 

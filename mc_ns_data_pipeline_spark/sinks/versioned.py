@@ -125,6 +125,19 @@ def list_snapshots(table: str) -> list[str]:
         return []
 
 
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Durable single-file commit: write a temp sibling, fsync, then
+    one atomic rename — readers see the old content or the new,
+    never a torn file. (The manifest, the CURRENT pointer, and the
+    consumer cursor all ride this same primitive.)"""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 def read_manifest(table: str, snapshot: str) -> dict:
     with open(_manifest_path(table, snapshot)) as fh:
         return json.load(fh)
@@ -380,11 +393,7 @@ def _publish(table: str, files: list[str], rows: int,
         "stats": stats,
         "stats_cols": stats_cols,
     }
-    mpath = _manifest_path(table, name)
-    with open(mpath, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
+    _atomic_write_json(_manifest_path(table, name), manifest)
 
     pointer = _pointer_path(table)
     tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
@@ -892,9 +901,16 @@ def consume_appends(spark: SparkSession, table: str, cursor_path: str,
     or reconcile via ``changes_between``) rather than silently
     double-reading rewritten rows.
 
-    ``process`` may declare a second parameter to receive
+    ``process`` may declare a second POSITIONAL parameter to receive
     ``{"from", "to", "mode"}`` — e.g. to derive an idempotent output
-    path or txn stamp from the pinned target snapshot.
+    path keyed on ``from`` (stable across retries: a replay after a
+    crash consumes [from..newer-until], a superset of the crashed
+    range, so an overwrite keyed on ``from`` replaces rather than
+    duplicates). Keyword-only/``**kwargs`` parameters don't count —
+    only explicit positional arity opts in.
+
+    The cursor file records its table path; consuming it against a
+    different table fails fast instead of stalling on a lineage walk.
 
     The target snapshot is pinned once at entry: appends landing
     while ``process`` runs are simply the next call's increment."""
@@ -906,7 +922,14 @@ def consume_appends(spark: SparkSession, table: str, cursor_path: str,
     cursor = None
     if os.path.exists(cursor_path):
         with open(cursor_path) as fh:
-            cursor = json.load(fh)["snapshot"]
+            state = json.load(fh)
+        owner = state.get("table")
+        if owner is not None and (os.path.abspath(owner)
+                                  != os.path.abspath(table)):
+            raise ValueError(
+                f"cursor {cursor_path!r} belongs to table {owner!r}, "
+                f"not {table!r}")
+        cursor = state["snapshot"]
     if cursor == until:
         return {"from": cursor, "to": until, "mode": "noop"}
     if cursor is None:
@@ -915,17 +938,18 @@ def consume_appends(spark: SparkSession, table: str, cursor_path: str,
         df = read_appended_since(spark, table, cursor, until=until)
         mode = "increment"
     info = {"from": cursor, "to": until, "mode": mode}
-    if len(inspect.signature(process).parameters) >= 2:
+    positional = [
+        p for p in inspect.signature(process).parameters.values()
+        if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                      inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    if len(positional) >= 2:
         process(df, info)
     else:
         process(df)
-    tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump({"snapshot": until, "table": table}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, cursor_path)
-    return {"from": cursor, "to": until, "mode": mode}
+    _atomic_write_json(cursor_path,
+                       {"snapshot": until, "table": table})
+    return info
 
 
 def changes_between(spark: SparkSession, table: str, since: str,

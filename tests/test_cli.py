@@ -301,14 +301,22 @@ def test_table_lifecycle_cli(spark, tmp_path):
     inc_out = str(tmp_path / "increments")
 
     base = land([(1, "a"), (2, "b"), (3, "c")], "base")
+    # whitespace in --stats-cols is stripped; typos fail fast
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="nope"):
+        main(["table", "write", "--table", table, "--input", base,
+              "--stats-cols", "k, nope"])
     assert main(["table", "write", "--table", table, "--input", base,
-                 "--stats-cols", "k"]) == 0
+                 "--stats-cols", " k "]) == 0
+    from mc_ns_data_pipeline_spark.sinks import versioned as V2
+    assert V2.read_manifest(
+        table, V2.current_snapshot(table))["stats_cols"] == ["k"]
     # consume bootstraps on the full snapshot
     assert main(["table", "consume", "--table", table,
                  "--cursor", cursor, "--out-dir", inc_out]) == 0
-    boot = [d for d in os.listdir(inc_out) if d.startswith("inc-")]
-    assert len(boot) == 1
-    assert spark.read.parquet(os.path.join(inc_out, boot[0])).count() == 3
+    assert os.path.isdir(os.path.join(inc_out, "inc-bootstrap"))
+    assert spark.read.parquet(
+        os.path.join(inc_out, "inc-bootstrap")).count() == 3
 
     b1 = land([(4, "d")], "b1")
     assert main(["table", "append", "--table", table, "--input", b1,
@@ -318,14 +326,22 @@ def test_table_lifecycle_cli(spark, tmp_path):
                  "--txn-id", "cli:1"]) == 0
     assert V.read_current(spark, table).count() == 4
 
-    # increment consumption sees ONLY the appended rows
+    # increment consumption sees ONLY the appended rows; the landing
+    # dir is keyed on the FROM snapshot (stable across retries)
     assert main(["table", "consume", "--table", table,
                  "--cursor", cursor, "--out-dir", inc_out]) == 0
     incs = sorted(d for d in os.listdir(inc_out) if d.startswith("inc-"))
     assert len(incs) == 2
-    newest = max(incs, key=lambda d: d.split("inc-")[1])
+    newest = next(d for d in incs if d != "inc-bootstrap")
     got = spark.read.parquet(os.path.join(inc_out, newest))
     assert [(r.k, r.v) for r in got.collect()] == [(4, "d")]
+    # a cursor pointed at the wrong table fails precisely
+    with _pytest.raises(ValueError, match="belongs to table"):
+        from mc_ns_data_pipeline_spark.sinks import versioned as V3
+        other = str(tmp_path / "other_tbl")
+        V3.write_snapshot(
+            spark.createDataFrame([(1, "z")], "k int, v string"), other)
+        V3.consume_appends(spark, other, cursor, lambda df: None)
 
     upd = land([(2, "B"), (5, "e")], "upd")
     assert main(["table", "merge", "--table", table, "--input", upd,

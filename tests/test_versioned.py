@@ -746,3 +746,27 @@ def test_two_dim_stats_pruning(spark, tmp_path):
     got = {r.a for r in V.read_current(
         spark, table, predicates=[("b", ">=", 190)]).collect()}
     assert got == {95, 96, 97, 98, 99}
+
+
+def test_consume_appends_callback_arities(spark, tmp_path):
+    """Only explicit positional arity opts into the info argument:
+    (df) and (df, **kwargs) get one argument, (df, info) gets two —
+    keyword-only/var-keyword params must not miscount (regression:
+    signature-length sniffing crashed a (df, **kwargs) callback)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+
+    calls = []
+
+    def one(df, **kwargs):
+        calls.append(("one", df.count(), kwargs))
+
+    V.consume_appends(spark, table, str(tmp_path / "c1"), one)
+    assert calls[-1] == ("one", 1, {})
+
+    def two(df, info):
+        calls.append(("two", df.count(), info["mode"]))
+
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    V.consume_appends(spark, table, str(tmp_path / "c2"), two)
+    assert calls[-1] == ("two", 2, "bootstrap")  # fresh cursor
