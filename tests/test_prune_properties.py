@@ -1,0 +1,128 @@
+"""Property-based soundness of manifest-stats file pruning
+(sinks/versioned.py): for ANY file contents and ANY comparison
+predicate, a file containing a matching value must never be pruned.
+
+This is the invariant the Spark-level tests check by example
+(test_versioned.py); here Hypothesis searches the value space —
+including the Decimal-beyond-float-precision and date-vs-datetime
+granularity corners that motivated _stat_bounds' widening and
+midnight expansion. Pure Python: no SparkSession, runs in
+milliseconds.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mc_ns_data_pipeline_spark.sinks.versioned import (
+    _PRUNE_OPS,
+    _file_survives,
+    _stat_bounds,
+)
+
+OPS = sorted(_PRUNE_OPS)
+
+# Value kinds whose Python ordering matches Spark column ordering
+# (NaN is excluded here: _stat_bounds refuses to record NaN bounds and
+# _file_survives never prunes on a NaN literal — both unit-tested in
+# test_versioned.py::test_pruning_soundness_nan_decimal_date).
+_ints = st.integers(min_value=-(2**70), max_value=2**70)
+_floats = st.floats(allow_nan=False, allow_infinity=True, width=64)
+_decimals = st.decimals(
+    allow_nan=False, allow_infinity=False,
+    min_value=-(10**24), max_value=10**24, places=4)
+_dates = st.dates(min_value=dt.date(1900, 1, 1),
+                  max_value=dt.date(2200, 1, 1))
+_datetimes = st.datetimes(min_value=dt.datetime(1900, 1, 1),
+                          max_value=dt.datetime(2200, 1, 1))
+_strings = st.text(max_size=20)
+
+
+def _spark_truth(value, op, literal):
+    """What Spark's row filter would decide, computed EXACTLY: ints/
+    floats/decimals compare numerically (Python cross-type numeric
+    comparison is exact — no float rounding), dates coerce to midnight
+    datetimes (Spark casts DATE to TIMESTAMP in mixed comparisons)."""
+    if isinstance(value, dt.datetime) or isinstance(literal, dt.datetime):
+        def up(x):
+            return (dt.datetime(x.year, x.month, x.day)
+                    if isinstance(x, dt.date)
+                    and not isinstance(x, dt.datetime) else x)
+        value, literal = up(value), up(literal)
+    cmp = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+           ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+           "=": lambda a, b: a == b}
+    return cmp[op](value, literal)
+
+
+def _check(values, op, literal):
+    """Record stats over `values` the way _scan_new_files would (exact
+    min/max of the file), then assert: if ANY value matches the
+    predicate, the file survives pruning."""
+    bounds = _stat_bounds(min(values), max(values))
+    if bounds is None:
+        return  # unstatable: file always scanned, trivially sound
+    stats = {"f.parquet": {"c": bounds}}
+    survives = _file_survives(stats, "f.parquet", "c", op, literal)
+    if any(_spark_truth(v, op, literal) for v in values):
+        assert survives, (
+            f"unsound prune: values={values} op={op} lit={literal!r} "
+            f"bounds={bounds}")
+
+
+@settings(max_examples=300)
+@given(st.lists(_ints, min_size=1, max_size=5),
+       st.sampled_from(OPS), _ints)
+def test_never_prunes_matching_ints(values, op, literal):
+    _check(values, op, literal)
+
+
+@settings(max_examples=300)
+@given(st.lists(_floats, min_size=1, max_size=5),
+       st.sampled_from(OPS), _floats)
+def test_never_prunes_matching_floats(values, op, literal):
+    _check(values, op, literal)
+
+
+@settings(max_examples=300)
+@given(st.lists(_decimals, min_size=1, max_size=5),
+       st.sampled_from(OPS), _decimals)
+def test_never_prunes_matching_decimals(values, op, literal):
+    # The corner that motivated ulp-widening: exact decimal truth vs
+    # float-stored bounds.
+    _check(values, op, literal)
+
+
+@settings(max_examples=300)
+@given(st.lists(_decimals, min_size=1, max_size=5),
+       st.sampled_from(OPS), _ints)
+def test_never_prunes_decimal_stats_int_literal(values, op, literal):
+    _check(values, op, literal)
+
+
+@settings(max_examples=300)
+@given(st.lists(_datetimes, min_size=1, max_size=5),
+       st.sampled_from(OPS),
+       st.one_of(_dates, _datetimes))
+def test_never_prunes_matching_timestamps_vs_date_literals(
+        values, op, literal):
+    # The granularity corner: timestamp stats, date (midnight) literal.
+    _check(values, op, literal)
+
+
+@settings(max_examples=300)
+@given(st.lists(_strings, min_size=1, max_size=5),
+       st.sampled_from(OPS), _strings)
+def test_never_prunes_matching_strings(values, op, literal):
+    _check(values, op, literal)
+
+
+@settings(max_examples=200)
+@given(st.lists(_ints, min_size=1, max_size=5), st.sampled_from(OPS))
+def test_equality_on_present_value_always_survives(values, op):
+    # Sharper special case: the literal IS in the file.
+    _check(values, "=", values[0])
