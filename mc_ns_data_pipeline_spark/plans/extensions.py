@@ -3224,7 +3224,11 @@ def x101_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     span = orders.agg(F.min("o_orderkey").alias("lo"),
                       F.max("o_orderkey").alias("hi")).first()
-    cut = span["lo"] + (span["hi"] - span["lo"]) / 8.0
+    # floor to int: k <= c for integral k equals k <= floor(c), and an
+    # integer literal keeps the parquet filter PUSHED (a float literal
+    # wraps the column in cast-to-double, which kills footer pushdown
+    # — the filter would run post-scan only)
+    cut = span["lo"] + (span["hi"] - span["lo"]) // 8
 
     base = (
         orders.select("o_orderkey",
@@ -6458,7 +6462,8 @@ EXT_ORACLES["x100_cdc_diff"] = """
 EXT_ORACLES["x101_pruned_read"] = """
     WITH cut AS (
         SELECT min(o_orderkey)
-               + (max(o_orderkey) - min(o_orderkey)) / 8.0 AS c
+               + CAST(FLOOR((max(o_orderkey) - min(o_orderkey))
+                            / 8.0) AS BIGINT) AS c
         FROM orders
     )
     SELECT count(*)::BIGINT AS n_rows,

@@ -667,3 +667,15 @@ def test_no_unbounded_cross_join_in_any_batch_query(spark, sf_dir):
         f"unreviewed cross joins: {offenders} — either fix the plan or "
         "allowlist with a bounded-side justification"
     )
+
+
+def test_x101_pruned_read_pushes_filter_to_parquet(spark, sf_dir):
+    """The pruned read's residual filter must reach the parquet scan
+    as a PUSHED filter (footer row-group skipping under the manifest
+    pruning layer). Regression: a float cut literal wrapped the bigint
+    key in cast-to-double, demoting the predicate to a post-scan
+    DataFilter — the integer-floored cut keeps both pruning layers
+    live."""
+    plan = plan_of(spark, sf_dir, "x101_pruned_read")
+    assert "PushedFilters: [IsNotNull(o_orderkey), " \
+           "LessThanOrEqual(o_orderkey," in plan, plan
