@@ -308,6 +308,12 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
     ``filter`` (pruning is an optimization, never the semantics), so
     the result equals an unpruned scan + filter exactly.
 
+    Pass literals of the COLUMN's type: a float literal against an
+    integral column makes Spark cast the column side, which demotes
+    the residual filter from a pushed parquet filter to a post-scan
+    one (manifest pruning still applies, footer row-group skipping is
+    lost — floor/ceil the literal instead, x101's pattern).
+
     Reads carry the manifest-recorded schema when present, so files
     written before a schema evolution project NULL for later-added
     columns without a mergeSchema footer pass over every file."""
