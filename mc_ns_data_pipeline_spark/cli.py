@@ -447,7 +447,8 @@ def cmd_table(args) -> int:
                   f"txn={man.get('txn_id') or '-'}")
         return 0
     if args.op == "vacuum":  # filesystem-only: no Spark session
-        out = V.vacuum_snapshots(args.table, keep=args.keep)
+        out = V.vacuum_snapshots(args.table, keep=args.keep,
+                                 min_age_seconds=args.min_age_seconds)
         print(f"vacuum: reaped {len(out['snapshots'])} snapshots, "
               f"{out['files']} pool files")
         return 0
@@ -598,6 +599,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compact: output file count")
     tb.add_argument("--keep", type=int, default=2,
                     help="vacuum: snapshots to retain")
+    tb.add_argument("--min-age-seconds", type=float, default=None,
+                    help="vacuum: never reap snapshots younger than "
+                    "this (retention floor for long-running readers)")
     tb.add_argument("--cursor", default=None,
                     help="consume: durable cursor file path")
     tb.add_argument("--out-dir", default=None,

@@ -707,22 +707,40 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                         stats_cols=stats_cols)
 
 
-def vacuum_snapshots(table: str, keep: int = 2) -> dict:
+def vacuum_snapshots(table: str, keep: int = 2,
+                     min_age_seconds: float | None = None) -> dict:
     """Reap history no in-flight reader should still need: drop every
     manifest except the current snapshot and the newest ``keep - 1``
     others, then delete pool files referenced by NO retained manifest
     (reference-counted — files shared forward by COW commits survive).
     Orphans from pre-flip crashes age out of the keep window like any
     superseded snapshot. Returns ``{"snapshots": [...], "files": n}``.
-    """
+
+    ``min_age_seconds`` adds the operational retention floor a
+    count-based ``keep`` can't express: a snapshot whose manifest is
+    YOUNGER than the floor is never reaped regardless of how many
+    commits superseded it — a burst of micro-batch appends must not
+    evict the snapshot a long-running reader pinned minutes ago.
+    (The count bounds disk; the age bounds reader exposure. Size the
+    floor to the longest read you allow — the Iceberg
+    expire-older-than contract.) Manifest mtime is the age source:
+    it's assigned by the atomic publish rename, monotone per table."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
+    import time as _time
+
     with table_lease(table, owner="vacuum"):
         current = current_snapshot(table)
         snaps = list_snapshots(table)
         retained = set(snaps[-keep:])
         if current is not None:
             retained.add(current)
+        if min_age_seconds is not None:
+            cutoff = _time.time() - min_age_seconds
+            for s in snaps:
+                if s not in retained and os.path.getmtime(
+                        _manifest_path(table, s)) > cutoff:
+                    retained.add(s)
         doomed = [s for s in snaps if s not in retained]
         for s in doomed:
             os.remove(_manifest_path(table, s))

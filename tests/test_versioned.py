@@ -770,3 +770,33 @@ def test_consume_appends_callback_arities(spark, tmp_path):
     V.append_snapshot(_df(spark, [(2, "b")]), table)
     V.consume_appends(spark, table, str(tmp_path / "c2"), two)
     assert calls[-1] == ("two", 2, "bootstrap")  # fresh cursor
+
+
+def test_vacuum_min_age_floor(spark, tmp_path):
+    """The age floor protects young snapshots from a commit burst:
+    keep=1 with a 1-hour floor reaps nothing fresh; backdating the
+    superseded manifests makes them eligible while CURRENT and any
+    young snapshot always survive."""
+    import time
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    snaps = V.list_snapshots(table)
+
+    out = V.vacuum_snapshots(table, keep=1, min_age_seconds=3600)
+    assert out["snapshots"] == [] and len(V.list_snapshots(table)) == 3
+
+    # Backdate the FIRST snapshot only: it becomes reapable; the
+    # middle one is still young and survives keep=1 via the floor.
+    old = V._manifest_path(table, snaps[0])
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+    out = V.vacuum_snapshots(table, keep=1, min_age_seconds=3600)
+    assert out["snapshots"] == [snaps[0]]
+    assert set(V.list_snapshots(table)) == set(snaps[1:])
+    # Without a floor, count-based keep reaps the middle one too.
+    out = V.vacuum_snapshots(table, keep=1)
+    assert out["snapshots"] == [snaps[1]]
+    assert V.read_current(spark, table).count() == 3
