@@ -478,16 +478,21 @@ def cmd_table(args) -> int:
     else:
         df = spark.read.parquet(args.input)
         if args.op == "write":
-            stats = None
-            if args.stats_cols:
-                stats = [c.strip() for c in args.stats_cols.split(",")
-                         if c.strip()]
-                missing = [c for c in stats if c not in df.columns]
+            def col_list(raw, flag):
+                if not raw:
+                    return None
+                cols = [c.strip() for c in raw.split(",") if c.strip()]
+                missing = [c for c in cols if c not in df.columns]
                 if missing:  # fail fast: silent typos would persist
-                    raise SystemExit(  # junk stats_cols in the manifest
-                        f"table write: --stats-cols {missing} not in "
+                    raise SystemExit(  # junk metadata cols forever
+                        f"table write: {flag} {missing} not in "
                         f"input columns {df.columns}")
-            snap = V.write_snapshot(df, args.table, stats_cols=stats)
+                return cols
+
+            snap = V.write_snapshot(
+                df, args.table,
+                stats_cols=col_list(args.stats_cols, "--stats-cols"),
+                bloom_cols=col_list(args.bloom_cols, "--bloom-cols"))
         elif args.op == "append":
             snap = V.append_snapshot(df, args.table,
                                      txn_id=args.txn_id)
@@ -591,6 +596,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list: record per-file [min,max] "
                     "manifest stats at write (enables metadata file "
                     "pruning on later reads and merges)")
+    tb.add_argument("--bloom-cols", default=None,
+                    help="comma list (string/integral columns): "
+                    "record per-file equality blooms at write — "
+                    "point-lookup pruning on unclustered columns")
     tb.add_argument("--txn-id", default=None,
                     help="exactly-once append stamp (replays no-op)")
     tb.add_argument("--sort-col", default=None,

@@ -233,6 +233,175 @@ def _stat_bounds(lo, hi) -> list | None:
     return [lo, hi]
 
 
+# ---------------------------------------------------------------------------
+# Per-file equality blooms: min/max stats prune RANGE predicates on
+# clustered columns; a point lookup on an UNCLUSTERED id-like column
+# (every file's [min, max] spans the whole keyspace) needs a
+# membership summary instead. An 8 KiB bloom per file per column in
+# the manifest answers `col = literal` at plan time: false positives
+# cost one extra file scan, false negatives are impossible — provided
+# build and probe hash EXACTLY the same bytes, which is why both sides
+# share _bloom_positions (pandas' stable vectorized hash over
+# canonical strings; no JVM-vs-Python hash-matching risk).
+# Supported column types: string + integral (their canonical text is
+# unambiguous; write_snapshot rejects others loudly).
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_BITS_PER_VALUE = 10  # -> FPR ~0.9% with K=3
+_BLOOM_MIN_BITS = 1 << 12  # 512 B floor
+_BLOOM_MAX_BITS = 1 << 21  # 256 KiB/file/column cap: beyond this the
+#   honest lever is compaction to fewer distinct values per file (or a
+#   real index); FPR degrades smoothly past ~200k values/file
+
+
+def _bloom_m_bits(n_values: int) -> int:
+    """Bits sized to the file's value count (~10 bits/value, power of
+    two, clamped) — a fixed size would be wasteful on small files and
+    useless (FPR -> 1) on dense ones. The chosen m travels implicitly
+    as the bitmap length, so the probe needs no metadata."""
+    want = max(_BLOOM_MIN_BITS,
+               min(_BLOOM_MAX_BITS, _BLOOM_BITS_PER_VALUE * n_values))
+    return 1 << (want - 1).bit_length()
+
+
+def _bloom_positions(values, m_bits: int) -> list:
+    """The K bit positions for each canonical-string value —
+    vectorized, identical on the build (executor pandas) and probe
+    (driver) sides. Double hashing from one stable 64-bit hash."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(list(values), dtype="object").astype(str)
+    # categorize=False: the factorize fast path compares C strings and
+    # TRUNCATES AT NUL, hashing '' and '\x00' identically on multi-
+    # element series but not single-element probes — a real false
+    # negative (Hypothesis-found). The direct path is NUL-safe and
+    # faster on id-like (mostly-unique) columns anyway.
+    h = pd.util.hash_pandas_object(
+        s, index=False, categorize=False).to_numpy(dtype=np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(m_bits))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_b64(series, integral: bool) -> str:
+    """Build one file/column bloom from a pandas Series. Integral
+    columns re-cast after dropna: Arrow hands a long-with-NULLs column
+    to pandas as float64, and '5.0' vs '5' would be a silent false
+    negative."""
+    import base64
+
+    import numpy as np
+
+    vals = series.dropna()
+    if integral and len(vals):
+        vals = vals.astype("int64")
+    m = _bloom_m_bits(len(vals))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(vals):
+        for pos in _bloom_positions(vals, m):
+            np.bitwise_or.at(
+                bits, (pos // 8).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos % 8).astype(np.uint8)))
+    return base64.b64encode(bits.tobytes()).decode("ascii")
+
+
+def _bloom_may_contain(b64: str, val) -> bool:
+    """Probe: every one of the K positions for `val` must be set.
+    The bloom's size rides in the bitmap length."""
+    import base64
+
+    import numpy as np
+
+    bits = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    for pos in _bloom_positions([val], len(bits) * 8):
+        p = int(pos[0])
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+_BLOOM_OK_TYPES = ("string", "byte", "short", "integer", "long")
+
+
+def _check_bloom_cols(schema: StructType, bloom_cols: list[str]):
+    for c in bloom_cols:
+        field = next((f for f in schema.fields if f.name == c), None)
+        if field is None:
+            raise ValueError(f"bloom column {c!r} not in schema")
+        if field.dataType.typeName() not in _BLOOM_OK_TYPES:
+            raise ValueError(
+                f"bloom column {c!r} has type "
+                f"{field.dataType.simpleString()}; blooms support "
+                f"string and integral columns (unambiguous canonical "
+                f"text — see _bloom_positions)")
+
+
+def _scan_blooms(spark: SparkSession, table: str, files: list[str],
+                 bloom_cols: list[str] | None,
+                 schema: StructType) -> dict | None:
+    """One Arrow-batched pass over the JUST-LANDED files building the
+    per-file blooms: groupBy(input_file_name).applyInPandas — the
+    shuffle moves only the bloom columns of the commit's own files,
+    never the table."""
+    if not bloom_cols:
+        return None
+    cols = [c for c in bloom_cols if c in
+            {f.name for f in schema.fields}]
+    if not files or not cols:
+        return {}
+    integral = {
+        c: next(f for f in schema.fields if f.name == c)
+        .dataType.typeName() != "string"
+        for c in cols
+    }
+    out_schema = ", ".join(["_file string"]
+                           + [f"_b{i} string" for i in range(len(cols))])
+
+    def build(pdf):
+        import pandas as pd
+
+        row = {"_file": [pdf["_file"].iloc[0]]}
+        for i, c in enumerate(cols):
+            row[f"_b{i}"] = [_bloom_b64(pdf[c], integral[c])]
+        return pd.DataFrame(row)
+
+    root = _data_root(table)
+    rows = (
+        spark.read.parquet(*(os.path.join(root, f) for f in files))
+        .select(*cols, F.input_file_name().alias("_file"))
+        .groupBy("_file").applyInPandas(build, out_schema)
+        .collect()
+    )
+    blooms = {
+        os.path.basename(r["_file"]):
+            {c: r[f"_b{i}"] for i, c in enumerate(cols)}
+        for r in rows
+    }
+    empty = None
+    for name in files:  # zero-row files: all-zero bloom, every probe
+        if name not in blooms:  # misses, file provably skippable
+            if empty is None:
+                import pandas as pd
+                empty = _bloom_b64(pd.Series([], dtype="object"), False)
+            blooms[name] = {c: empty for c in cols}
+    return blooms
+
+
+def _carry_blooms(parent_man: dict, untouched: list[str],
+                  new_blooms: dict | None) -> dict | None:
+    old = parent_man.get("blooms") or {}
+    carried = {f: old[f] for f in untouched if f in old}
+    if new_blooms:
+        carried.update(new_blooms)
+    return carried or None
+
+
 # Can a file whose [lo, hi] column range satisfy `col OP val`? Files
 # with NO stats entry always survive (opt-in metadata, never required
 # for correctness); a present-but-[None, None] entry means the column
@@ -275,11 +444,25 @@ def _file_survives(stats: dict, name: str, col: str, op: str,
         return True  # incomparable literal type: be conservative
 
 
+def _bloom_survives(blooms: dict, name: str, col: str, op: str,
+                    val) -> bool:
+    if op != "=" or val is None:
+        return True  # blooms answer equality membership only
+    entry = blooms.get(name)
+    if entry is None or col not in entry:
+        return True  # no bloom for this file/column: must scan
+    if isinstance(val, bool) or not isinstance(val, (int, str)):
+        return True  # probe only types whose canonical text matches
+    return _bloom_may_contain(entry[col], val)
+
+
 def _prune_from_man(man: dict, predicates: list[tuple]) -> dict:
     stats = man.get("stats") or {}
+    blooms = man.get("blooms") or {}
     kept = [
         name for name in man["files"]
         if all(_file_survives(stats, name, c, op, v)
+               and _bloom_survives(blooms, name, c, op, v)
                for (c, op, v) in predicates)
     ]
     return {"total": len(man["files"]), "kept": kept,
@@ -380,7 +563,9 @@ def _publish(table: str, files: list[str], rows: int,
              new_files: list[str] | None = None,
              schema: StructType | None = None,
              stats: dict | None = None,
-             stats_cols: list[str] | None = None) -> str:
+             stats_cols: list[str] | None = None,
+             blooms: dict | None = None,
+             bloom_cols: list[str] | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease."""
     name = _next_snapshot_name(table)
@@ -398,6 +583,8 @@ def _publish(table: str, files: list[str], rows: int,
                    if schema is not None else None),
         "stats": stats,
         "stats_cols": stats_cols,
+        "blooms": blooms,
+        "bloom_cols": bloom_cols,
     }
     _atomic_write_json(_manifest_path(table, name), manifest)
 
@@ -491,7 +678,8 @@ def _carry_stats(parent_man: dict, untouched: list[str],
 
 
 def write_snapshot(df: DataFrame, table: str,
-                   stats_cols: list[str] | None = None) -> str:
+                   stats_cols: list[str] | None = None,
+                   bloom_cols: list[str] | None = None) -> str:
     """Full-refresh publish (K8 semantics, reader-safe): the new state
     becomes visible in one atomic pointer flip; in-flight readers keep
     the old snapshot's files, which this write never touches.
@@ -500,15 +688,23 @@ def write_snapshot(df: DataFrame, table: str,
     [min, max] recorded at publish (same scan row accounting pays) and
     inherited by every later append/merge/compact commit, enabling
     metadata-only file pruning in ``read_snapshot(predicates=...)``
-    and the merge locate step."""
+    and the merge locate step. ``bloom_cols`` (string/integral
+    columns) adds per-file equality blooms — the point-lookup
+    complement for UNCLUSTERED columns, where every file's [min, max]
+    spans the keyspace and range stats prune nothing."""
     os.makedirs(table, exist_ok=True)
+    if bloom_cols:
+        _check_bloom_cols(df.schema, bloom_cols)
     with table_lease(table, owner="write_snapshot"):
         files = _land_in_pool(df, table)
         rows, stats = _scan_new_files(df.sparkSession, table, files,
                                       stats_cols)
+        blooms = _scan_blooms(df.sparkSession, table, files,
+                              bloom_cols, df.schema)
         return _publish(table, files, rows, current_snapshot(table), 0,
                         op="overwrite", schema=df.schema, stats=stats,
-                        stats_cols=stats_cols)
+                        stats_cols=stats_cols, blooms=blooms,
+                        bloom_cols=bloom_cols)
 
 
 def _txn_already_applied(table: str, txn_id: str) -> str | None:
@@ -556,17 +752,23 @@ def append_snapshot(df: DataFrame, table: str,
         old_files = parent_man.get("files", [])
         old_rows = parent_man.get("rows", 0)
         stats_cols = parent_man.get("stats_cols")
+        bloom_cols = parent_man.get("bloom_cols")
         schema = _merge_schema(_schema_from_man(parent_man), df.schema)
         new_files = _land_in_pool(df, table)
         new_rows, new_stats = _scan_new_files(
             df.sparkSession, table, new_files, stats_cols)
+        new_blooms = _scan_blooms(df.sparkSession, table, new_files,
+                                  bloom_cols, df.schema)
         return _publish(table, old_files + new_files,
                         old_rows + new_rows, parent,
                         len(old_files), txn_id=txn_id, op="append",
                         new_files=new_files, schema=schema,
                         stats=_carry_stats(parent_man, old_files,
                                            new_stats),
-                        stats_cols=stats_cols)
+                        stats_cols=stats_cols,
+                        blooms=_carry_blooms(parent_man, old_files,
+                                             new_blooms),
+                        bloom_cols=bloom_cols)
 
 
 def compact_snapshot(spark: SparkSession, table: str,
@@ -592,14 +794,18 @@ def compact_snapshot(spark: SparkSession, table: str,
         else:
             cur = cur.coalesce(target_files)
         stats_cols = parent_man.get("stats_cols")
+        bloom_cols = parent_man.get("bloom_cols")
         files = _land_in_pool(cur, table)
         if stats_cols:
             _, stats = _scan_new_files(spark, table, files, stats_cols)
         else:  # row count already known: no discarded full-table scan
             stats = None
+        blooms = _scan_blooms(spark, table, files, bloom_cols,
+                              cur.schema)
         return _publish(table, files, parent_man["rows"], parent, 0,
                         op="compact", schema=cur.schema, stats=stats,
-                        stats_cols=stats_cols)
+                        stats_cols=stats_cols, blooms=blooms,
+                        bloom_cols=bloom_cols)
 
 
 def _locate_affected(spark: SparkSession, table: str, man: dict,
@@ -698,13 +904,18 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
         # only the touched files, never the whole table.
         new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                               stats_cols)
+        new_blooms = _scan_blooms(spark, table, new_files,
+                                  parent_man.get("bloom_cols"), schema)
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
                         len(untouched), op="merge",
                         new_files=new_files, schema=schema,
                         stats=_carry_stats(parent_man, untouched,
                                            new_stats),
-                        stats_cols=stats_cols)
+                        stats_cols=stats_cols,
+                        blooms=_carry_blooms(parent_man, untouched,
+                                             new_blooms),
+                        bloom_cols=parent_man.get("bloom_cols"))
 
 
 def vacuum_snapshots(table: str, keep: int = 2,
@@ -819,6 +1030,10 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
         new_files = _land_in_pool(survivors, table)
         new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                               stats_cols)
+        new_blooms = _scan_blooms(
+            spark, table, new_files, parent_man.get("bloom_cols"),
+            parent_schema if parent_schema is not None
+            else survivors.schema)
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
                         len(untouched), op="delete",
@@ -826,7 +1041,10 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
                         schema=parent_schema,
                         stats=_carry_stats(parent_man, untouched,
                                            new_stats),
-                        stats_cols=stats_cols)
+                        stats_cols=stats_cols,
+                        blooms=_carry_blooms(parent_man, untouched,
+                                             new_blooms),
+                        bloom_cols=parent_man.get("bloom_cols"))
 
 
 def _chain_between(table: str, since: str,

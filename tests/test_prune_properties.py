@@ -126,3 +126,39 @@ def test_never_prunes_matching_strings(values, op, literal):
 def test_equality_on_present_value_always_survives(values, op):
     # Sharper special case: the literal IS in the file.
     _check(values, "=", values[0])
+
+
+from mc_ns_data_pipeline_spark.sinks.versioned import (  # noqa: E402
+    _bloom_b64,
+    _bloom_may_contain,
+)
+
+
+@settings(max_examples=300, deadline=None)  # first call imports pandas
+@given(st.lists(st.one_of(st.integers(min_value=-(2**62),
+                                      max_value=2**62),
+                          st.text(max_size=30)),
+                min_size=1, max_size=40))
+def test_bloom_never_false_negative(values):
+    """Every value that went INTO a file's bloom must probe positive —
+    false positives cost a scan, false negatives would lose rows."""
+    import pandas as pd
+
+    b64 = _bloom_b64(pd.Series(values, dtype="object"), False)
+    for v in values:
+        assert _bloom_may_contain(b64, v), (v, values)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=1, max_size=40))
+def test_bloom_integral_recast_matches_int_probe(values):
+    """The integral=True build path (Arrow may deliver long-with-NULL
+    columns as float64) must still probe positive for the plain int
+    literal."""
+    import pandas as pd
+
+    floaty = pd.Series([float(v) for v in values], dtype="float64")
+    b64 = _bloom_b64(floaty, integral=True)
+    for v in values:
+        assert _bloom_may_contain(b64, v)

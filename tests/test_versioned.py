@@ -800,3 +800,71 @@ def test_vacuum_min_age_floor(spark, tmp_path):
     out = V.vacuum_snapshots(table, keep=1)
     assert out["snapshots"] == [snaps[1]]
     assert V.read_current(spark, table).count() == 3
+
+
+def test_bloom_point_lookup_skips_unclustered_files(spark, tmp_path):
+    """Equality blooms: on an UNCLUSTERED table every file's [min,max]
+    spans the keyspace (range stats prune nothing), but a per-file
+    bloom answers point lookups — zero false negatives for every
+    present key, and absent keys skip all files (modulo FP). The
+    pruned read always equals scan + filter."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame(
+            [(i, f"name{i}", "x") for i in range(400)],
+            "k int, name string, v string")
+        .repartition(4)  # hash-scattered: min/max useless by design
+    )
+    snap = V.write_snapshot(base, table, bloom_cols=["k", "name"])
+    man = V.read_manifest(table, snap)
+    assert man["bloom_cols"] == ["k", "name"]
+    assert set(man["blooms"]) == set(man["files"])
+
+    # Soundness: every present key's lookup keeps its file and finds
+    # exactly its row (int and string columns).
+    for k in (0, 17, 399):
+        got = V.read_current(spark, table, predicates=[("k", "=", k)])
+        assert [r.name for r in got.collect()] == [f"name{k}"]
+        got = V.read_current(spark, table,
+                             predicates=[("name", "=", f"name{k}")])
+        assert [r.k for r in got.collect()] == [k]
+    # A present key usually lives in ONE file: most files skip.
+    rep = V.prune_report(table, snap, [("k", "=", 17)])
+    assert rep["skipped"] >= 1  # >=1 robustly; typically 3 of 4
+    # Absent keys: typically all files skip (FP-tolerant bound).
+    rep = V.prune_report(table, snap, [("k", "=", 10_000_000)])
+    assert rep["skipped"] >= 1
+    assert V.read_current(
+        spark, table, predicates=[("k", "=", 10_000_000)]).count() == 0
+
+    # Range predicates ignore blooms (no unsound range pruning).
+    assert V.read_current(
+        spark, table, predicates=[("k", ">=", 398)]).count() == 2
+
+
+def test_bloom_carries_through_commits_and_rejects_bad_types(
+        spark, tmp_path):
+    table = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="integral"):
+        V.write_snapshot(
+            spark.createDataFrame([(1.5, "a")], "k double, v string"),
+            str(tmp_path / "bad"), bloom_cols=["k"])
+
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table,
+                     bloom_cols=["k"])
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    V.merge_snapshot(spark, _df(spark, [(2, "B"), (4, "d")]), table,
+                     "k")
+    snap = V.current_snapshot(table)
+    man = V.read_manifest(table, snap)
+    assert man["bloom_cols"] == ["k"]
+    assert set(man["blooms"]) == set(man["files"])  # carried + new
+    for k in (1, 2, 3, 4):  # no false negatives across the lifecycle
+        got = V.read_current(spark, table, predicates=[("k", "=", k)])
+        assert got.count() == 1
+    # Compaction rebuilds blooms over the rewritten layout.
+    V.compact_snapshot(spark, table, sort_col="k", target_files=1)
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert set(man["blooms"]) == set(man["files"])
+    assert V.read_current(
+        spark, table, predicates=[("k", "=", 4)]).count() == 1
