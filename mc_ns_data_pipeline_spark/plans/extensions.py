@@ -3251,6 +3251,52 @@ def x101_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x102_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through per-file equality blooms on an UNCLUSTERED
+    versioned table (sinks/versioned.py), gate-checked: publish orders
+    hash-scattered (every file's [min, max] spans the keyspace — range
+    stats prune nothing by construction), then answer
+    `o_orderkey = max(o_orderkey)` via read_current(predicates=...).
+
+    The aggregate hash-checks against the raw table (blooms are an
+    optimization, never the semantics) and the `bloom_ok` witness pins
+    that the manifest planning step skipped at least half the files by
+    bloom membership alone — the unclustered-point-lookup complement
+    to x101's clustered range pruning. The probe key is driver-
+    computed from a metadata-cheap max() (x59 count-as-literal
+    pattern), stated identically in the oracle. Scale: on a 100 TB
+    unclustered table a bloom lookup opens ~1 file (+~1% FP) instead
+    of every file; build cost is one Arrow-batched pass over each
+    commit's own files."""
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = orders.agg(F.max("o_orderkey").alias("hi")).first()["hi"]
+
+    base = (
+        orders.select("o_orderkey",
+                      F.col("o_totalprice").alias("price"))
+        .repartition(8)
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="x102_bloom_"), "tbl")
+    snap = V.write_snapshot(base, table, bloom_cols=["o_orderkey"])
+    rep = V.prune_report(table, snap, [("o_orderkey", "=", key)])
+    return (
+        V.read_current(spark, table,
+                       predicates=[("o_orderkey", "=", int(key))])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("bloom_ok",
+                    F.lit(rep["skipped"] >= rep["total"] // 2))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3381,6 +3427,7 @@ EXT_QUERIES = {
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
     "x26_scd2_history": x26_scd2_history,
+    "x102_bloom_lookup": x102_bloom_lookup,
 }
 
 # ---------------------------------------------------------------------------
@@ -6471,4 +6518,16 @@ EXT_ORACLES["x101_pruned_read"] = """
                AS sum_price,
            TRUE AS pruned_ok
     FROM orders, cut WHERE o_orderkey <= cut.c
+"""
+
+# x102: the point-lookup aggregate over the raw table with the same
+# driver-computed max-key literal; bloom_ok is the membership-skip
+# witness the Spark side pins (blooms must never change semantics).
+EXT_ORACLES["x102_bloom_lookup"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           TRUE AS bloom_ok
+    FROM orders
+    WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
 """
