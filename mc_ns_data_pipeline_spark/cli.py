@@ -440,10 +440,12 @@ def cmd_table(args) -> int:
             # .get defaults throughout: pre-'op' legacy manifests must
             # list, not crash — history is the tool you reach for when
             # a table looks wrong.
+            dels = man.get("delete_files") or []
             print(f"{star} {s} op={man.get('op', '?'):9s} "
                   f"rows={man.get('rows', '?'):>12} "
                   f"files={len(man.get('files', [])):>5} "
                   f"reused={man.get('reused_files', 0):>5} "
+                  f"dels={len(dels):>3} "
                   f"txn={man.get('txn_id') or '-'}")
         return 0
     if args.op == "vacuum":  # filesystem-only: no Spark session
@@ -498,7 +500,9 @@ def cmd_table(args) -> int:
                                      txn_id=args.txn_id)
         elif args.op == "merge":
             snap = V.merge_snapshot(spark, df, args.table, args.key)
-        else:  # delete-keys
+        elif args.mor:  # delete-keys, merge-on-read shape
+            snap = V.delete_keys_mor(spark, args.table, args.key, df)
+        else:  # delete-keys, copy-on-write shape
             snap = V.delete_keys_snapshot(spark, args.table,
                                           args.key, df)
     print(f"{args.op}: published {snap}")
@@ -600,6 +604,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list (string/integral columns): "
                     "record per-file equality blooms at write — "
                     "point-lookup pruning on unclustered columns")
+    tb.add_argument("--mor", action="store_true",
+                    help="delete-keys: merge-on-read — land an "
+                    "equality-delete file instead of rewriting "
+                    "affected data files; the next compact applies "
+                    "and clears it")
     tb.add_argument("--txn-id", default=None,
                     help="exactly-once append stamp (replays no-op)")
     tb.add_argument("--sort-col", default=None,

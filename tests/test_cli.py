@@ -349,10 +349,18 @@ def test_table_lifecycle_cli(spark, tmp_path):
     doom = land([(3, "x")], "doom")
     assert main(["table", "delete-keys", "--table", table,
                  "--input", doom, "--key", "k"]) == 0
+    # merge-on-read shape: masks without rewriting, compact applies it
+    doom2 = land([(1, "x")], "doom2")
+    assert main(["table", "delete-keys", "--table", table,
+                 "--input", doom2, "--key", "k", "--mor"]) == 0
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["op"] == "delete-mor" and len(man["delete_files"]) == 1
     assert main(["table", "compact", "--table", table,
                  "--sort-col", "k", "--target-files", "1"]) == 0
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert not man.get("delete_files")
     got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
-    assert got == {(1, "a"), (2, "B"), (4, "d"), (5, "e")}
+    assert got == {(2, "B"), (4, "d"), (5, "e")}
 
     assert main(["table", "vacuum", "--table", table,
                  "--keep", "1"]) == 0

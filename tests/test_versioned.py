@@ -868,3 +868,199 @@ def test_bloom_carries_through_commits_and_rejects_bad_types(
     assert set(man["blooms"]) == set(man["files"])
     assert V.read_current(
         spark, table, predicates=[("k", "=", 4)]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read equality deletes (delete_keys_mor): the scattered-delete
+# fast path. Property under test: a MOR delete changes WHAT readers see
+# without touching any data file, sequences correctly against later
+# inserts/rewrites, keeps row accounting exact, and is fully applied
+# (then discarded) by the next compaction.
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_masks_without_rewrite(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, "v") for i in range(100)],
+                              "k int, v string")
+        .repartitionByRange(4, "k")
+    )
+    snap1 = V.write_snapshot(base, table)
+    files1 = V.read_manifest(table, snap1)["files"]
+    snap2 = V.delete_keys_mor(
+        spark, table, "k", _df(spark, [(1, "x"), (2, "x")]))
+    man = V.read_manifest(table, snap2)
+    # The data file set is IDENTICAL — zero rewrite, zero new files.
+    assert man["files"] == files1 and man["new_files"] == []
+    assert man["op"] == "delete-mor"
+    assert man["rows"] == 98  # exact, without any rewrite
+    assert len(man["delete_files"]) == 1
+    assert man["delete_files"][0]["key"] == "k"
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == set(range(100)) - {1, 2}
+    # Empty doomed set -> no-op, current stays.
+    assert V.delete_keys_mor(
+        spark, table, "k", _df(spark, [(999, "x")]).limit(0)) == snap2
+
+
+def test_mor_delete_sequences_before_later_insert(spark, tmp_path):
+    """A key re-inserted AFTER a MOR delete must survive: the delete
+    masks only rows whose file generation <= the delete's generation
+    (the Iceberg sequence-number contract)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "old"), (2, "keep")]), table)
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]))
+    V.append_snapshot(_df(spark, [(1, "new")]), table)
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "new"), (2, "keep")}
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert len(man["delete_files"]) == 1  # still pending (masks old)
+    assert man["rows"] == 2
+
+
+def test_mor_stacked_deletes_exact_rows(spark, tmp_path):
+    """A second delete overlapping the first must not double-decrement
+    the row count: the decrement counts LIVE matches only."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame([(i, "v") for i in range(10)],
+                              "k int, v string").repartition(3),
+        table)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(1, "x"), (2, "x")]))
+    snap = V.delete_keys_mor(spark, table, "k",
+                             _df(spark, [(2, "x"), (3, "x")]))
+    man = V.read_manifest(table, snap)
+    assert man["rows"] == 7  # 10 - {1,2,3}, key 2 counted once
+    assert man["rows"] == V.read_current(spark, table).count()
+    assert len(man["delete_files"]) == 2
+
+
+def test_mor_matches_cow_result(spark, tmp_path):
+    """Both delete shapes answer identically — MOR is a physical
+    trade, never a semantic one."""
+    rows = [(i, f"v{i}") for i in range(50)]
+    doomed = [(7, "x"), (23, "x"), (41, "x")]
+    t_mor, t_cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    for t in (t_mor, t_cow):
+        V.write_snapshot(
+            spark.createDataFrame(rows, "k int, v string")
+            .repartition(4), t)
+    V.delete_keys_mor(spark, t_mor, "k", _df(spark, doomed))
+    V.delete_keys_snapshot(spark, t_cow, "k", _df(spark, doomed))
+    got_mor = {(r.k, r.v)
+               for r in V.read_current(spark, t_mor).collect()}
+    got_cow = {(r.k, r.v)
+               for r in V.read_current(spark, t_cow).collect()}
+    assert got_mor == got_cow
+    assert (V.read_manifest(t_mor, V.current_snapshot(t_mor))["rows"]
+            == V.read_manifest(t_cow, V.current_snapshot(t_cow))["rows"])
+
+
+def test_compact_applies_and_clears_mor_deletes(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame([(i, "v") for i in range(20)],
+                              "k int, v string").repartition(4),
+        table)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(5, "x"), (6, "x")]))
+    snap = V.compact_snapshot(spark, table, sort_col="k",
+                              target_files=2)
+    man = V.read_manifest(table, snap)
+    assert not man.get("delete_files")  # applied and dropped
+    assert man["rows"] == 18
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == set(range(20)) - {5, 6}
+    # Once no retained manifest references it, vacuum reaps the
+    # delete file along with the superseded data files.
+    V.vacuum_snapshots(table, keep=1)
+    pool = os.listdir(os.path.join(table, "data"))
+    assert set(pool) == set(man["files"])
+
+
+def test_merge_rewrite_never_resurrects_mor_deleted(spark, tmp_path):
+    """A merge that rewrites the FILE holding a MOR-deleted row gives
+    the rewrite a fresh generation — the rewrite must therefore read
+    delete-applied, or the masked row escapes its mask."""
+    table = str(tmp_path / "t")
+    # One file so the merge is forced to rewrite the deleted row's file.
+    V.write_snapshot(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), table)
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]))
+    V.merge_snapshot(spark, _df(spark, [(3, "C")]), table, "k")
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(2, "b"), (3, "C")}  # key 1 stays deleted
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == 2
+
+
+def test_mor_delete_composes_with_pruned_read(spark, tmp_path):
+    """Manifest pruning + residual predicate + delete mask stack: the
+    answer equals filter-then-anti-join on the raw rows."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, i * 10) for i in range(100)],
+                              "k int, val int")
+        .repartitionByRange(4, "k")
+    )
+    V.write_snapshot(base, table, stats_cols=["k"])
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(30,), (31,)], "k int"))
+    rep = V.prune_report(table, V.current_snapshot(table),
+                         [("k", "<=", 24)])
+    assert rep["skipped"] >= 2  # stats pruning still active
+    got = {r.k for r in V.read_current(
+        spark, table, predicates=[("k", "<=", 40)]).collect()}
+    assert got == set(range(41)) - {30, 31}
+
+
+def test_mor_history_is_not_append_only(spark, tmp_path):
+    table = str(tmp_path / "t")
+    s1 = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]))
+    with pytest.raises(V.NonIncrementalHistoryError):
+        V.read_appended_since(spark, table, s1)
+    # changes_between (the honest fallback) classifies the delete.
+    diff = V.changes_between(spark, table, s1,
+                             V.current_snapshot(table), "k").collect()
+    assert {(r.k, r.change_type) for r in diff} == {(1, "delete")}
+
+
+def test_vacuum_keeps_live_delete_files(spark, tmp_path):
+    """A delete file referenced by a retained manifest must survive
+    vacuum — reaping it would silently resurrect the masked rows."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]))
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    V.vacuum_snapshots(table, keep=1)
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(2, "b"), (3, "c")}
+
+
+def test_mor_read_plan_broadcasts_and_keeps_pushdown(spark, tmp_path):
+    """Plan pin for the delete-masked read: the mask is a BROADCAST
+    anti-join (the data side never shuffles for it), and a residual
+    predicate still reaches the parquet scan as a pushed filter — the
+    mask joins sit ABOVE the filtered scan, not between the filter and
+    the files."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame([(i, i * 10) for i in range(100)],
+                              "k int, val int").repartition(4),
+        table, stats_cols=["k"])
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(3,)], "k int"))
+    df = V.read_current(spark, table, predicates=[("val", "<=", 500)])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # mask must not shuffle data
+    assert "LessThanOrEqual(val,500)" in plan  # pushed to the scan
