@@ -3348,6 +3348,61 @@ def x103_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x104_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (sinks/matview.py),
+    gate-checked: publish ~6/7 of orders as the source table, bootstrap
+    a per-customer count/sum view, append the remaining 1/7, then
+    refresh — the refresh consumes ONLY the delta commit's files and
+    folds counts/sums into the affected groups via a broadcast join +
+    file-granular COW merge on the view.
+
+    The returned view content hash-checks against the full aggregate
+    stated in SQL (increments are an optimization, never the
+    semantics); the `inc_ok` witness pins that the second refresh
+    actually ran in increment mode, not as a rebuild. Exactly-once
+    with no external state: the view's own manifest carries the source
+    watermark (txn stamp `mv:<snapshot>`), so watermark and data flip
+    in one atomic pointer rename. Scale: a daily 0.1% append on a
+    100 TB source costs the view gigabytes of delta reads, not a
+    table rescan. Reference anchor: report_queries.py recomputes its
+    report tables from scratch nightly — this keeps them fresh
+    without the rescan. Sums emit as fixed-scale STRINGS (decimal →
+    double crossing is the 1-ulp hash hazard)."""
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import matview as MV
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    src_rows = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        "o_orderkey")
+    root = tempfile.mkdtemp(prefix="x104_mv_")
+    source, view = os.path.join(root, "src"), os.path.join(root, "mv")
+    V.write_snapshot(
+        src_rows.filter(F.col("o_orderkey") % 7 != 0).drop("o_orderkey"),
+        source)
+    boot = MV.refresh_aggregate_view(spark, source, view,
+                                     ["o_custkey"], ["price"])
+    V.append_snapshot(
+        src_rows.filter(F.col("o_orderkey") % 7 == 0).drop("o_orderkey"),
+        source)
+    inc = MV.refresh_aggregate_view(spark, source, view,
+                                    ["o_custkey"], ["price"])
+    inc_ok = boot["mode"] == "bootstrap" and inc["mode"] == "increment"
+    return (
+        V.read_current(spark, view)
+        .select(
+            "o_custkey",
+            "n_rows",
+            F.col("sum_price").cast("string").alias("sum_price"),
+        )
+        .withColumn("inc_ok", F.lit(bool(inc_ok)))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3480,6 +3535,7 @@ EXT_QUERIES = {
     "x26_scd2_history": x26_scd2_history,
     "x102_bloom_lookup": x102_bloom_lookup,
     "x103_mor_delete": x103_mor_delete,
+    "x104_incremental_view": x104_incremental_view,
 }
 
 # ---------------------------------------------------------------------------
@@ -6600,4 +6656,18 @@ EXT_ORACLES["x103_mor_delete"] = """
                AS sum_price,
            TRUE AS mor_ok
     FROM live
+"""
+
+# x104: the view content IS the full per-customer aggregate of the
+# final source state (base 6/7 ∪ appended 1/7 = all of orders); the
+# sum emits as a fixed-scale string on both sides (decimal→double is
+# the 1-ulp hash hazard); inc_ok is the delta-fast-path witness.
+EXT_ORACLES["x104_incremental_view"] = """
+    SELECT o_custkey,
+           count(*)::BIGINT AS n_rows,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DECIMAL(28,4)) AS VARCHAR) AS sum_price,
+           TRUE AS inc_ok
+    FROM orders
+    GROUP BY o_custkey
 """

@@ -813,7 +813,8 @@ def _carry_stats(parent_man: dict, untouched: list[str],
 
 def write_snapshot(df: DataFrame, table: str,
                    stats_cols: list[str] | None = None,
-                   bloom_cols: list[str] | None = None) -> str:
+                   bloom_cols: list[str] | None = None,
+                   txn_id: str | None = None) -> str:
     """Full-refresh publish (K8 semantics, reader-safe): the new state
     becomes visible in one atomic pointer flip; in-flight readers keep
     the old snapshot's files, which this write never touches.
@@ -830,12 +831,17 @@ def write_snapshot(df: DataFrame, table: str,
     if bloom_cols:
         _check_bloom_cols(df.schema, bloom_cols)
     with table_lease(table, owner="write_snapshot"):
+        if txn_id is not None:
+            applied = _txn_already_applied(table, txn_id)
+            if applied is not None:
+                return applied
         files = _land_in_pool(df, table)
         rows, stats = _scan_new_files(df.sparkSession, table, files,
                                       stats_cols)
         blooms = _scan_blooms(df.sparkSession, table, files,
                               bloom_cols, df.schema)
         return _publish(table, files, rows, current_snapshot(table), 0,
+                        txn_id=txn_id,
                         op="overwrite", schema=df.schema, stats=stats,
                         stats_cols=stats_cols, blooms=blooms,
                         bloom_cols=bloom_cols)
@@ -1008,22 +1014,30 @@ def _locate_affected(spark: SparkSession, table: str, man: dict,
 
 
 def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
-                   key: str) -> str:
+                   key: str, txn_id: str | None = None) -> str:
     """MVCC upsert (K6 semantics, reader-safe, file-granular COW):
     updated keys win, unmatched target rows survive — the
     upsert.merge_upsert contract — but only the files that actually
     contain an updated key are rewritten; every other file is REUSED
     by name in the new manifest. The commit is one pointer flip, so
     concurrent readers never observe the swap.
-    """
+
+    ``txn_id`` extends the append-path idempotence stamp to merges: a
+    replayed merge whose commit already published is a no-op returning
+    the existing snapshot (the matview refresh path rides this — its
+    stamp doubles as the source watermark)."""
     os.makedirs(table, exist_ok=True)
     with table_lease(table, owner=f"merge_snapshot:{key}"):
+        if txn_id is not None:
+            applied = _txn_already_applied(table, txn_id)
+            if applied is not None:
+                return applied
         parent = current_snapshot(table)
         if parent is None:
             files = _land_in_pool(updates, table)
             rows = _count_pool_rows(spark, table, files)
             return _publish(table, files, rows, None, 0, op="merge",
-                            schema=updates.schema)
+                            txn_id=txn_id, schema=updates.schema)
 
         parent_man = read_manifest(table, parent)
         stats_cols = parent_man.get("stats_cols")
@@ -1063,7 +1077,7 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                                   parent_man.get("bloom_cols"), schema)
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
-                        len(untouched), op="merge",
+                        len(untouched), op="merge", txn_id=txn_id,
                         new_files=new_files, schema=schema,
                         stats=_carry_stats(parent_man, untouched,
                                            new_stats),
