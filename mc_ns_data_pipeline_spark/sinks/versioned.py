@@ -632,6 +632,61 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
     return _apply_delete_files(spark, table, df, man, names)
 
 
+def snapshot_as_of(table: str, ts: float) -> str | None:
+    """The snapshot that was CURRENT at Unix time ``ts``: the newest
+    snapshot published at or before ``ts``, or None if the table had
+    no snapshot yet. Publish time is the manifest's mtime — assigned
+    by the atomic publish rename, monotone per table (the same clock
+    vacuum's retention floor trusts). Orphan manifests from pre-flip
+    crashes are skipped: they were never CURRENT.
+
+    Vacuum bounds how far back this can answer — a reaped manifest is
+    gone; callers get the oldest RETAINED history, never a silently
+    wrong newer snapshot (names are checked oldest-newest)."""
+    best = None
+    for s in list_snapshots(table):  # oldest first by generation
+        path = _manifest_path(table, s)
+        try:
+            mtime = os.path.getmtime(path)
+        except FileNotFoundError:
+            continue  # vacuumed between list and stat
+        if mtime <= ts:
+            best = s
+    if best is None:
+        return None
+    # Orphans (published manifest, crashed before flip) were never
+    # visible; walk the parent chain from the best candidate only if
+    # it is ON the chain of CURRENT — otherwise fall back one by one.
+    chain = set()
+    snap = current_snapshot(table)
+    while snap is not None:
+        chain.add(snap)
+        try:
+            snap = read_manifest(table, snap).get("parent")
+        except FileNotFoundError:
+            break
+    if best in chain:
+        return best
+    eligible = [s for s in list_snapshots(table)
+                if s in chain
+                and os.path.getmtime(_manifest_path(table, s)) <= ts]
+    return eligible[-1] if eligible else None
+
+
+def read_as_of(spark: SparkSession, table: str, ts: float,
+               predicates: list[tuple] | None = None) -> DataFrame:
+    """Time travel by TIMESTAMP (Unix seconds): scan the snapshot that
+    was published most recently at or before ``ts`` (the Delta
+    ``timestampAsOf`` / Iceberg ``as-of-timestamp`` contract).
+    Raises NoCurrentSnapshotError when no retained snapshot is that
+    old. Same pruning/delete-mask semantics as ``read_snapshot``."""
+    snap = snapshot_as_of(table, ts)
+    if snap is None:
+        raise NoCurrentSnapshotError(
+            f"{table}: no snapshot at or before ts={ts}")
+    return read_snapshot(spark, table, snap, predicates=predicates)
+
+
 def read_current(spark: SparkSession, table: str,
                  predicates: list[tuple] | None = None) -> DataFrame:
     """Scan the published snapshot. Lock-free: one atomic pointer

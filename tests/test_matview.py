@@ -248,3 +248,40 @@ def test_concurrent_refresh_serializes_via_lease(spark, tmp_path):
     # Winner released: the retry folds once.
     MV.refresh_aggregate_view(spark, source, view, ["grp"], ["x"])
     assert _view_state(spark, view) == {("a", 2, 6)}
+
+
+def test_stream_to_source_to_view_end_to_end(spark, sf_dir, tmp_path):
+    """The full freshness loop: events stream → exactly-once versioned
+    landings (run_stream_append) → incremental view refresh. The view
+    equals the static per-type aggregate; a second stream run on the
+    exhausted checkpoint plus a refresh is a no-op pair."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+
+    source = str(tmp_path / "events_vt")
+    view = str(tmp_path / "events_mv")
+    ckpt = str(tmp_path / "ckpt")
+    events = f"{sf_dir}/events.parquet"
+
+    V.run_stream_append(spark, events, source, ckpt)
+    out = MV.refresh_aggregate_view(spark, source, view,
+                                    ["event_type"], ["value"])
+    assert out["mode"] == "bootstrap"
+
+    static = {
+        (r.event_type, r.n_rows, round(r.sum_value, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("value").alias("sum_value")).collect()
+    }
+    got = {
+        (r.event_type, r.n_rows, round(r.sum_value, 6))
+        for r in V.read_current(spark, view)
+        .select("event_type", "n_rows", "sum_value").collect()
+    }
+    assert got == static
+
+    V.run_stream_append(spark, events, source, ckpt)  # exhausted
+    out = MV.refresh_aggregate_view(spark, source, view,
+                                    ["event_type"], ["value"])
+    assert out["mode"] == "noop"

@@ -1064,3 +1064,40 @@ def test_mor_read_plan_broadcasts_and_keeps_pushdown(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # mask must not shuffle data
     assert "LessThanOrEqual(val,500)" in plan  # pushed to the scan
+
+
+def test_read_as_of_timestamp_time_travel(spark, tmp_path):
+    """Timestamp time travel resolves the snapshot that was CURRENT at
+    the asked instant — including across rewrite commits — and refuses
+    instants before the oldest retained history."""
+    import os
+    import time
+
+    table = str(tmp_path / "t")
+    s1 = V.write_snapshot(_df(spark, [(1, "a")]), table)
+    t_after_s1 = time.time()
+    time.sleep(0.05)
+    s2 = V.append_snapshot(_df(spark, [(2, "b")]), table)
+    time.sleep(0.05)
+    V.merge_snapshot(spark, _df(spark, [(1, "A")]), table, "k")
+
+    assert V.snapshot_as_of(table, t_after_s1) == s1
+    got = {(r.k, r.v)
+           for r in V.read_as_of(spark, table, t_after_s1).collect()}
+    assert got == {(1, "a")}
+    # "now" resolves to CURRENT's content.
+    got_now = {(r.k, r.v)
+               for r in V.read_as_of(spark, table, time.time()).collect()}
+    assert got_now == {(1, "A"), (2, "b")}
+    # Before any publish -> loud error, never a wrong answer.
+    with pytest.raises(V.NoCurrentSnapshotError):
+        V.read_as_of(spark, table, t_after_s1 - 3600)
+    # An orphan manifest (pre-flip crash) newer than s2 must NOT be
+    # the as-of answer for a post-s2 instant: it was never visible.
+    man2 = V.read_manifest(table, s2)
+    orphan = dict(man2, snapshot="99999999-deadbeef", parent=s2)
+    with open(os.path.join(table, "snapshots",
+                           "99999999-deadbeef.json"), "w") as fh:
+        json.dump(orphan, fh)
+    cur = V.current_snapshot(table)
+    assert V.snapshot_as_of(table, time.time()) == cur
