@@ -3403,6 +3403,56 @@ def x104_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x105_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC across merge-on-read deletes
+    (sinks/versioned.py read_changes_since), gate-checked: publish the
+    o_orderkey % 3 = 0 third of orders, append the % 3 = 1 third,
+    MOR-delete keys with % 6 in (0, 4) — one pre-range class, one
+    class appended IN range — then re-append the % 6 = 4 class at
+    doubled price. The changelog read returns inserts sequence-masked
+    by the in-range delete (the appended-then-deleted rows never
+    surface; the re-appended ones do) plus the deleted keys from
+    metadata alone — no keyed diff, no table-sized work.
+
+    The aggregate states that algebra directly in SQL. Scale: a
+    downstream replica of a 100 TB table follows appends AND GDPR
+    deletes by reading kilobytes of delete files and only the appended
+    bytes; `changes_between` (the COW fallback) shuffles both
+    snapshots."""
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    table = os.path.join(tempfile.mkdtemp(prefix="x105_cdc_"), "tbl")
+    s0 = V.write_snapshot(rows.filter(F.col("o_orderkey") % 3 == 0),
+                          table)
+    V.append_snapshot(rows.filter(F.col("o_orderkey") % 3 == 1), table)
+    V.delete_keys_mor(
+        spark, table, "o_orderkey",
+        orders.filter((F.col("o_orderkey") % 6).isin(0, 4))
+        .select("o_orderkey"))
+    V.append_snapshot(
+        rows.filter(F.col("o_orderkey") % 6 == 4)
+        .withColumn("price", F.col("price") * 2), table)
+    out = V.read_changes_since(spark, table, s0)
+    cdc_ok = set(out["deleted_keys"]) == {"o_orderkey"}
+    n_del = out["deleted_keys"]["o_orderkey"].count() if cdc_ok else -1
+    return (
+        out["inserts"]
+        .agg(
+            F.count(F.lit(1)).alias("n_inserts"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("n_del_keys", F.lit(int(n_del)).cast("long"))
+        .withColumn("cdc_ok", F.lit(bool(cdc_ok)))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3536,6 +3586,7 @@ EXT_QUERIES = {
     "x102_bloom_lookup": x102_bloom_lookup,
     "x103_mor_delete": x103_mor_delete,
     "x104_incremental_view": x104_incremental_view,
+    "x105_changes_cdc": x105_changes_cdc,
 }
 
 # ---------------------------------------------------------------------------
@@ -6670,4 +6721,25 @@ EXT_ORACLES["x104_incremental_view"] = """
            TRUE AS inc_ok
     FROM orders
     GROUP BY o_custkey
+"""
+
+# x105: inserts = the in-range appends (%3=1 third, minus the
+# appended-then-MOR-deleted %6=4 class, plus its doubled-price
+# re-append); deleted keys = the %6 in (0,4) classes; cdc_ok pins the
+# metadata-only deleted-keys surface.
+EXT_ORACLES["x105_changes_cdc"] = """
+    WITH ins AS (
+        SELECT o_totalprice AS price FROM orders
+        WHERE o_orderkey % 3 = 1 AND o_orderkey % 6 <> 4
+        UNION ALL
+        SELECT o_totalprice * 2 AS price FROM orders
+        WHERE o_orderkey % 6 = 4
+    )
+    SELECT count(*)::BIGINT AS n_inserts,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           (SELECT count(DISTINCT o_orderkey) FROM orders
+            WHERE o_orderkey % 6 IN (0, 4))::BIGINT AS n_del_keys,
+           TRUE AS cdc_ok
+    FROM ins
 """

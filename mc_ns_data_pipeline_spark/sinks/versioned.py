@@ -1434,6 +1434,97 @@ def read_appended_since(spark: SparkSession, table: str, since: str,
     return _read_pool(spark, table, files, schema)
 
 
+def read_changes_since(spark: SparkSession, table: str, since: str,
+                       until: str | None = None) -> dict:
+    """Incremental CDC over an append + merge-on-read-delete lineage:
+    ``{"inserts": DataFrame, "deleted_keys": {col: DataFrame},
+    "to": snapshot}`` — everything a downstream sync needs to follow
+    this table WITHOUT any table-sized work. Inserts come from append
+    commits' own files (read_appended_since semantics); deletions come
+    from delete-mor commits' equality-delete files, grouped by key
+    column — kilobytes of metadata, not a keyed diff.
+
+    Apply order downstream: deletions FIRST, then upsert the inserts.
+    This reproduces the table's NET state for every interleaving:
+    ``inserts`` is sequence-masked by the in-range deletes (a row
+    appended and then MOR-deleted inside the range never surfaces),
+    while a key deleted and then re-appended sequences the append
+    AFTER the delete, so it survives the mask and the downstream
+    upsert restores it. Pre-range deletes can never mask in-range
+    appends (a delete's sequence is always below a later file's), so
+    only in-range entries participate.
+
+    COW rewrites (merge / delete / overwrite) still raise
+    NonIncrementalHistoryError — their file diffs don't decompose into
+    row changes; use ``changes_between``."""
+    chain = _chain_between(table, since, until)
+    ins_files: list[str] = []
+    ins_seq: dict[str, int] = {}
+    del_entries: list[dict] = []
+    del_by_key: dict[str, list[str]] = {}
+    # delete_files of the commit BEFORE the current one: every chain
+    # element's parent is the previous element (or `since` for the
+    # first), so "what THIS delete-mor commit added" is its own list
+    # minus the previous one's — no per-commit manifest re-reads.
+    prev_dels: list[dict] | None = None
+    for man in chain:
+        op = man.get("op")
+        gen = _gen_of(man["snapshot"])
+        if op == "append":
+            for f in man.get("new_files", []):
+                ins_files.append(f)
+                ins_seq[f] = gen
+        elif op == "compact":
+            pass  # row-preserving; clears delete_files (tracked below)
+        elif op == "delete-mor":
+            if prev_dels is None:
+                # First in-range commit: the baseline is `since`'s own
+                # list. A vacuumed `since` manifest must refuse LOUDLY
+                # — falling back to "no prior entries" would re-emit
+                # carried pre-range deletes and silently drop live
+                # re-appended keys from a downstream replica.
+                try:
+                    prev_dels = (read_manifest(table, since)
+                                 .get("delete_files") or [])
+                except FileNotFoundError:
+                    raise NonIncrementalHistoryError(
+                        f"snapshot {since} vacuumed from {table!r} — "
+                        "cannot attribute delete-mor entries; "
+                        "re-bootstrap the consumer") from None
+            seen = {d["file"] for d in prev_dels}
+            for d in man.get("delete_files") or []:
+                if d["file"] not in seen:
+                    del_entries.append(d)
+                    del_by_key.setdefault(d["key"], []).append(d["file"])
+        else:
+            raise NonIncrementalHistoryError(
+                f"commit {man['snapshot']} is op={op!r} — use "
+                "changes_between() for a keyed diff")
+        prev_dels = man.get("delete_files") or []
+    end = chain[-1]["snapshot"] if chain else since
+    schema = (_schema_from_man(chain[-1]) if chain
+              else table_schema(table, since))
+    if ins_files:
+        inserts = _read_pool(spark, table, ins_files, schema)
+        # Sequence-mask by the IN-RANGE deletes via the same machinery
+        # reads use, over a synthetic manifest scoped to this range.
+        inserts = _apply_delete_files(
+            spark, table, inserts,
+            {"delete_files": del_entries, "file_seq": ins_seq},
+            ins_files)
+    elif schema is not None:
+        inserts = spark.createDataFrame([], schema)
+    else:
+        inserts = read_snapshot(spark, table, end).limit(0)
+    root = _data_root(table)
+    deleted = {
+        key: (spark.read.parquet(*(os.path.join(root, f)
+                                   for f in files)).distinct())
+        for key, files in del_by_key.items()
+    }
+    return {"inserts": inserts, "deleted_keys": deleted, "to": end}
+
+
 def consume_appends(spark: SparkSession, table: str, cursor_path: str,
                     process) -> dict:
     """At-least-once incremental consumer over a versioned table's

@@ -1101,3 +1101,76 @@ def test_read_as_of_timestamp_time_travel(spark, tmp_path):
         json.dump(orphan, fh)
     cur = V.current_snapshot(table)
     assert V.snapshot_as_of(table, time.time()) == cur
+
+
+def test_read_changes_since_appends_and_mor_deletes(spark, tmp_path):
+    """Incremental CDC across MOR deletes: inserts are the appended
+    rows sequence-masked by in-range deletes, deletions are the
+    equality-delete keys — applying deletes-then-upserts downstream
+    reproduces the net state for every interleaving."""
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.append_snapshot(_df(spark, [(3, "c"), (4, "d")]), table)
+    # Delete: one pre-range key, one key appended IN range.
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x"),
+                                                     (3, "x")]))
+    # Re-append a deleted key: must survive (sequences after delete).
+    V.append_snapshot(_df(spark, [(3, "C2")]), table)
+
+    out = V.read_changes_since(spark, table, s0)
+    ins = {(r.k, r.v) for r in out["inserts"].collect()}
+    # (3,"c") was appended then deleted inside the range: masked.
+    assert ins == {(4, "d"), (3, "C2")}
+    assert set(out["deleted_keys"]) == {"k"}
+    dels = {r.k for r in out["deleted_keys"]["k"].collect()}
+    assert dels == {1, 3}
+
+    # Downstream replica: apply deletes first, then upsert inserts —
+    # must equal the source's current content.
+    replica = {(1, "a"), (2, "b")}  # state as of s0
+    replica = {(k, v) for (k, v) in replica if k not in dels}
+    replica = {(k, v) for (k, v) in replica
+               if k not in {i[0] for i in ins}} | ins
+    src = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert replica == src == {(2, "b"), (4, "d"), (3, "C2")}
+
+    # COW rewrites still refuse loudly.
+    V.merge_snapshot(spark, _df(spark, [(2, "B")]), table, "k")
+    with pytest.raises(V.NonIncrementalHistoryError):
+        V.read_changes_since(spark, table, s0)
+
+
+def test_read_changes_since_empty_and_compact_transparent(spark,
+                                                          tmp_path):
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(1, "a")]), table)
+    out = V.read_changes_since(spark, table, s0)
+    assert out["inserts"].count() == 0 and out["deleted_keys"] == {}
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    V.compact_snapshot(spark, table, sort_col="k", target_files=1)
+    out = V.read_changes_since(spark, table, s0)
+    assert {(r.k, r.v) for r in out["inserts"].collect()} == {(2, "b")}
+    assert out["deleted_keys"] == {}
+
+
+def test_read_changes_since_refuses_vacuumed_since_baseline(spark,
+                                                            tmp_path):
+    """A carried pre-range delete entry must never be re-emitted as an
+    in-range deletion: with `since`'s manifest vacuumed the baseline
+    is unknowable and the read refuses loudly (a silent fallback would
+    drop live re-appended keys from a downstream replica)."""
+    import os
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]))
+    V.append_snapshot(_df(spark, [(1, "re")]), table)  # K live again
+    s_mid = V.current_snapshot(table)
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(2, "x")]))
+    # Baseline intact: only the in-range delete (key 2) is emitted.
+    out = V.read_changes_since(spark, table, s_mid)
+    assert {r.k for r in out["deleted_keys"]["k"].collect()} == {2}
+    # Vacuum s_mid's manifest away -> loud refusal, not key-1 re-emit.
+    os.remove(os.path.join(table, "snapshots", f"{s_mid}.json"))
+    with pytest.raises(V.NonIncrementalHistoryError):
+        V.read_changes_since(spark, table, s_mid)
