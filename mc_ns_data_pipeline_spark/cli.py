@@ -431,6 +431,10 @@ def cmd_table(args) -> int:
     if args.op == "consume":
         need("--cursor", args.cursor)
         need("--out-dir", args.out_dir)
+    if args.op == "view-refresh":
+        need("--view", args.view)
+        need("--group-cols", args.group_cols)
+        need("--sum-cols", args.sum_cols)
 
     if args.op == "history":  # metadata-only: no Spark session
         cur = V.current_snapshot(args.table)
@@ -456,6 +460,16 @@ def cmd_table(args) -> int:
         return 0
 
     spark = _session("table-lifecycle")
+    if args.op == "view-refresh":
+        from mc_ns_data_pipeline_spark.sinks import matview as MV
+
+        res = MV.refresh_aggregate_view(
+            spark, args.table, args.view,
+            [c.strip() for c in args.group_cols.split(",") if c.strip()],
+            [c.strip() for c in args.sum_cols.split(",") if c.strip()])
+        print(f"view-refresh: {res['mode']} "
+              f"{res['from'] or '-'} -> {res['to']}")
+        return 0
     if args.op == "compact":
         snap = V.compact_snapshot(spark, args.table,
                                   sort_col=args.sort_col,
@@ -589,7 +603,8 @@ def build_parser() -> argparse.ArgumentParser:
         "(MVCC snapshots, sinks/versioned.py)")
     tb.add_argument("op", choices=["write", "append", "merge",
                                    "delete-keys", "compact", "vacuum",
-                                   "history", "consume"])
+                                   "history", "consume",
+                                   "view-refresh"])
     tb.add_argument("--table", required=True,
                     help="versioned table directory")
     tb.add_argument("--input", default=None,
@@ -620,6 +635,13 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--min-age-seconds", type=float, default=None,
                     help="vacuum: never reap snapshots younger than "
                     "this (retention floor for long-running readers)")
+    tb.add_argument("--view", default=None,
+                    help="view-refresh: the aggregate view's table dir "
+                    "(--table is the SOURCE)")
+    tb.add_argument("--group-cols", default=None,
+                    help="view-refresh: comma list of group columns")
+    tb.add_argument("--sum-cols", default=None,
+                    help="view-refresh: comma list of summed columns")
     tb.add_argument("--cursor", default=None,
                     help="consume: durable cursor file path")
     tb.add_argument("--out-dir", default=None,

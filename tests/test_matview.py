@@ -285,3 +285,25 @@ def test_stream_to_source_to_view_end_to_end(spark, sf_dir, tmp_path):
     out = MV.refresh_aggregate_view(spark, source, view,
                                     ["event_type"], ["value"])
     assert out["mode"] == "noop"
+
+
+def test_view_refresh_cli(spark, tmp_path):
+    """Operator surface: table view-refresh bootstraps then
+    increments through the CLI."""
+    import os
+
+    from mc_ns_data_pipeline_spark.cli import main
+
+    source, view = str(tmp_path / "src"), str(tmp_path / "mv")
+    V.write_snapshot(_src(spark, [("a", 1), ("b", 2)]), source)
+    assert main(["table", "view-refresh", "--table", source,
+                 "--view", view, "--group-cols", "grp",
+                 "--sum-cols", "x"]) == 0
+    V.append_snapshot(_src(spark, [("a", 10)]), source)
+    assert main(["table", "view-refresh", "--table", source,
+                 "--view", view, "--group-cols", " grp ",
+                 "--sum-cols", "x"]) == 0
+    assert _view_state(spark, view) == {("a", 2, 11), ("b", 1, 2)}
+    with pytest.raises(SystemExit, match="--view"):
+        main(["table", "view-refresh", "--table", source,
+              "--group-cols", "grp", "--sum-cols", "x"])
