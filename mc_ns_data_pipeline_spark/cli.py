@@ -460,6 +460,18 @@ def cmd_table(args) -> int:
         return 0
 
     spark = _session("table-lifecycle")
+    if args.op == "optimize":
+        out = V.optimize_table(
+            spark, args.table, sort_col=args.sort_col,
+            target_file_rows=args.target_file_rows,
+            vacuum_keep=args.keep,
+            vacuum_min_age_seconds=args.min_age_seconds)
+        did = (f"compacted ({out['reason']})" if out["compacted"]
+               else "no compaction needed")
+        print(f"optimize: {did}; vacuum reaped "
+              f"{len(out['vacuumed']['snapshots'])} snapshots, "
+              f"{out['vacuumed']['files']} files")
+        return 0
     if args.op == "view-refresh":
         from mc_ns_data_pipeline_spark.sinks import matview as MV
 
@@ -604,7 +616,7 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("op", choices=["write", "append", "merge",
                                    "delete-keys", "compact", "vacuum",
                                    "history", "consume",
-                                   "view-refresh"])
+                                   "view-refresh", "optimize"])
     tb.add_argument("--table", required=True,
                     help="versioned table directory")
     tb.add_argument("--input", default=None,
@@ -630,6 +642,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="compact: preserve clustering on this column")
     tb.add_argument("--target-files", type=int, default=1,
                     help="compact: output file count")
+    tb.add_argument("--target-file-rows", type=int, default=1_000_000,
+                    help="optimize: rewrite sizing + small-file "
+                    "threshold (half this fill counts as small)")
     tb.add_argument("--keep", type=int, default=2,
                     help="vacuum: snapshots to retain")
     tb.add_argument("--min-age-seconds", type=float, default=None,

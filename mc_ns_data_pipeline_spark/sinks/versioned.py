@@ -1201,6 +1201,68 @@ def vacuum_snapshots(table: str, keep: int = 2,
         return {"snapshots": doomed, "files": removed_files}
 
 
+def optimize_table(spark: SparkSession, table: str,
+                   sort_col: str | None = None,
+                   target_file_rows: int = 1_000_000,
+                   max_small_files: int = 8,
+                   max_delete_files: int = 4,
+                   vacuum_keep: int = 2,
+                   vacuum_min_age_seconds: float | None = 3600.0
+                   ) -> dict:
+    """One-call maintenance (the OPTIMIZE verb): inspect the table and
+    run only what it needs, in the safe order —
+
+    1. **compact** when small files or merge-on-read delete masks
+       accumulated past their thresholds: more than ``max_small_files``
+       files below half the ``target_file_rows`` fill, or more than
+       ``max_delete_files`` pending delete files (each costs every
+       reader a broadcast anti-join until applied);
+    2. **vacuum** superseded snapshots afterwards, keeping
+       ``vacuum_keep`` versions and never reaping anything younger
+       than the retention floor (in-flight readers).
+
+    Decisions come from MANIFEST metadata only — file row counts ride
+    the stats the publishes already recorded (falling back to rows ÷
+    files when the manifest predates stats) — so a no-op optimize
+    costs one JSON read, the property that lets a scheduler call this
+    after every few commits on a 100 TB table. Returns
+    ``{"compacted": bool, "reason": str | None,
+    "vacuumed": {...} | None, "snapshot": current}``.
+
+    Everything inside is reader-safe (MVCC) and single-writer-guarded
+    by the per-operation leases; sizing rewrites to ``target_file_rows``
+    keeps post-compaction files in the sweet spot between per-file
+    overhead (too many) and lost parallelism/pruning (too few)."""
+    snap = current_snapshot(table)
+    if snap is None:
+        raise NoCurrentSnapshotError(table)
+    man = read_manifest(table, snap)
+    n_files = len(man["files"])
+    rows = man.get("rows") or 0
+    dels = man.get("delete_files") or []
+    avg = rows / n_files if n_files else 0
+    small = (n_files if avg < target_file_rows / 2 else 0)
+
+    reason = None
+    if len(dels) > max_delete_files:
+        reason = (f"{len(dels)} pending delete masks "
+                  f"(> {max_delete_files})")
+    elif small > max_small_files:
+        reason = (f"{n_files} files averaging {int(avg)} rows "
+                  f"(< {target_file_rows // 2})")
+    compacted = False
+    if reason is not None:
+        target = max(1, (rows + target_file_rows - 1)
+                     // target_file_rows)
+        compact_snapshot(spark, table, sort_col=sort_col,
+                         target_files=int(target))
+        compacted = True
+    vac = vacuum_snapshots(table, keep=vacuum_keep,
+                           min_age_seconds=vacuum_min_age_seconds)
+    return {"compacted": compacted, "reason": reason,
+            "vacuumed": vac, "snapshot": current_snapshot(table)}
+
+
 def run_stream_append(spark: SparkSession, events_path: str,
                       table: str, checkpoint_dir: str,
                       app_id: str = "stream_append") -> None:

@@ -1174,3 +1174,56 @@ def test_read_changes_since_refuses_vacuumed_since_baseline(spark,
     os.remove(os.path.join(table, "snapshots", f"{s_mid}.json"))
     with pytest.raises(V.NonIncrementalHistoryError):
         V.read_changes_since(spark, table, s_mid)
+
+
+def test_optimize_table_compacts_when_needed(spark, tmp_path):
+    """OPTIMIZE is metadata-driven: many tiny append files (or pending
+    MOR masks) trigger a clustered compaction sized to the row target;
+    a healthy table is a metadata-only no-op; vacuum honors the
+    retention floor either way."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(0, "v")]), table)
+    for i in range(1, 12):  # 12 single-row files: far under fill
+        V.append_snapshot(_df(spark, [(i, "v")]), table)
+    out = V.optimize_table(spark, table, sort_col="k",
+                           vacuum_min_age_seconds=None)
+    assert out["compacted"] and "files averaging" in out["reason"]
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert len(man["files"]) == 1 and man["rows"] == 12
+    assert len(V.list_snapshots(table)) == 2  # keep=2 after vacuum
+    # Healthy now: second optimize is a no-op (no new snapshot).
+    before = V.current_snapshot(table)
+    out = V.optimize_table(spark, table, sort_col="k",
+                           vacuum_min_age_seconds=None)
+    assert not out["compacted"] and out["snapshot"] == before
+
+    # Pending MOR masks past the threshold also trigger, and the
+    # compaction applies+clears them.
+    for i in range(5):
+        V.delete_keys_mor(spark, table, "k", _df(spark, [(i, "x")]))
+    out = V.optimize_table(spark, table, sort_col="k",
+                           max_delete_files=4,
+                           vacuum_min_age_seconds=None)
+    assert out["compacted"] and "delete masks" in out["reason"]
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert not man.get("delete_files") and man["rows"] == 7
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == set(range(5, 12))
+
+
+def test_optimize_table_unpublished_raises(spark, tmp_path):
+    with pytest.raises(V.NoCurrentSnapshotError):
+        V.optimize_table(spark, str(tmp_path / "nope"))
+
+
+def test_optimize_cli(spark, tmp_path):
+    from mc_ns_data_pipeline_spark.cli import main
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(0, "v")]), table)
+    for i in range(1, 12):
+        V.append_snapshot(_df(spark, [(i, "v")]), table)
+    assert main(["table", "optimize", "--table", table,
+                 "--sort-col", "k"]) == 0
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert len(man["files"]) == 1 and man["rows"] == 12
