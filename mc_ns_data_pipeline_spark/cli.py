@@ -524,8 +524,12 @@ def cmd_table(args) -> int:
         elif args.op == "append":
             snap = V.append_snapshot(df, args.table,
                                      txn_id=args.txn_id)
+        elif args.op == "merge" and args.mor:
+            snap = V.merge_snapshot_mor(spark, df, args.table,
+                                        args.key, txn_id=args.txn_id)
         elif args.op == "merge":
-            snap = V.merge_snapshot(spark, df, args.table, args.key)
+            snap = V.merge_snapshot(spark, df, args.table, args.key,
+                                    txn_id=args.txn_id)
         elif args.mor:  # delete-keys, merge-on-read shape
             snap = V.delete_keys_mor(spark, args.table, args.key, df)
         else:  # delete-keys, copy-on-write shape
@@ -632,10 +636,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "record per-file equality blooms at write — "
                     "point-lookup pruning on unclustered columns")
     tb.add_argument("--mor", action="store_true",
-                    help="delete-keys: merge-on-read — land an "
-                    "equality-delete file instead of rewriting "
-                    "affected data files; the next compact applies "
-                    "and clears it")
+                    help="delete-keys/merge: merge-on-read — land the "
+                    "batch and/or an equality-delete file instead of "
+                    "rewriting affected data files (the scattered-"
+                    "update/delete fast path); the next compact or "
+                    "optimize applies and clears the masks")
     tb.add_argument("--txn-id", default=None,
                     help="exactly-once append stamp (replays no-op)")
     tb.add_argument("--sort-col", default=None,

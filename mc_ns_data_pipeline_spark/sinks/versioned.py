@@ -207,8 +207,12 @@ def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
     ``df`` must be a scan (optionally filtered) over exactly ``names``
     — file provenance via ``input_file_name`` is what sequences each
     row. A delete entry masks a row iff the keys match AND the row's
-    data file landed at a generation <= the delete's generation, so
-    rows (re-)inserted AFTER a delete are untouched. Per key column,
+    data file landed at a generation STRICTLY BELOW the delete's
+    generation: rows (re-)inserted after a delete are untouched, and —
+    the tie case — data files landed by the delete's OWN commit are
+    exempt, which is what lets a merge-on-read upsert publish its new
+    row versions and the mask over the old ones atomically together
+    (``merge_snapshot_mor``). Per key column,
     all delete files union into one broadcast side (delete batches are
     small by design; compaction clears them), max-seq per key — one
     broadcast left_anti join per distinct delete-key column, no
@@ -226,17 +230,19 @@ def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
     max_seq = max(seq_of.values(), default=0)
 
     # The sequence check is decided per (delete entry, file set), and
-    # the common case — no data file landed after the delete — decides
-    # it VACUOUSLY: the delete masks every file in scan. Such entries
-    # take a plain broadcast key anti-join, skipping the per-row
-    # input_file_name split and the file→generation map join entirely
-    # (measured: the sequenced plumbing costs ~0.8 s of fixed broadcast
-    # latency per read at any table size). Only entries some scanned
-    # file POSTDATES need the sequenced path.
+    # the common case — no data file landed at-or-after the delete —
+    # decides it VACUOUSLY: the delete masks every file in scan. Such
+    # entries take a plain broadcast key anti-join, skipping the
+    # per-row input_file_name split and the file→generation map join
+    # entirely (measured: the sequenced plumbing costs ~0.8 s of fixed
+    # broadcast latency per read at any table size). Only entries some
+    # scanned file ties or postdates need the sequenced path — strict
+    # `>`: an entry whose seq EQUALS max_seq may share a commit with
+    # the max-seq files (MOR upsert) and must not mask them.
     global_by_key: dict[str, list[dict]] = {}
     seq_by_key: dict[str, list[dict]] = {}
     for d in dels:
-        tgt = global_by_key if d["seq"] >= max_seq else seq_by_key
+        tgt = global_by_key if d["seq"] > max_seq else seq_by_key
         tgt.setdefault(d["key"], []).append(d)
 
     def union_keys(key: str, entries: list[dict]) -> DataFrame:
@@ -251,6 +257,13 @@ def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
         return deld
 
     rows = df
+    if seq_by_key:
+        # input_file_name() resolves only over a SINGLE-source plan —
+        # it must attach to the raw (possibly filtered) scan BEFORE
+        # any anti-join introduces a second source.
+        rows = rows.withColumn(
+            "__vt_fname",
+            F.element_at(F.split(F.input_file_name(), "/"), -1))
     for key, entries in global_by_key.items():
         deld = union_keys(key, entries).select("__vt_dkey").distinct()
         rows = rows.join(F.broadcast(deld),
@@ -259,17 +272,14 @@ def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
         fmap = spark.createDataFrame(
             [(os.path.basename(n), s) for n, s in seq_of.items()],
             "__vt_fname string, __vt_seq long")
-        rows = rows.withColumn(
-            "__vt_fname",
-            F.element_at(F.split(F.input_file_name(), "/"), -1)
-        ).join(F.broadcast(fmap), "__vt_fname", "left")
+        rows = rows.join(F.broadcast(fmap), "__vt_fname", "left")
         for key, entries in seq_by_key.items():
             deld = union_keys(key, entries).groupBy("__vt_dkey").agg(
                 F.max("__vt_dseq").alias("__vt_dseq"))
             rows = rows.join(
                 F.broadcast(deld),
                 (F.col(key) == F.col("__vt_dkey"))
-                & (F.col("__vt_seq") <= F.col("__vt_dseq")),
+                & (F.col("__vt_seq") < F.col("__vt_dseq")),
                 "left_anti")
         rows = rows.drop("__vt_fname", "__vt_seq")
     return rows
@@ -742,15 +752,23 @@ def _publish(table: str, files: list[str], rows: int,
     holds the table lease.
 
     ``file_seq`` carries data-file generations forward from the parent
-    manifest; any file of ``files`` missing from it (freshly landed, or
-    a legacy file never stamped) is stamped with THIS commit's
-    generation. ``delete_files`` entries whose ``seq`` is None are
-    likewise stamped — a delete always sequences at the commit that
-    publishes it."""
+    manifest. Files of ``files`` missing from it are stamped by
+    provenance: THIS commit's ``new_files`` get its generation, while
+    a carried-but-never-stamped file (legacy, pre-file_seq manifests)
+    gets 0 — it provably predates every possible delete entry, and
+    stamping it at the CURRENT generation instead would tie it with a
+    mask published by this very commit, exempting it from a delete it
+    must honor (masking is strict-below). ``delete_files`` entries
+    whose ``seq`` is None are stamped with this commit's generation —
+    a delete always sequences at the commit that publishes it."""
     name = _next_snapshot_name(table)
     gen = _gen_of(name)
     os.makedirs(_snapshots_root(table), exist_ok=True)
-    carried = file_seq or {}
+    carried = dict(file_seq or {})
+    fresh = set(new_files if new_files is not None else files)
+    for f in files:
+        if f not in carried:
+            carried[f] = gen if f in fresh else 0
     stamped_dels = None
     if delete_files:
         stamped_dels = [
@@ -772,7 +790,7 @@ def _publish(table: str, files: list[str], rows: int,
         "stats_cols": stats_cols,
         "blooms": blooms,
         "bloom_cols": bloom_cols,
-        "file_seq": {f: carried.get(f, gen) for f in files},
+        "file_seq": {f: carried[f] for f in files},
         "delete_files": stamped_dels,
     }
     _atomic_write_json(_manifest_path(table, name), manifest)
@@ -1144,6 +1162,105 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                         delete_files=parent_man.get("delete_files"))
 
 
+def _mor_live_matches(spark: SparkSession, table: str,
+                      parent_man: dict, key: str,
+                      keys_df: DataFrame) -> int:
+    """Exact live-row decrement shared by the MOR delete and the MOR
+    upsert: count the parent snapshot's LIVE rows matching ``keys_df``
+    over stats-surviving candidate files only, key-column-pruned —
+    the cheap half of the COW locate step, without the rewrite."""
+    candidates = _stat_candidates(parent_man, key, keys_df)
+    if not candidates:
+        return 0
+    return (
+        _read_live(spark, table, parent_man, candidates,
+                   _schema_from_man(parent_man))
+        .select(key)
+        .join(F.broadcast(keys_df), key, "left_semi")
+        .count()
+    )
+
+
+def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
+                       table: str, key: str,
+                       txn_id: str | None = None) -> str:
+    """Merge-on-read upsert: same answer as ``merge_snapshot`` (updated
+    keys win, unmatched target rows survive), different physics — the
+    update batch lands as NEW files and the OLD row versions are
+    masked by one equality-delete file, both published in ONE commit
+    whose generation sequences them (the mask is strict-below, so the
+    commit's own files are exempt). NO existing data file is read in
+    full or rewritten.
+
+    This is the scattered-update fast path: the measured COW worst
+    case (a uniform 1% batch on a range-clustered table → every file
+    holds an updated key → 0 files reused, full-table rewrite) becomes
+    batch-bytes + kilobytes of delete file. The trade is the same as
+    ``delete_keys_mor``: readers pay a broadcast anti-join per
+    delete-key column until ``compact_snapshot``/``optimize_table``
+    applies the masks. Row accounting stays exact via the stats-pruned
+    key-column-only live-match count (the locate step's cheap half).
+
+    Prefer COW ``merge_snapshot`` when batches are key-clustered (it
+    rewrites ~the files the range hits and keeps reads mask-free);
+    prefer MOR when updates scatter. Iceberg v2's
+    write.update.mode=merge-on-read, on the manifest-pointer pattern."""
+    os.makedirs(table, exist_ok=True)
+    with table_lease(table, owner=f"merge_snapshot_mor:{key}"):
+        if txn_id is not None:
+            applied = _txn_already_applied(table, txn_id)
+            if applied is not None:
+                return applied
+        parent = current_snapshot(table)
+        if parent is None:
+            files = _land_in_pool(updates, table)
+            rows = _count_pool_rows(spark, table, files)
+            return _publish(table, files, rows, None, 0, op="merge",
+                            txn_id=txn_id, schema=updates.schema)
+
+        parent_man = read_manifest(table, parent)
+        stats_cols = parent_man.get("stats_cols")
+        bloom_cols = parent_man.get("bloom_cols")
+        schema = _merge_schema(_schema_from_man(parent_man),
+                               updates.schema)
+
+        new_files = _land_in_pool(updates, table)
+        new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                              stats_cols)
+        if new_rows == 0:
+            return parent  # empty batch: publish nothing (the landed
+            # empty files are orphans for vacuum) — a dead mask entry
+            # would force every reader onto the sequenced path and
+            # count toward optimize_table's compaction threshold
+        new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
+                                  updates.schema)
+        # The mask: the batch's distinct keys, derived from the landed
+        # files (one pass over the caller's lineage — the write).
+        root = _data_root(table)
+        batch_keys = (spark.read.parquet(
+            *(os.path.join(root, f) for f in new_files))
+            .select(key).distinct().filter(F.col(key).isNotNull()))
+        del_files = _land_in_pool(batch_keys.coalesce(1), table)
+        matched = _mor_live_matches(spark, table, parent_man, key,
+                                    batch_keys)
+        entries = [{"file": f, "key": key, "seq": None}
+                   for f in del_files]
+        rows = parent_man["rows"] - matched + new_rows
+        return _publish(
+            table, parent_man["files"] + new_files, rows, parent,
+            len(parent_man["files"]), op="merge-mor", txn_id=txn_id,
+            new_files=new_files, schema=schema,
+            stats=_carry_stats(parent_man, parent_man["files"],
+                               new_stats),
+            stats_cols=stats_cols,
+            blooms=_carry_blooms(parent_man, parent_man["files"],
+                                 new_blooms),
+            bloom_cols=bloom_cols,
+            file_seq=parent_man.get("file_seq"),
+            delete_files=(parent_man.get("delete_files") or [])
+            + entries)
+
+
 def vacuum_snapshots(table: str, keep: int = 2,
                      min_age_seconds: float | None = None) -> dict:
     """Reap history no in-flight reader should still need: drop every
@@ -1397,21 +1514,8 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
         if n_keys == 0:
             return parent  # nothing to forget: current stays
 
-        # Exact live-row decrement: count current LIVE matches over
-        # candidate files only (manifest stats prune the span; the
-        # scan is key-column-pruned). This is the cheap half of the
-        # COW locate step — the expensive half (rewriting) is skipped.
-        candidates = _stat_candidates(parent_man, key, doomed_keys)
-        if candidates:
-            matched = (
-                _read_live(spark, table, parent_man, candidates, schema)
-                .select(key)
-                .join(F.broadcast(doomed_keys), key, "left_semi")
-                .count()
-            )
-        else:
-            matched = 0
-
+        matched = _mor_live_matches(spark, table, parent_man, key,
+                                    doomed_keys)
         entries = [{"file": f, "key": key, "seq": None, "keys": n_keys}
                    for f in del_files]  # seq stamped by _publish
         return _publish(
@@ -1532,13 +1636,18 @@ def read_changes_since(spark: SparkSession, table: str, since: str,
     for man in chain:
         op = man.get("op")
         gen = _gen_of(man["snapshot"])
-        if op == "append":
+        if op not in ("append", "compact", "delete-mor", "merge-mor"):
+            raise NonIncrementalHistoryError(
+                f"commit {man['snapshot']} is op={op!r} — use "
+                "changes_between() for a keyed diff")
+        if op in ("append", "merge-mor"):
+            # A MOR upsert decomposes exactly: its new files are the
+            # inserts, its delete entry the retraction of the old
+            # versions (strict-below masking exempts its own files).
             for f in man.get("new_files", []):
                 ins_files.append(f)
                 ins_seq[f] = gen
-        elif op == "compact":
-            pass  # row-preserving; clears delete_files (tracked below)
-        elif op == "delete-mor":
+        if op in ("delete-mor", "merge-mor"):
             if prev_dels is None:
                 # First in-range commit: the baseline is `since`'s own
                 # list. A vacuumed `since` manifest must refuse LOUDLY
@@ -1558,10 +1667,6 @@ def read_changes_since(spark: SparkSession, table: str, since: str,
                 if d["file"] not in seen:
                     del_entries.append(d)
                     del_by_key.setdefault(d["key"], []).append(d["file"])
-        else:
-            raise NonIncrementalHistoryError(
-                f"commit {man['snapshot']} is op={op!r} — use "
-                "changes_between() for a keyed diff")
         prev_dels = man.get("delete_files") or []
     end = chain[-1]["snapshot"] if chain else since
     schema = (_schema_from_man(chain[-1]) if chain

@@ -110,6 +110,32 @@ def main() -> None:
           f"mask_read_overhead={r2 - r0:+.2f}s "
           f"compact={compact_wall:.2f}s")
 
+    # --- MOR upsert vs COW merge on the SCATTERED batch (the measured
+    # COW worst case: every range file holds an updated key, 0 reused)
+    batch = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    print(f"scattered update batch: {batch.count()} rows")
+    t_cm = os.path.join(WORK, "cow_merge")
+    V.write_snapshot(base, t_cm, stats_cols=["o_orderkey"])
+    t0 = time.perf_counter()
+    snap = V.merge_snapshot(spark, batch, t_cm, "o_orderkey")
+    cowm = time.perf_counter() - t0
+    reused = V.read_manifest(t_cm, snap)["reused_files"]
+    t_mm = os.path.join(WORK, "mor_merge")
+    V.write_snapshot(base, t_mm, stats_cols=["o_orderkey"])
+    t0 = time.perf_counter()
+    snap = V.merge_snapshot_mor(spark, batch, t_mm, "o_orderkey")
+    morm = time.perf_counter() - t0
+    man = V.read_manifest(t_mm, snap)
+    r4, live4 = read_wall(t_mm)
+    print(f"MERGE SUMMARY scale={n}: cow_merge={cowm:.2f}s "
+          f"(reused {reused}/64) mor_merge={morm:.2f}s "
+          f"({cowm / morm:.1f}x, {man['reused_files']}/64 reused + "
+          f"{len(man['new_files'])} batch files) "
+          f"masked_read={r4:.2f}s rows={man['rows']}")
+
 
 if __name__ == "__main__":
     main()

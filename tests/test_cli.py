@@ -346,6 +346,14 @@ def test_table_lifecycle_cli(spark, tmp_path):
     upd = land([(2, "B"), (5, "e")], "upd")
     assert main(["table", "merge", "--table", table, "--input", upd,
                  "--key", "k"]) == 0
+    # merge-on-read shape: batch + mask in one commit, no rewrite
+    upd2 = land([(4, "D")], "upd2")
+    assert main(["table", "merge", "--table", table, "--input", upd2,
+                 "--key", "k", "--mor"]) == 0
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["op"] == "merge-mor"
+    assert {(r.k, r.v) for r in V.read_current(spark, table)
+            .filter("k = 4").collect()} == {(4, "D")}
     doom = land([(3, "x")], "doom")
     assert main(["table", "delete-keys", "--table", table,
                  "--input", doom, "--key", "k"]) == 0
@@ -354,13 +362,14 @@ def test_table_lifecycle_cli(spark, tmp_path):
     assert main(["table", "delete-keys", "--table", table,
                  "--input", doom2, "--key", "k", "--mor"]) == 0
     man = V.read_manifest(table, V.current_snapshot(table))
-    assert man["op"] == "delete-mor" and len(man["delete_files"]) == 1
+    # two masks pending: the merge-mor batch's + this delete's
+    assert man["op"] == "delete-mor" and len(man["delete_files"]) == 2
     assert main(["table", "compact", "--table", table,
                  "--sort-col", "k", "--target-files", "1"]) == 0
     man = V.read_manifest(table, V.current_snapshot(table))
     assert not man.get("delete_files")
     got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
-    assert got == {(2, "B"), (4, "d"), (5, "e")}
+    assert got == {(2, "B"), (4, "D"), (5, "e")}
 
     assert main(["table", "vacuum", "--table", table,
                  "--keep", "1"]) == 0

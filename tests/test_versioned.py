@@ -1227,3 +1227,129 @@ def test_optimize_cli(spark, tmp_path):
                  "--sort-col", "k"]) == 0
     man = V.read_manifest(table, V.current_snapshot(table))
     assert len(man["files"]) == 1 and man["rows"] == 12
+
+
+def test_merge_mor_matches_cow_merge(spark, tmp_path):
+    """MOR upsert answers EXACTLY like the COW merge — updated keys
+    win (including the commit's own tie-generation files, exempt from
+    their own mask), unmatched rows survive, new keys insert — while
+    touching zero existing data files."""
+    rows = [(i, f"v{i}") for i in range(50)]
+    batch = [(7, "NEW7"), (23, "NEW23"), (99, "NEW99")]
+    t_mor, t_cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    for t in (t_mor, t_cow):
+        V.write_snapshot(
+            spark.createDataFrame(rows, "k int, v string")
+            .repartitionByRange(4, "k"), t)
+    files_before = V.read_manifest(
+        t_mor, V.current_snapshot(t_mor))["files"]
+    snap = V.merge_snapshot_mor(spark, _df(spark, batch), t_mor, "k")
+    V.merge_snapshot(spark, _df(spark, batch), t_cow, "k")
+    man = V.read_manifest(t_mor, snap)
+    assert man["op"] == "merge-mor"
+    assert set(files_before) < set(man["files"])  # old files untouched
+    assert man["reused_files"] == len(files_before)
+    got_mor = {(r.k, r.v)
+               for r in V.read_current(spark, t_mor).collect()}
+    got_cow = {(r.k, r.v)
+               for r in V.read_current(spark, t_cow).collect()}
+    assert got_mor == got_cow
+    assert man["rows"] == 51 == V.read_current(spark, t_mor).count()
+    # Idempotent replay via txn stamp.
+    s2 = V.merge_snapshot_mor(spark, _df(spark, batch), t_mor, "k",
+                              txn_id="m:1")
+    s3 = V.merge_snapshot_mor(spark, _df(spark, batch), t_mor, "k",
+                              txn_id="m:1")
+    assert s2 == s3
+    assert V.read_current(spark, t_mor).count() == 51
+
+
+def test_merge_mor_stacks_and_compacts(spark, tmp_path):
+    """Stacked MOR upserts on the same key keep exactly the LATEST
+    version visible; compaction applies all masks and clears them."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]).coalesce(1),
+                     table)
+    V.merge_snapshot_mor(spark, _df(spark, [(1, "a2")]), table, "k")
+    V.merge_snapshot_mor(spark, _df(spark, [(1, "a3"), (3, "c")]),
+                         table, "k")
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a3"), (2, "b"), (3, "c")}
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == 3 and len(man["delete_files"]) == 2
+    V.compact_snapshot(spark, table, sort_col="k", target_files=1)
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert not man.get("delete_files") and man["rows"] == 3
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a3"), (2, "b"), (3, "c")}
+
+
+def test_read_changes_since_decomposes_merge_mor(spark, tmp_path):
+    """CDC follows MOR upserts: the batch rows are inserts, the batch
+    keys are retractions — deletes-then-upsert downstream reproduces
+    the upsert. Later in-range upserts of the same key mask the
+    earlier in-range version."""
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.merge_snapshot_mor(spark, _df(spark, [(1, "a2"), (3, "c")]),
+                         table, "k")
+    V.merge_snapshot_mor(spark, _df(spark, [(1, "a3")]), table, "k")
+    out = V.read_changes_since(spark, table, s0)
+    ins = {(r.k, r.v) for r in out["inserts"].collect()}
+    assert ins == {(1, "a3"), (3, "c")}  # (1,"a2") masked in-range
+    dels = {r.k for r in out["deleted_keys"]["k"].collect()}
+    assert dels == {1, 3}
+    replica = {(1, "a"), (2, "b")}
+    replica = {(k, v) for (k, v) in replica if k not in dels} | ins
+    src = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert replica == src == {(1, "a3"), (2, "b"), (3, "c")}
+
+
+def test_mixed_global_and_sequenced_masks(spark, tmp_path):
+    """A manifest carrying BOTH mask classes at once — an entry every
+    scanned file postdates-or-ties (sequenced path) and an entry newer
+    than every file (global fast path) — must compose: the read plan
+    mixes one plain and one sequenced anti-join over a single scan
+    (input_file_name resolves only on single-source plans; regression
+    for the mixed case the CLI lifecycle first hit)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+    # merge-mor: its entry TIES with its own files -> sequenced path
+    V.merge_snapshot_mor(spark, _df(spark, [(2, "B2")]), table, "k")
+    # delete-mor afterwards: newer than every file -> global path
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(3, "x")]))
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B2")}
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == 2 and len(man["delete_files"]) == 2
+
+
+def test_mor_delete_applies_on_legacy_unstamped_table(spark, tmp_path):
+    """A table whose manifests predate file_seq stamping: its files
+    must sequence as 0 (provably before any delete), NOT at the gen of
+    the commit that first stamps them — a current-gen stamp would tie
+    with a delete published by that same commit and exempt the files
+    from the mask (strict-below rule)."""
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    # Simulate a legacy manifest: strip the stamping.
+    mp = os.path.join(table, "snapshots", f"{snap}.json")
+    man = json.load(open(mp))
+    man.pop("file_seq", None)
+    with open(mp, "w") as fh:
+        json.dump(man, fh)
+
+    s2 = V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]))
+    man2 = V.read_manifest(table, s2)
+    assert all(v == 0 for v in man2["file_seq"].values())
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(2, "b")}  # the delete APPLIES
+    assert man2["rows"] == 1
+
+
+def test_merge_mor_empty_batch_publishes_nothing(spark, tmp_path):
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_df(spark, [(1, "a")]), table)
+    assert V.merge_snapshot_mor(
+        spark, _df(spark, [(9, "z")]).limit(0), table, "k") == snap
+    assert not V.read_manifest(table, snap).get("delete_files")
