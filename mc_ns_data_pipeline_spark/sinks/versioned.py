@@ -540,11 +540,30 @@ _COL_OPS = {
     ">": Column.__gt__,
     ">=": Column.__ge__,
     "=": Column.__eq__,
+    # ("col", "in", [v1, v2, ...]) — the multi-point lookup. Pruning
+    # survives a file iff ANY listed value survives it; isin() is the
+    # residual. An empty list matches nothing (lit False residual).
+    "in": (lambda col, vals:
+           col.isin(*vals) if vals else F.lit(False)),
 }
+
+
+def _residual_filter(col: str, op: str, val) -> Column:
+    """The real predicate applied above the pruned scan — pruning is
+    an optimization, never the semantics. ``in`` takes its value list
+    raw; every other op compares against one literal."""
+    if op == "in":
+        return _COL_OPS["in"](F.col(col), list(val))
+    return _COL_OPS[op](F.col(col), F.lit(val))
 
 
 def _file_survives(stats: dict, name: str, col: str, op: str,
                    val) -> bool:
+    if op == "in":
+        # Survives iff ANY listed value could be in the file; the
+        # empty list matches nothing, so every file is skippable.
+        return any(_file_survives(stats, name, col, "=", v)
+                   for v in val)
     per_file = stats.get(name)
     if per_file is None or col not in per_file:
         return True  # no metadata for this file/column: must scan
@@ -564,6 +583,9 @@ def _file_survives(stats: dict, name: str, col: str, op: str,
 
 def _bloom_survives(blooms: dict, name: str, col: str, op: str,
                     val) -> bool:
+    if op == "in":
+        return any(_bloom_survives(blooms, name, col, "=", v)
+                   for v in val)
     if op != "=" or val is None:
         return True  # blooms answer equality membership only
     entry = blooms.get(name)
@@ -629,7 +651,7 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
         else:
             df = spark.createDataFrame([], schema)
         for col, op, val in predicates or []:
-            df = df.filter(_COL_OPS[op](F.col(col), F.lit(val)))
+            df = df.filter(_residual_filter(col, op, val))
         return df
     df = _read_pool(spark, table, names, schema)
     # Residual predicates go on BEFORE the merge-on-read delete join:
@@ -638,7 +660,7 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
     # delete join would not push back down. Order is semantically
     # irrelevant — both only remove rows.
     for col, op, val in predicates or []:
-        df = df.filter(_COL_OPS[op](F.col(col), F.lit(val)))
+        df = df.filter(_residual_filter(col, op, val))
     return _apply_delete_files(spark, table, df, man, names)
 
 

@@ -1386,3 +1386,38 @@ def test_stream_upsert_lands_latest_version_per_key(spark, sf_dir,
     man = V.read_manifest(table, V.current_snapshot(table))
     assert not man.get("delete_files")
     assert V.read_current(spark, table).count() == n_keys
+
+
+def test_in_list_predicate_prunes_stats_and_blooms(spark, tmp_path):
+    """("col", "in", [v...]) — the multi-point lookup: a file survives
+    iff ANY listed value survives its stats AND blooms; the residual
+    isin keeps semantics exact; the empty list matches nothing."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, i * 10) for i in range(100)],
+                              "k int, val int")
+        .repartitionByRange(4, "k")  # disjoint ranges: 0-24/25-49/...
+    )
+    snap = V.write_snapshot(base, table, stats_cols=["k"],
+                            bloom_cols=["k"])
+    rep = V.prune_report(table, snap, [("k", "in", [3, 7, 98])])
+    assert rep["skipped"] == 2  # middle two range files untouched
+    got = {r.k for r in V.read_current(
+        spark, table, predicates=[("k", "in", [3, 7, 98])]).collect()}
+    assert got == {3, 7, 98}
+    # Absent values: blooms kill every file, result is empty.
+    rep = V.prune_report(table, snap, [("k", "in", [1000, 2000])])
+    assert rep["skipped"] == 4
+    assert V.read_current(
+        spark, table, predicates=[("k", "in", [1000, 2000])]).count() == 0
+    # Empty list: nothing matches, nothing scanned.
+    rep = V.prune_report(table, snap, [("k", "in", [])])
+    assert rep["skipped"] == 4
+    assert V.read_current(
+        spark, table, predicates=[("k", "in", [])]).count() == 0
+    # Composes with MOR masks.
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(7,)], "k int"))
+    got = {r.k for r in V.read_current(
+        spark, table, predicates=[("k", "in", [3, 7, 98])]).collect()}
+    assert got == {3, 98}
