@@ -444,6 +444,72 @@ def _bloom_may_contain(b64: str, val) -> bool:
     return True
 
 
+#: Bloom-assisted locate is driver-side CPU: probing every candidate
+#: file's bloom with every batch key costs files × keys × K vectorized
+#: ops. Past this budget the pass is skipped (the scan-side semi join
+#: is still exact) rather than stalling the driver.
+_BLOOM_PROBE_BUDGET = 50_000_000
+
+
+def _bloom_candidates(man: dict, key: str, key_values,
+                      candidates: list[str]) -> list[str]:
+    """Second, membership-based cut for the locate/decrement candidate
+    set: keep only files whose bloom may contain AT LEAST ONE batch
+    key. This is what makes key-batch operations (COW merge locate,
+    MOR decrement) open ~only the true files on UNCLUSTERED tables,
+    where every file's [min, max] spans the keyspace and the stats
+    pass keeps everything. False negatives are impossible (same hash
+    as the build side); false positives cost one extra file scan.
+
+    ``key_values`` must be the batch's non-NULL keys (NULL never
+    matches the equality semi join anyway). Files without a recorded
+    bloom survive; exotic value types skip the pass conservatively."""
+    import base64
+
+    import numpy as np
+
+    blooms = man.get("blooms") or {}
+    if key not in (man.get("bloom_cols") or []) or not blooms:
+        return candidates
+    vals = [v for v in key_values if v is not None]
+    if not vals:
+        return []
+    if any(isinstance(v, bool) or not isinstance(v, (int, str))
+           for v in vals):
+        return candidates  # probe only canonical-text-stable types
+    if len(candidates) * len(vals) > _BLOOM_PROBE_BUDGET:
+        return candidates  # bounded driver CPU: skip, stay exact
+
+    import pandas as pd
+
+    s = pd.Series(vals, dtype="object").astype(str)
+    h = pd.util.hash_pandas_object(
+        s, index=False, categorize=False).to_numpy(dtype=np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+
+    kept = []
+    for f in candidates:
+        entry = blooms.get(f)
+        if entry is None or key not in entry:
+            kept.append(f)  # no bloom recorded: must scan
+            continue
+        bits = np.frombuffer(base64.b64decode(entry[key]),
+                             dtype=np.uint8)
+        m = np.uint64(len(bits) * 8)
+        hit = np.ones(len(vals), dtype=bool)
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % m
+            hit &= ((bits[(pos // np.uint64(8)).astype(np.int64)]
+                     >> (pos % np.uint64(8)).astype(np.uint8)) & 1
+                    ).astype(bool)
+            if not hit.any():
+                break
+        if hit.any():
+            kept.append(f)
+    return kept
+
+
 _BLOOM_OK_TYPES = ("string", "byte", "short", "integer", "long")
 
 
@@ -1051,23 +1117,35 @@ def compact_snapshot(spark: SparkSession, table: str,
                         bloom_cols=bloom_cols)
 
 
+_BLOOM_PROBE_MAX_KEYS = 100_000  # bounded driver collect for probing
+
+
 def _stat_candidates(man: dict, key: str, keys_df: DataFrame
                      ) -> list[str]:
-    """The manifest files whose recorded [min, max] for ``key`` can
-    intersect ``keys_df``'s key span — the metadata-only first cut
-    shared by the COW locate step and the MOR decrement count. Without
-    stats on ``key`` every file is a candidate."""
-    files = man["files"]
-    if key not in (man.get("stats_cols") or []):
-        return list(files)
-    span = keys_df.agg(F.min(key).alias("lo"),
-                       F.max(key).alias("hi")).first()
-    stats = man.get("stats") or {}
-    return [
-        f for f in files
-        if _file_survives(stats, f, key, ">=", span["lo"])
-        and _file_survives(stats, f, key, "<=", span["hi"])
-    ]
+    """The manifest files a key batch can possibly touch — the
+    metadata-only planning cut shared by the COW locate step and the
+    MOR decrement count. Two passes: [min, max] span intersection
+    (clustered layouts), then per-file bloom membership for bounded
+    batches (`_bloom_candidates` — the pass that matters on
+    UNCLUSTERED layouts, where every span intersects). Without stats
+    or blooms on ``key`` every file is a candidate."""
+    files = list(man["files"])
+    if key in (man.get("stats_cols") or []):
+        span = keys_df.agg(F.min(key).alias("lo"),
+                           F.max(key).alias("hi")).first()
+        stats = man.get("stats") or {}
+        files = [
+            f for f in files
+            if _file_survives(stats, f, key, ">=", span["lo"])
+            and _file_survives(stats, f, key, "<=", span["hi"])
+        ]
+    if files and key in (man.get("bloom_cols") or []):
+        rows = (keys_df.filter(F.col(key).isNotNull())
+                .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
+        if len(rows) <= _BLOOM_PROBE_MAX_KEYS:
+            files = _bloom_candidates(man, key,
+                                      [r[0] for r in rows], files)
+    return files
 
 
 def _locate_affected(spark: SparkSession, table: str, man: dict,

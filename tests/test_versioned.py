@@ -1421,3 +1421,44 @@ def test_in_list_predicate_prunes_stats_and_blooms(spark, tmp_path):
     got = {r.k for r in V.read_current(
         spark, table, predicates=[("k", "in", [3, 7, 98])]).collect()}
     assert got == {3, 98}
+
+
+def test_bloom_assisted_locate_on_unclustered_merge(spark, tmp_path):
+    """On an UNCLUSTERED table every file's [min,max] spans the
+    keyspace (stats prune nothing), but the per-file blooms cut the
+    merge-locate candidates to the files actually holding batch keys —
+    proven the blunt way: physically remove files the blooms exclude
+    and merge anyway. Same path serves the MOR decrement count."""
+    table = str(tmp_path / "t")
+    base = (
+        spark.createDataFrame([(i, "v") for i in range(400)],
+                              "k int, v string")
+        .repartition(8, "k")  # hash-scattered: ranges all overlap
+    )
+    V.write_snapshot(base, table, stats_cols=["k"], bloom_cols=["k"])
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert len(man["files"]) == 8
+
+    batch = _df(spark, [(7, "UPD")])
+    cands = V._stat_candidates(man, "k", batch.select("k"))
+    assert 1 <= len(cands) <= 2  # bloom cut 8 -> ~1 (plus rare FP)
+
+    # Hide every non-candidate file: a locate that touches them fails.
+    import os
+    for f in man["files"]:
+        if f not in cands:
+            os.rename(os.path.join(table, "data", f),
+                      os.path.join(table, "data", f + ".hidden"))
+    snap = V.merge_snapshot(spark, batch, table, "k")
+    for f in man["files"]:
+        if f not in cands:
+            os.rename(os.path.join(table, "data", f + ".hidden"),
+                      os.path.join(table, "data", f))
+    man2 = V.read_manifest(table, snap)
+    assert man2["reused_files"] >= 7
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(i, "v") for i in range(400) if i != 7} | {(7, "UPD")}
+
+    # MOR delete's exact decrement rides the same candidate cut.
+    s3 = V.delete_keys_mor(spark, table, "k", _df(spark, [(8, "x")]))
+    assert V.read_manifest(table, s3)["rows"] == 399
