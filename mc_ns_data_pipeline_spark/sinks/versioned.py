@@ -1130,21 +1130,41 @@ def _stat_candidates(man: dict, key: str, keys_df: DataFrame
     UNCLUSTERED layouts, where every span intersects). Without stats
     or blooms on ``key`` every file is a candidate."""
     files = list(man["files"])
-    if key in (man.get("stats_cols") or []):
-        span = keys_df.agg(F.min(key).alias("lo"),
-                           F.max(key).alias("hi")).first()
+    has_stats = key in (man.get("stats_cols") or [])
+    has_blooms = key in (man.get("bloom_cols") or [])
+    if not (has_stats or has_blooms):
+        return files
+    # ONE evaluation of the caller's key lineage: a bounded collect
+    # serves both the span (computed driver-side) and the bloom probe.
+    # Batches past the bound fall back to the agg-only span — they are
+    # too big for the bloom probe anyway.
+    vals = None
+    rows = (keys_df.filter(F.col(key).isNotNull())
+            .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
+    if len(rows) <= _BLOOM_PROBE_MAX_KEYS:
+        vals = [r[0] for r in rows]
+        if any(isinstance(v, float) and math.isnan(v) for v in vals):
+            # Python min/max over NaN-bearing lists is order-dependent
+            # garbage — an unsound span. The agg path (Spark ordering,
+            # conservatively handled by _file_survives) stays sound.
+            vals = None
+    if has_stats:
+        if vals is not None:
+            if not vals:
+                return []  # all-NULL batch: equality matches nothing
+            lo, hi = min(vals), max(vals)
+        else:
+            span = keys_df.agg(F.min(key).alias("lo"),
+                               F.max(key).alias("hi")).first()
+            lo, hi = span["lo"], span["hi"]
         stats = man.get("stats") or {}
         files = [
             f for f in files
-            if _file_survives(stats, f, key, ">=", span["lo"])
-            and _file_survives(stats, f, key, "<=", span["hi"])
+            if _file_survives(stats, f, key, ">=", lo)
+            and _file_survives(stats, f, key, "<=", hi)
         ]
-    if files and key in (man.get("bloom_cols") or []):
-        rows = (keys_df.filter(F.col(key).isNotNull())
-                .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
-        if len(rows) <= _BLOOM_PROBE_MAX_KEYS:
-            files = _bloom_candidates(man, key,
-                                      [r[0] for r in rows], files)
+    if files and has_blooms and vals is not None:
+        files = _bloom_candidates(man, key, vals, files)
     return files
 
 
