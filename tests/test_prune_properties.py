@@ -162,3 +162,54 @@ def test_bloom_integral_recast_matches_int_probe(values):
     b64 = _bloom_b64(floaty, integral=True)
     for v in values:
         assert _bloom_may_contain(b64, v)
+
+
+# ---------------------------------------------------------------------------
+# Batch bloom probe (_bloom_candidates): the driver-side locate cut
+# must have ZERO false negatives — a file containing ANY batch key
+# must always survive, for any mix of string/int values (including
+# NUL bytes, separator lookalikes, and int/str near-collisions like
+# 5 vs "5"). False positives are allowed; dropped true files are data
+# loss in the COW rewrite.
+# ---------------------------------------------------------------------------
+
+_bloom_value = st.one_of(
+    st.integers(min_value=-2**62, max_value=2**62),
+    st.text(max_size=12),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    file_vals=st.lists(_bloom_value, min_size=0, max_size=40),
+    batch=st.lists(_bloom_value, min_size=1, max_size=20),
+)
+def test_bloom_batch_probe_never_false_negative(file_vals, batch):
+    import pandas as pd
+
+    from mc_ns_data_pipeline_spark.sinks.versioned import (
+        _bloom_b64,
+        _bloom_candidates,
+    )
+
+    # Build one file's bloom the way the executor pass does. A file is
+    # all-int or all-str in reality (one column); exercise both by
+    # splitting the generated values per type.
+    for integral in (True, False):
+        vals = [v for v in file_vals
+                if isinstance(v, int) == integral]
+        ser = pd.Series(vals, dtype="object")
+        man = {
+            "bloom_cols": ["k"],
+            "blooms": {"f1": {"k": _bloom_b64(ser, integral)}},
+            "stats_cols": [],
+        }
+        keys = [v for v in batch if isinstance(v, int) == integral]
+        if not keys:
+            continue
+        kept = _bloom_candidates(man, "k", keys, ["f1"])
+        truly_contains = any(k in vals for k in keys)
+        if truly_contains:
+            assert kept == ["f1"], (
+                f"false negative: file holding {vals!r} pruned "
+                f"for batch {keys!r}")
