@@ -1462,3 +1462,55 @@ def test_bloom_assisted_locate_on_unclustered_merge(spark, tmp_path):
     # MOR delete's exact decrement rides the same candidate cut.
     s3 = V.delete_keys_mor(spark, table, "k", _df(spark, [(8, "x")]))
     assert V.read_manifest(table, s3)["rows"] == 399
+
+
+def test_hammer_readers_during_mor_lifecycle(spark, tmp_path):
+    """MVCC under the merge-on-read commit types: readers loop while a
+    writer alternates MOR deletes, MOR upserts, and mask-applying
+    compactions. Every read must equal exactly one published state —
+    a reader must never see a delete file without its manifest (or
+    vice versa), and never a half-applied mask."""
+    table = str(tmp_path / "t")
+    # State g: keys 0..9 live, each carrying value f"g{g}" — every
+    # generation is distinguishable and internally consistent.
+    V.write_snapshot(
+        _df(spark, [(i, "g0") for i in range(10)]), table)
+    stop = threading.Event()
+    bad: list[object] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = V.read_current(spark, table).collect()
+                vals = {r.v for r in rows}
+                keys = sorted(r.k for r in rows)
+                # Published states: all 10 keys at one generation, or
+                # the same minus key 3 (between its MOR delete and its
+                # re-insert). Anything else is a torn read.
+                ok_keys = (keys == list(range(10))
+                           or keys == [k for k in range(10) if k != 3])
+                if len(vals) != 1 or not ok_keys:
+                    bad.append((vals, keys))
+            except Exception as exc:  # noqa: BLE001 — any error fails
+                bad.append(exc)
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for gen in range(1, 4):
+            batch = _df(spark, [(i, f"g{gen}") for i in range(10)])
+            # Upsert all keys to the new generation value (MOR), then
+            # delete a key and re-insert it (MOR), then compact.
+            V.merge_snapshot_mor(spark, batch, table, "k")
+            V.delete_keys_mor(spark, table, "k", _df(spark, [(3, "x")]))
+            V.append_snapshot(_df(spark, [(3, f"g{gen}")]), table)
+            V.compact_snapshot(spark, table, sort_col="k",
+                               target_files=2)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert bad == [], bad[:3]
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(i, "g3") for i in range(10)}
