@@ -4141,8 +4141,8 @@ def _ann_recall_sql(k: int = 3) -> str:
         lx AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= {k}),
         hits AS (
             SELECT e.query_id, count(*) AS n_exact,
-                   sum(CASE WHEN l.neighbor_id IS NOT NULL
-                            THEN 1 ELSE 0 END) AS n_hit
+                   CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
             FROM ex e LEFT JOIN lx l
               ON e.query_id = l.query_id
              AND e.neighbor_id = l.neighbor_id
