@@ -1642,8 +1642,8 @@ def xs6_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XS6 — streaming CDC materialization of per-user latest state via
     foreachBatch newer-wins merge; end-of-input table equals the batch
     latest-per-key query (the oracle)."""
-    import tempfile
 
+    import tempfile
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         run_latest_state,
     )
@@ -2169,8 +2169,8 @@ def xs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared declarative rule battery (quality.split_valid); accepted
     rows roll up, violations land in a replayable dead-letter table.
     See streaming/incremental.py:run_stream_quality_gate."""
-    import tempfile
 
+    import tempfile
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         run_stream_quality_gate,
     )
@@ -2999,8 +2999,8 @@ def xs13_stream_zone_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     table via a replay-safe foreachBatch (epoch markers travel
     atomically with the staged swap). End state equals the batch
     computation — same oracle as x88."""
-    import tempfile
 
+    import tempfile
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         run_stream_zone_maps,
     )
@@ -3018,8 +3018,8 @@ def xs14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     its own bands/shingle sets (x51's incremental operator + streaming
     state maintenance; old text never re-read). Sequencing increments
     reproduces the batch LSH pairs, so the oracle is x06's."""
-    import tempfile
 
+    import tempfile
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         run_stream_incremental_dedup,
     )
@@ -3052,6 +3052,28 @@ def q18_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xs3_stream_dedup(spark, sf_dir)
 
 
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for the versioned-table lifecycle queries
+    (x98–x106), nested under ONE per-process root that is reaped at
+    interpreter exit. The queries return LAZY plans over tables they
+    just wrote, so an in-function rmtree would pull the files out from
+    under the caller's later collect; exit-time cleanup keeps every
+    plan valid for the process lifetime while bench/correctness runs
+    stop leaking table-sized directories in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="mcns_scratch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
 def x98_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MVCC snapshot-table lifecycle (sinks/versioned.py) end-to-end,
     gate-checked: publish a base snapshot derived from `orders`,
@@ -3070,7 +3092,6 @@ def x98_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     update keys; write amplification is bounded by affected files.
     """
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
@@ -3085,7 +3106,7 @@ def x98_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", (F.col("o_totalprice") + F.lit(1.5)).alias("price"),
         F.lit("upd").alias("src"))
 
-    table = os.path.join(tempfile.mkdtemp(prefix="x98_snap_"), "tbl")
+    table = os.path.join(_scratch_dir("x98_snap_"), "tbl")
     V.write_snapshot(base, table)
     V.merge_snapshot(spark, upd, table, "o_orderkey")
     return (
@@ -3120,7 +3141,6 @@ def x99_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage metadata makes the increment a file list).
     """
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
@@ -3138,7 +3158,7 @@ def x99_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_totalprice") > 150000.0, F.lit("hi"))
         .otherwise(F.lit("lo")).alias("tier"))
 
-    table = os.path.join(tempfile.mkdtemp(prefix="x99_clog_"), "tbl")
+    table = os.path.join(_scratch_dir("x99_clog_"), "tbl")
     s0 = V.write_snapshot(base, table)
     V.append_snapshot(b1, table)
     V.compact_snapshot(spark, table, sort_col="o_orderkey",
@@ -3171,7 +3191,6 @@ def x100_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the append-only ranges take `read_appended_since` (x99) and never
     pay it."""
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
@@ -3184,7 +3203,7 @@ def x100_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + F.lit(2.5)).alias("price"))
     doomed = orders.filter(key5 == 2).select("o_orderkey")
 
-    table = os.path.join(tempfile.mkdtemp(prefix="x100_cdc_"), "tbl")
+    table = os.path.join(_scratch_dir("x100_cdc_"), "tbl")
     s0 = V.write_snapshot(base, table)
     V.merge_snapshot(spark, upd, table, "o_orderkey")
     s2 = V.delete_keys_snapshot(spark, table, "o_orderkey", doomed)
@@ -3217,7 +3236,6 @@ def x101_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x59 count-as-literal pattern), stated identically in the oracle.
     """
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
@@ -3235,7 +3253,7 @@ def x101_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("o_totalprice").alias("price"))
         .repartitionByRange(8, "o_orderkey")
     )
-    table = os.path.join(tempfile.mkdtemp(prefix="x101_prune_"), "tbl")
+    table = os.path.join(_scratch_dir("x101_prune_"), "tbl")
     snap = V.write_snapshot(base, table, stats_cols=["o_orderkey"])
     rep = V.prune_report(table, snap, [("o_orderkey", "<=", cut)])
     return (
@@ -3269,7 +3287,6 @@ def x102_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every file; build cost is one Arrow-batched pass over each
     commit's own files."""
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
@@ -3281,7 +3298,7 @@ def x102_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("o_totalprice").alias("price"))
         .repartition(8)
     )
-    table = os.path.join(tempfile.mkdtemp(prefix="x102_bloom_"), "tbl")
+    table = os.path.join(_scratch_dir("x102_bloom_"), "tbl")
     snap = V.write_snapshot(base, table, bloom_cols=["o_orderkey"])
     rep = V.prune_report(table, snap, [("o_orderkey", "=", key)])
     return (
@@ -3316,7 +3333,6 @@ def x103_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     processed_files (file_processor.py), which PostgreSQL serves as a
     row-level transactional delete."""
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
@@ -3326,7 +3342,7 @@ def x103_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("o_totalprice").alias("price"))
         .repartition(8)
     )
-    table = os.path.join(tempfile.mkdtemp(prefix="x103_mor_"), "tbl")
+    table = os.path.join(_scratch_dir("x103_mor_"), "tbl")
     V.write_snapshot(base, table, stats_cols=["o_orderkey"])
     doomed = orders.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey")
@@ -3369,7 +3385,6 @@ def x104_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the rescan. Sums emit as fixed-scale STRINGS (decimal →
     double crossing is the 1-ulp hash hazard)."""
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import matview as MV
     from mc_ns_data_pipeline_spark.sinks import versioned as V
@@ -3379,7 +3394,7 @@ def x104_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
         "o_orderkey")
-    root = tempfile.mkdtemp(prefix="x104_mv_")
+    root = _scratch_dir("x104_mv_")
     source, view = os.path.join(root, "src"), os.path.join(root, "mv")
     V.write_snapshot(
         src_rows.filter(F.col("o_orderkey") % 7 != 0).drop("o_orderkey"),
@@ -3420,14 +3435,13 @@ def x105_changes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes; `changes_between` (the COW fallback) shuffles both
     snapshots."""
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
     orders = load_table(spark, sf_dir, "orders")
     rows = orders.select(
         "o_orderkey", F.col("o_totalprice").alias("price"))
-    table = os.path.join(tempfile.mkdtemp(prefix="x105_cdc_"), "tbl")
+    table = os.path.join(_scratch_dir("x105_cdc_"), "tbl")
     s0 = V.write_snapshot(rows.filter(F.col("o_orderkey") % 3 == 0),
                           table)
     V.append_snapshot(rows.filter(F.col("o_orderkey") % 3 == 1), table)
@@ -3469,14 +3483,13 @@ def x106_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-bytes + kilobytes; the read-side mask cost until compaction
     is the documented cadence knob (BASELINE.md)."""
     import os
-    import tempfile
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
     orders = load_table(spark, sf_dir, "orders")
     rows = orders.select(
         "o_orderkey", F.col("o_totalprice").alias("price"))
-    table = os.path.join(tempfile.mkdtemp(prefix="x106_morup_"), "tbl")
+    table = os.path.join(_scratch_dir("x106_morup_"), "tbl")
     V.write_snapshot(rows.repartition(8), table,
                      stats_cols=["o_orderkey"])
     parent_files = set(

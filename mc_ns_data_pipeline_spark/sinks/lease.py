@@ -26,11 +26,36 @@ from __future__ import annotations
 
 import json
 import os
+import socket
+import threading
 import time
 import uuid
 from contextlib import contextmanager
 
 DEFAULT_TTL_S = 3600.0
+
+#: Heartbeat cadence as a fraction of the TTL (bounded below/above in
+#: `_heartbeat_interval`): a LIVE holder refreshes its lease mtime well
+#: inside the TTL, so mutations longer than ttl_s (compact/merge on big
+#: tables) are never evicted mid-write — only holders that stopped
+#: beating (crash, SIGKILL, host death) age out.
+_HEARTBEAT_FRACTION = 0.25
+
+
+def _heartbeat_interval(ttl_s: float) -> float:
+    return max(0.02, min(ttl_s * _HEARTBEAT_FRACTION, 60.0))
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return False
 
 
 class TableLockedError(RuntimeError):
@@ -60,7 +85,20 @@ def _is_expired(lease_file: str, record: dict, now: float) -> bool:
         age = now - os.stat(lease_file).st_mtime
     except FileNotFoundError:
         return False  # released between read and stat: not ours to reap
-    return age > ttl
+    if age <= ttl:
+        return False
+    # mtime-stale. The holder's heartbeat normally keeps mtime fresh,
+    # so staleness means crash/SIGKILL — but a SIGSTOPped or
+    # GC-paused same-host holder also stops beating, and evicting a
+    # LIVE writer re-admits exactly the two-writer corruption the
+    # lease exists to prevent. If the recorded pid is verifiably
+    # alive on THIS host, keep the lease (a recycled pid keeps it
+    # spuriously until the impostor exits — advisory and safe-side).
+    pid = record.get("pid")
+    if (record.get("host") == socket.gethostname()
+            and isinstance(pid, int) and _pid_alive(pid)):
+        return False
+    return True
 
 
 @contextmanager
@@ -72,9 +110,13 @@ def table_lease(path: str, owner: str | None = None,
     * acquisition is `O_CREAT | O_EXCL` — exactly one writer wins;
     * a live lease makes the second writer raise `TableLockedError`
       immediately (or after polling up to `wait_s`);
-    * a lease older than its own declared TTL is reclaimed: the stale
-      file is renamed aside (itself atomic — only one reclaimer wins
-      the rename) and acquisition retries;
+    * the holder HEARTBEATS: a daemon thread refreshes the lease
+      mtime every `ttl_s/4` (≤60 s), so a mutation outlasting its TTL
+      keeps its lease — only holders that stopped beating age out;
+    * a lease older than its own declared TTL whose recorded pid is
+      not a live same-host process is reclaimed: the stale file is
+      renamed aside (itself atomic — only one reclaimer wins the
+      rename) and acquisition retries;
     * release only removes the lease THIS acquisition created (token
       check), so a crashed-then-reclaimed writer cannot release the
       reclaimer's lease.
@@ -86,6 +128,7 @@ def table_lease(path: str, owner: str | None = None,
     record = {
         "owner": owner or f"pid-{os.getpid()}",
         "pid": os.getpid(),
+        "host": socket.gethostname(),
         "token": token,
         "ttl_s": ttl_s,
     }
@@ -118,9 +161,29 @@ def table_lease(path: str, owner: str | None = None,
                     "wait_s"
                 ) from None
             time.sleep(poll_s)
+    stop = threading.Event()
+
+    def _beat():
+        # Refresh mtime only while the lease is still OURS: after a
+        # (pathological) reclaim, touching the file would silently
+        # extend the reclaimer's lease.
+        while not stop.wait(_heartbeat_interval(ttl_s)):
+            current = read_lease(path)
+            if not current or current.get("token") != token:
+                return
+            try:
+                os.utime(lease_file, None)
+            except OSError:
+                return
+
+    beat = threading.Thread(target=_beat, name="table-lease-heartbeat",
+                            daemon=True)
+    beat.start()
     try:
         yield record
     finally:
+        stop.set()
+        beat.join(timeout=2.0)
         current = read_lease(path)
         if current and current.get("token") == token:
             try:

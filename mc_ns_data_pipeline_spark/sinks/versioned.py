@@ -406,17 +406,32 @@ def _bloom_positions(values, m_bits: int) -> list:
     ]
 
 
-def _bloom_b64(series, integral: bool) -> str:
+def _bloom_b64(series, integral: bool) -> str | None:
     """Build one file/column bloom from a pandas Series. Integral
     columns re-cast after dropna: Arrow hands a long-with-NULLs column
     to pandas as float64, and '5.0' vs '5' would be a silent false
-    negative."""
+    negative.
+
+    The float64 detour is lossy past 2**53: the true id (snowflake-style
+    ids land here) was already destroyed when Arrow widened the column,
+    so ``astype("int64")`` recovers a ROUNDED value, the bloom records
+    the wrong canonical text, and every probe of the true value
+    false-negatives — the one failure mode blooms must never have. No
+    in-function check can undo that (9007199254740992.0 could have been
+    2**53 or 2**53+1), so the production build (`_scan_blooms`) casts to
+    string on the Spark side and never reaches this path; if a
+    float-dtype integral series does arrive with any magnitude >= 2**53,
+    return ``None`` — record no bloom, absence is conservatively 'must
+    scan'."""
     import base64
 
     import numpy as np
 
     vals = series.dropna()
     if integral and len(vals):
+        if vals.dtype.kind == "f":
+            if float(np.abs(vals.to_numpy()).max()) >= 2.0 ** 53:
+                return None
         vals = vals.astype("int64")
     m = _bloom_m_bits(len(vals))
     bits = np.zeros(m // 8, dtype=np.uint8)
@@ -551,32 +566,40 @@ def _scan_blooms(spark: SparkSession, table: str, files: list[str],
             {f.name for f in schema.fields}]
     if not files or not cols:
         return {}
-    integral = {
-        c: next(f for f in schema.fields if f.name == c)
-        .dataType.typeName() != "string"
-        for c in cols
-    }
+    # `build` closes over module-level _bloom_b64 → cloudpickled by
+    # module reference; workers spawned outside the repo cwd (external
+    # harness importing __spark_entry__ by path) can't import it
+    # without the shipped zip.
+    from ..session import ensure_package_on_executors
+    ensure_package_on_executors(spark)
     out_schema = ", ".join(["_file string"]
                            + [f"_b{i} string" for i in range(len(cols))])
 
+    # Cast to string ON THE SPARK SIDE: Arrow hands a long-with-NULLs
+    # column to pandas as float64, which silently rounds ids >= 2**53
+    # (snowflake-style) before the bloom ever sees them — a build-time
+    # false negative. CAST(long AS STRING) is exact at any magnitude
+    # and matches the probe's str(int) canonical text.
     def build(pdf):
         import pandas as pd
 
         row = {"_file": [pdf["_file"].iloc[0]]}
         for i, c in enumerate(cols):
-            row[f"_b{i}"] = [_bloom_b64(pdf[c], integral[c])]
+            row[f"_b{i}"] = [_bloom_b64(pdf[c], integral=False)]
         return pd.DataFrame(row)
 
     root = _data_root(table)
     rows = (
         spark.read.parquet(*(os.path.join(root, f) for f in files))
-        .select(*cols, F.input_file_name().alias("_file"))
+        .select(*(F.col(c).cast("string").alias(c) for c in cols),
+                F.input_file_name().alias("_file"))
         .groupBy("_file").applyInPandas(build, out_schema)
         .collect()
     )
     blooms = {
         os.path.basename(r["_file"]):
-            {c: r[f"_b{i}"] for i, c in enumerate(cols)}
+            {c: r[f"_b{i}"] for i, c in enumerate(cols)
+             if r[f"_b{i}"] is not None}
         for r in rows
     }
     empty = None
@@ -830,7 +853,8 @@ def _land_in_pool(df: DataFrame, table: str) -> list[str]:
     """Write `df`'s rows as new immutable pool files; return their
     pool-relative names. Staging-dir write, then per-file move into
     the pool under fresh uuid names (never overwrites; a crash leaves
-    only unreferenced files for vacuum)."""
+    unreferenced pool files plus its staging dir — both reaped by
+    ``vacuum_snapshots`` once aged out)."""
     staging = os.path.join(table, f"__staging-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(staging)
     pool = _data_root(table)
@@ -1403,8 +1427,17 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
             + entries)
 
 
+#: Age floor for reaping crashed writers' ``__staging-*`` dirs: long
+#: enough that no live write plausibly goes this long without touching
+#: its staging dir, short enough that crash debris clears on the next
+#: day's vacuum.
+_STAGING_REAP_AGE_S = 86_400.0
+
+
 def vacuum_snapshots(table: str, keep: int = 2,
-                     min_age_seconds: float | None = None) -> dict:
+                     min_age_seconds: float | None = None,
+                     staging_age_seconds: float = _STAGING_REAP_AGE_S
+                     ) -> dict:
     """Reap history no in-flight reader should still need: drop every
     manifest except the current snapshot and the newest ``keep - 1``
     others, then delete pool files referenced by NO retained manifest
@@ -1420,7 +1453,14 @@ def vacuum_snapshots(table: str, keep: int = 2,
     (The count bounds disk; the age bounds reader exposure. Size the
     floor to the longest read you allow — the Iceberg
     expire-older-than contract.) Manifest mtime is the age source:
-    it's assigned by the atomic publish rename, monotone per table."""
+    it's assigned by the atomic publish rename, monotone per table.
+
+    A crash inside ``_land_in_pool`` leaves a ``__staging-<uuid>``
+    directory that no manifest ever references; those are reaped once
+    older than ``staging_age_seconds`` (age = newest mtime within the
+    dir, so an in-flight write that is still producing files is never
+    touched — load-bearing once optimistic writers stage outside the
+    lease)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     import time as _time
@@ -1457,7 +1497,24 @@ def vacuum_snapshots(table: str, keep: int = 2,
                 if f.endswith(".parquet") and f not in live:
                     os.remove(os.path.join(root, f))
                     removed_files += 1
-        return {"snapshots": doomed, "files": removed_files}
+
+        removed_staging = 0
+        cutoff = _time.time() - staging_age_seconds
+        for d in os.listdir(table):
+            if not d.startswith("__staging-"):
+                continue
+            p = os.path.join(table, d)
+            try:
+                ages = [os.path.getmtime(p)] + [
+                    os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)]
+                if max(ages) < cutoff:
+                    shutil.rmtree(p)
+                    removed_staging += 1
+            except FileNotFoundError:
+                pass  # racing writer finished its move: leave it
+        return {"snapshots": doomed, "files": removed_files,
+                "staging": removed_staging}
 
 
 def optimize_table(spark: SparkSession, table: str,

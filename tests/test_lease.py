@@ -58,6 +58,69 @@ def test_lease_reclaims_expired_holder(tmp_path):
         assert read_lease(path)["owner"] == "reclaimer"
 
 
+def test_heartbeat_keeps_slow_holder_alive_past_ttl(tmp_path):
+    """ADVICE r4-medium: a live writer whose mutation outlasts ttl_s
+    must NOT be evicted — the holder heartbeats the lease mtime, so a
+    second writer keeps failing fast for the whole mutation."""
+    path = str(tmp_path / "tbl")
+    done = threading.Event()
+
+    def slow_holder():
+        with table_lease(path, owner="slow", ttl_s=0.2):
+            # hold for 4× the TTL: without the heartbeat this lease
+            # would be reclaimable after 0.2 s
+            time.sleep(0.8)
+        done.set()
+
+    t = threading.Thread(target=slow_holder)
+    t.start()
+    time.sleep(0.4)  # well past ttl_s; heartbeat must have refreshed
+    assert read_lease(path)["owner"] == "slow"
+    with pytest.raises(TableLockedError, match="slow"):
+        with table_lease(path, owner="evictor"):
+            pass
+    t.join()
+    assert done.is_set()
+    with table_lease(path, owner="after"):  # free once released
+        assert read_lease(path)["owner"] == "after"
+
+
+def test_stale_lease_of_live_samehost_pid_not_reclaimed(tmp_path):
+    """Even with a stale mtime (suspended holder: no heartbeat), a
+    lease whose pid is a live same-host process is NOT reclaimed."""
+    import socket
+
+    path = str(tmp_path / "tbl")
+    lease_file = f"{path}__lease"
+    with open(lease_file, "w") as fh:
+        json.dump({"owner": "paused", "token": "x", "ttl_s": 0.05,
+                   "pid": os.getpid(),  # provably alive
+                   "host": socket.gethostname()}, fh)
+    old = time.time() - 10
+    os.utime(lease_file, (old, old))
+    with pytest.raises(TableLockedError, match="paused"):
+        with table_lease(path, owner="reclaimer"):
+            pass
+
+
+def test_stale_lease_of_dead_pid_is_reclaimed(tmp_path):
+    """A crashed holder (dead pid, stale mtime) is reclaimed."""
+    import socket
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # a pid that existed and is now certainly dead
+    path = str(tmp_path / "tbl")
+    lease_file = f"{path}__lease"
+    with open(lease_file, "w") as fh:
+        json.dump({"owner": "crashed", "token": "x", "ttl_s": 0.05,
+                   "pid": proc.pid, "host": socket.gethostname()}, fh)
+    old = time.time() - 10
+    os.utime(lease_file, (old, old))
+    with table_lease(path, owner="reclaimer"):
+        assert read_lease(path)["owner"] == "reclaimer"
+
+
 def test_release_checks_token(tmp_path):
     """A crashed-then-reclaimed writer must not release the
     reclaimer's lease on its way out."""

@@ -164,6 +164,25 @@ def test_bloom_integral_recast_matches_int_probe(values):
         assert _bloom_may_contain(b64, v)
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=0, max_size=10),
+       st.integers(min_value=2**53, max_value=2**62))
+def test_bloom_refuses_ambiguous_float_integrals(small, huge):
+    """A float64-dtype integral series with any magnitude >= 2**53 is
+    ambiguous (the true int was destroyed upstream): _bloom_b64 must
+    return None (record nothing — absence means 'must scan') rather
+    than hash a rounded id, which would be a build-time false negative
+    (ADVICE r4-high). Production never hits this path (string-cast
+    build), this pins the defense-in-depth contract."""
+    import pandas as pd
+
+    floaty = pd.Series([float(v) for v in small] + [float(huge)],
+                       dtype="float64")
+    assert _bloom_b64(floaty, integral=True) is None
+    assert _bloom_b64(-floaty, integral=True) is None
+
+
 # ---------------------------------------------------------------------------
 # Batch bloom probe (_bloom_candidates): the driver-side locate cut
 # must have ZERO false negatives — a file containing ANY batch key

@@ -11,6 +11,7 @@ that contain an updated key.
 import json
 import os
 import threading
+import time
 
 import pytest
 
@@ -292,6 +293,31 @@ def test_vacuum_refcounts_shared_files(spark, tmp_path):
     assert V.read_current(spark, table).count() == 100
     with pytest.raises(ValueError):
         V.vacuum_snapshots(table, keep=0)
+
+
+def test_vacuum_reaps_aged_staging_dirs(spark, tmp_path):
+    """A crash inside _land_in_pool leaves a __staging-<uuid> dir no
+    manifest references (ADVICE r4-low): vacuum reaps it once past the
+    age floor, and never touches a YOUNG one (possibly in-flight)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+
+    old_dir = os.path.join(table, "__staging-deadbeef")
+    os.makedirs(old_dir)
+    with open(os.path.join(old_dir, "part-0.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    stale = time.time() - 100
+    os.utime(os.path.join(old_dir, "part-0.parquet"), (stale, stale))
+    os.utime(old_dir, (stale, stale))
+
+    young_dir = os.path.join(table, "__staging-cafebabe")
+    os.makedirs(young_dir)  # fresh mtime: an in-flight writer's dir
+
+    out = V.vacuum_snapshots(table, keep=1, staging_age_seconds=50.0)
+    assert out["staging"] == 1
+    assert not os.path.exists(old_dir)
+    assert os.path.exists(young_dir)
+    assert V.read_current(spark, table).count() == 1
 
 
 def test_vacuum_never_deletes_current_and_keeps_n(spark, tmp_path):
@@ -868,6 +894,47 @@ def test_bloom_carries_through_commits_and_rejects_bad_types(
     assert set(man["blooms"]) == set(man["files"])
     assert V.read_current(
         spark, table, predicates=[("k", "=", 4)]).count() == 1
+
+
+def test_bloom_exact_for_snowflake_ids_with_nulls(spark, tmp_path):
+    """Regression (ADVICE r4-high): a NULL in a long bloom column makes
+    Arrow deliver the file's values to pandas as float64, which rounds
+    ids >= 2**53 — the bloom then recorded the WRONG value and every
+    probe of the true id false-negatived: pruned reads dropped matching
+    rows and delete_keys left doomed rows alive (GDPR path). The build
+    now casts to string on the Spark side, so precision never transits
+    float64."""
+    big = 2 ** 53 + 1  # not representable in float64 (rounds to 2**53)
+    big2 = 2 ** 60 + 7
+    table = str(tmp_path / "t")
+    rows = [(big, "keep-me"), (big2, "doomed"), (None, "null-key"),
+            (5, "small")]
+    V.write_snapshot(
+        spark.createDataFrame(rows, "k long, v string").repartition(2),
+        table, bloom_cols=["k"])
+
+    # Pruned point read must find the true id, not silently drop it.
+    got = V.read_current(spark, table, predicates=[("k", "=", big)])
+    assert [r.v for r in got.collect()] == ["keep-me"]
+    # The ROUNDED neighbor (what the buggy bloom recorded) is absent.
+    assert V.read_current(
+        spark, table, predicates=[("k", "=", 2 ** 53)]).count() == 0
+
+    # Deletion by the true id must actually erase the row.
+    V.delete_keys_snapshot(
+        spark, table, "k",
+        spark.createDataFrame([(big2,)], "k long"))
+    left = {r.v for r in V.read_current(spark, table).collect()}
+    assert left == {"keep-me", "null-key", "small"}
+
+    # Merge by PK must update, not duplicate, the huge-id row.
+    V.merge_snapshot(
+        spark,
+        spark.createDataFrame([(big, "KEPT")], "k long, v string"),
+        table, "k")
+    got = V.read_current(spark, table,
+                         predicates=[("k", "=", big)]).collect()
+    assert [r.v for r in got] == ["KEPT"]
 
 
 # ---------------------------------------------------------------------------
