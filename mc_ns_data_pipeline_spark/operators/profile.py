@@ -13,12 +13,13 @@ applies to all of them), then a `stack` unpivots the single result
 row into one row per column — driver-sized, no second scan. The
 only scale caveat is exact=True's distinct counts: k exact
 count-distincts plan an Expand that replicates every input row k
-times before the shuffle. That is the hash-checkable mode for the
-correctness gate; at 100 TB use exact=False, which swaps in
+times before the shuffle. At 100 TB use exact=False, which swaps in
 approx_count_distinct (HyperLogLog++, relativeSD=0.01) — single
-pass, no Expand, fixed
-sketch memory per column (tolerance-tested
-against exact in tests/test_properties.py).
+pass, no Expand, fixed sketch memory per column (tolerance-tested
+against exact in tests/test_properties.py). The gate-declared query
+(x38) runs `profile_columns_checked`: the sketch plan plus an exact
+witness per column, hash-stable via the oracle-witness pattern and
+plan-pinned Expand-free.
 """
 
 from __future__ import annotations
@@ -77,5 +78,44 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
         )
         .select("column_name", "n_rows", "n_nulls", "n_distinct",
                 "min_value", "max_value")
+        .orderBy("column_name")
+    )
+
+
+def profile_columns_checked(df: DataFrame,
+                            columns: list[str] | None = None,
+                            rsd: float = 0.01) -> DataFrame:
+    """The sketch profile with an exact witness (oracle-witness
+    pattern, as x21/x30): the profile row's statistics come from the
+    single-pass HLL++ plan — the one you would run at 100 TB, with NO
+    count-distinct Expand — and the declared output carries the exact
+    distinct count plus `within_tol`, a boolean computed in-query from
+    the sketch estimate (|est - exact| <= 5·rsd·exact). The oracle
+    recomputes the exact count and literal TRUE, so the driver hash
+    verifies the tolerance CLAIM while the hot plan is the sketch one.
+
+    The exact witnesses deliberately run as k SEPARATE single-distinct
+    aggregates (each plans as a two-phase distinct aggregate, still no
+    Expand) rather than one k-distinct pass: k extra scans are the
+    gate-scale price of hash-stability, and at 100 TB the witness is
+    dropped entirely — the profile row alone IS the product."""
+    cols = columns or df.columns
+    prof = profile_columns(df, cols, exact=False).withColumnRenamed(
+        "n_distinct", "_est")
+    exacts = None
+    for c in cols:
+        e = df.agg(
+            F.count_distinct(F.col(c)).alias("_exact")
+        ).select(F.lit(c).alias("column_name"), "_exact")
+        exacts = e if exacts is None else exacts.unionByName(e)
+    return (
+        prof.join(F.broadcast(exacts), "column_name")
+        .select(
+            "column_name", "n_rows", "n_nulls",
+            F.col("_exact").alias("n_distinct"),
+            "min_value", "max_value",
+            (F.abs(F.col("_est") - F.col("_exact"))
+             <= F.lit(5 * rsd) * F.col("_exact")).alias("within_tol"),
+        )
         .orderBy("column_name")
     )

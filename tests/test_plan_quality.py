@@ -201,6 +201,17 @@ def test_x34_topk_cuts_before_shuffle(spark, sf_dir):
     assert n_ops(plan, "Window") == 1
 
 
+def test_x38_profile_runs_sketch_plan_no_expand(spark, sf_dir):
+    """The DECLARED profile plan must be the 100 TB one (VERDICT r04
+    #4): statistics from the single-pass HLL++ aggregate with NO
+    count-distinct Expand anywhere — the k exact witnesses plan as k
+    separate two-phase distinct aggregates, and the estimate itself
+    ships only inside the `within_tol` claim."""
+    plan = plan_of(spark, sf_dir, "x38_column_profile")
+    assert n_ops(plan, "Expand") == 0
+    assert "approx_count_distinct" in plan
+
+
 def test_x35_classifier_is_map_only(spark, sf_dir):
     """Classifier scoring must be a pure map stage: weights are plan
     literals (no broadcast variable, no join) and nothing shuffles."""
