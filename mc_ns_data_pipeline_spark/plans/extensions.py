@@ -3527,67 +3527,32 @@ EXT_QUERIES = {
     # The external driver hash-checks the FIRST 50 names of the merged
     # QUERIES dict in REGISTRATION (dict-insertion) order, proven by
     # CORRECTNESS_r03 composition. 16 core q-queries register before
-    # this dict, so entries 1-34 below are the in-window set. Do NOT
-    # insert new registrations above the marker; append new queries at
-    # the bottom. Rotation policy: SURVEY.md section 8.
+    # this dict, so the 34 entries above the end marker are the
+    # in-window set. Do NOT insert new registrations above the marker;
+    # append new queries at the bottom. Rotation policy: SURVEY.md
+    # section 8.
+    #
+    # Round-5 window: x36 stays until its driver row is green (r4 red,
+    # oracle BIGINT fix); x38 changed this round (witness-pattern
+    # sketch plan); x98-x101 ride every versioned.py change (blooms,
+    # vacuum, scratch dirs -- rule 2); x102-x106 landed late in r4 and
+    # have never been driver-checked; x44-x58 + x60 + x63-x67 are the
+    # longest-unverified greens (no driver row ever -- rule 3).
+    # Rotated out on unchanged driver-green r4 rows: x30 x31 x59 x61
+    # x62 x80 x97 xs12-xs14 x91 x90 x12 x27-x29 x32-x35 x37 x39-x43.
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
-    "x30_distinct_sketch": x30_distinct_sketch,
-    "x31_rollup_merge": x31_rollup_merge,
-    "x59_semantic_dedup": x59_semantic_dedup,
-    "x61_dsir_select": x61_dsir_select,
-    "x62_entity_blocking": x62_entity_blocking,
-    "x80_multimodal_audio": x80_multimodal_audio,
-    "x97_compaction_plan": x97_compaction_plan,
-    "xs12_stream_anomaly": xs12_stream_anomaly,
-    "xs13_stream_zone_maps": xs13_stream_zone_maps,
-    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
-    "x91_winsorize": x91_winsorize,
-    "x90_er_scoring": x90_er_scoring,
-    "x12_multimodal_features": x12_multimodal_features,
-    # Round-4 late rotation: the four versioned-table queries enter
-    # the window the round their machinery lands (rotation rule 2);
-    # x23-x26 rotate out on their unchanged r02-green driver rows and
-    # re-register below the marker.
+    "x36_ann_recall": x36_ann_recall,
+    "x38_column_profile": x38_column_profile,
     "x98_snapshot_merge": x98_snapshot_merge,
     "x99_changelog_read": x99_changelog_read,
     "x100_cdc_diff": x100_cdc_diff,
     "x101_pruned_read": x101_pruned_read,
-    "x27_moving_window": x27_moving_window,
-    "x28_pivot_matrix": x28_pivot_matrix,
-    "x29_sessionize_batch": x29_sessionize_batch,
-    "x32_decontaminate": x32_decontaminate,
-    "x33_repetition_quality": x33_repetition_quality,
-    "x34_heavy_hitters": x34_heavy_hitters,
-    "x35_classifier_score": x35_classifier_score,
-    "x36_ann_recall": x36_ann_recall,
-    "x37_mixture_sample": x37_mixture_sample,
-    "x38_column_profile": x38_column_profile,
-    "x39_chunk_documents": x39_chunk_documents,
-    "x40_lm_score": x40_lm_score,
-    "x41_json_extract": x41_json_extract,
-    "x42_interval_join": x42_interval_join,
-    "x43_centroid_stats": x43_centroid_stats,
-    # --- end of driver gate window (50 names incl. 16 core q) ---------
-    "x01_text_tokens": x01_text_tokens,
-    "x02_text_quality": x02_text_quality,
-    "x03_text_langid": x03_text_langid,
-    "x04_text_fingerprint": x04_text_fingerprint,
-    "x05_dedup_exact": x05_dedup_exact,
-    "x06_dedup_minhash": x06_dedup_minhash,
-    "x07_dedup_ngram": x07_dedup_ngram,
-    "x08_simhash_signatures": x08_simhash_signatures,
-    "x09_ann_cosine_topk": x09_ann_cosine_topk,
-    "x10_ann_cosine_lsh": x10_ann_cosine_lsh,
-    "x11_embed_neardup": x11_embed_neardup,
-    "x13_ann_ivf": x13_ann_ivf,
-    "x14_simhash_neardup": x14_simhash_neardup,
-    "x15_multimodal_frames": x15_multimodal_frames,
-    "x16_dedup_clusters": x16_dedup_clusters,
-    "x17_pii_scrub": x17_pii_scrub,
-    "x18_hash_sample": x18_hash_sample,
-    "x19_token_packing": x19_token_packing,
-    "x21_percentiles_sketch": x21_percentiles_sketch,
+    "x102_bloom_lookup": x102_bloom_lookup,
+    "x103_mor_delete": x103_mor_delete,
+    "x104_incremental_view": x104_incremental_view,
+    "x105_changes_cdc": x105_changes_cdc,
+    "x106_mor_upsert": x106_mor_upsert,
     "x44_bloom_semi_join": x44_bloom_semi_join,
     "x45_corr_matrix": x45_corr_matrix,
     "x46_quantile_binning": x46_quantile_binning,
@@ -3609,6 +3574,52 @@ EXT_QUERIES = {
     "x65_bpe_pairs": x65_bpe_pairs,
     "x66_bigram_lm": x66_bigram_lm,
     "x67_ngram_novelty": x67_ngram_novelty,
+    # --- end of driver gate window (50 names incl. 16 core q) ---------
+    "x30_distinct_sketch": x30_distinct_sketch,
+    "x31_rollup_merge": x31_rollup_merge,
+    "x59_semantic_dedup": x59_semantic_dedup,
+    "x61_dsir_select": x61_dsir_select,
+    "x62_entity_blocking": x62_entity_blocking,
+    "x80_multimodal_audio": x80_multimodal_audio,
+    "x97_compaction_plan": x97_compaction_plan,
+    "xs12_stream_anomaly": xs12_stream_anomaly,
+    "xs13_stream_zone_maps": xs13_stream_zone_maps,
+    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
+    "x91_winsorize": x91_winsorize,
+    "x90_er_scoring": x90_er_scoring,
+    "x12_multimodal_features": x12_multimodal_features,
+    "x27_moving_window": x27_moving_window,
+    "x28_pivot_matrix": x28_pivot_matrix,
+    "x29_sessionize_batch": x29_sessionize_batch,
+    "x32_decontaminate": x32_decontaminate,
+    "x33_repetition_quality": x33_repetition_quality,
+    "x34_heavy_hitters": x34_heavy_hitters,
+    "x35_classifier_score": x35_classifier_score,
+    "x37_mixture_sample": x37_mixture_sample,
+    "x39_chunk_documents": x39_chunk_documents,
+    "x40_lm_score": x40_lm_score,
+    "x41_json_extract": x41_json_extract,
+    "x42_interval_join": x42_interval_join,
+    "x43_centroid_stats": x43_centroid_stats,
+    "x01_text_tokens": x01_text_tokens,
+    "x02_text_quality": x02_text_quality,
+    "x03_text_langid": x03_text_langid,
+    "x04_text_fingerprint": x04_text_fingerprint,
+    "x05_dedup_exact": x05_dedup_exact,
+    "x06_dedup_minhash": x06_dedup_minhash,
+    "x07_dedup_ngram": x07_dedup_ngram,
+    "x08_simhash_signatures": x08_simhash_signatures,
+    "x09_ann_cosine_topk": x09_ann_cosine_topk,
+    "x10_ann_cosine_lsh": x10_ann_cosine_lsh,
+    "x11_embed_neardup": x11_embed_neardup,
+    "x13_ann_ivf": x13_ann_ivf,
+    "x14_simhash_neardup": x14_simhash_neardup,
+    "x15_multimodal_frames": x15_multimodal_frames,
+    "x16_dedup_clusters": x16_dedup_clusters,
+    "x17_pii_scrub": x17_pii_scrub,
+    "x18_hash_sample": x18_hash_sample,
+    "x19_token_packing": x19_token_packing,
+    "x21_percentiles_sketch": x21_percentiles_sketch,
     "x68_source_calibration": x68_source_calibration,
     "x69_source_overlap": x69_source_overlap,
     "x70_retrieval_mrr": x70_retrieval_mrr,
@@ -3625,8 +3636,6 @@ EXT_QUERIES = {
     "x82_priority_sample": x82_priority_sample,
     "x83_winnow_fingerprints": x83_winnow_fingerprints,
     "x84_cdc_chunks": x84_cdc_chunks,
-    # x20/x22 were renamed to x85/x86 in r3 (x21 witness subsumes
-    # x20 exact percentiles; x11 is now the grid implementation).
     "x85_percentiles_exact": x20_percentiles,
     "x86_embed_neardup_broadcast": x86_embed_neardup_broadcast,
     "x87_zorder_key": x87_zorder_key,
@@ -3652,11 +3661,6 @@ EXT_QUERIES = {
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
     "x26_scd2_history": x26_scd2_history,
-    "x102_bloom_lookup": x102_bloom_lookup,
-    "x103_mor_delete": x103_mor_delete,
-    "x104_incremental_view": x104_incremental_view,
-    "x105_changes_cdc": x105_changes_cdc,
-    "x106_mor_upsert": x106_mor_upsert,
 }
 
 # ---------------------------------------------------------------------------

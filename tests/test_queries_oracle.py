@@ -29,23 +29,28 @@ def test_queries_nonempty(spark, sf_dir):
 # CORRECTNESS_r03: its key set and order exactly match list(QUERIES)[:50]
 # of the r3 tree, while sorted(QUERIES)[:50] does not (VERDICT r03 #1).
 #
-# Round-4 window, chosen per the rotation policy (SURVEY.md §8):
+# Round-5 window, chosen per the rotation policy (SURVEY.md §8):
 #   * q01–q18 — reference-parity core, always in.
-#   * x30/x31 — red in r02, fixed, then accidentally evicted from the
-#     r03 window; their fixes land driver evidence this round.
-#   * x59/x61/x62/x80/x97/xs12–xs14 — implementation changed after
-#     their last driver-green row (r3 rework).
-#   * x91/x90/x12 — touched in round 4 (percentiles NULL contract,
-#     linkage cap observability, multimodal codec surface).
-#   * x23–x29/x32–x34 — green r02, evicted r03, re-verified.
-#   * x35–x43 — never driver-verified before; rotate in.
+#   * x36 — the one red r4 row (oracle HUGEINT typing); stays until
+#     its driver row is green.
+#   * x38 — implementation changed this round (witness-pattern sketch
+#     plan), rule 2.
+#   * x98–x101 — versioned.py changed this round (bloom canonical
+#     text, vacuum staging reap, scratch dirs), rule 2.
+#   * x102–x106 — landed late in r4 below the marker, never
+#     driver-checked (in-tree green only), rule 2.
+#   * x44–x58, x60, x63–x67 — longest-unverified greens (never had a
+#     driver row), rule 3 round-robin.
+# Rotated out on unchanged driver-green r4 rows: x30 x31 x59 x61 x62
+# x80 x97 xs12–xs14 x91 x90 x12 x27–x29 x32–x35 x37 x39–x43.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
-    "x30", "x31", "x59", "x61", "x62", "x80", "x97",
-    "xs12", "xs13", "xs14", "x91", "x90", "x12",
-    "x98", "x99", "x100", "x101", "x27", "x28", "x29",
-    "x32", "x33", "x34", "x35", "x36", "x37", "x38",
-    "x39", "x40", "x41", "x42", "x43",
+    "x36", "x38",
+    "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
+    "x106",
+    "x44", "x45", "x46", "x47", "x48", "x49", "x50", "x51", "x52",
+    "x53", "x54", "x55", "x56", "x57", "x58",
+    "x60", "x63", "x64", "x65", "x66", "x67",
 ]
 
 
