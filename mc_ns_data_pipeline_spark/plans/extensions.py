@@ -3154,10 +3154,17 @@ def x99_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     def slot(m: int) -> DataFrame:
         return orders.filter((F.col("o_orderkey") % 3) == m)
 
+    # base and b1 write the key as INT32 — b2 appends it as BIGINT, a
+    # type-WIDENING evolution commit (int→long is metadata-only: the
+    # narrow physical files stay and the reader up-casts them under
+    # the widened manifest schema). min/max_key flow the widened
+    # column into the hashed output on both engines.
     base = slot(0).select(
-        "o_orderkey", F.col("o_totalprice").alias("price"))
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("price"))
     b1 = slot(1).select(
-        "o_orderkey", F.col("o_totalprice").alias("price"))
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").alias("price"))
     b2 = slot(2).select(
         "o_orderkey", F.col("o_totalprice").alias("price"),
         F.when(F.col("o_totalprice") > 150000.0, F.lit("hi"))
@@ -3176,6 +3183,8 @@ def x99_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("price").cast("decimal(18,4)"))
             .cast("double").alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
         )
         .orderBy("tier")
     )
@@ -6710,7 +6719,9 @@ EXT_ORACLES["x99_changelog_read"] = """
         FROM orders WHERE o_orderkey % 3 = 2
     )
     SELECT tier, count(*)::BIGINT AS n_rows,
-           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
     FROM appended GROUP BY tier ORDER BY tier
 """
 

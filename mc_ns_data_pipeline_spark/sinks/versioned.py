@@ -41,7 +41,18 @@ Layout::
   applies and clears the masks). COW optimizes reads, MOR optimizes
   scattered deletes on huge tables — Iceberg v2's trade, selectable
   per call.
-* Writers serialize through sinks/lease (single-writer publication);
+* Writers commit OPTIMISTICALLY where rebasing is provably lossless:
+  ``append_snapshot`` and ``compact_snapshot`` do their expensive
+  work (landing files, stats/bloom scans, the rewrite) with NO lease
+  held and take the lease only for the metadata publish — an append
+  rebases onto whatever the head became (its files are disjoint by
+  construction), a compaction rebases over interposed APPENDS and
+  raises ``CommitConflictError`` when a non-append interposed (its
+  inputs are stale; landed files become vacuum orphans). So a
+  streaming lander and a maintenance OPTIMIZE both commit, no lost
+  update. Row-rewriting commits (COW/MOR merge & delete) stay
+  pessimistic — they hold the lease for the whole mutation, whose
+  heartbeat (sinks/lease) keeps long rewrites safe from TTL eviction.
   ``vacuum_snapshots`` reference-counts pool files across retained
   manifests (data AND delete files) before deleting.
 * Crash safety: a crash before the flip leaves orphan pool files / an
@@ -92,6 +103,15 @@ class NonIncrementalHistoryError(RuntimeError):
     delete / overwrite) or predates the lineage kept on disk, so the
     append-only fast path cannot represent it — use
     ``changes_between`` (keyed diff) instead."""
+
+
+class CommitConflictError(RuntimeError):
+    """An optimistic commit found the table head moved past its base
+    snapshot in a way it cannot rebase over (a non-append commit
+    interposed, or the intervening lineage was vacuumed). The work is
+    discarded safely — landed pool files are unreferenced orphans for
+    vacuum — and the caller should re-run the mutation against the new
+    head."""
 
 
 def _data_root(table: str) -> str:
@@ -849,6 +869,42 @@ def _next_snapshot_name(table: str) -> str:
     return f"{gen:08d}-{uuid.uuid4().hex[:8]}"
 
 
+#: How long an optimistic writer queues for the PUBLISH lease before
+#: giving up. Publishes are metadata-only (manifest JSON + pointer
+#: rename, milliseconds), so contention here clears almost instantly;
+#: the budget only matters when a pessimistic whole-operation holder
+#: (COW merge/delete) is mid-flight.
+_COMMIT_WAIT_S = 60.0
+
+
+def _rebase_chain(table: str, head: str, base: str) -> list[dict]:
+    """Manifests from ``head`` (inclusive) back to ``base``
+    (exclusive), newest first — the commits an optimistic writer must
+    rebase over. Raises ``CommitConflictError`` when the walk cannot
+    reach ``base`` (intervening lineage vacuumed, or ``base`` is not
+    an ancestor of ``head``) — without the full chain the rebase
+    cannot prove the interposed commits were appends. (Distinct from
+    the changelog's ``_chain_between``, which walks the other
+    direction and raises the reader-facing error.)"""
+    out: list[dict] = []
+    snap = head
+    while snap is not None and snap != base:
+        try:
+            man = read_manifest(table, snap)
+        except FileNotFoundError:
+            raise CommitConflictError(
+                f"{table}: lineage between head {head!r} and base "
+                f"{base!r} is gone (vacuumed?) — re-run against the "
+                "current head") from None
+        out.append(man)
+        snap = man.get("parent")
+    if snap != base:
+        raise CommitConflictError(
+            f"{table}: base snapshot {base!r} is not an ancestor of "
+            f"head {head!r} — re-run against the current head")
+    return out
+
+
 def _land_in_pool(df: DataFrame, table: str) -> list[str]:
     """Write `df`'s rows as new immutable pool files; return their
     pool-relative names. Staging-dir write, then per-file move into
@@ -986,24 +1042,85 @@ def _scan_new_files(spark: SparkSession, table: str, files: list[str],
     return rows, stats
 
 
+#: Integral widening chain: any type reads losslessly as any type to
+#: its right, and the Parquet vectorized reader up-casts the narrower
+#: physical encoding at scan time (verified for Spark 4.1: INT32 file
+#: under a LONG read schema just works; the reverse throws
+#: PARQUET_COLUMN_DATA_TYPE_MISMATCH).
+_INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+#: Decimal integer digits needed to hold each integral type's range.
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 19}
+
+
+def _widened_type(a, b):
+    """The common widened type of two column types, or None when they
+    are not widening-compatible. Only promotions the Parquet reader
+    can perform AT SCAN TIME on existing narrow files qualify — the
+    whole point is that widening is a metadata-only commit, no file
+    rewrite:
+
+    * integral chain byte < short < int < long;
+    * float -> double, and byte/short/int -> double (exact in a
+      53-bit mantissa; long -> double is LOSSY and refused);
+    * decimal growth where the wider type dominates (both the integer
+      digits p-s and the scale s are >= the narrower's — DuckDB/Delta
+      type-widening contract);
+    * integral -> decimal with enough integer digits for the type's
+      full range.
+    """
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_WIDTH and bn in _INT_WIDTH:
+        return a if _INT_WIDTH[an] >= _INT_WIDTH[bn] else b
+    floats = {"float", "double"}
+    if an in floats and bn in floats:
+        return a if an == "double" else b
+    for x, y in ((a, b), (b, a)):
+        xn, yn = x.typeName(), y.typeName()
+        if xn == "double" and _INT_DIGITS.get(yn, 99) <= 15:
+            return x  # byte/short/int fit a double exactly
+        if xn == "decimal" and yn in _INT_DIGITS:
+            if x.precision - x.scale >= _INT_DIGITS[yn]:
+                return x
+    if an == "decimal" and bn == "decimal":
+        for x, y in ((a, b), (b, a)):
+            if (x.precision - x.scale >= y.precision - y.scale
+                    and x.scale >= y.scale):
+                return x
+    return None
+
+
 def _merge_schema(parent: StructType | None,
                   incoming: StructType) -> StructType:
-    """Evolve the table schema: existing columns must keep their exact
-    type; columns new to the table append (nullable — old files
-    project NULL for them). Raises SchemaEvolutionError on a type
-    change."""
+    """Evolve the table schema: columns new to the table append
+    (nullable — old files project NULL for them); an existing column
+    may WIDEN along `_widened_type`'s lattice (int→long, decimal
+    precision growth, float→double), which is metadata-only — the
+    narrow physical files stay and the Parquet reader up-casts them
+    under the widened read schema. A batch NARROWER than the table is
+    accepted unchanged (its files up-cast the same way). Any other
+    type change raises SchemaEvolutionError."""
     if parent is None:
         return incoming
     have = {f.name: f for f in parent.fields}
+    pos = {f.name: i for i, f in enumerate(parent.fields)}
     out = list(parent.fields)
     for f in incoming.fields:
         prev = have.get(f.name)
         if prev is None:
             out.append(StructField(f.name, f.dataType, True))
         elif prev.dataType != f.dataType:
+            wide = _widened_type(prev.dataType, f.dataType)
+            if wide is not None:
+                if wide != prev.dataType:  # widen in place, nullable:
+                    out[pos[f.name]] = StructField(  # reads of either
+                        f.name, wide, True)  # era must allow NULL
+                continue
             raise SchemaEvolutionError(
                 f"column {f.name!r}: table has {prev.dataType}, "
-                f"batch has {f.dataType}")
+                f"batch has {f.dataType} — not widening-compatible "
+                "(legal: int chain, float→double, decimal growth)")
     return StructType(out)
 
 
@@ -1087,27 +1204,60 @@ def append_snapshot(df: DataFrame, table: str,
     returning the existing snapshot — the Delta txnAppId/txnVersion
     idempotence contract, here as a manifest stamp. A batch that
     crashed BEFORE its pointer flip left only unreferenced pool files
-    (vacuum reaps them) and the replay commits normally."""
+    (vacuum reaps them) and the replay commits normally.
+
+    OPTIMISTIC commit: the expensive work (landing files, scanning
+    stats/blooms) runs with NO lease held; only the metadata publish
+    takes the lease, briefly. An append's files are disjoint from
+    every concurrent commit by construction, so if the head moved
+    while this writer was landing, the publish simply REBASES onto the
+    new head — appended files plus whatever the head now is. Two
+    appends, or an append racing a compaction/merge, therefore BOTH
+    commit with no lost update (the multi-writer contract; hammer-
+    tested in tests/test_versioned_concurrency.py)."""
     os.makedirs(table, exist_ok=True)
-    with table_lease(table, owner="append_snapshot"):
-        if txn_id is not None:
+    spark = df.sparkSession
+    if txn_id is not None:  # cheap pre-check: a replayed batch skips
+        applied = _txn_already_applied(table, txn_id)  # the landing
+        if applied is not None:
+            return applied
+    base = current_snapshot(table)
+    base_man = read_manifest(table, base) if base else {}
+    stats_cols = base_man.get("stats_cols")
+    bloom_cols = base_man.get("bloom_cols")
+    _merge_schema(_schema_from_man(base_man), df.schema)  # fail early
+    new_files = _land_in_pool(df, table)
+    new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                          stats_cols)
+    new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
+                              df.schema)
+    with table_lease(table, owner="append_snapshot",
+                     wait_s=_COMMIT_WAIT_S):
+        if txn_id is not None:  # decisive re-check under the lease:
             applied = _txn_already_applied(table, txn_id)
-            if applied is not None:
-                return applied
+            if applied is not None:  # lost a replay race after landing
+                return applied  # — this attempt's files are orphans
         parent = current_snapshot(table)
-        parent_man = read_manifest(table, parent) if parent else {}
-        old_files = parent_man.get("files", [])
-        old_rows = parent_man.get("rows", 0)
-        stats_cols = parent_man.get("stats_cols")
-        bloom_cols = parent_man.get("bloom_cols")
+        parent_man = (base_man if parent == base
+                      else read_manifest(table, parent) if parent
+                      else {})
+        if parent != base:  # rebase onto the moved head: stat/bloom
+            # opt-in can only have changed via a full write_snapshot,
+            # so recompute this batch's metadata iff the columns moved
+            if sorted(parent_man.get("stats_cols") or []) != sorted(
+                    stats_cols or []):
+                stats_cols = parent_man.get("stats_cols")
+                _, new_stats = _scan_new_files(spark, table, new_files,
+                                               stats_cols)
+            if sorted(parent_man.get("bloom_cols") or []) != sorted(
+                    bloom_cols or []):
+                bloom_cols = parent_man.get("bloom_cols")
+                new_blooms = _scan_blooms(spark, table, new_files,
+                                          bloom_cols, df.schema)
         schema = _merge_schema(_schema_from_man(parent_man), df.schema)
-        new_files = _land_in_pool(df, table)
-        new_rows, new_stats = _scan_new_files(
-            df.sparkSession, table, new_files, stats_cols)
-        new_blooms = _scan_blooms(df.sparkSession, table, new_files,
-                                  bloom_cols, df.schema)
+        old_files = parent_man.get("files", [])
         return _publish(table, old_files + new_files,
-                        old_rows + new_rows, parent,
+                        parent_man.get("rows", 0) + new_rows, parent,
                         len(old_files), txn_id=txn_id, op="append",
                         new_files=new_files, schema=schema,
                         stats=_carry_stats(parent_man, old_files,
@@ -1136,31 +1286,81 @@ def compact_snapshot(spark: SparkSession, table: str,
     rewrite reads the delete-masked snapshot, so the new files carry
     only live rows and the published manifest drops the delete files
     (vacuum reaps them with the superseded manifests). ``rows`` is
-    already net of MOR decrements — no recount needed."""
-    with table_lease(table, owner="compact_snapshot"):
-        parent = current_snapshot(table)
-        if parent is None:
-            raise NoCurrentSnapshotError(table)
-        parent_man = read_manifest(table, parent)
-        cur = read_snapshot(spark, table, parent)
-        if sort_col is not None:
-            cur = cur.repartitionByRange(
-                target_files, sort_col).sortWithinPartitions(sort_col)
-        else:
-            cur = cur.coalesce(target_files)
-        stats_cols = parent_man.get("stats_cols")
-        bloom_cols = parent_man.get("bloom_cols")
-        files = _land_in_pool(cur, table)
-        if stats_cols:
-            _, stats = _scan_new_files(spark, table, files, stats_cols)
-        else:  # row count already known: no discarded full-table scan
-            stats = None
-        blooms = _scan_blooms(spark, table, files, bloom_cols,
-                              cur.schema)
-        return _publish(table, files, parent_man["rows"], parent, 0,
-                        op="compact", schema=cur.schema, stats=stats,
-                        stats_cols=stats_cols, blooms=blooms,
-                        bloom_cols=bloom_cols)
+    already net of MOR decrements — no recount needed.
+
+    OPTIMISTIC commit: the rewrite — the minutes-long part on a big
+    table — runs with NO lease held, against the snapshot current when
+    compaction started. If the head moved before the publish, the
+    commit REBASES over interposed APPENDS (their files are disjoint
+    from the rewrite's inputs: keep them alongside the compacted
+    output; base-era delete masks were applied into the rewrite and
+    cannot touch the younger appended files, so dropping them stays
+    sound). Any interposed non-append commit rewrote or masked rows
+    this compaction read as inputs — rebasing would resurrect them —
+    so it raises ``CommitConflictError`` and the caller re-runs
+    against the new head; the landed files are vacuum orphans. This is
+    the streaming-lander-plus-maintenance shape: appends keep flowing
+    while OPTIMIZE compacts, and both commit."""
+    base = current_snapshot(table)
+    if base is None:
+        raise NoCurrentSnapshotError(table)
+    base_man = read_manifest(table, base)
+    cur = read_snapshot(spark, table, base)
+    if sort_col is not None:
+        cur = cur.repartitionByRange(
+            target_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        cur = cur.coalesce(target_files)
+    stats_cols = base_man.get("stats_cols")
+    bloom_cols = base_man.get("bloom_cols")
+    files = _land_in_pool(cur, table)
+    if stats_cols:
+        _, stats = _scan_new_files(spark, table, files, stats_cols)
+    else:  # row count already known: no discarded full-table scan
+        stats = None
+    blooms = _scan_blooms(spark, table, files, bloom_cols, cur.schema)
+    with table_lease(table, owner="compact_snapshot",
+                     wait_s=_COMMIT_WAIT_S):
+        head = current_snapshot(table)
+        if head == base:
+            return _publish(table, files, base_man["rows"], head, 0,
+                            op="compact", schema=cur.schema,
+                            stats=stats, stats_cols=stats_cols,
+                            blooms=blooms, bloom_cols=bloom_cols)
+        head_man = read_manifest(table, head)
+        interposed = _rebase_chain(table, head, base)
+        bad = [m["snapshot"] for m in interposed
+               if m.get("op") != "append"]
+        if bad:
+            raise CommitConflictError(
+                f"{table}: non-append commits {bad} interposed while "
+                "compacting — the rewrite's inputs are stale; re-run "
+                "compaction against the current head")
+        if (head_man.get("delete_files") or []) != (
+                base_man.get("delete_files") or []):
+            raise CommitConflictError(  # defensive: appends never
+                f"{table}: delete masks changed under an append-only "
+                "chain — re-run compaction")  # touch delete_files
+        base_set = set(base_man["files"])
+        inter_files = [f for f in head_man["files"]
+                       if f not in base_set]
+        head_stats = head_man.get("stats") or {}
+        head_blooms = head_man.get("blooms") or {}
+        head_seq = head_man.get("file_seq") or {}
+        return _publish(
+            table, files + inter_files, head_man["rows"], head,
+            len(inter_files), op="compact",
+            new_files=files, schema=_schema_from_man(head_man),
+            stats=(None if stats is None else {
+                **stats, **{f: head_stats[f] for f in inter_files
+                            if f in head_stats}}),
+            stats_cols=head_man.get("stats_cols"),
+            blooms=(None if blooms is None else {
+                **blooms, **{f: head_blooms[f] for f in inter_files
+                             if f in head_blooms}}),
+            bloom_cols=head_man.get("bloom_cols"),
+            file_seq={f: head_seq[f] for f in inter_files
+                      if f in head_seq})
 
 
 _BLOOM_PROBE_MAX_KEYS = 100_000  # bounded driver collect for probing
@@ -1545,8 +1745,10 @@ def optimize_table(spark: SparkSession, table: str,
     ``{"compacted": bool, "reason": str | None,
     "vacuumed": {...} | None, "snapshot": current}``.
 
-    Everything inside is reader-safe (MVCC) and single-writer-guarded
-    by the per-operation leases; sizing rewrites to ``target_file_rows``
+    Everything inside is reader-safe (MVCC); compaction commits
+    optimistically (appends landing mid-OPTIMIZE rebase in — one
+    automatic retry on a non-append conflict); sizing rewrites to
+    ``target_file_rows``
     keeps post-compaction files in the sweet spot between per-file
     overhead (too many) and lost parallelism/pruning (too few)."""
     snap = current_snapshot(table)
@@ -1570,8 +1772,15 @@ def optimize_table(spark: SparkSession, table: str,
     if reason is not None:
         target = max(1, (rows + target_file_rows - 1)
                      // target_file_rows)
-        compact_snapshot(spark, table, sort_col=sort_col,
-                         target_files=int(target))
+        try:
+            compact_snapshot(spark, table, sort_col=sort_col,
+                             target_files=int(target))
+        except CommitConflictError:
+            # A non-append writer interposed mid-rewrite; one retry
+            # against the new head (a second conflict propagates —
+            # the scheduler's next optimize pass will catch up).
+            compact_snapshot(spark, table, sort_col=sort_col,
+                             target_files=int(target))
         compacted = True
     vac = vacuum_snapshots(table, keep=vacuum_keep,
                            min_age_seconds=vacuum_min_age_seconds)

@@ -1,0 +1,262 @@
+"""Optimistic multi-writer commits on versioned tables (VERDICT r04
+#3): appends and compaction do their expensive work with NO lease held
+and take the lease only for the metadata publish, rebasing onto a
+moved head when they can do so losslessly — so a streaming lander and
+a maintenance OPTIMIZE running concurrently BOTH commit, with no lost
+update. Rebases that would resurrect or drop rows raise
+CommitConflictError instead of corrupting.
+
+The deterministic interleavings pause a writer between its file
+landing and its publish via a monkeypatched ``_land_in_pool`` (the
+writer signals `landed` and blocks on `resume`), so every race below
+is exact, not probabilistic; the append-vs-append hammer then runs the
+real free-running race on top.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+class _Pause:
+    """Arm once: the NEXT _land_in_pool call signals `landed`, then
+    blocks until `resume` — later calls (other writers) pass through."""
+
+    def __init__(self, monkeypatch):
+        self.landed = threading.Event()
+        self.resume = threading.Event()
+        self._armed = True
+        self._orig = V._land_in_pool
+        monkeypatch.setattr(V, "_land_in_pool", self._land)
+
+    def _land(self, df, table):
+        names = self._orig(df, table)
+        if self._armed:
+            self._armed = False
+            self.landed.set()
+            assert self.resume.wait(60), "resume never signalled"
+        return names
+
+
+def test_append_during_compaction_both_commit(spark, tmp_path,
+                                              monkeypatch):
+    """The headline shape: a compaction is mid-rewrite when an append
+    lands and publishes. The compaction must REBASE — compacted files
+    plus the interposed append's files — and both writers' rows
+    survive."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)]).repartition(8),
+        table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def compactor():
+        try:
+            V.compact_snapshot(spark, table, sort_col="k",
+                               target_files=2)
+        except Exception as e:  # surface in the main thread
+            err.append(e)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    assert pause.landed.wait(60)  # compact rewrote, not yet published
+
+    appended = V.append_snapshot(
+        _df(spark, [(100 + i, "mid") for i in range(5)]), table)
+    assert V.current_snapshot(table) == appended
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["op"] == "compact"
+    assert man["parent"] == appended  # rebased onto the append
+    assert man["rows"] == 45
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == ({(i, "base") for i in range(40)}
+                   | {(100 + i, "mid") for i in range(5)})
+    # the interposed append's files carried their stats forward
+    stats = man.get("stats") or {}
+    assert all(f in stats for f in man["files"])
+
+
+def test_compaction_conflicts_on_interposed_merge(spark, tmp_path,
+                                                  monkeypatch):
+    """A COW merge interposing mid-compaction rewrote rows the
+    compaction read as inputs — rebasing would resurrect the stale
+    versions, so the publish must refuse loudly and leave the merge's
+    snapshot untouched."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(20)]).repartition(4),
+        table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def compactor():
+        try:
+            V.compact_snapshot(spark, table, target_files=1)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.merge_snapshot(spark, _df(spark, [(3, "UPDATED")]), table, "k")
+    merged = V.current_snapshot(table)
+
+    pause.resume.set()
+    t.join(60)
+    assert len(err) == 1 and isinstance(err[0], V.CommitConflictError)
+    assert V.current_snapshot(table) == merged  # merge untouched
+    got = dict((r.k, r.v) for r in V.read_current(spark, table).collect())
+    assert got[3] == "UPDATED" and len(got) == 20
+    # the conflicted rewrite's files are unreferenced -> vacuum fodder
+    man = V.read_manifest(table, merged)
+    assert len(man["files"]) > 1  # still the uncompacted layout
+
+
+def test_append_rebases_over_interposed_mor_delete(spark, tmp_path,
+                                                   monkeypatch):
+    """An append pausing between land and publish while a MOR delete
+    flips in: the append must publish on top of the delete, and its
+    rows — including re-inserted deleted keys — stay live (their file
+    generation is ABOVE the mask's, strict-below semantics)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(10)]).repartition(2),
+        table)
+
+    pause = _Pause(monkeypatch)
+    out: list[str] = []
+    err: list[Exception] = []
+
+    def appender():
+        try:
+            out.append(V.append_snapshot(
+                _df(spark, [(3, "reborn"), (50, "new")]), table))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(3,)], "k int"))
+    assert V.read_current(spark, table).count() == 9
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    assert V.current_snapshot(table) == out[0]
+
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert (3, "reborn") in got  # appended after the mask: survives
+    assert (3, "base") not in got  # masked old version stays dead
+    assert (50, "new") in got
+    assert len(got) == 11
+    man = V.read_manifest(table, out[0])
+    assert man.get("delete_files")  # the mask rode through the rebase
+
+
+def test_concurrent_appends_hammer_no_lost_update(spark, tmp_path):
+    """Free-running race: four appenders, three batches each, no
+    orchestration. Every commit must land (no failures), the final
+    row count must be exact, and the manifest chain must be linear —
+    each snapshot's parent is the previous head."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(0, "base")]), table)
+
+    errs: list[Exception] = []
+
+    def appender(tid: int):
+        for b in range(3):
+            try:
+                V.append_snapshot(
+                    _df(spark, [(1000 * tid + 10 * b + j, f"t{tid}b{b}")
+                                for j in range(5)]), table)
+            except Exception as e:
+                errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs, errs
+
+    assert V.read_current(spark, table).count() == 1 + 4 * 3 * 5
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == 61
+    # linear history: walking parents visits every commit exactly once
+    seen = []
+    snap = V.current_snapshot(table)
+    while snap is not None:
+        m = V.read_manifest(table, snap)
+        seen.append(snap)
+        snap = m.get("parent")
+    assert len(seen) == 1 + 12  # base + every append committed
+
+
+def test_append_txn_idempotent_across_interleaving(spark, tmp_path,
+                                                   monkeypatch):
+    """The txn stamp must stay exactly-once even when the replay lands
+    its files while the original's commit already published: the
+    second attempt's publish-lease re-check finds the stamp and
+    returns the existing snapshot (its files become vacuum orphans)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(0, "base")]), table)
+    first = V.append_snapshot(_df(spark, [(1, "x")]), table,
+                              txn_id="job:7")
+    again = V.append_snapshot(_df(spark, [(1, "x")]), table,
+                              txn_id="job:7")
+    assert again == first
+    assert V.read_current(spark, table).count() == 2
+
+
+def test_optimize_compacts_through_interposed_append(spark, tmp_path,
+                                                     monkeypatch):
+    """optimize_table's compaction uses the same optimistic publish:
+    an append interposing mid-OPTIMIZE does not fail the maintenance
+    pass, and nothing is lost."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(30)]).repartition(10),
+        table)
+
+    pause = _Pause(monkeypatch)
+    res: list[dict] = []
+    err: list[Exception] = []
+
+    def optimizer():
+        try:
+            res.append(V.optimize_table(
+                spark, table, target_file_rows=100,
+                vacuum_min_age_seconds=None))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=optimizer)
+    t.start()
+    assert pause.landed.wait(60)
+    V.append_snapshot(_df(spark, [(99, "mid")]), table)
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    assert res and res[0]["compacted"]
+    assert V.read_current(spark, table).count() == 31
