@@ -165,9 +165,163 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def read_manifest(table: str, snapshot: str) -> dict:
+#: Manifests naming at least this many files are published CHUNKED:
+#: the file list and its per-file stats/blooms/generations move into
+#: immutable sidecar files of `_MANIFEST_CHUNK_SIZE` entries each,
+#: shared across commits like data files, and the core manifest keeps
+#: only per-chunk [min, max] spans. Planning then reads the small core
+#: plus ONLY the sidecars a predicate's span check cannot rule out —
+#: at 1M files that is a few hundred KB instead of a GB-scale
+#: monolithic manifest (scripts/stress_manifest_chunks.py) — and an
+#: append writes one new sidecar instead of rewriting table-sized
+#: metadata.
+_MANIFEST_CHUNK_FILES = 8192
+_MANIFEST_CHUNK_SIZE = 4096
+
+
+def _chunks_root(table: str) -> str:
+    return os.path.join(_snapshots_root(table), "chunks")
+
+
+def _read_core(table: str, snapshot: str) -> dict:
+    """The core manifest exactly as stored — chunk descriptors NOT
+    materialized. Everything except the per-file metadata (files /
+    stats / blooms / file_seq) always lives here: lineage, rows, op,
+    txn stamp, schema, stat/bloom column opt-ins, delete_files, and
+    the commit's own new_files."""
     with open(_manifest_path(table, snapshot)) as fh:
         return json.load(fh)
+
+
+def _read_chunk(table: str, chunk_id: str) -> dict:
+    with open(os.path.join(_chunks_root(table),
+                           f"{chunk_id}.json")) as fh:
+        return json.load(fh)
+
+
+def _chunk_file_count(core: dict) -> int:
+    """Total live files named by a manifest, from the CORE alone."""
+    if "chunks" not in core:
+        return len(core.get("files") or [])
+    return sum(ch["n"] - len(ch.get("exclude") or [])
+               for ch in core["chunks"])
+
+
+def _chunk_spans(part: list[str], stats: dict | None,
+                 stats_cols: list[str] | None) -> dict | None:
+    """Per-column [lo, hi] over a chunk's member files — the
+    metadata that lets planning skip the whole sidecar. A column where
+    ANY member lacks a stats entry gets span None (chunk unprunable on
+    it: must load); members whose entry is [None, None] (all-NULL —
+    individually skippable for every comparison) contribute nothing,
+    and a chunk of only those gets span [None, None] (skippable as a
+    whole, mirroring `_file_survives`)."""
+    if not stats_cols or stats is None:
+        return None
+    spans: dict = {}
+    for c in stats_cols:
+        los: list = []
+        his: list = []
+        span: object = "?"
+        for f in part:
+            entry = stats.get(f)
+            if entry is None or c not in entry:
+                span = None  # unstatable member: never skip the chunk
+                break
+            lo, hi = entry[c]
+            if lo is None and hi is None:
+                continue
+            los.append(lo)
+            his.append(hi)
+        if span is None:
+            spans[c] = None
+        elif not los:
+            spans[c] = [None, None]
+        else:
+            try:
+                spans[c] = [min(los), max(his)]
+            except TypeError:  # mixed-type bounds: stay conservative
+                spans[c] = None
+    return spans
+
+
+def _write_chunks(table: str, files: list[str], stats: dict | None,
+                  blooms: dict | None, file_seq: dict | None,
+                  stats_cols: list[str] | None,
+                  seq_default: int | None = None) -> list[dict]:
+    """Split per-file metadata into immutable sidecars; return the
+    descriptor list for the core manifest. ``seq_default`` stamps
+    members missing from ``file_seq`` (the publishing commit's
+    generation for fresh files) — recorded on the descriptor so
+    materialization never guesses."""
+    os.makedirs(_chunks_root(table), exist_ok=True)
+    descs = []
+    for i in range(0, len(files), _MANIFEST_CHUNK_SIZE):
+        part = files[i:i + _MANIFEST_CHUNK_SIZE]
+        side = {
+            "files": part,
+            "stats": ({f: stats[f] for f in part if f in stats}
+                      if stats else None),
+            "blooms": ({f: blooms[f] for f in part if f in blooms}
+                       if blooms else None),
+            "file_seq": ({f: file_seq[f] for f in part
+                          if f in file_seq} if file_seq else None),
+        }
+        cid = uuid.uuid4().hex
+        _atomic_write_json(
+            os.path.join(_chunks_root(table), f"{cid}.json"), side)
+        desc = {"id": cid, "n": len(part),
+                "spans": _chunk_spans(part, side["stats"], stats_cols)}
+        if seq_default is not None:
+            desc["seq_default"] = seq_default
+        descs.append(desc)
+    return descs
+
+
+def _materialize(table: str, core: dict) -> dict:
+    """Resolve a chunked core manifest into the inline shape every
+    consumer understands (files / stats / blooms / file_seq present).
+    Inline manifests pass through untouched. O(total files) — the
+    mutation and full-scan paths that genuinely need the whole file
+    list pay it; planning goes through `_prune_chunked` instead."""
+    if "chunks" not in core:
+        return core
+    files: list[str] = []
+    stats: dict = {}
+    blooms: dict = {}
+    fseq: dict = {}
+    for ch in core["chunks"]:
+        side = _read_chunk(table, ch["id"])
+        excl = set(ch.get("exclude") or [])
+        part = [f for f in side["files"] if f not in excl]
+        files += part
+        for src, dst in ((side.get("stats"), stats),
+                         (side.get("blooms"), blooms)):
+            if src:
+                for f in part:
+                    if f in src:
+                        dst[f] = src[f]
+        side_seq = side.get("file_seq") or {}
+        default = ch.get("seq_default")
+        for f in part:
+            if f in side_seq:
+                fseq[f] = side_seq[f]
+            elif default is not None:
+                fseq[f] = default
+    out = dict(core)
+    out["files"] = files
+    out["stats"] = stats or None
+    out["blooms"] = blooms or None
+    out["file_seq"] = fseq or None
+    return out
+
+
+def read_manifest(table: str, snapshot: str) -> dict:
+    """The manifest with per-file metadata fully materialized —
+    chunked manifests load and merge their sidecars (the ``chunks``
+    key is kept so callers can tell). Planning paths that must stay
+    O(chunks hit) use `_read_core` + `_prune_chunked` instead."""
+    return _materialize(table, _read_core(table, snapshot))
 
 
 def snapshot_files(table: str, snapshot: str) -> list[str]:
@@ -187,7 +341,7 @@ def _schema_from_man(man: dict) -> StructType | None:
 def table_schema(table: str, snapshot: str) -> StructType | None:
     """The snapshot's logical schema as recorded in its manifest, or
     None for manifests that predate schema stamping."""
-    return _schema_from_man(read_manifest(table, snapshot))
+    return _schema_from_man(_read_core(table, snapshot))
 
 
 def _read_pool(spark: SparkSession, table: str, names: list[str],
@@ -740,13 +894,74 @@ def _prune_from_man(man: dict, predicates: list[tuple]) -> dict:
             "skipped": len(man["files"]) - len(kept)}
 
 
+def _chunk_survives(ch: dict, predicates: list[tuple]) -> bool:
+    """Can any member of chunk ``ch`` satisfy the predicates? Reuses
+    `_file_survives` with the chunk's span standing in for a file's
+    [lo, hi] — identical conservative semantics (span None = must
+    load, span [None, None] = all-NULL chunk, skippable)."""
+    spans = ch.get("spans")
+    if spans is None:
+        return True
+    fake = {"_chunk": {c: s for c, s in spans.items()
+                       if s is not None}}
+    return all(_file_survives(fake, "_chunk", c, op, v)
+               for (c, op, v) in predicates)
+
+
+def _prune_chunked(table: str, core: dict,
+                   predicates: list[tuple]) -> dict:
+    """Planning over a CHUNKED manifest: chunk spans rule sidecars out
+    wholesale; only survivors are loaded and pruned per-file (stats +
+    blooms, same code as inline). Returns the `_prune_from_man` shape
+    plus ``chunks_loaded`` / ``chunks_total`` and ``file_seq`` for the
+    kept names (the delete-mask sequencing the read needs) — at 1M
+    files a clustered point lookup reads the core plus ONE sidecar."""
+    kept: list[str] = []
+    fseq: dict = {}
+    total = 0
+    loaded = 0
+    chunks = core["chunks"]
+    sub_base = {"stats_cols": core.get("stats_cols"),
+                "bloom_cols": core.get("bloom_cols")}
+    for ch in chunks:
+        n_live = ch["n"] - len(ch.get("exclude") or [])
+        total += n_live
+        if not _chunk_survives(ch, predicates):
+            continue
+        loaded += 1
+        side = _read_chunk(table, ch["id"])
+        excl = set(ch.get("exclude") or [])
+        part = [f for f in side["files"] if f not in excl]
+        sub = {**sub_base, "files": part,
+               "stats": side.get("stats"),
+               "blooms": side.get("blooms")}
+        part_kept = _prune_from_man(sub, predicates)["kept"]
+        kept += part_kept
+        side_seq = side.get("file_seq") or {}
+        default = ch.get("seq_default")
+        for f in part_kept:
+            if f in side_seq:
+                fseq[f] = side_seq[f]
+            elif default is not None:
+                fseq[f] = default
+    return {"total": total, "kept": kept,
+            "skipped": total - len(kept),
+            "chunks_total": len(chunks), "chunks_loaded": loaded,
+            "file_seq": fseq}
+
+
 def prune_report(table: str, snapshot: str,
                  predicates: list[tuple]) -> dict:
     """Metadata-only pruning decision for ``predicates`` (each
     ``(col, op, value)``, op in <, <=, >, >=, =, AND-combined):
     ``{"total": n, "kept": [names], "skipped": m}``. This is the
-    planning step of a pruned read — no data file is opened."""
-    return _prune_from_man(read_manifest(table, snapshot), predicates)
+    planning step of a pruned read — no data file is opened. Chunked
+    manifests additionally report ``chunks_total``/``chunks_loaded``:
+    how many sidecars the span check let planning skip entirely."""
+    core = _read_core(table, snapshot)
+    if "chunks" in core:
+        return _prune_chunked(table, core, predicates)
+    return _prune_from_man(core, predicates)
 
 
 def read_snapshot(spark: SparkSession, table: str, snapshot: str,
@@ -771,10 +986,19 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
     Reads carry the manifest-recorded schema when present, so files
     written before a schema evolution project NULL for later-added
     columns without a mergeSchema footer pass over every file."""
-    man = read_manifest(table, snapshot)  # parsed once per read
-    names = man["files"]
-    if predicates:
-        names = _prune_from_man(man, predicates)["kept"]
+    core = _read_core(table, snapshot)  # parsed once per read
+    if predicates and "chunks" in core:
+        # chunked planning: spans rule whole sidecars out before any
+        # per-file metadata is even read — the manifest cost of this
+        # read is O(chunks the predicate can hit), not O(table)
+        plan = _prune_chunked(table, core, predicates)
+        man = {**core, "file_seq": plan["file_seq"]}
+        names = plan["kept"]
+    else:
+        man = _materialize(table, core)
+        names = man["files"]
+        if predicates:
+            names = _prune_from_man(man, predicates)["kept"]
     schema = _schema_from_man(man)
     if not names:
         if schema is None:  # pre-schema manifest: fall back to full scan
@@ -825,7 +1049,7 @@ def snapshot_as_of(table: str, ts: float) -> str | None:
     while snap is not None:
         chain.add(snap)
         try:
-            snap = read_manifest(table, snap).get("parent")
+            snap = _read_core(table, snap).get("parent")
         except FileNotFoundError:
             break
     if best in chain:
@@ -890,7 +1114,7 @@ def _rebase_chain(table: str, head: str, base: str) -> list[dict]:
     snap = head
     while snap is not None and snap != base:
         try:
-            man = read_manifest(table, snap)
+            man = _read_core(table, snap)
         except FileNotFoundError:
             raise CommitConflictError(
                 f"{table}: lineage between head {head!r} and base "
@@ -937,7 +1161,8 @@ def _publish(table: str, files: list[str], rows: int,
              blooms: dict | None = None,
              bloom_cols: list[str] | None = None,
              file_seq: dict | None = None,
-             delete_files: list[dict] | None = None) -> str:
+             delete_files: list[dict] | None = None,
+             parent_chunks: list[dict] | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease.
 
@@ -950,7 +1175,15 @@ def _publish(table: str, files: list[str], rows: int,
     mask published by this very commit, exempting it from a delete it
     must honor (masking is strict-below). ``delete_files`` entries
     whose ``seq`` is None are stamped with this commit's generation —
-    a delete always sequences at the commit that publishes it."""
+    a delete always sequences at the commit that publishes it.
+
+    ``parent_chunks`` is the chunk-reuse fast path (appends on CHUNKED
+    tables): ``files``/``stats``/``blooms`` then describe ONLY this
+    commit's fresh files — they land as new sidecar(s) appended to the
+    parent's untouched descriptors, so commit metadata is O(commit)
+    while ``rows``/``reused`` already account for the whole table.
+    Without it, a publish naming >= `_MANIFEST_CHUNK_FILES` files
+    auto-converts its materialized metadata to chunked form."""
     name = _next_snapshot_name(table)
     gen = _gen_of(name)
     os.makedirs(_snapshots_root(table), exist_ok=True)
@@ -965,6 +1198,13 @@ def _publish(table: str, files: list[str], rows: int,
             {**d, "seq": gen if d.get("seq") is None else d["seq"]}
             for d in delete_files
         ]
+    chunks = None
+    if parent_chunks is not None:
+        chunks = list(parent_chunks) + _write_chunks(
+            table, files, stats, blooms, carried, stats_cols)
+    elif len(files) >= _MANIFEST_CHUNK_FILES:
+        chunks = _write_chunks(table, files, stats, blooms, carried,
+                               stats_cols)
     manifest = {
         "snapshot": name,
         "parent": parent,
@@ -983,6 +1223,12 @@ def _publish(table: str, files: list[str], rows: int,
         "file_seq": {f: carried[f] for f in files},
         "delete_files": stamped_dels,
     }
+    if chunks is not None:
+        # per-file metadata lives in the sidecars; the core stays
+        # small no matter how many files the snapshot names
+        for key in ("files", "stats", "blooms", "file_seq"):
+            del manifest[key]
+        manifest["chunks"] = chunks
     _atomic_write_json(_manifest_path(table, name), manifest)
 
     pointer = _pointer_path(table)
@@ -1181,7 +1427,7 @@ def _txn_already_applied(table: str, txn_id: str) -> str | None:
     snap = current_snapshot(table)
     while snap is not None:
         try:
-            man = read_manifest(table, snap)
+            man = _read_core(table, snap)
         except FileNotFoundError:
             return None
         if man.get("txn_id") == txn_id:
@@ -1214,7 +1460,13 @@ def append_snapshot(df: DataFrame, table: str,
     new head — appended files plus whatever the head now is. Two
     appends, or an append racing a compaction/merge, therefore BOTH
     commit with no lost update (the multi-writer contract; hammer-
-    tested in tests/test_versioned_concurrency.py)."""
+    tested in tests/test_versioned_concurrency.py).
+
+    On a CHUNKED table (manifests past `_MANIFEST_CHUNK_FILES`) the
+    append never touches the parent's per-file metadata at all: it
+    writes one new sidecar for its own files and the core manifest
+    reuses the parent's chunk descriptors — commit metadata stays
+    O(commit) at any table size."""
     os.makedirs(table, exist_ok=True)
     spark = df.sparkSession
     if txn_id is not None:  # cheap pre-check: a replayed batch skips
@@ -1222,7 +1474,7 @@ def append_snapshot(df: DataFrame, table: str,
         if applied is not None:
             return applied
     base = current_snapshot(table)
-    base_man = read_manifest(table, base) if base else {}
+    base_man = _read_core(table, base) if base else {}
     stats_cols = base_man.get("stats_cols")
     bloom_cols = base_man.get("bloom_cols")
     _merge_schema(_schema_from_man(base_man), df.schema)  # fail early
@@ -1238,23 +1490,34 @@ def append_snapshot(df: DataFrame, table: str,
             if applied is not None:  # lost a replay race after landing
                 return applied  # — this attempt's files are orphans
         parent = current_snapshot(table)
-        parent_man = (base_man if parent == base
-                      else read_manifest(table, parent) if parent
-                      else {})
+        parent_core = (base_man if parent == base
+                       else _read_core(table, parent) if parent
+                       else {})
         if parent != base:  # rebase onto the moved head: stat/bloom
             # opt-in can only have changed via a full write_snapshot,
             # so recompute this batch's metadata iff the columns moved
-            if sorted(parent_man.get("stats_cols") or []) != sorted(
+            if sorted(parent_core.get("stats_cols") or []) != sorted(
                     stats_cols or []):
-                stats_cols = parent_man.get("stats_cols")
+                stats_cols = parent_core.get("stats_cols")
                 _, new_stats = _scan_new_files(spark, table, new_files,
                                                stats_cols)
-            if sorted(parent_man.get("bloom_cols") or []) != sorted(
+            if sorted(parent_core.get("bloom_cols") or []) != sorted(
                     bloom_cols or []):
-                bloom_cols = parent_man.get("bloom_cols")
+                bloom_cols = parent_core.get("bloom_cols")
                 new_blooms = _scan_blooms(spark, table, new_files,
                                           bloom_cols, df.schema)
-        schema = _merge_schema(_schema_from_man(parent_man), df.schema)
+        schema = _merge_schema(_schema_from_man(parent_core), df.schema)
+        if "chunks" in parent_core:  # O(commit): reuse parent chunks
+            return _publish(
+                table, new_files,
+                parent_core.get("rows", 0) + new_rows, parent,
+                _chunk_file_count(parent_core), txn_id=txn_id,
+                op="append", new_files=new_files, schema=schema,
+                stats=new_stats, stats_cols=stats_cols,
+                blooms=new_blooms, bloom_cols=bloom_cols,
+                delete_files=parent_core.get("delete_files"),
+                parent_chunks=parent_core["chunks"])
+        parent_man = _materialize(table, parent_core)
         old_files = parent_man.get("files", [])
         return _publish(table, old_files + new_files,
                         parent_man.get("rows", 0) + new_rows, parent,
@@ -1682,6 +1945,7 @@ def vacuum_snapshots(table: str, keep: int = 2,
             os.remove(_manifest_path(table, s))
 
         live: set[str] = set()
+        live_chunks: set[str] = set()
         for s in retained:
             man = read_manifest(table, s)
             live.update(man["files"])
@@ -1690,6 +1954,10 @@ def vacuum_snapshots(table: str, keep: int = 2,
             # would RESURRECT its masked rows.
             live.update(d["file"]
                         for d in man.get("delete_files") or [])
+            # Chunk sidecars are shared forward like data files:
+            # refcount across RETAINED manifests before reaping.
+            live_chunks.update(ch["id"]
+                               for ch in man.get("chunks") or [])
         removed_files = 0
         root = _data_root(table)
         if os.path.isdir(root):
@@ -1697,6 +1965,14 @@ def vacuum_snapshots(table: str, keep: int = 2,
                 if f.endswith(".parquet") and f not in live:
                     os.remove(os.path.join(root, f))
                     removed_files += 1
+        removed_chunks = 0
+        croot = _chunks_root(table)
+        if os.path.isdir(croot):
+            for f in os.listdir(croot):
+                if (f.endswith(".json")
+                        and f[:-len(".json")] not in live_chunks):
+                    os.remove(os.path.join(croot, f))
+                    removed_chunks += 1
 
         removed_staging = 0
         cutoff = _time.time() - staging_age_seconds
@@ -1714,7 +1990,7 @@ def vacuum_snapshots(table: str, keep: int = 2,
             except FileNotFoundError:
                 pass  # racing writer finished its move: leave it
         return {"snapshots": doomed, "files": removed_files,
-                "staging": removed_staging}
+                "staging": removed_staging, "chunks": removed_chunks}
 
 
 def optimize_table(spark: SparkSession, table: str,
@@ -1754,9 +2030,9 @@ def optimize_table(spark: SparkSession, table: str,
     snap = current_snapshot(table)
     if snap is None:
         raise NoCurrentSnapshotError(table)
-    man = read_manifest(table, snap)
-    n_files = len(man["files"])
-    rows = man.get("rows") or 0
+    man = _read_core(table, snap)  # core only: a no-op optimize
+    n_files = _chunk_file_count(man)   # never loads table-sized
+    rows = man.get("rows") or 0        # sidecar metadata
     dels = man.get("delete_files") or []
     avg = rows / n_files if n_files else 0
     small = (n_files if avg < target_file_rows / 2 else 0)
@@ -1985,7 +2261,7 @@ def _chain_between(table: str, since: str,
     snap = end
     while snap != since:
         try:
-            man = read_manifest(table, snap)
+            man = _read_core(table, snap)
         except FileNotFoundError:
             raise NonIncrementalHistoryError(
                 f"snapshot {snap} missing from {table!r} lineage — "
@@ -2096,7 +2372,7 @@ def read_changes_since(spark: SparkSession, table: str, since: str,
                 # carried pre-range deletes and silently drop live
                 # re-appended keys from a downstream replica.
                 try:
-                    prev_dels = (read_manifest(table, since)
+                    prev_dels = (_read_core(table, since)
                                  .get("delete_files") or [])
                 except FileNotFoundError:
                     raise NonIncrementalHistoryError(

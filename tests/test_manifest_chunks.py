@@ -1,0 +1,208 @@
+"""Chunked manifests (VERDICT r04 #6): past `_MANIFEST_CHUNK_FILES`
+the per-file metadata (file list, stats, blooms, generations) moves
+into immutable sidecars shared across commits, and the core manifest
+keeps only per-chunk spans. Planning reads the core plus ONLY the
+sidecars a predicate's span check cannot rule out; appends write one
+new sidecar and reuse the parent's — O(commit) metadata at any table
+size. These tests force chunking at toy thresholds and assert the
+exact same answers as the inline path, plus the metadata-cost
+contracts (sidecar reads counted via a patched `_read_chunk`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+
+@pytest.fixture
+def tiny_chunks(monkeypatch):
+    """Chunk everything: manifests of >=6 files chunk at 4 files per
+    sidecar, so a 3-partition toy table exercises the real machinery."""
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", 6)
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_SIZE", 4)
+
+
+class _ChunkReadCounter:
+    def __init__(self, monkeypatch):
+        self.count = 0
+        orig = V._read_chunk
+
+        def counting(table, cid):
+            self.count += 1
+            return orig(table, cid)
+
+        monkeypatch.setattr(V, "_read_chunk", counting)
+
+
+def _clustered(spark, n=200, parts=10):
+    return (
+        spark.createDataFrame([(i, f"v{i}") for i in range(n)],
+                              "k int, v string")
+        .repartitionByRange(parts, "k")
+    )
+
+
+def test_chunked_write_roundtrip_and_pruning(spark, tmp_path,
+                                             tiny_chunks):
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_clustered(spark), table,
+                            stats_cols=["k"], bloom_cols=["k"])
+    core = V._read_core(table, snap)
+    assert "chunks" in core and "files" not in core
+    assert sum(ch["n"] for ch in core["chunks"]) == 10
+    assert all(ch["spans"] and "k" in ch["spans"]
+               for ch in core["chunks"])
+
+    # materialized view equals the table
+    man = V.read_manifest(table, snap)
+    assert len(man["files"]) == 10
+    assert set(man["stats"]) == set(man["files"])
+    assert set(man["blooms"]) == set(man["files"])
+    assert V.read_current(spark, table).count() == 200
+
+    # pruned read == scan + filter, and planning skipped whole chunks
+    got = V.read_current(spark, table, predicates=[("k", "=", 7)])
+    assert [r.v for r in got.collect()] == ["v7"]
+    rep = V.prune_report(table, snap, [("k", "=", 7)])
+    assert rep["kept"] and rep["skipped"] >= 8
+    assert rep["chunks_loaded"] < rep["chunks_total"]
+    # range predicate across a chunk boundary
+    got = V.read_current(spark, table,
+                         predicates=[("k", ">=", 195)])
+    assert sorted(r.k for r in got.collect()) == list(range(195, 200))
+
+
+def test_chunked_append_is_o_commit_metadata(spark, tmp_path,
+                                             tiny_chunks, monkeypatch):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    counter = _ChunkReadCounter(monkeypatch)
+    V.append_snapshot(
+        spark.createDataFrame([(1000, "new")], "k int, v string"),
+        table)
+    assert counter.count == 0, (
+        "append on a chunked table must not load any parent sidecar")
+    core = V._read_core(table, V.current_snapshot(table))
+    assert core["op"] == "append" and "chunks" in core
+    assert V.read_current(spark, table).count() == 201
+    got = V.read_current(spark, table, predicates=[("k", "=", 1000)])
+    assert [r.v for r in got.collect()] == ["new"]
+    # the parent's sidecars are REUSED byte-identically (shared ids)
+    parent_core = V._read_core(table, core["parent"])
+    parent_ids = [ch["id"] for ch in parent_core["chunks"]]
+    child_ids = [ch["id"] for ch in core["chunks"]]
+    assert child_ids[:len(parent_ids)] == parent_ids
+    assert len(child_ids) == len(parent_ids) + 1
+
+
+def test_chunked_point_lookup_loads_one_sidecar(spark, tmp_path,
+                                                tiny_chunks,
+                                                monkeypatch):
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    counter = _ChunkReadCounter(monkeypatch)
+    rep = V.prune_report(table, snap, [("k", "=", 42)])
+    assert counter.count == 1, (
+        "clustered point lookup must load exactly the one sidecar "
+        "whose span contains the key")
+    assert rep["chunks_loaded"] == 1
+
+
+def test_chunked_merge_delete_and_mor_masks(spark, tmp_path,
+                                            tiny_chunks):
+    """COW merge, MOR delete, and the masked read all behave
+    identically on chunked tables (the mutation paths materialize,
+    correctness first)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    V.merge_snapshot(
+        spark, spark.createDataFrame([(7, "UPD")], "k int, v string"),
+        table, "k")
+    got = dict((r.k, r.v) for r in V.read_current(spark, table).collect())
+    assert got[7] == "UPD" and len(got) == 200
+
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(8,), (9,)], "k int"))
+    assert V.read_current(spark, table).count() == 198
+    # pruned read honors the mask through the chunked fast path
+    assert V.read_current(spark, table,
+                          predicates=[("k", "=", 8)]).count() == 0
+    assert V.read_current(spark, table,
+                          predicates=[("k", "=", 7)]).count() == 1
+
+
+def test_chunked_compact_changelog_and_vacuum(spark, tmp_path,
+                                              tiny_chunks):
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    V.append_snapshot(
+        spark.createDataFrame([(500, "a"), (501, "b")],
+                              "k int, v string").repartition(1), table)
+    # changelog stays O(increment): only the appended files
+    inc = V.read_appended_since(spark, table, s0)
+    assert sorted(r.k for r in inc.collect()) == [500, 501]
+
+    V.compact_snapshot(spark, table, sort_col="k", target_files=2)
+    assert V.read_current(spark, table).count() == 202
+    out = V.vacuum_snapshots(table, keep=1)
+    assert out["chunks"] > 0  # superseded sidecars reaped
+    assert V.read_current(spark, table).count() == 202
+    # every surviving chunk id is referenced by the current core
+    core = V._read_core(table, V.current_snapshot(table))
+    ids = {ch["id"] for ch in core.get("chunks") or []}
+    on_disk = {f[:-5] for f in os.listdir(V._chunks_root(table))}
+    assert on_disk == ids
+
+
+def test_chunked_txn_idempotence_and_time_travel(spark, tmp_path,
+                                                 tiny_chunks):
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_clustered(spark), table)
+    first = V.append_snapshot(
+        spark.createDataFrame([(999, "x")], "k int, v string"),
+        table, txn_id="j:1")
+    again = V.append_snapshot(
+        spark.createDataFrame([(999, "x")], "k int, v string"),
+        table, txn_id="j:1")
+    assert again == first
+    assert V.read_snapshot(spark, table, s0).count() == 200  # MVCC
+    assert V.read_current(spark, table).count() == 201
+
+
+def test_chunk_span_soundness_property():
+    """Chunk-level pruning must never drop a chunk containing a file
+    an individual check would keep — randomized over stats shapes."""
+    import random
+
+    from mc_ns_data_pipeline_spark.sinks.versioned import (
+        _chunk_spans,
+        _chunk_survives,
+        _file_survives,
+    )
+
+    rng = random.Random(7)
+    for _ in range(300):
+        files = [f"f{i}" for i in range(rng.randint(1, 8))]
+        stats = {}
+        for f in files:
+            roll = rng.random()
+            if roll < 0.15:
+                stats[f] = {}  # unstatable for the column
+            elif roll < 0.3:
+                stats[f] = {"k": [None, None]}  # all-NULL file
+            else:
+                lo = rng.randint(-50, 50)
+                stats[f] = {"k": [lo, lo + rng.randint(0, 30)]}
+        spans = _chunk_spans(files, stats, ["k"])
+        ch = {"n": len(files), "spans": spans}
+        for op in ("<", "<=", ">", ">=", "="):
+            v = rng.randint(-60, 60)
+            preds = [("k", op, v)]
+            if not _chunk_survives(ch, preds):
+                for f in files:
+                    assert not _file_survives(stats, f, "k", op, v), (
+                        f"chunk-pruned but {f} with {stats[f]} "
+                        f"survives k {op} {v}")
