@@ -2008,7 +2008,13 @@ def optimize_table(spark: SparkSession, table: str,
        accumulated past their thresholds: more than ``max_small_files``
        files below half the ``target_file_rows`` fill, or more than
        ``max_delete_files`` pending delete files (each costs every
-       reader a broadcast anti-join until applied);
+       reader a broadcast anti-join until applied). The default of 4
+       comes from the measured cadence curve (BASELINE.md round-5 MOR
+       row: +1.75 s fixed once any mask pends, ~0.24 s per additional
+       mask, compaction ~14 s @15M): ``k* = sqrt(2·C/(ρ·slope))`` ≈ 4–6
+       at the read-heavy ratio ρ≈3–5 the dashboard shape implies —
+       raise toward ~10 for landing-heavy pipelines where reads are
+       rare;
     2. **vacuum** superseded snapshots afterwards, keeping
        ``vacuum_keep`` versions and never reaping anything younger
        than the retention floor (in-flight readers).
