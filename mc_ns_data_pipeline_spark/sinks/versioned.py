@@ -918,6 +918,7 @@ def _prune_chunked(table: str, core: dict,
     files a clustered point lookup reads the core plus ONE sidecar."""
     kept: list[str] = []
     fseq: dict = {}
+    by_chunk: dict[str, list[str]] = {}
     total = 0
     loaded = 0
     chunks = core["chunks"]
@@ -937,6 +938,7 @@ def _prune_chunked(table: str, core: dict,
                "blooms": side.get("blooms")}
         part_kept = _prune_from_man(sub, predicates)["kept"]
         kept += part_kept
+        by_chunk[ch["id"]] = part_kept
         side_seq = side.get("file_seq") or {}
         default = ch.get("seq_default")
         for f in part_kept:
@@ -947,7 +949,7 @@ def _prune_chunked(table: str, core: dict,
     return {"total": total, "kept": kept,
             "skipped": total - len(kept),
             "chunks_total": len(chunks), "chunks_loaded": loaded,
-            "file_seq": fseq}
+            "file_seq": fseq, "by_chunk": by_chunk}
 
 
 def prune_report(table: str, snapshot: str,
@@ -1696,23 +1698,128 @@ def _locate_affected(spark: SparkSession, table: str, man: dict,
     candidates = _stat_candidates(man, key, keys_df)
     if not candidates:
         return [], list(old_files)
+    affected = _affected_scan(spark, table, candidates, key, keys_df,
+                              _schema_from_man(man))
+    untouched = [f for f in old_files if f not in affected]
+    return ([os.path.join(root, f) for f in sorted(affected)],
+            untouched)
+
+
+def _affected_scan(spark: SparkSession, table: str,
+                   candidates: list[str], key: str,
+                   keys_df: DataFrame,
+                   schema: StructType | None) -> set[str]:
+    """The exact half of the locate step: which candidate files
+    actually contain a batch key (key-column + input_file_name scan,
+    broadcast semi join)."""
     affected_uris = {
         r["_file"]
         for r in (
-            _read_pool(spark, table, candidates, _schema_from_man(man))
+            _read_pool(spark, table, candidates, schema)
             .select(key, F.input_file_name().alias("_file"))
             .join(F.broadcast(keys_df), key, "left_semi")
             .select("_file").distinct().collect()
         )
     }
-    affected = {
+    return {
         os.path.basename(
             u[len("file://"):] if u.startswith("file://") else u)
         for u in affected_uris
     }
-    untouched = [f for f in old_files if f not in affected]
-    return ([os.path.join(root, f) for f in sorted(affected)],
-            untouched)
+
+
+def _key_batch_predicates(key: str, keys_df: DataFrame) -> list[tuple]:
+    """A key batch as pruning predicates — the chunked locate's
+    candidate cut. Bounded batches become one IN-list (span + batch
+    bloom probe apply); oversized or NaN-bearing batches fall back to
+    the [min, max] span conjuncts (blooms sit out, stats still cut).
+    Conservative-complete either way: a file holding a batch key
+    always survives."""
+    rows = (keys_df.filter(F.col(key).isNotNull())
+            .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
+    if len(rows) <= _BLOOM_PROBE_MAX_KEYS:
+        vals = [r[0] for r in rows]
+        if not any(isinstance(v, float) and math.isnan(v)
+                   for v in vals):
+            return [(key, "in", vals)]  # empty batch matches nothing
+    span = keys_df.agg(F.min(key).alias("lo"),
+                       F.max(key).alias("hi")).first()
+    return [(key, ">=", span["lo"]), (key, "<=", span["hi"])]
+
+
+def _tombstoned_chunks(core: dict, by_chunk: dict,
+                       affected: set[str]) -> list[dict]:
+    """The parent's chunk descriptors with the rewritten files
+    tombstoned out — a COW commit on a chunked table touches only the
+    descriptors of chunks that held an affected file (their sidecars
+    are REUSED; the exclude list hides the replaced members). Spans
+    stay as recorded: conservative (a chunk may load needlessly for a
+    dead member's range) but never unsound. A chunk whose every member
+    is excluded drops entirely."""
+    descs = []
+    for ch in core["chunks"]:
+        hit = affected & set(by_chunk.get(ch["id"], ()))
+        if not hit:
+            descs.append(ch)
+            continue
+        excl = set(ch.get("exclude") or ()) | hit
+        if len(excl) >= ch["n"]:
+            continue
+        descs.append({**ch, "exclude": sorted(excl)})
+    return descs
+
+
+def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
+                         parent: str, key: str, keys_df: DataFrame,
+                         rewrite, op: str, txn_id: str | None,
+                         schema: StructType | None) -> str:
+    """Shared chunked-manifest COW engine (merge + key delete): the
+    candidate cut loads ONLY the sidecars the key batch's span/bloom
+    predicates can hit, the rewrite handles just the affected files,
+    and the publish reuses every untouched sidecar by id with the
+    affected members tombstoned — commit metadata is O(chunks hit),
+    never O(table). ``rewrite(affected_df)`` returns the replacement
+    rows for the affected files' live rows (None = publish nothing new
+    beyond survivors)."""
+    plan = _prune_chunked(table, core,
+                          _key_batch_predicates(key, keys_df))
+    candidates = plan["kept"]
+    parent_schema = _schema_from_man(core)
+    affected = (_affected_scan(spark, table, candidates, key, keys_df,
+                               parent_schema)
+                if candidates else set())
+    root = _data_root(table)
+    hybrid = {**core, "file_seq": plan["file_seq"]}
+    stats_cols = core.get("stats_cols")
+    bloom_cols = core.get("bloom_cols")
+    if affected:
+        affected_df = _read_live(
+            spark, table, hybrid,
+            [os.path.join(root, f) for f in sorted(affected)],
+            parent_schema)
+        affected_rows = affected_df.count()
+        survivors = rewrite(affected_df)
+    else:
+        affected_rows = 0
+        survivors = rewrite(None)
+    if survivors is None:  # nothing to rewrite AND nothing to add
+        return parent
+    new_files = _land_in_pool(survivors, table)
+    new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                          stats_cols)
+    new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
+                              schema if schema is not None
+                              else survivors.schema)
+    descs = _tombstoned_chunks(core, plan["by_chunk"], affected)
+    return _publish(
+        table, new_files,
+        core["rows"] - affected_rows + new_rows, parent,
+        _chunk_file_count({"chunks": descs}), op=op, txn_id=txn_id,
+        new_files=new_files, schema=schema, stats=new_stats,
+        stats_cols=stats_cols, blooms=new_blooms,
+        bloom_cols=bloom_cols,
+        delete_files=core.get("delete_files"),
+        parent_chunks=descs)
 
 
 def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
@@ -1741,7 +1848,24 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
             return _publish(table, files, rows, None, 0, op="merge",
                             txn_id=txn_id, schema=updates.schema)
 
-        parent_man = read_manifest(table, parent)
+        core = _read_core(table, parent)
+        if "chunks" in core:
+            schema = _merge_schema(_schema_from_man(core),
+                                   updates.schema)
+            keys = updates.select(key).distinct()
+
+            def rewrite(affected_df):
+                if affected_df is None:
+                    return updates  # pure insert batch
+                return (affected_df
+                        .join(F.broadcast(keys), key, "left_anti")
+                        .unionByName(updates,
+                                     allowMissingColumns=True))
+
+            return _cow_rewrite_chunked(spark, table, core, parent,
+                                        key, keys, rewrite, "merge",
+                                        txn_id, schema)
+        parent_man = core
         stats_cols = parent_man.get("stats_cols")
         parent_schema = _schema_from_man(parent_man)
         schema = _merge_schema(parent_schema, updates.schema)
@@ -2148,9 +2272,20 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
         parent = current_snapshot(table)
         if parent is None:
             raise NoCurrentSnapshotError(table)
-        parent_man = read_manifest(table, parent)
-        parent_schema = _schema_from_man(parent_man)
+        core = _read_core(table, parent)
         doomed_keys = doomed.select(key).distinct()
+        if "chunks" in core:
+            def rewrite(affected_df):
+                if affected_df is None:
+                    return None  # no file holds a doomed key: no-op
+                return affected_df.join(F.broadcast(doomed_keys), key,
+                                        "left_anti")
+
+            return _cow_rewrite_chunked(
+                spark, table, core, parent, key, doomed_keys, rewrite,
+                "delete", None, _schema_from_man(core))
+        parent_man = core
+        parent_schema = _schema_from_man(parent_man)
         affected_paths, untouched = _locate_affected(
             spark, table, parent_man, key, doomed_keys)
         if not affected_paths:

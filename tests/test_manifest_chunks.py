@@ -134,6 +134,61 @@ def test_chunked_merge_delete_and_mor_masks(spark, tmp_path,
                           predicates=[("k", "=", 7)]).count() == 1
 
 
+def test_chunked_merge_is_o_chunks_hit(spark, tmp_path, tiny_chunks,
+                                       monkeypatch):
+    """A COW merge on a chunked table loads ONLY the sidecars the key
+    batch can hit, and the publish reuses every untouched sidecar by
+    id with the rewritten members tombstoned."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    parent_core = V._read_core(table, V.current_snapshot(table))
+    parent_ids = [ch["id"] for ch in parent_core["chunks"]]
+
+    counter = _ChunkReadCounter(monkeypatch)
+    V.merge_snapshot(
+        spark, spark.createDataFrame([(3, "UPD")], "k int, v string"),
+        table, "k")
+    assert counter.count == 1, (
+        "a 1-key clustered merge must load exactly one sidecar")
+
+    core = V._read_core(table, V.current_snapshot(table))
+    assert "chunks" in core
+    kept_ids = [ch["id"] for ch in core["chunks"]]
+    assert set(kept_ids) <= set(parent_ids) | {core["chunks"][-1]["id"]}
+    reused = [ch for ch in core["chunks"] if ch["id"] in parent_ids]
+    assert len(reused) == len(parent_ids)  # every sidecar reused
+    tombstoned = [ch for ch in reused if ch.get("exclude")]
+    assert len(tombstoned) == 1  # only the hit chunk gained excludes
+
+    got = dict((r.k, r.v) for r in V.read_current(spark, table).collect())
+    assert got[3] == "UPD" and len(got) == 200
+    assert V.read_current(
+        spark, table, predicates=[("k", "=", 3)]).collect()[0].v == "UPD"
+
+
+def test_chunked_delete_drops_fully_consumed_chunks(spark, tmp_path,
+                                                    tiny_chunks):
+    """Deleting every key of one file range tombstones it; a chunk
+    whose every member is consumed disappears from the descriptors."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_clustered(spark, n=40, parts=10), table,
+                     stats_cols=["k"])  # 10 files of 4 keys, 3 chunks
+    # doom the whole first chunk's key range (files are 4-key ranges,
+    # chunks are 4 files -> keys 0..15)
+    V.delete_keys_snapshot(
+        spark, table, "k",
+        spark.createDataFrame([(i,) for i in range(16)], "k int"))
+    core = V._read_core(table, V.current_snapshot(table))
+    assert V.read_current(spark, table).count() == 24
+    assert sorted(r.k for r in V.read_current(
+        spark, table, predicates=[("k", "<", 18)]).collect()) == [16, 17]
+    # every original descriptor either dropped or tombstone-complete
+    live = V._chunk_file_count(core)
+    new_chunk_files = core["chunks"][-1]["n"] if core["chunks"] else 0
+    assert live == len(V.read_manifest(
+        table, core["snapshot"])["files"])
+
+
 def test_chunked_compact_changelog_and_vacuum(spark, tmp_path,
                                               tiny_chunks):
     table = str(tmp_path / "t")
