@@ -1556,16 +1556,20 @@ def compact_snapshot(spark: SparkSession, table: str,
     OPTIMISTIC commit: the rewrite — the minutes-long part on a big
     table — runs with NO lease held, against the snapshot current when
     compaction started. If the head moved before the publish, the
-    commit REBASES over interposed APPENDS (their files are disjoint
-    from the rewrite's inputs: keep them alongside the compacted
-    output; base-era delete masks were applied into the rewrite and
-    cannot touch the younger appended files, so dropping them stays
-    sound). Any interposed non-append commit rewrote or masked rows
-    this compaction read as inputs — rebasing would resurrect them —
-    so it raises ``CommitConflictError`` and the caller re-runs
-    against the new head; the landed files are vacuum orphans. This is
-    the streaming-lander-plus-maintenance shape: appends keep flowing
-    while OPTIMIZE compacts, and both commit."""
+    commit REBASES over interposed APPENDS and MERGE-ON-READ commits
+    (delete-mor / merge-mor): interposed files are disjoint from the
+    rewrite's inputs and ride along with their recorded generations;
+    base-era masks were applied into the rewrite and drop; masks
+    published MID-compaction keep masking the compacted rows because
+    the compacted files are stamped at the BASE generation (strict-
+    below sequencing does the rest — see the in-body comment). Only an
+    interposed COW commit (merge / delete / overwrite / another
+    compact) — which rewrote files this rewrite read as inputs —
+    raises ``CommitConflictError``; the caller re-runs against the new
+    head and the landed files are vacuum orphans. This is the
+    streaming-lander-plus-maintenance shape: append or MOR-upsert
+    landers keep flowing while OPTIMIZE compacts, and ALL of them
+    commit."""
     base = current_snapshot(table)
     if base is None:
         raise NoCurrentSnapshotError(table)
@@ -1595,17 +1599,31 @@ def compact_snapshot(spark: SparkSession, table: str,
         head_man = read_manifest(table, head)
         interposed = _rebase_chain(table, head, base)
         bad = [m["snapshot"] for m in interposed
-               if m.get("op") != "append"]
+               if m.get("op") not in ("append", "delete-mor",
+                                      "merge-mor")]
         if bad:
             raise CommitConflictError(
-                f"{table}: non-append commits {bad} interposed while "
-                "compacting — the rewrite's inputs are stale; re-run "
+                f"{table}: commits {bad} interposed while compacting "
+                "rewrote files this rewrite read as inputs — re-run "
                 "compaction against the current head")
-        if (head_man.get("delete_files") or []) != (
-                base_man.get("delete_files") or []):
-            raise CommitConflictError(  # defensive: appends never
-                f"{table}: delete masks changed under an append-only "
-                "chain — re-run compaction")  # touch delete_files
+        # Base-era masks were APPLIED into the rewrite and drop;
+        # masks published mid-compaction must keep masking the rows
+        # the compacted output still carries. Stamping the compacted
+        # files at the BASE generation (not this commit's) makes the
+        # strict-below rule do exactly that: an interposed delete's
+        # seq is above base, so it masks the compacted rows, while
+        # the interposed commit's own files keep their recorded seqs
+        # and stay exempt from their own masks.
+        base_dels = base_man.get("delete_files") or []
+        head_dels = head_man.get("delete_files") or []
+        base_del_ids = {d["file"] for d in base_dels}
+        if not base_del_ids <= {d["file"] for d in head_dels}:
+            raise CommitConflictError(  # a mask vanished mid-chain:
+                f"{table}: delete masks changed non-additively under "
+                "the interposed chain — re-run compaction")
+        new_dels = [d for d in head_dels
+                    if d["file"] not in base_del_ids]
+        base_gen = _gen_of(base)
         base_set = set(base_man["files"])
         inter_files = [f for f in head_man["files"]
                        if f not in base_set]
@@ -1624,8 +1642,10 @@ def compact_snapshot(spark: SparkSession, table: str,
                 **blooms, **{f: head_blooms[f] for f in inter_files
                              if f in head_blooms}}),
             bloom_cols=head_man.get("bloom_cols"),
-            file_seq={f: head_seq[f] for f in inter_files
-                      if f in head_seq})
+            file_seq={**{f: base_gen for f in files},
+                      **{f: head_seq[f] for f in inter_files
+                         if f in head_seq}},
+            delete_files=new_dels or None)
 
 
 _BLOOM_PROBE_MAX_KEYS = 100_000  # bounded driver collect for probing

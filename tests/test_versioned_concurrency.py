@@ -173,6 +173,84 @@ def test_append_rebases_over_interposed_mor_delete(spark, tmp_path,
     assert man.get("delete_files")  # the mask rode through the rebase
 
 
+def test_compaction_rebases_over_interposed_mor_delete(spark, tmp_path,
+                                                       monkeypatch):
+    """A MOR delete flipping in mid-compaction must KEEP masking the
+    compacted output: the rewrite read the pre-delete snapshot, so its
+    files still carry the doomed rows — they are stamped at the BASE
+    generation, below the interposed mask's, and strict-below
+    sequencing hides them. (Stamping at the publish generation instead
+    would silently resurrect every row deleted mid-compaction.)"""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(20)]).repartition(5),
+        table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def compactor():
+        try:
+            V.compact_snapshot(spark, table, sort_col="k",
+                               target_files=1)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    assert pause.landed.wait(60)  # rewrite landed, pre-delete rows in
+
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(3,), (4,)], "k int"))
+    assert V.read_current(spark, table).count() == 18
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["op"] == "compact"
+    assert man.get("delete_files")  # the interposed mask rode along
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == set(range(20)) - {3, 4}  # NOT resurrected
+    assert man["rows"] == 18
+
+
+def test_compaction_rebases_over_interposed_mor_upsert(spark, tmp_path,
+                                                       monkeypatch):
+    """Same shape for a MOR upsert lander: its new row versions land,
+    its mask keeps hiding the OLD versions inside the compacted files,
+    and no key duplicates."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(20)]).repartition(5),
+        table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def compactor():
+        try:
+            V.compact_snapshot(spark, table, target_files=1)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.merge_snapshot_mor(
+        spark, _df(spark, [(5, "UPD"), (100, "new")]), table, "k")
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    got = dict((r.k, r.v) for r in V.read_current(spark, table).collect())
+    assert got[5] == "UPD" and got[100] == "new"
+    assert len(got) == 21  # no duplicate key 5
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["op"] == "compact" and man["rows"] == 21
+
+
 def test_concurrent_appends_hammer_no_lost_update(spark, tmp_path):
     """Free-running race: four appenders, three batches each, no
     orchestration. Every commit must land (no failures), the final
