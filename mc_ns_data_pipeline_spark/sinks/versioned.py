@@ -1954,6 +1954,28 @@ def _mor_live_matches(spark: SparkSession, table: str,
     )
 
 
+def _mor_live_matches_chunked(spark: SparkSession, table: str,
+                              core: dict, key: str,
+                              keys_df: DataFrame) -> int:
+    """`_mor_live_matches` for CHUNKED manifests: the candidate cut
+    loads only the sidecars the key batch's span/bloom predicates can
+    hit — the decrement count stays O(chunks hit) in metadata, like
+    every other chunked planning pass."""
+    plan = _prune_chunked(table, core,
+                          _key_batch_predicates(key, keys_df))
+    candidates = plan["kept"]
+    if not candidates:
+        return 0
+    hybrid = {**core, "file_seq": plan["file_seq"]}
+    return (
+        _read_live(spark, table, hybrid, candidates,
+                   _schema_from_man(core))
+        .select(key)
+        .join(F.broadcast(keys_df), key, "left_semi")
+        .count()
+    )
+
+
 def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
                        table: str, key: str,
                        txn_id: str | None = None) -> str:
@@ -1991,7 +2013,7 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
             return _publish(table, files, rows, None, 0, op="merge",
                             txn_id=txn_id, schema=updates.schema)
 
-        parent_man = read_manifest(table, parent)
+        parent_man = _read_core(table, parent)
         stats_cols = parent_man.get("stats_cols")
         bloom_cols = parent_man.get("bloom_cols")
         schema = _merge_schema(_schema_from_man(parent_man),
@@ -2014,10 +2036,23 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
             *(os.path.join(root, f) for f in new_files))
             .select(key).distinct().filter(F.col(key).isNotNull()))
         del_files = _land_in_pool(batch_keys.coalesce(1), table)
-        matched = _mor_live_matches(spark, table, parent_man, key,
-                                    batch_keys)
         entries = [{"file": f, "key": key, "seq": None}
                    for f in del_files]
+        if "chunks" in parent_man:  # O(commit) metadata: one new
+            matched = _mor_live_matches_chunked(  # sidecar, parent
+                spark, table, parent_man, key, batch_keys)  # reused
+            return _publish(
+                table, new_files,
+                parent_man["rows"] - matched + new_rows, parent,
+                _chunk_file_count(parent_man), op="merge-mor",
+                txn_id=txn_id, new_files=new_files, schema=schema,
+                stats=new_stats, stats_cols=stats_cols,
+                blooms=new_blooms, bloom_cols=bloom_cols,
+                delete_files=(parent_man.get("delete_files") or [])
+                + entries,
+                parent_chunks=parent_man["chunks"])
+        matched = _mor_live_matches(spark, table, parent_man, key,
+                                    batch_keys)
         rows = parent_man["rows"] - matched + new_rows
         return _publish(
             table, parent_man["files"] + new_files, rows, parent,
@@ -2371,7 +2406,7 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
         parent = current_snapshot(table)
         if parent is None:
             raise NoCurrentSnapshotError(table)
-        parent_man = read_manifest(table, parent)
+        parent_man = _read_core(table, parent)
         schema = _schema_from_man(parent_man)
         if schema is not None and key not in {f.name
                                               for f in schema.fields}:
@@ -2392,10 +2427,22 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
         if n_keys == 0:
             return parent  # nothing to forget: current stays
 
-        matched = _mor_live_matches(spark, table, parent_man, key,
-                                    doomed_keys)
         entries = [{"file": f, "key": key, "seq": None, "keys": n_keys}
                    for f in del_files]  # seq stamped by _publish
+        if "chunks" in parent_man:  # O(commit) metadata: no new data
+            matched = _mor_live_matches_chunked(  # files at all, all
+                spark, table, parent_man, key, doomed_keys)  # reused
+            return _publish(
+                table, [], parent_man["rows"] - matched, parent,
+                _chunk_file_count(parent_man), op="delete-mor",
+                new_files=[], schema=schema,
+                stats_cols=parent_man.get("stats_cols"),
+                bloom_cols=parent_man.get("bloom_cols"),
+                delete_files=(parent_man.get("delete_files") or [])
+                + entries,
+                parent_chunks=parent_man["chunks"])
+        matched = _mor_live_matches(spark, table, parent_man, key,
+                                    doomed_keys)
         return _publish(
             table, parent_man["files"], parent_man["rows"] - matched,
             parent, len(parent_man["files"]), op="delete-mor",

@@ -166,6 +166,44 @@ def test_chunked_merge_is_o_chunks_hit(spark, tmp_path, tiny_chunks,
         spark, table, predicates=[("k", "=", 3)]).collect()[0].v == "UPD"
 
 
+def test_chunked_mor_commits_reuse_sidecars(spark, tmp_path,
+                                            tiny_chunks, monkeypatch):
+    """MOR delete and upsert on a chunked table: the decrement count
+    loads only the sidecars the key batch can hit, the publish reuses
+    every parent sidecar by id, and masks + sequencing behave exactly
+    as inline."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    parent_ids = [ch["id"] for ch in
+                  V._read_core(table, V.current_snapshot(table))["chunks"]]
+
+    counter = _ChunkReadCounter(monkeypatch)
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(5,)], "k int"))
+    assert counter.count == 1  # one clustered key: one sidecar
+    core = V._read_core(table, V.current_snapshot(table))
+    assert [ch["id"] for ch in core["chunks"]] == parent_ids  # reused
+    assert core["rows"] == 199
+    assert V.read_current(spark, table).count() == 199
+    assert V.read_current(spark, table,
+                          predicates=[("k", "=", 5)]).count() == 0
+
+    V.merge_snapshot_mor(
+        spark, spark.createDataFrame([(5, "reborn"), (7, "UPD")],
+                                     "k int, v string"), table, "k")
+    core = V._read_core(table, V.current_snapshot(table))
+    assert [ch["id"] for ch in core["chunks"][:len(parent_ids)]] \
+        == parent_ids
+    assert len(core["chunks"]) == len(parent_ids) + 1
+    got = dict((r.k, r.v) for r in V.read_current(spark, table).collect())
+    assert got[5] == "reborn" and got[7] == "UPD" and len(got) == 200
+    # compaction applies everything and stays correct
+    V.compact_snapshot(spark, table, sort_col="k", target_files=2)
+    got2 = dict((r.k, r.v)
+                for r in V.read_current(spark, table).collect())
+    assert got2 == got
+
+
 def test_chunked_delete_drops_fully_consumed_chunks(spark, tmp_path,
                                                     tiny_chunks):
     """Deleting every key of one file range tombstones it; a chunk
