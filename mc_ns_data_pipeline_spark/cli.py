@@ -436,6 +436,27 @@ def cmd_table(args) -> int:
         need("--group-cols", args.group_cols)
         need("--sum-cols", args.sum_cols)
 
+    if args.op == "tag":  # metadata-only: no Spark session
+        snap = V.tag_snapshot(args.table, need("--name", args.name),
+                              snapshot=args.snapshot)
+        print(f"tag {args.name} -> {snap}")
+        return 0
+    if args.op == "refs":
+        cur = V.current_snapshot(args.table)
+        print(f"  CURRENT -> {cur}")
+        for name, snap in V.list_refs(args.table).items():
+            print(f"  {name} -> {snap}")
+        return 0
+    if args.op == "publish":
+        snap = V.publish_ref(args.table, need("--name", args.name))
+        print(f"published {args.name}: CURRENT -> {snap}")
+        return 0
+    if args.op == "rollback":
+        snap = V.rollback_table(
+            args.table, need("--snapshot",
+                             args.snapshot or args.name))
+        print(f"rolled back: CURRENT -> {snap}")
+        return 0
     if args.op == "history":  # metadata-only: no Spark session
         cur = V.current_snapshot(args.table)
         for s in V.list_snapshots(args.table):
@@ -522,7 +543,7 @@ def cmd_table(args) -> int:
                 stats_cols=col_list(args.stats_cols, "--stats-cols"),
                 bloom_cols=col_list(args.bloom_cols, "--bloom-cols"))
         elif args.op == "append":
-            snap = V.append_snapshot(df, args.table,
+            snap = V.append_snapshot(df, args.table, branch=args.branch,
                                      txn_id=args.txn_id)
         elif args.op == "merge" and args.mor:
             snap = V.merge_snapshot_mor(spark, df, args.table,
@@ -620,7 +641,9 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("op", choices=["write", "append", "merge",
                                    "delete-keys", "compact", "vacuum",
                                    "history", "consume",
-                                   "view-refresh", "optimize"])
+                                   "view-refresh", "optimize",
+                                   "tag", "refs", "publish",
+                                   "rollback"])
     tb.add_argument("--table", required=True,
                     help="versioned table directory")
     tb.add_argument("--input", default=None,
@@ -643,6 +666,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "optimize applies and clears the masks")
     tb.add_argument("--txn-id", default=None,
                     help="exactly-once append stamp (replays no-op)")
+    tb.add_argument("--branch", default=None,
+                    help="append: stage on this named ref instead of "
+                    "CURRENT (write-audit-publish); publish with "
+                    "'table publish --name'")
+    tb.add_argument("--name", default=None,
+                    help="ref name (tag/publish/rollback)")
+    tb.add_argument("--snapshot", default=None,
+                    help="tag/rollback target (default: CURRENT / "
+                    "resolves tag names)")
     tb.add_argument("--sort-col", default=None,
                     help="compact: preserve clustering on this column")
     tb.add_argument("--target-files", type=int, default=1,

@@ -3531,6 +3531,57 @@ def x106_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x107_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish lifecycle (sinks/versioned.py named refs),
+    oracle-checked: publish a base snapshot of even-keyed orders, STAGE
+    two append batches on a branch ref (invisible to table readers),
+    then fast-forward CURRENT to the audited head with `publish_ref`.
+
+    Three phases emit side by side, each a lazy time-travel read over
+    a retained manifest so the returned plan stays valid: the
+    pre-publish table (base rows only — staged commits truly invisible),
+    the audited branch head, and the published table (identical to the
+    branch head: publish is ONE pointer flip, no data movement). The
+    oracle states each phase's membership algebraically from the same
+    modular predicates. Scale: staging rides the normal append path
+    (O(commit) data + metadata, chunk reuse on chunked tables);
+    publish and rollback are metadata-only."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"))
+    table = os.path.join(_scratch_dir("x107_wap_"), "tbl")
+    cur0 = V.write_snapshot(
+        rows.filter(F.col("o_orderkey") % 2 == 0), table)
+    V.append_snapshot(rows.filter(F.col("o_orderkey") % 4 == 1),
+                      table, branch="audit")
+    V.append_snapshot(rows.filter(F.col("o_orderkey") % 4 == 3),
+                      table, branch="audit")
+    head = V.ref_snapshot(table, "audit")
+    published = V.publish_ref(table, "audit")
+
+    def phase(name: str, snap: str) -> DataFrame:
+        return (
+            V.read_snapshot(spark, table, snap)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,4)"))
+                .cast("double").alias("sum_price"),
+            )
+            .select(F.lit(name).alias("phase"), "n_rows", "sum_price")
+        )
+
+    return (
+        phase("1_before_publish", cur0)
+        .unionByName(phase("2_branch_head", head))
+        .unionByName(phase("3_after_publish", published))
+        .orderBy("phase")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3670,6 +3721,7 @@ EXT_QUERIES = {
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
     "x26_scd2_history": x26_scd2_history,
+    "x107_wap_publish": x107_wap_publish,
 }
 
 # ---------------------------------------------------------------------------
@@ -6848,4 +6900,28 @@ EXT_ORACLES["x106_mor_upsert"] = """
                AS sum_price,
            TRUE AS mor_ok
     FROM live
+"""
+
+# x107: the three WAP phases stated from the same modular membership —
+# before-publish sees only the base (even keys); the branch head and
+# the published table both see base + the two staged batches
+# (%4 in {1,3}), i.e. every order: publish is a pointer flip.
+EXT_ORACLES["x107_wap_publish"] = """
+    WITH base AS (
+        SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0
+    ), everything AS (
+        SELECT o_totalprice AS price FROM orders
+    )
+    SELECT '1_before_publish' AS phase, count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM base
+    UNION ALL
+    SELECT '2_branch_head', count(*)::BIGINT,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+    FROM everything
+    UNION ALL
+    SELECT '3_after_publish', count(*)::BIGINT,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+    FROM everything
+    ORDER BY phase
 """

@@ -152,6 +152,166 @@ def list_snapshots(table: str) -> list[str]:
         return []
 
 
+# ---------------------------------------------------------------------------
+# Named refs: tags (immutable audit/rollback anchors) and branches
+# (the write-audit-publish staging pointer). A ref is just another
+# pointer file beside CURRENT — same atomic-rename primitive, same
+# MVCC reads — so a staged commit is invisible to CURRENT's readers
+# until `publish_ref` fast-forwards the table to it.
+# ---------------------------------------------------------------------------
+
+def _refs_root(table: str) -> str:
+    return os.path.join(table, "refs")
+
+
+def _check_ref_name(name: str) -> None:
+    if (not name or "/" in name or "\\" in name or name.startswith(".")
+            or name in ("CURRENT",)):
+        raise ValueError(f"invalid ref name {name!r}")
+
+
+def _ref_path(table: str, name: str) -> str:
+    _check_ref_name(name)
+    return os.path.join(_refs_root(table), name)
+
+
+def ref_snapshot(table: str, name: str) -> str | None:
+    """The snapshot a ref points at, or None."""
+    try:
+        with open(_ref_path(table, name)) as fh:
+            return fh.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def list_refs(table: str) -> dict[str, str]:
+    root = _refs_root(table)
+    out = {}
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return out
+    for n in sorted(names):
+        if n.startswith(".") or ".tmp-" in n:
+            continue
+        snap = ref_snapshot(table, n)
+        if snap:
+            out[n] = snap
+    return out
+
+
+def tag_snapshot(table: str, name: str,
+                 snapshot: str | None = None) -> str:
+    """Pin a named, vacuum-safe anchor to a snapshot (default:
+    CURRENT) — the audit/rollback bookmark. Tagged snapshots and their
+    files survive `vacuum_snapshots` regardless of the keep window
+    until the tag is deleted."""
+    snap = snapshot if snapshot is not None else current_snapshot(table)
+    if snap is None:
+        raise NoCurrentSnapshotError(table)
+    if not os.path.exists(_manifest_path(table, snap)):
+        raise FileNotFoundError(
+            f"{table}: snapshot {snap!r} has no manifest")
+    path = _ref_path(table, name)
+    os.makedirs(_refs_root(table), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(snap)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return snap
+
+
+def delete_ref(table: str, name: str) -> None:
+    try:
+        os.remove(_ref_path(table, name))
+    except FileNotFoundError:
+        pass
+
+
+def publish_ref(table: str, name: str) -> str:
+    """Write-audit-PUBLISH: fast-forward CURRENT to the branch ref's
+    head and drop the ref — staged commits become visible to every
+    reader in one pointer flip. Refuses (CommitConflictError) unless
+    CURRENT is an ancestor of the branch head: a commit that landed
+    directly on the table after the branch staged means the staged
+    lineage no longer extends the table — re-stage from the new head
+    (the branch's data files are untouched; only its manifests are
+    orphaned for vacuum)."""
+    with table_lease(table, owner=f"publish_ref:{name}"):
+        target = ref_snapshot(table, name)
+        if target is None:
+            raise FileNotFoundError(f"{table}: no ref {name!r}")
+        cur = current_snapshot(table)
+        snap = target
+        while snap is not None and snap != cur:
+            try:
+                snap = _read_core(table, snap).get("parent")
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"{table}: ref {name!r} lineage broken below "
+                    f"{snap!r} (vacuumed?) — re-stage") from None
+        if snap != cur:
+            raise CommitConflictError(
+                f"{table}: CURRENT {cur!r} is not an ancestor of ref "
+                f"{name!r} head {target!r} — the table moved since "
+                "staging; re-stage the branch from the new head")
+        pointer = _pointer_path(table)
+        tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(target)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, pointer)
+        delete_ref(table, name)
+        return target
+
+
+def rollback_table(table: str, snapshot: str) -> str:
+    """Point CURRENT back at an earlier snapshot of its own lineage
+    (the Iceberg rollback verb): one pointer flip, no data movement —
+    the undone commits' manifests and files become vacuum-reapable
+    orphans once they age out. The target must be an ancestor of
+    CURRENT (tags resolve first, so `rollback_table(t, "pre-deploy")`
+    works)."""
+    with table_lease(table, owner="rollback"):
+        target = ref_snapshot(table, snapshot) \
+            if os.path.exists(_refs_root(table)) \
+            and os.path.exists(os.path.join(_refs_root(table),
+                                            snapshot)) else snapshot
+        cur = current_snapshot(table)
+        snap = cur
+        while snap is not None and snap != target:
+            try:
+                snap = _read_core(table, snap).get("parent")
+            except FileNotFoundError:
+                snap = None
+        if snap != target:
+            raise CommitConflictError(
+                f"{table}: {snapshot!r} is not an ancestor of CURRENT "
+                f"{cur!r} — cannot roll back to it")
+        pointer = _pointer_path(table)
+        tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(target)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, pointer)
+        return target
+
+
+def read_ref(spark: SparkSession, table: str, name: str,
+             predicates: list[tuple] | None = None) -> DataFrame:
+    """Read the snapshot a tag or branch points at — the AUDIT read of
+    write-audit-publish, or a pinned historical view. Same pruning and
+    delete-mask semantics as every other read."""
+    snap = ref_snapshot(table, name)
+    if snap is None:
+        raise FileNotFoundError(f"{table}: no ref {name!r}")
+    return read_snapshot(spark, table, snap, predicates=predicates)
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     """Durable single-file commit: write a temp sibling, fsync, then
     one atomic rename — readers see the old content or the new,
@@ -1164,7 +1324,8 @@ def _publish(table: str, files: list[str], rows: int,
              bloom_cols: list[str] | None = None,
              file_seq: dict | None = None,
              delete_files: list[dict] | None = None,
-             parent_chunks: list[dict] | None = None) -> str:
+             parent_chunks: list[dict] | None = None,
+             ref: str | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease.
 
@@ -1233,7 +1394,11 @@ def _publish(table: str, files: list[str], rows: int,
         manifest["chunks"] = chunks
     _atomic_write_json(_manifest_path(table, name), manifest)
 
-    pointer = _pointer_path(table)
+    if ref is None:
+        pointer = _pointer_path(table)
+    else:  # staged commit: flip the BRANCH ref, never CURRENT —
+        pointer = _ref_path(table, ref)  # the write-audit-publish flow
+        os.makedirs(_refs_root(table), exist_ok=True)
     tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         fh.write(name)
@@ -1419,14 +1584,16 @@ def write_snapshot(df: DataFrame, table: str,
                         bloom_cols=bloom_cols)
 
 
-def _txn_already_applied(table: str, txn_id: str) -> str | None:
-    """Walk the manifest parent chain from CURRENT looking for a
-    commit stamped with `txn_id`; returns that snapshot's name, or
-    None. The walk stops at a vacuumed-away parent — retention
-    (vacuum `keep`) must therefore cover the longest plausible replay
-    gap, which for streaming retries (the next micro-batch after a
-    crash) is one commit."""
-    snap = current_snapshot(table)
+def _txn_already_applied(table: str, txn_id: str,
+                         start: str | None = None) -> str | None:
+    """Walk the manifest parent chain from ``start`` (default:
+    CURRENT — pass a branch head when staging) looking for a commit
+    stamped with `txn_id`; returns that snapshot's name, or None. The
+    walk stops at a vacuumed-away parent — retention (vacuum `keep`)
+    must therefore cover the longest plausible replay gap, which for
+    streaming retries (the next micro-batch after a crash) is one
+    commit."""
+    snap = start if start is not None else current_snapshot(table)
     while snap is not None:
         try:
             man = _read_core(table, snap)
@@ -1439,7 +1606,8 @@ def _txn_already_applied(table: str, txn_id: str) -> str | None:
 
 
 def append_snapshot(df: DataFrame, table: str,
-                    txn_id: str | None = None) -> str:
+                    txn_id: str | None = None,
+                    branch: str | None = None) -> str:
     """Zero-rewrite append (K5 semantics, reader-safe): land the new
     rows as fresh pool files and publish a manifest that is the parent
     file list PLUS the new files — nothing existing is read or
@@ -1468,14 +1636,29 @@ def append_snapshot(df: DataFrame, table: str,
     append never touches the parent's per-file metadata at all: it
     writes one new sidecar for its own files and the core manifest
     reuses the parent's chunk descriptors — commit metadata stays
-    O(commit) at any table size."""
+    O(commit) at any table size.
+
+    ``branch`` stages the commit on a NAMED REF instead of CURRENT
+    (write-audit-publish): the first staged commit forks from CURRENT,
+    later ones extend the branch; table readers never see it until
+    ``publish_ref`` fast-forwards CURRENT to the audited head. A
+    discarded branch (``delete_ref``) leaves only vacuum orphans."""
     os.makedirs(table, exist_ok=True)
     spark = df.sparkSession
+
+    def _head() -> str | None:
+        if branch is not None:
+            staged = ref_snapshot(table, branch)
+            if staged is not None:
+                return staged  # extend the branch, not CURRENT
+        return current_snapshot(table)
+
     if txn_id is not None:  # cheap pre-check: a replayed batch skips
-        applied = _txn_already_applied(table, txn_id)  # the landing
+        applied = _txn_already_applied(table, txn_id,  # the landing
+                                       start=_head())
         if applied is not None:
             return applied
-    base = current_snapshot(table)
+    base = _head()
     base_man = _read_core(table, base) if base else {}
     stats_cols = base_man.get("stats_cols")
     bloom_cols = base_man.get("bloom_cols")
@@ -1488,10 +1671,11 @@ def append_snapshot(df: DataFrame, table: str,
     with table_lease(table, owner="append_snapshot",
                      wait_s=_COMMIT_WAIT_S):
         if txn_id is not None:  # decisive re-check under the lease:
-            applied = _txn_already_applied(table, txn_id)
+            applied = _txn_already_applied(table, txn_id,
+                                           start=_head())
             if applied is not None:  # lost a replay race after landing
                 return applied  # — this attempt's files are orphans
-        parent = current_snapshot(table)
+        parent = _head()
         parent_core = (base_man if parent == base
                        else _read_core(table, parent) if parent
                        else {})
@@ -1518,7 +1702,7 @@ def append_snapshot(df: DataFrame, table: str,
                 stats=new_stats, stats_cols=stats_cols,
                 blooms=new_blooms, bloom_cols=bloom_cols,
                 delete_files=parent_core.get("delete_files"),
-                parent_chunks=parent_core["chunks"])
+                parent_chunks=parent_core["chunks"], ref=branch)
         parent_man = _materialize(table, parent_core)
         old_files = parent_man.get("files", [])
         return _publish(table, old_files + new_files,
@@ -1532,7 +1716,8 @@ def append_snapshot(df: DataFrame, table: str,
                                              new_blooms),
                         bloom_cols=bloom_cols,
                         file_seq=parent_man.get("file_seq"),
-                        delete_files=parent_man.get("delete_files"))
+                        delete_files=parent_man.get("delete_files"),
+                        ref=branch)
 
 
 def compact_snapshot(spark: SparkSession, table: str,
@@ -2113,6 +2298,10 @@ def vacuum_snapshots(table: str, keep: int = 2,
         retained = set(snaps[-keep:])
         if current is not None:
             retained.add(current)
+        # Named refs PIN their snapshots (tags are audit/rollback
+        # anchors; branch heads are staged-but-unpublished commits) —
+        # reaping one would break the very reads the ref exists for.
+        retained.update(list_refs(table).values())
         if min_age_seconds is not None:
             cutoff = _time.time() - min_age_seconds
             for s in snaps:

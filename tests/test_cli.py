@@ -380,3 +380,44 @@ def test_table_lifecycle_cli(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="--key"):
         main(["table", "merge", "--table", table, "--input", upd])
+
+
+def test_table_wap_and_rollback_cli(spark, tmp_path):
+    """Write-audit-publish + tag/rollback through the CLI: stage on a
+    branch, inspect refs, publish the audited head, tag, roll back."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    def land(rows, name):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "k int, v string").write.parquet(p)
+        return p
+
+    table = str(tmp_path / "vtbl")
+    assert main(["table", "write", "--table", table,
+                 "--input", land([(1, "a")], "base")]) == 0
+    assert main(["table", "tag", "--table", table,
+                 "--name", "pre-deploy"]) == 0
+
+    # stage two batches on a branch: CURRENT stays put
+    assert main(["table", "append", "--table", table,
+                 "--input", land([(2, "s1")], "b1"),
+                 "--branch", "audit"]) == 0
+    assert main(["table", "append", "--table", table,
+                 "--input", land([(3, "s2")], "b2"),
+                 "--branch", "audit"]) == 0
+    assert V.read_current(spark, table).count() == 1
+    assert V.read_ref(spark, table, "audit").count() == 3
+    assert main(["table", "refs", "--table", table]) == 0
+
+    assert main(["table", "publish", "--table", table,
+                 "--name", "audit"]) == 0
+    assert V.read_current(spark, table).count() == 3
+
+    # bad deploy -> roll back to the tag; table keeps working
+    assert main(["table", "rollback", "--table", table,
+                 "--snapshot", "pre-deploy"]) == 0
+    assert {r.k for r in V.read_current(spark, table).collect()} == {1}
+    assert main(["table", "append", "--table", table,
+                 "--input", land([(7, "post")], "b3")]) == 0
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {1, 7}

@@ -1,0 +1,147 @@
+"""Named refs on versioned tables: tags (vacuum-safe audit/rollback
+anchors), branches (write-audit-publish staging), fast-forward
+publish, and rollback. A ref is a pointer file beside CURRENT riding
+the same atomic-rename primitive, so staged commits are invisible to
+table readers until the audited publish — the Iceberg WAP / tag /
+rollback verbs on the manifest-pointer pattern."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_tag_pins_snapshot_through_vacuum(spark, tmp_path):
+    table = str(tmp_path / "t")
+    s0 = V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.tag_snapshot(table, "golden")  # defaults to CURRENT
+    for i in range(3):
+        V.write_snapshot(_df(spark, [(10 + i, "x")]), table)
+
+    # the tag still reads the ORIGINAL rows after 3 overwrites
+    got = {(r.k, r.v) for r in V.read_ref(spark, table, "golden").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # vacuum keep=1 would normally reap s0 — the tag pins it AND its files
+    out = V.vacuum_snapshots(table, keep=1)
+    assert s0 not in out["snapshots"]
+    got = {(r.k, r.v) for r in V.read_ref(spark, table, "golden").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert V.list_refs(table) == {"golden": s0}
+    # deleting the tag releases the pin: next vacuum reaps
+    V.delete_ref(table, "golden")
+    out = V.vacuum_snapshots(table, keep=1)
+    assert s0 in out["snapshots"]
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """Stage two appends on a branch, audit them, publish: CURRENT
+    never shows staged rows until the fast-forward, then shows all."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+    cur0 = V.current_snapshot(table)
+
+    V.append_snapshot(_df(spark, [(2, "staged1")]), table,
+                      branch="audit")
+    V.append_snapshot(_df(spark, [(3, "staged2")]), table,
+                      branch="audit")
+    # CURRENT untouched; the branch sees base + both staged batches
+    assert V.current_snapshot(table) == cur0
+    assert V.read_current(spark, table).count() == 1
+    staged = {r.k for r in V.read_ref(spark, table, "audit").collect()}
+    assert staged == {1, 2, 3}
+
+    # audit passes -> publish fast-forwards in one flip
+    head = V.ref_snapshot(table, "audit")
+    assert V.publish_ref(table, "audit") == head
+    assert V.current_snapshot(table) == head
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {1, 2, 3}
+    assert V.list_refs(table) == {}  # branch consumed
+
+
+def test_publish_ref_conflicts_when_table_moved(spark, tmp_path):
+    """A direct commit landing after the branch staged makes the
+    staged lineage stale: publish must refuse, and a re-staged branch
+    from the new head publishes fine."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+    V.append_snapshot(_df(spark, [(2, "staged")]), table,
+                      branch="audit")
+    V.append_snapshot(_df(spark, [(9, "direct")]), table)  # interloper
+    with pytest.raises(V.CommitConflictError, match="re-stage"):
+        V.publish_ref(table, "audit")
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {1, 9}
+    # re-stage from the new head and publish
+    V.delete_ref(table, "audit")
+    V.append_snapshot(_df(spark, [(2, "staged")]), table,
+                      branch="audit")
+    V.publish_ref(table, "audit")
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {1, 2, 9}
+
+
+def test_branch_txn_idempotence(spark, tmp_path):
+    """Exactly-once stamps walk the BRANCH lineage: a replayed staged
+    batch is a no-op on the branch, and the stamp survives publish."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+    first = V.append_snapshot(_df(spark, [(2, "s")]), table,
+                              txn_id="job:1", branch="audit")
+    again = V.append_snapshot(_df(spark, [(2, "s")]), table,
+                              txn_id="job:1", branch="audit")
+    assert again == first
+    V.publish_ref(table, "audit")
+    assert V.read_current(spark, table).count() == 2
+
+
+def test_rollback_to_tag_and_rebuild(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "v1")]), table)
+    V.tag_snapshot(table, "pre-deploy")
+    V.merge_snapshot(spark, _df(spark, [(1, "BAD"), (2, "BAD")]),
+                     table, "k")
+    assert V.read_current(spark, table).count() == 2
+
+    V.rollback_table(table, "pre-deploy")  # tag name resolves
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "v1")}
+    # the table keeps working after rollback; history stays linear
+    V.append_snapshot(_df(spark, [(3, "v3")]), table)
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "v1"), (3, "v3")}
+    # rolling back to a non-ancestor refuses
+    with pytest.raises(V.CommitConflictError):
+        V.rollback_table(table, "00009999-nonsense")
+
+
+def test_ref_name_validation(tmp_path):
+    table = str(tmp_path / "t")
+    for bad in ("", "a/b", "..", ".hidden", "CURRENT"):
+        with pytest.raises(ValueError):
+            V._ref_path(table, bad)
+
+
+def test_staged_branch_on_chunked_table(spark, tmp_path, monkeypatch):
+    """Branch staging composes with chunked manifests: staged appends
+    reuse the parent's sidecars, and publish flips them in."""
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", 6)
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_SIZE", 4)
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)])
+        .repartitionByRange(10, "k"), table, stats_cols=["k"])
+    V.append_snapshot(_df(spark, [(100, "staged")]), table,
+                      branch="audit")
+    assert V.read_current(spark, table).count() == 40
+    assert V.read_ref(spark, table, "audit").count() == 41
+    V.publish_ref(table, "audit")
+    assert V.read_current(
+        spark, table, predicates=[("k", "=", 100)]).count() == 1

@@ -291,6 +291,46 @@ def test_concurrent_appends_hammer_no_lost_update(spark, tmp_path):
     assert len(seen) == 1 + 12  # base + every append committed
 
 
+def test_append_during_compaction_on_chunked_table(spark, tmp_path,
+                                                   monkeypatch):
+    """The optimistic interleavings compose with chunked manifests:
+    an append lands mid-compaction on a chunked table, the compaction
+    rebases, and the rebased publish re-chunks (or inlines) correctly
+    — no row lost, planning still sound."""
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", 6)
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_SIZE", 4)
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)])
+        .repartitionByRange(10, "k"), table, stats_cols=["k"])
+    assert "chunks" in V._read_core(table, V.current_snapshot(table))
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def compactor():
+        try:
+            V.compact_snapshot(spark, table, sort_col="k",
+                               target_files=8)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    assert pause.landed.wait(60)
+    V.append_snapshot(_df(spark, [(100, "mid")]), table)
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == ({(i, "base") for i in range(40)} | {(100, "mid")})
+    # pruned read still exact after the rebased re-chunk
+    assert [r.v for r in V.read_current(
+        spark, table, predicates=[("k", "=", 100)]).collect()] == ["mid"]
+    assert V.read_current(
+        spark, table, predicates=[("k", "=", 7)]).count() == 1
+
+
 def test_append_txn_idempotent_across_interleaving(spark, tmp_path,
                                                    monkeypatch):
     """The txn stamp must stay exactly-once even when the replay lands
