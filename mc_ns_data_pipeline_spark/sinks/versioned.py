@@ -214,12 +214,7 @@ def tag_snapshot(table: str, name: str,
             f"{table}: snapshot {snap!r} has no manifest")
     path = _ref_path(table, name)
     os.makedirs(_refs_root(table), exist_ok=True)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(snap)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+    _atomic_write_text(path, snap)
     return snap
 
 
@@ -257,13 +252,7 @@ def publish_ref(table: str, name: str) -> str:
                 f"{table}: CURRENT {cur!r} is not an ancestor of ref "
                 f"{name!r} head {target!r} — the table moved since "
                 "staging; re-stage the branch from the new head")
-        pointer = _pointer_path(table)
-        tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(target)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, pointer)
+        _atomic_write_text(_pointer_path(table), target)
         delete_ref(table, name)
         return target
 
@@ -274,7 +263,11 @@ def rollback_table(table: str, snapshot: str) -> str:
     the undone commits' manifests and files become vacuum-reapable
     orphans once they age out. The target must be an ancestor of
     CURRENT (tags resolve first, so `rollback_table(t, "pre-deploy")`
-    works)."""
+    works). The ancestry walk needs the INTERMEDIATE manifests between
+    CURRENT and the target: a tag pins its own snapshot and files
+    forever (reads always work), but rollback reach is bounded by
+    vacuum retention of the lineage in between — size `keep` /
+    `min_age_seconds` to the rollback horizon you want."""
     with table_lease(table, owner="rollback"):
         target = ref_snapshot(table, snapshot) \
             if os.path.exists(_refs_root(table)) \
@@ -291,13 +284,7 @@ def rollback_table(table: str, snapshot: str) -> str:
             raise CommitConflictError(
                 f"{table}: {snapshot!r} is not an ancestor of CURRENT "
                 f"{cur!r} — cannot roll back to it")
-        pointer = _pointer_path(table)
-        tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(target)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, pointer)
+        _atomic_write_text(_pointer_path(table), target)
         return target
 
 
@@ -310,6 +297,18 @@ def read_ref(spark: SparkSession, table: str, name: str,
     if snap is None:
         raise FileNotFoundError(f"{table}: no ref {name!r}")
     return read_snapshot(spark, table, snap, predicates=predicates)
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    """Durable pointer flip: temp sibling, fsync, one atomic rename
+    — the crash-safety primitive behind CURRENT, every named ref, and
+    (via the JSON variant) the manifests themselves."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
@@ -407,13 +406,12 @@ def _chunk_spans(part: list[str], stats: dict | None,
 
 def _write_chunks(table: str, files: list[str], stats: dict | None,
                   blooms: dict | None, file_seq: dict | None,
-                  stats_cols: list[str] | None,
-                  seq_default: int | None = None) -> list[dict]:
+                  stats_cols: list[str] | None) -> list[dict]:
     """Split per-file metadata into immutable sidecars; return the
-    descriptor list for the core manifest. ``seq_default`` stamps
-    members missing from ``file_seq`` (the publishing commit's
-    generation for fresh files) — recorded on the descriptor so
-    materialization never guesses."""
+    descriptor list for the core manifest. Every publish path passes a
+    COMPLETE ``file_seq`` for its files (``_publish`` stamps fresh
+    files before chunking), so sidecar generations are always
+    explicit."""
     os.makedirs(_chunks_root(table), exist_ok=True)
     descs = []
     for i in range(0, len(files), _MANIFEST_CHUNK_SIZE):
@@ -430,11 +428,9 @@ def _write_chunks(table: str, files: list[str], stats: dict | None,
         cid = uuid.uuid4().hex
         _atomic_write_json(
             os.path.join(_chunks_root(table), f"{cid}.json"), side)
-        desc = {"id": cid, "n": len(part),
-                "spans": _chunk_spans(part, side["stats"], stats_cols)}
-        if seq_default is not None:
-            desc["seq_default"] = seq_default
-        descs.append(desc)
+        descs.append(
+            {"id": cid, "n": len(part),
+             "spans": _chunk_spans(part, side["stats"], stats_cols)})
     return descs
 
 
@@ -462,12 +458,9 @@ def _materialize(table: str, core: dict) -> dict:
                     if f in src:
                         dst[f] = src[f]
         side_seq = side.get("file_seq") or {}
-        default = ch.get("seq_default")
         for f in part:
             if f in side_seq:
                 fseq[f] = side_seq[f]
-            elif default is not None:
-                fseq[f] = default
     out = dict(core)
     out["files"] = files
     out["stats"] = stats or None
@@ -1100,12 +1093,9 @@ def _prune_chunked(table: str, core: dict,
         kept += part_kept
         by_chunk[ch["id"]] = part_kept
         side_seq = side.get("file_seq") or {}
-        default = ch.get("seq_default")
         for f in part_kept:
             if f in side_seq:
                 fseq[f] = side_seq[f]
-            elif default is not None:
-                fseq[f] = default
     return {"total": total, "kept": kept,
             "skipped": total - len(kept),
             "chunks_total": len(chunks), "chunks_loaded": loaded,
@@ -1399,12 +1389,7 @@ def _publish(table: str, files: list[str], rows: int,
     else:  # staged commit: flip the BRANCH ref, never CURRENT —
         pointer = _ref_path(table, ref)  # the write-audit-publish flow
         os.makedirs(_refs_root(table), exist_ok=True)
-    tmp = f"{pointer}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(name)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, pointer)  # the commit: one atomic rename
+    _atomic_write_text(pointer, name)  # the commit: atomic rename
     return name
 
 
@@ -1836,6 +1821,25 @@ def compact_snapshot(spark: SparkSession, table: str,
 _BLOOM_PROBE_MAX_KEYS = 100_000  # bounded driver collect for probing
 
 
+def _bounded_key_vals(key: str, keys_df: DataFrame) -> list | None:
+    """ONE bounded evaluation of a key batch: its non-NULL values
+    when small enough to probe (<= _BLOOM_PROBE_MAX_KEYS) and NaN-free
+    — usable for spans AND bloom membership; None when oversized or
+    NaN-bearing (Python min/max over NaN lists is order-dependent
+    garbage), in which case callers fall back to the Spark-side
+    [min, max] aggregate. Shared by the inline candidate cut and the
+    chunked predicate builder so the conservatism rules cannot
+    drift."""
+    rows = (keys_df.filter(F.col(key).isNotNull())
+            .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
+    if len(rows) > _BLOOM_PROBE_MAX_KEYS:
+        return None
+    vals = [r[0] for r in rows]
+    if any(isinstance(v, float) and math.isnan(v) for v in vals):
+        return None
+    return vals
+
+
 def _stat_candidates(man: dict, key: str, keys_df: DataFrame
                      ) -> list[str]:
     """The manifest files a key batch can possibly touch — the
@@ -1850,20 +1854,10 @@ def _stat_candidates(man: dict, key: str, keys_df: DataFrame
     has_blooms = key in (man.get("bloom_cols") or [])
     if not (has_stats or has_blooms):
         return files
-    # ONE evaluation of the caller's key lineage: a bounded collect
-    # serves both the span (computed driver-side) and the bloom probe.
-    # Batches past the bound fall back to the agg-only span — they are
-    # too big for the bloom probe anyway.
-    vals = None
-    rows = (keys_df.filter(F.col(key).isNotNull())
-            .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
-    if len(rows) <= _BLOOM_PROBE_MAX_KEYS:
-        vals = [r[0] for r in rows]
-        if any(isinstance(v, float) and math.isnan(v) for v in vals):
-            # Python min/max over NaN-bearing lists is order-dependent
-            # garbage — an unsound span. The agg path (Spark ordering,
-            # conservatively handled by _file_survives) stays sound.
-            vals = None
+    # ONE evaluation of the caller's key lineage: the bounded
+    # collect serves both the span (computed driver-side) and the
+    # bloom probe; oversized/NaN batches fall back to the agg span.
+    vals = _bounded_key_vals(key, keys_df)
     if has_stats:
         if vals is not None:
             if not vals:
@@ -1940,13 +1934,9 @@ def _key_batch_predicates(key: str, keys_df: DataFrame) -> list[tuple]:
     the [min, max] span conjuncts (blooms sit out, stats still cut).
     Conservative-complete either way: a file holding a batch key
     always survives."""
-    rows = (keys_df.filter(F.col(key).isNotNull())
-            .limit(_BLOOM_PROBE_MAX_KEYS + 1).collect())
-    if len(rows) <= _BLOOM_PROBE_MAX_KEYS:
-        vals = [r[0] for r in rows]
-        if not any(isinstance(v, float) and math.isnan(v)
-                   for v in vals):
-            return [(key, "in", vals)]  # empty batch matches nothing
+    vals = _bounded_key_vals(key, keys_df)
+    if vals is not None:
+        return [(key, "in", vals)]  # empty batch matches nothing
     span = keys_df.agg(F.min(key).alias("lo"),
                        F.max(key).alias("hi")).first()
     return [(key, ">=", span["lo"]), (key, "<=", span["hi"])]
@@ -2286,8 +2276,18 @@ def vacuum_snapshots(table: str, keep: int = 2,
     directory that no manifest ever references; those are reaped once
     older than ``staging_age_seconds`` (age = newest mtime within the
     dir, so an in-flight write that is still producing files is never
-    touched — load-bearing once optimistic writers stage outside the
-    lease)."""
+    touched). The SAME age floor guards pool files referenced by no
+    manifest at all: optimistic append/compact move files into the
+    pool and scan them with NO lease held before any manifest names
+    them, so a young never-referenced pool file may be a concurrent
+    writer's in-flight landing, not crash debris — deleting it would
+    corrupt that writer's commit. Files referenced by a manifest this
+    vacuum reaps (committed-then-superseded) still delete immediately.
+
+    Named refs pin their snapshots, and a staged branch additionally
+    pins its lineage back to the fork point (publish_ref must walk
+    it); tag lineage is NOT pinned — deep rollback reach is bounded by
+    retention of the intermediate manifests."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     import time as _time
@@ -2301,7 +2301,34 @@ def vacuum_snapshots(table: str, keep: int = 2,
         # Named refs PIN their snapshots (tags are audit/rollback
         # anchors; branch heads are staged-but-unpublished commits) —
         # reaping one would break the very reads the ref exists for.
-        retained.update(list_refs(table).values())
+        ref_targets = set(list_refs(table).values())
+        retained.update(ref_targets)
+        # A staged BRANCH also needs its lineage back to the fork
+        # point: publish_ref walks target -> CURRENT through the
+        # intermediate staged manifests, and reaping one would brick
+        # the branch with a spurious "re-stage" conflict. Walk each
+        # ref toward parents only while the generation stays ABOVE
+        # CURRENT's — that retains exactly the staged chain (whose
+        # files the branch head already pins) and retains nothing for
+        # tags/ancestor refs, which would otherwise pin all pre-tag
+        # history. (Deep-history ROLLBACK reach is therefore bounded
+        # by retention of the intermediate lineage — see
+        # rollback_table's docstring.)
+        cur_gen = _gen_of(current) if current is not None else -1
+        for target in ref_targets:
+            snap = target
+            chain: list[str] = []
+            while (snap is not None and snap != current
+                   and (current is None or _gen_of(snap) > cur_gen)):
+                chain.append(snap)
+                try:
+                    snap = _read_core(table, snap).get("parent")
+                except FileNotFoundError:
+                    snap = None
+                    chain = []  # already broken: nothing to protect
+                    break
+            if snap == current or current is None:
+                retained.update(chain)
         if min_age_seconds is not None:
             cutoff = _time.time() - min_age_seconds
             for s in snaps:
@@ -2309,8 +2336,26 @@ def vacuum_snapshots(table: str, keep: int = 2,
                         _manifest_path(table, s)) > cutoff:
                     retained.add(s)
         doomed = [s for s in snaps if s not in retained]
+        # Record what the doomed manifests referenced BEFORE deleting
+        # them: files they named were committed-then-superseded and
+        # reap immediately, while a pool file referenced by NO
+        # manifest at all may be an IN-FLIGHT optimistic landing
+        # (append/compact move files into the pool and scan them with
+        # no lease held, before any manifest names them) — those only
+        # reap past the same age floor that guards staging dirs.
+        doomed_refs: set[str] = set()
         for s in doomed:
-            os.remove(_manifest_path(table, s))
+            try:
+                man = read_manifest(table, s)
+                doomed_refs.update(man.get("files") or [])
+                doomed_refs.update(
+                    d["file"] for d in man.get("delete_files") or [])
+            except FileNotFoundError:
+                pass  # sidecar already reaped: remove the shell too
+            try:
+                os.remove(_manifest_path(table, s))
+            except FileNotFoundError:
+                pass
 
         live: set[str] = set()
         live_chunks: set[str] = set()
@@ -2328,11 +2373,20 @@ def vacuum_snapshots(table: str, keep: int = 2,
                                for ch in man.get("chunks") or [])
         removed_files = 0
         root = _data_root(table)
+        orphan_cutoff = _time.time() - staging_age_seconds
         if os.path.isdir(root):
             for f in os.listdir(root):
-                if f.endswith(".parquet") and f not in live:
-                    os.remove(os.path.join(root, f))
-                    removed_files += 1
+                if not f.endswith(".parquet") or f in live:
+                    continue
+                path = os.path.join(root, f)
+                if f not in doomed_refs:
+                    try:  # never-referenced: possibly in-flight —
+                        if os.path.getmtime(path) > orphan_cutoff:
+                            continue  # too young to be crash debris
+                    except FileNotFoundError:
+                        continue
+                os.remove(path)
+                removed_files += 1
         removed_chunks = 0
         croot = _chunks_root(table)
         if os.path.isdir(croot):

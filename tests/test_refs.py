@@ -145,3 +145,38 @@ def test_staged_branch_on_chunked_table(spark, tmp_path, monkeypatch):
     V.publish_ref(table, "audit")
     assert V.read_current(
         spark, table, predicates=[("k", "=", 100)]).count() == 1
+
+
+def test_vacuum_retains_staged_branch_lineage(spark, tmp_path):
+    """Review finding (r5): vacuum used to retain only the ref TARGET,
+    severing the staged chain publish_ref must walk — a routine vacuum
+    bricked the branch with a spurious re-stage conflict."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+    V.append_snapshot(_df(spark, [(2, "s1")]), table, branch="audit")
+    V.append_snapshot(_df(spark, [(3, "s2")]), table, branch="audit")
+
+    out = V.vacuum_snapshots(table, keep=1)
+    # the intermediate staged manifest survived (nothing reaped here)
+    assert out["snapshots"] == []
+    V.publish_ref(table, "audit")  # must NOT raise
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {1, 2, 3}
+
+
+def test_vacuum_does_not_pin_pre_tag_history(spark, tmp_path):
+    """The branch-lineage walk must NOT extend to tags: retaining a
+    tag's ancestors would pin all pre-tag history forever. Deep
+    rollback past vacuumed lineage refuses loudly (documented bound);
+    the tag itself stays readable."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "v1")]), table)
+    V.tag_snapshot(table, "old")
+    for i in range(3):
+        V.write_snapshot(_df(spark, [(10 + i, "x")]), table)
+    out = V.vacuum_snapshots(table, keep=1)
+    assert len(out["snapshots"]) == 2  # intermediates reaped
+    assert {r.k for r in V.read_ref(spark, table, "old").collect()} \
+        == {1}  # tag still readable
+    with pytest.raises(V.CommitConflictError):
+        V.rollback_table(table, "old")  # lineage gone: loud, not wrong

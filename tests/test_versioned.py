@@ -1581,3 +1581,32 @@ def test_hammer_readers_during_mor_lifecycle(spark, tmp_path):
     assert bad == [], bad[:3]
     got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
     assert got == {(i, "g3") for i in range(10)}
+
+
+def test_vacuum_age_guards_never_referenced_pool_files(spark, tmp_path):
+    """Review finding (r5): optimistic writers land pool files and
+    scan them with NO lease held, BEFORE any manifest names them — a
+    concurrent vacuum must not treat those as crash debris. Young
+    never-referenced files survive; old ones reap; files referenced by
+    a manifest this vacuum reaps still delete immediately."""
+    table = str(tmp_path / "t")
+    snap1 = V.write_snapshot(_df(spark, [(1, "a")]), table)
+    old_files = set(V.read_manifest(table, snap1)["files"])
+    V.write_snapshot(_df(spark, [(2, "b")]), table)  # supersedes snap1
+
+    root = os.path.join(table, "data")
+    young = os.path.join(root, "00inflight.parquet")
+    with open(young, "wb") as fh:
+        fh.write(b"landing")  # a concurrent writer's fresh file
+    old = os.path.join(root, "00debris.parquet")
+    with open(old, "wb") as fh:
+        fh.write(b"debris")
+    stale = time.time() - 10
+    os.utime(old, (stale, stale))
+
+    out = V.vacuum_snapshots(table, keep=1, staging_age_seconds=5.0)
+    assert os.path.exists(young)  # in-flight landing protected
+    assert not os.path.exists(old)  # aged crash debris reaped
+    for f in old_files:  # superseded-manifest files reap immediately
+        assert not os.path.exists(os.path.join(root, f))
+    assert V.read_current(spark, table).count() == 1
