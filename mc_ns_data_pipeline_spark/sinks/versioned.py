@@ -164,28 +164,44 @@ def _refs_root(table: str) -> str:
     return os.path.join(table, "refs")
 
 
+#: Tags and branches live in separate subdirectories (git's layout):
+#: vacuum must pin a BRANCH's staged lineage back to its fork point
+#: (publish_ref walks it) but must never pin a TAG's ancestry — a tag
+#: on a rolled-back-from head would otherwise retain the entire
+#: undone history. The kind is structural, not guessed.
+_REF_KINDS = ("heads", "tags")
+
+
 def _check_ref_name(name: str) -> None:
     if (not name or "/" in name or "\\" in name or name.startswith(".")
             or name in ("CURRENT",)):
         raise ValueError(f"invalid ref name {name!r}")
 
 
-def _ref_path(table: str, name: str) -> str:
+def _ref_path(table: str, name: str, kind: str = "heads") -> str:
     _check_ref_name(name)
-    return os.path.join(_refs_root(table), name)
+    return os.path.join(_refs_root(table), kind, name)
 
 
-def ref_snapshot(table: str, name: str) -> str | None:
-    """The snapshot a ref points at, or None."""
+def _ref_read(path: str) -> str | None:
     try:
-        with open(_ref_path(table, name)) as fh:
+        with open(path) as fh:
             return fh.read().strip() or None
     except FileNotFoundError:
         return None
 
 
-def list_refs(table: str) -> dict[str, str]:
-    root = _refs_root(table)
+def ref_snapshot(table: str, name: str) -> str | None:
+    """The snapshot a ref (branch, then tag) points at, or None."""
+    for kind in _REF_KINDS:
+        snap = _ref_read(_ref_path(table, name, kind))
+        if snap:
+            return snap
+    return None
+
+
+def _list_refs_of(table: str, kind: str) -> dict[str, str]:
+    root = os.path.join(_refs_root(table), kind)
     out = {}
     try:
         names = os.listdir(root)
@@ -194,9 +210,17 @@ def list_refs(table: str) -> dict[str, str]:
     for n in sorted(names):
         if n.startswith(".") or ".tmp-" in n:
             continue
-        snap = ref_snapshot(table, n)
+        snap = _ref_read(os.path.join(root, n))
         if snap:
             out[n] = snap
+    return out
+
+
+def list_refs(table: str) -> dict[str, str]:
+    """All named refs (branches shadow same-named tags, as in
+    resolution order)."""
+    out = _list_refs_of(table, "tags")
+    out.update(_list_refs_of(table, "heads"))
     return out
 
 
@@ -212,17 +236,18 @@ def tag_snapshot(table: str, name: str,
     if not os.path.exists(_manifest_path(table, snap)):
         raise FileNotFoundError(
             f"{table}: snapshot {snap!r} has no manifest")
-    path = _ref_path(table, name)
-    os.makedirs(_refs_root(table), exist_ok=True)
+    path = _ref_path(table, name, "tags")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     _atomic_write_text(path, snap)
     return snap
 
 
 def delete_ref(table: str, name: str) -> None:
-    try:
-        os.remove(_ref_path(table, name))
-    except FileNotFoundError:
-        pass
+    for kind in _REF_KINDS:
+        try:
+            os.remove(_ref_path(table, name, kind))
+        except FileNotFoundError:
+            pass
 
 
 def publish_ref(table: str, name: str) -> str:
@@ -235,12 +260,17 @@ def publish_ref(table: str, name: str) -> str:
     (the branch's data files are untouched; only its manifests are
     orphaned for vacuum)."""
     with table_lease(table, owner=f"publish_ref:{name}"):
-        target = ref_snapshot(table, name)
+        target = _ref_read(_ref_path(table, name, "heads"))
         if target is None:
-            raise FileNotFoundError(f"{table}: no ref {name!r}")
+            raise FileNotFoundError(f"{table}: no branch {name!r}")
         cur = current_snapshot(table)
         snap = target
+        seen: set[str] = set()
         while snap is not None and snap != cur:
+            if snap in seen:  # corrupted parent cycle: loud, bounded
+                raise CommitConflictError(
+                    f"{table}: lineage cycle at {snap!r}")
+            seen.add(snap)
             try:
                 snap = _read_core(table, snap).get("parent")
             except FileNotFoundError:
@@ -269,13 +299,15 @@ def rollback_table(table: str, snapshot: str) -> str:
     vacuum retention of the lineage in between — size `keep` /
     `min_age_seconds` to the rollback horizon you want."""
     with table_lease(table, owner="rollback"):
-        target = ref_snapshot(table, snapshot) \
-            if os.path.exists(_refs_root(table)) \
-            and os.path.exists(os.path.join(_refs_root(table),
-                                            snapshot)) else snapshot
+        target = ref_snapshot(table, snapshot) or snapshot
         cur = current_snapshot(table)
         snap = cur
+        seen: set[str] = set()
         while snap is not None and snap != target:
+            if snap in seen:
+                raise CommitConflictError(
+                    f"{table}: lineage cycle at {snap!r}")
+            seen.add(snap)
             try:
                 snap = _read_core(table, snap).get("parent")
             except FileNotFoundError:
@@ -1388,7 +1420,7 @@ def _publish(table: str, files: list[str], rows: int,
         pointer = _pointer_path(table)
     else:  # staged commit: flip the BRANCH ref, never CURRENT —
         pointer = _ref_path(table, ref)  # the write-audit-publish flow
-        os.makedirs(_refs_root(table), exist_ok=True)
+        os.makedirs(os.path.dirname(pointer), exist_ok=True)
     _atomic_write_text(pointer, name)  # the commit: atomic rename
     return name
 
@@ -2284,10 +2316,13 @@ def vacuum_snapshots(table: str, keep: int = 2,
     corrupt that writer's commit. Files referenced by a manifest this
     vacuum reaps (committed-then-superseded) still delete immediately.
 
-    Named refs pin their snapshots, and a staged branch additionally
-    pins its lineage back to the fork point (publish_ref must walk
-    it); tag lineage is NOT pinned — deep rollback reach is bounded by
-    retention of the intermediate manifests."""
+    Named refs pin their snapshots; a staged BRANCH (refs/heads/)
+    additionally pins its lineage back to the fork point (publish_ref
+    must walk it). TAG (refs/tags/) lineage is never pinned — the
+    kinds are structurally separate directories, so a tag on a
+    rolled-back-from head cannot retain the undone history — and deep
+    rollback reach is bounded by retention of the intermediate
+    manifests."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     import time as _time
@@ -2301,8 +2336,8 @@ def vacuum_snapshots(table: str, keep: int = 2,
         # Named refs PIN their snapshots (tags are audit/rollback
         # anchors; branch heads are staged-but-unpublished commits) —
         # reaping one would break the very reads the ref exists for.
-        ref_targets = set(list_refs(table).values())
-        retained.update(ref_targets)
+        retained.update(list_refs(table).values())
+        branch_targets = set(_list_refs_of(table, "heads").values())
         # A staged BRANCH also needs its lineage back to the fork
         # point: publish_ref walks target -> CURRENT through the
         # intermediate staged manifests, and reaping one would brick
@@ -2315,11 +2350,14 @@ def vacuum_snapshots(table: str, keep: int = 2,
         # by retention of the intermediate lineage — see
         # rollback_table's docstring.)
         cur_gen = _gen_of(current) if current is not None else -1
-        for target in ref_targets:
+        for target in branch_targets:
             snap = target
             chain: list[str] = []
+            seen: set[str] = set()
             while (snap is not None and snap != current
+                   and snap not in seen
                    and (current is None or _gen_of(snap) > cur_gen)):
+                seen.add(snap)
                 chain.append(snap)
                 try:
                     snap = _read_core(table, snap).get("parent")
@@ -2373,7 +2411,7 @@ def vacuum_snapshots(table: str, keep: int = 2,
                                for ch in man.get("chunks") or [])
         removed_files = 0
         root = _data_root(table)
-        orphan_cutoff = _time.time() - staging_age_seconds
+        age_cutoff = _time.time() - staging_age_seconds
         if os.path.isdir(root):
             for f in os.listdir(root):
                 if not f.endswith(".parquet") or f in live:
@@ -2381,7 +2419,7 @@ def vacuum_snapshots(table: str, keep: int = 2,
                 path = os.path.join(root, f)
                 if f not in doomed_refs:
                     try:  # never-referenced: possibly in-flight —
-                        if os.path.getmtime(path) > orphan_cutoff:
+                        if os.path.getmtime(path) > age_cutoff:
                             continue  # too young to be crash debris
                     except FileNotFoundError:
                         continue
@@ -2397,7 +2435,6 @@ def vacuum_snapshots(table: str, keep: int = 2,
                     removed_chunks += 1
 
         removed_staging = 0
-        cutoff = _time.time() - staging_age_seconds
         for d in os.listdir(table):
             if not d.startswith("__staging-"):
                 continue
@@ -2406,7 +2443,7 @@ def vacuum_snapshots(table: str, keep: int = 2,
                 ages = [os.path.getmtime(p)] + [
                     os.path.getmtime(os.path.join(p, f))
                     for f in os.listdir(p)]
-                if max(ages) < cutoff:
+                if max(ages) < age_cutoff:
                     shutil.rmtree(p)
                     removed_staging += 1
             except FileNotFoundError:

@@ -180,3 +180,25 @@ def test_vacuum_does_not_pin_pre_tag_history(spark, tmp_path):
         == {1}  # tag still readable
     with pytest.raises(V.CommitConflictError):
         V.rollback_table(table, "old")  # lineage gone: loud, not wrong
+
+
+def test_tag_on_rolled_back_head_does_not_pin_undone_lineage(
+        spark, tmp_path):
+    """Review finding (r5, pass 2): the lineage pin is structural to
+    BRANCHES (refs/heads/) — a tag on the rolled-back-from head pins
+    only its own snapshot, so the undone intermediate history stays
+    vacuum-reapable as rollback_table promises."""
+    table = str(tmp_path / "t")
+    s1 = V.write_snapshot(_df(spark, [(1, "v1")]), table)
+    V.write_snapshot(_df(spark, [(2, "v2")]), table)  # s2: undone
+    s3 = V.write_snapshot(_df(spark, [(3, "v3")]), table)
+    V.tag_snapshot(table, "bad-head", s3)  # tag the head...
+    V.rollback_table(table, s1)  # ...then roll all the way back
+
+    out = V.vacuum_snapshots(table, keep=1)
+    # the intermediate undone commit is reaped despite the tag's
+    # generation being above CURRENT's; the tag itself stays readable
+    assert len(out["snapshots"]) == 1
+    assert {r.k for r in V.read_ref(spark, table, "bad-head").collect()} \
+        == {3}
+    assert {r.k for r in V.read_current(spark, table).collect()} == {1}
