@@ -187,7 +187,7 @@ def _ref_read(path: str) -> str | None:
     try:
         with open(path) as fh:
             return fh.read().strip() or None
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError, IsADirectoryError):
         return None
 
 
@@ -205,7 +205,7 @@ def _list_refs_of(table: str, kind: str) -> dict[str, str]:
     out = {}
     try:
         names = os.listdir(root)
-    except FileNotFoundError:
+    except (FileNotFoundError, NotADirectoryError):
         return out
     for n in sorted(names):
         if n.startswith(".") or ".tmp-" in n:
@@ -243,6 +243,8 @@ def tag_snapshot(table: str, name: str,
 
 
 def delete_ref(table: str, name: str) -> None:
+    """Remove the NAME from both kinds (tag and branch). publish_ref
+    consumes only the branch entry — use this for explicit cleanup."""
     for kind in _REF_KINDS:
         try:
             os.remove(_ref_path(table, name, kind))
@@ -283,7 +285,10 @@ def publish_ref(table: str, name: str) -> str:
                 f"{name!r} head {target!r} — the table moved since "
                 "staging; re-stage the branch from the new head")
         _atomic_write_text(_pointer_path(table), target)
-        delete_ref(table, name)
+        try:  # consume the BRANCH only — a same-named tag survives
+            os.remove(_ref_path(table, name, "heads"))
+        except FileNotFoundError:
+            pass
         return target
 
 
@@ -299,7 +304,8 @@ def rollback_table(table: str, snapshot: str) -> str:
     vacuum retention of the lineage in between — size `keep` /
     `min_age_seconds` to the rollback horizon you want."""
     with table_lease(table, owner="rollback"):
-        target = ref_snapshot(table, snapshot) or snapshot
+        target = (_ref_read(_ref_path(table, snapshot, "tags"))
+                  or snapshot)
         cur = current_snapshot(table)
         snap = cur
         seen: set[str] = set()
@@ -323,7 +329,8 @@ def rollback_table(table: str, snapshot: str) -> str:
 def read_ref(spark: SparkSession, table: str, name: str,
              predicates: list[tuple] | None = None) -> DataFrame:
     """Read the snapshot a tag or branch points at — the AUDIT read of
-    write-audit-publish, or a pinned historical view. Same pruning and
+    write-audit-publish, or a pinned historical view (branches shadow
+    same-named tags, matching staging's resolution). Same pruning and
     delete-mask semantics as every other read."""
     snap = ref_snapshot(table, name)
     if snap is None:
@@ -1664,8 +1671,9 @@ def append_snapshot(df: DataFrame, table: str,
     spark = df.sparkSession
 
     def _head() -> str | None:
-        if branch is not None:
-            staged = ref_snapshot(table, branch)
+        if branch is not None:  # HEADS only: a same-named tag must
+            staged = _ref_read(  # never become the fork point
+                _ref_path(table, branch, "heads"))
             if staged is not None:
                 return staged  # extend the branch, not CURRENT
         return current_snapshot(table)
@@ -2336,8 +2344,9 @@ def vacuum_snapshots(table: str, keep: int = 2,
         # Named refs PIN their snapshots (tags are audit/rollback
         # anchors; branch heads are staged-but-unpublished commits) —
         # reaping one would break the very reads the ref exists for.
-        retained.update(list_refs(table).values())
+        retained.update(_list_refs_of(table, "tags").values())
         branch_targets = set(_list_refs_of(table, "heads").values())
+        retained.update(branch_targets)
         # A staged BRANCH also needs its lineage back to the fork
         # point: publish_ref walks target -> CURRENT through the
         # intermediate staged manifests, and reaping one would brick

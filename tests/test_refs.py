@@ -202,3 +202,38 @@ def test_tag_on_rolled_back_head_does_not_pin_undone_lineage(
     assert {r.k for r in V.read_ref(spark, table, "bad-head").collect()} \
         == {3}
     assert {r.k for r in V.read_current(spark, table).collect()} == {1}
+
+
+def test_same_named_tag_and_branch_coexist(spark, tmp_path):
+    """Review finding (r5, pass 3): every path must respect the
+    structural kind split when one NAME exists as both a tag and a
+    branch — the tag's pin, the branch's fork point, publish's
+    cleanup, and rollback's resolution all stay unambiguous."""
+    table = str(tmp_path / "t")
+    s1 = V.write_snapshot(_df(spark, [(1, "v1")]), table)
+    V.tag_snapshot(table, "x", s1)  # permanent anchor named 'x'
+    V.write_snapshot(_df(spark, [(2, "v2")]), table)  # CURRENT moves
+
+    # staging on branch 'x' forks from CURRENT, not from the tag
+    V.append_snapshot(_df(spark, [(3, "staged")]), table, branch="x")
+    assert {r.k for r in V.read_ref(spark, table, "x").collect()} \
+        == {2, 3}  # heads shadow tags in reads (resolution order)
+
+    # vacuum retains BOTH the tag's snapshot and the branch lineage
+    V.vacuum_snapshots(table, keep=1)
+    assert V._ref_read(V._ref_path(table, "x", "tags")) == s1
+    assert V.read_snapshot(spark, table, s1).count() == 1
+
+    # publish consumes only the branch; the tag survives
+    V.publish_ref(table, "x")
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {2, 3}
+    assert V._ref_read(V._ref_path(table, "x", "heads")) is None
+    assert {r.k for r in V.read_ref(spark, table, "x").collect()} \
+        == {1}  # now resolves to the tag again
+
+    # rollback resolves the TAG even while a branch shadows reads
+    V.append_snapshot(_df(spark, [(9, "later")]), table, branch="x")
+    V.rollback_table(table, "x")  # must hit the tag (s1), not the
+    assert {r.k for r in V.read_current(  # descendant branch head
+        spark, table).collect()} == {1}
