@@ -2540,7 +2540,8 @@ def optimize_table(spark: SparkSession, table: str,
 
 def run_stream_append(spark: SparkSession, events_path: str,
                       table: str, checkpoint_dir: str,
-                      app_id: str = "stream_append") -> None:
+                      app_id: str = "stream_append",
+                      branch: str | None = None) -> None:
     """Land a stream into a versioned table, exactly-once: foreachBatch
     → ``append_snapshot`` stamped ``f"{app_id}:{batch_id}"``. The
     streaming checkpoint dedups offsets ACROSS restarts; the txn stamp
@@ -2549,7 +2550,13 @@ def run_stream_append(spark: SparkSession, events_path: str,
     table sees each micro-batch exactly once. Readers meanwhile get
     lock-free consistent snapshots between every batch (T6/T8 made
     reader-safe; reference anchor: the per-file transaction
-    file_processor.py:111 gives its readers the same guarantee)."""
+    file_processor.py:111 gives its readers the same guarantee).
+
+    ``branch`` makes the landing a WRITE-AUDIT-PUBLISH stream: every
+    micro-batch stages on the named ref, table readers see nothing
+    until an auditor calls ``publish_ref`` — the quarantine-then-
+    promote landing pattern, with the same exactly-once stamps walking
+    the branch lineage."""
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         _events_stream,
     )
@@ -2559,7 +2566,7 @@ def run_stream_append(spark: SparkSession, events_path: str,
         .writeStream.outputMode("append")
         .foreachBatch(
             lambda df, bid: append_snapshot(
-                df, table, txn_id=f"{app_id}:{bid}")
+                df, table, txn_id=f"{app_id}:{bid}", branch=branch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

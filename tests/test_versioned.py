@@ -162,6 +162,29 @@ def test_stream_lands_versioned_exactly_once(spark, sf_dir, tmp_path):
     assert V.read_current(spark, table).count() == static_n
 
 
+def test_stream_lands_on_branch_until_published(spark, sf_dir,
+                                                tmp_path):
+    """WAP streaming: every micro-batch stages on the branch, the
+    table shows nothing until publish, then everything — with the
+    exactly-once txn stamps intact on the branch lineage."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+
+    table = str(tmp_path / "vt")
+    V.write_snapshot(_df(spark, [(0, "seed")]), table)
+    ckpt = str(tmp_path / "ckpt")
+    events = f"{sf_dir}/events.parquet"
+    V.run_stream_append(spark, events, table, ckpt, branch="quarantine")
+    assert V.read_current(spark, table).count() == 1  # invisible
+    static_n = load_table(spark, sf_dir, "events").count()
+    assert V.read_ref(spark, table, "quarantine").count() \
+        == 1 + static_n  # auditor sees the staged landing
+
+    V.publish_ref(table, "quarantine")
+    assert V.read_current(spark, table).count() == 1 + static_n
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert (man["txn_id"] or "").startswith("stream_append:")
+
+
 def test_compact_preserves_content_and_readers(spark, tmp_path):
     """Many append-landed files compact into one clustered file in a
     NEW snapshot; an in-flight reader of the old snapshot is
