@@ -46,6 +46,31 @@ def _heartbeat_interval(ttl_s: float) -> float:
     return max(0.02, min(ttl_s * _HEARTBEAT_FRACTION, 60.0))
 
 
+#: Hard cap on the pid-alive override: a live-but-not-beating holder
+#: (SIGSTOP, wedged JVM, deadlock) keeps its lease only this many TTLs
+#: past staleness before eviction. Keeps the override from removing the
+#: guaranteed-progress property TTL exists to provide — a hung writer
+#: blocks other writers for a bounded window, not forever.
+_PID_ALIVE_GRACE_TTLS = 4.0
+
+
+def _pid_start(pid: int) -> str | None:
+    """Kernel start time of `pid` (clock ticks since boot, field 22 of
+    /proc/<pid>/stat), or None where /proc is unavailable. (pid,
+    start-time) names a process INCARNATION: a recycled pid gets a new
+    start time, so a crashed writer's lease is never kept alive by the
+    unrelated process that inherited its pid."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # comm (field 2) may contain spaces/parens — split after the
+        # LAST ')': remaining fields start at 3, so starttime is
+        # index 22 - 3 = 19.
+        return data.rsplit(b")", 1)[1].split()[19].decode()
+    except (OSError, IndexError):
+        return None
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
@@ -91,13 +116,21 @@ def _is_expired(lease_file: str, record: dict, now: float) -> bool:
     # so staleness means crash/SIGKILL — but a SIGSTOPped or
     # GC-paused same-host holder also stops beating, and evicting a
     # LIVE writer re-admits exactly the two-writer corruption the
-    # lease exists to prevent. If the recorded pid is verifiably
-    # alive on THIS host, keep the lease (a recycled pid keeps it
-    # spuriously until the impostor exits — advisory and safe-side).
+    # lease exists to prevent. Keep the lease only when the recorded
+    # pid is verifiably the SAME INCARNATION on THIS host (start-time
+    # match rules out recycled pids), and only up to a bounded grace
+    # window — past _PID_ALIVE_GRACE_TTLS x ttl a wedged holder is
+    # evicted so TTL remains the guaranteed-progress backstop.
     pid = record.get("pid")
     if (record.get("host") == socket.gethostname()
             and isinstance(pid, int) and _pid_alive(pid)):
-        return False
+        recorded_start = record.get("pid_start")
+        live_start = _pid_start(pid)
+        same_incarnation = (recorded_start is None
+                            or live_start is None
+                            or recorded_start == live_start)
+        if same_incarnation and age <= ttl * _PID_ALIVE_GRACE_TTLS:
+            return False
     return True
 
 
@@ -113,10 +146,13 @@ def table_lease(path: str, owner: str | None = None,
     * the holder HEARTBEATS: a daemon thread refreshes the lease
       mtime every `ttl_s/4` (≤60 s), so a mutation outlasting its TTL
       keeps its lease — only holders that stopped beating age out;
-    * a lease older than its own declared TTL whose recorded pid is
-      not a live same-host process is reclaimed: the stale file is
-      renamed aside (itself atomic — only one reclaimer wins the
-      rename) and acquisition retries;
+    * a lease older than its own declared TTL is reclaimed unless its
+      recorded (pid, pid start-time) is a live same-host process
+      incarnation — and even then only for a bounded grace window
+      (`_PID_ALIVE_GRACE_TTLS` x ttl), so a wedged holder is eventually
+      evicted and a recycled pid never inherits a dead writer's lease.
+      Reclaim renames the stale file aside (itself atomic — only one
+      reclaimer wins the rename) and acquisition retries;
     * release only removes the lease THIS acquisition created (token
       check), so a crashed-then-reclaimed writer cannot release the
       reclaimer's lease.
@@ -128,6 +164,7 @@ def table_lease(path: str, owner: str | None = None,
     record = {
         "owner": owner or f"pid-{os.getpid()}",
         "pid": os.getpid(),
+        "pid_start": _pid_start(os.getpid()),
         "host": socket.gethostname(),
         "token": token,
         "ttl_s": ttl_s,

@@ -69,6 +69,7 @@ sites keep the same shape.
 
 from __future__ import annotations
 
+import bisect
 import datetime as _dt
 import decimal
 import json
@@ -225,21 +226,31 @@ def list_refs(table: str) -> dict[str, str]:
 
 
 def tag_snapshot(table: str, name: str,
-                 snapshot: str | None = None) -> str:
+                 snapshot: str | None = None,
+                 wait_s: float = 60.0) -> str:
     """Pin a named, vacuum-safe anchor to a snapshot (default:
     CURRENT) — the audit/rollback bookmark. Tagged snapshots and their
     files survive `vacuum_snapshots` regardless of the keep window
-    until the tag is deleted."""
-    snap = snapshot if snapshot is not None else current_snapshot(table)
-    if snap is None:
-        raise NoCurrentSnapshotError(table)
-    if not os.path.exists(_manifest_path(table, snap)):
-        raise FileNotFoundError(
-            f"{table}: snapshot {snap!r} has no manifest")
-    path = _ref_path(table, name, "tags")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    _atomic_write_text(path, snap)
-    return snap
+    until the tag is deleted.
+
+    Runs under the table lease (metadata-only, milliseconds): vacuum
+    computes its retained set from the refs it lists under the same
+    lease, so a tag can never slip in between vacuum's listing and its
+    deletes — without the lease, a tag written in that window would
+    pass the manifest-exists check yet point at a snapshot that same
+    vacuum reaps (a dangling tag)."""
+    with table_lease(table, owner=f"tag:{name}", wait_s=wait_s):
+        snap = (snapshot if snapshot is not None
+                else current_snapshot(table))
+        if snap is None:
+            raise NoCurrentSnapshotError(table)
+        if not os.path.exists(_manifest_path(table, snap)):
+            raise FileNotFoundError(
+                f"{table}: snapshot {snap!r} has no manifest")
+        path = _ref_path(table, name, "tags")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write_text(path, snap)
+        return snap
 
 
 def delete_ref(table: str, name: str) -> None:
@@ -1024,9 +1035,72 @@ def _residual_filter(col: str, op: str, val) -> Column:
     return _COL_OPS[op](F.col(col), F.lit(val))
 
 
+class _InProbe:
+    """An IN-list pre-canonicalized for span probes: iterates as the
+    ORIGINAL values (residual filter, bloom batch) but answers the
+    per-file/per-chunk stats check by BISECTING a sorted canonical
+    array against [lo, hi] — O(log k) per file instead of the O(k)
+    Python any() that made a 100k-key MOR batch on an unclustered 1M-
+    file chunked table a minutes-long driver stall (r5 advice).
+    NULLs drop (equality matches nothing — mirrors the bloom batch);
+    an unorderable/NaN value forces must-scan, exactly the per-value
+    path's conservatism."""
+
+    __slots__ = ("values", "_sorted", "_always_survive")
+
+    def __init__(self, values):
+        self.values = list(values)
+        canon = []
+        self._always_survive = False
+        for v in self.values:
+            if v is None:
+                continue
+            c = _stat_value(v)
+            if (c is _UNSTATABLE
+                    or (isinstance(c, float) and math.isnan(c))):
+                self._always_survive = True
+                continue
+            canon.append(c)
+        try:
+            canon.sort()
+        except TypeError:  # mixed unorderable types: never prune
+            self._always_survive, canon = True, []
+        self._sorted = canon
+
+    def __iter__(self):
+        return iter(self.values)
+
+    def __len__(self):
+        return len(self.values)
+
+    def any_in_span(self, lo, hi) -> bool:
+        """Does ANY listed value fall inside [lo, hi]? (None bound =
+        unbounded side — conservative for merged chunk spans.)"""
+        if self._always_survive:
+            return True
+        vals = self._sorted
+        if not vals:
+            return False
+        try:
+            i = 0 if lo is None else bisect.bisect_left(vals, lo)
+            if i >= len(vals):
+                return False
+            return hi is None or vals[i] <= hi
+        except TypeError:
+            return True  # span type incomparable with values: scan
+
+
 def _file_survives(stats: dict, name: str, col: str, op: str,
                    val) -> bool:
     if op == "in":
+        if isinstance(val, _InProbe):
+            per_file = stats.get(name)
+            if per_file is None or col not in per_file:
+                return True  # no metadata: must scan
+            lo, hi = per_file[col]
+            if lo is None and hi is None:
+                return False  # all-NULL column: equality never hits
+            return val.any_in_span(lo, hi)
         # Survives iff ANY listed value could be in the file; the
         # empty list matches nothing, so every file is skippable.
         return any(_file_survives(stats, name, col, "=", v)
@@ -1063,7 +1137,21 @@ def _bloom_survives(blooms: dict, name: str, col: str, op: str,
     return _bloom_may_contain(entry[col], val)
 
 
+def _norm_predicates(predicates: list[tuple]) -> list[tuple]:
+    """Upgrade big plain IN-lists to `_InProbe` once per plan (sort
+    cost O(k log k) total) so the per-file stats check bisects instead
+    of re-scanning the value list for every file. Idempotent — the
+    chunked path normalizes before fanning out to per-chunk prunes."""
+    return [
+        (c, op, _InProbe(v))
+        if op == "in" and not isinstance(v, _InProbe) and len(v) > 8
+        else (c, op, v)
+        for (c, op, v) in predicates
+    ]
+
+
 def _prune_from_man(man: dict, predicates: list[tuple]) -> dict:
+    predicates = _norm_predicates(predicates)
     stats = man.get("stats") or {}
     blooms = man.get("blooms") or {}
     # Stats checks plus single-value bloom probes are per-file cheap;
@@ -1108,6 +1196,7 @@ def _prune_chunked(table: str, core: dict,
     plus ``chunks_loaded`` / ``chunks_total`` and ``file_seq`` for the
     kept names (the delete-mask sequencing the read needs) — at 1M
     files a clustered point lookup reads the core plus ONE sidecar."""
+    predicates = _norm_predicates(predicates)
     kept: list[str] = []
     fseq: dict = {}
     by_chunk: dict[str, list[str]] = {}
@@ -1976,7 +2065,9 @@ def _key_batch_predicates(key: str, keys_df: DataFrame) -> list[tuple]:
     always survives."""
     vals = _bounded_key_vals(key, keys_df)
     if vals is not None:
-        return [(key, "in", vals)]  # empty batch matches nothing
+        # Pre-sorted probe: the stats check bisects (O(log k)/file)
+        # instead of scanning the whole batch per file.
+        return [(key, "in", _InProbe(vals))]  # empty batch: no match
     span = keys_df.agg(F.min(key).alias("lo"),
                        F.max(key).alias("hi")).first()
     return [(key, ">=", span["lo"]), (key, "<=", span["hi"])]

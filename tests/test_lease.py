@@ -87,20 +87,67 @@ def test_heartbeat_keeps_slow_holder_alive_past_ttl(tmp_path):
 
 def test_stale_lease_of_live_samehost_pid_not_reclaimed(tmp_path):
     """Even with a stale mtime (suspended holder: no heartbeat), a
-    lease whose pid is a live same-host process is NOT reclaimed."""
+    lease whose pid is a live same-host process incarnation is NOT
+    reclaimed while inside the pid-alive grace window."""
     import socket
+
+    from mc_ns_data_pipeline_spark.sinks.lease import _pid_start
 
     path = str(tmp_path / "tbl")
     lease_file = f"{path}__lease"
     with open(lease_file, "w") as fh:
-        json.dump({"owner": "paused", "token": "x", "ttl_s": 0.05,
+        # age 10 s: past ttl_s=5 (stale) but inside 4x ttl grace
+        json.dump({"owner": "paused", "token": "x", "ttl_s": 5,
                    "pid": os.getpid(),  # provably alive
+                   "pid_start": _pid_start(os.getpid()),
                    "host": socket.gethostname()}, fh)
     old = time.time() - 10
     os.utime(lease_file, (old, old))
     with pytest.raises(TableLockedError, match="paused"):
         with table_lease(path, owner="reclaimer"):
             pass
+
+
+def test_wedged_live_holder_evicted_past_grace_cap(tmp_path):
+    """ADVICE r5-low: the pid-alive override is BOUNDED — a live but
+    wedged holder (no heartbeat for > 4x its TTL) is evicted, so TTL
+    stays a guaranteed-progress backstop."""
+    import socket
+
+    from mc_ns_data_pipeline_spark.sinks.lease import _pid_start
+
+    path = str(tmp_path / "tbl")
+    lease_file = f"{path}__lease"
+    with open(lease_file, "w") as fh:
+        # age 10 s: past 4 x ttl_s=0.5 — grace exhausted
+        json.dump({"owner": "wedged", "token": "x", "ttl_s": 0.5,
+                   "pid": os.getpid(),
+                   "pid_start": _pid_start(os.getpid()),
+                   "host": socket.gethostname()}, fh)
+    old = time.time() - 10
+    os.utime(lease_file, (old, old))
+    with table_lease(path, owner="reclaimer"):
+        assert read_lease(path)["owner"] == "reclaimer"
+
+
+def test_recycled_pid_does_not_hold_dead_writers_lease(tmp_path):
+    """ADVICE r5-low: the pid-alive override requires the recorded
+    process START TIME to match — a recycled pid (live process, wrong
+    incarnation) cannot keep a crashed writer's lease alive."""
+    import socket
+
+    path = str(tmp_path / "tbl")
+    lease_file = f"{path}__lease"
+    with open(lease_file, "w") as fh:
+        # pid is alive (ours) but the recorded start time is from the
+        # "previous incarnation" — impossible value, never matches
+        json.dump({"owner": "crashed", "token": "x", "ttl_s": 0.05,
+                   "pid": os.getpid(), "pid_start": "-1",
+                   "host": socket.gethostname()}, fh)
+    old = time.time() - 10
+    os.utime(lease_file, (old, old))
+    with table_lease(path, owner="reclaimer"):
+        assert read_lease(path)["owner"] == "reclaimer"
 
 
 def test_stale_lease_of_dead_pid_is_reclaimed(tmp_path):

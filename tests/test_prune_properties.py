@@ -232,3 +232,78 @@ def test_bloom_batch_probe_never_false_negative(file_vals, batch):
             assert kept == ["f1"], (
                 f"false negative: file holding {vals!r} pruned "
                 f"for batch {keys!r}")
+
+
+# ---------------------------------------------------------------------------
+# _InProbe (ADVICE r5-medium): the bisected IN-list stats probe must be
+# (a) sound — never prune a file holding a batch value — and (b) agree
+# with the per-value any() reference path it replaces on NULL-free
+# batches (mixed-type and NaN batches must degrade to must-scan
+# exactly like the reference).
+# ---------------------------------------------------------------------------
+
+from mc_ns_data_pipeline_spark.sinks.versioned import _InProbe  # noqa: E402
+
+_probe_scalar = st.one_of(_ints, _floats, _decimals, _strings)
+
+
+@settings(max_examples=400)
+@given(
+    values=st.lists(st.one_of(_ints, _floats, _decimals),
+                    min_size=1, max_size=5),
+    batch=st.lists(st.one_of(_ints, _floats, _decimals, st.none()),
+                   min_size=0, max_size=30),
+)
+def test_in_probe_never_prunes_matching_numeric_batch(values, batch):
+    bounds = _stat_bounds(min(values), max(values))
+    if bounds is None:
+        return
+    stats = {"f.parquet": {"c": bounds}}
+    survives = _file_survives(stats, "f.parquet", "c", "in",
+                              _InProbe(batch))
+    if any(v is not None and _spark_truth(val, "=", v)
+           for val in values for v in batch):
+        assert survives, (
+            f"unsound IN probe: values={values} batch={batch!r} "
+            f"bounds={bounds}")
+
+
+@settings(max_examples=400)
+@given(
+    values=st.lists(_strings, min_size=1, max_size=5),
+    batch=st.lists(st.one_of(_strings, st.none()),
+                   min_size=0, max_size=30),
+)
+def test_in_probe_never_prunes_matching_string_batch(values, batch):
+    bounds = _stat_bounds(min(values), max(values))
+    if bounds is None:
+        return
+    stats = {"f.parquet": {"c": bounds}}
+    survives = _file_survives(stats, "f.parquet", "c", "in",
+                              _InProbe(batch))
+    if any(v is not None and val == v for val in values for v in batch):
+        assert survives
+
+
+@settings(max_examples=400)
+@given(
+    values=st.lists(_probe_scalar, min_size=1, max_size=5),
+    batch=st.lists(_probe_scalar, min_size=0, max_size=30),
+)
+def test_in_probe_matches_per_value_reference(values, batch):
+    """On NULL-free batches the bisect path must reach exactly the
+    per-value any() decision — including mixed-type batches (both
+    degrade to must-scan) and disjoint-span batches (both prune)."""
+    try:
+        bounds = _stat_bounds(min(values), max(values))
+    except TypeError:
+        return  # mixed-type file values: not a real column
+    if bounds is None:
+        return
+    stats = {"f.parquet": {"c": bounds}}
+    ref = _file_survives(stats, "f.parquet", "c", "in", list(batch))
+    probed = _file_survives(stats, "f.parquet", "c", "in",
+                            _InProbe(batch))
+    assert probed == ref, (
+        f"probe/reference divergence: values={values} batch={batch!r} "
+        f"bounds={bounds} ref={ref} probed={probed}")

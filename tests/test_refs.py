@@ -237,3 +237,23 @@ def test_same_named_tag_and_branch_coexist(spark, tmp_path):
     V.rollback_table(table, "x")  # must hit the tag (s1), not the
     assert {r.k for r in V.read_current(  # descendant branch head
         spark, table).collect()} == {1}
+
+
+def test_tag_snapshot_serializes_with_vacuum(spark, tmp_path):
+    """ADVICE r5-medium: tag_snapshot runs under the table lease, so a
+    tag can never be written between vacuum's ref listing and its
+    deletes (which would leave it dangling at a reaped snapshot)."""
+    from mc_ns_data_pipeline_spark.sinks.lease import (
+        TableLockedError,
+        table_lease,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    V.write_snapshot(df, table)
+    with table_lease(table, owner="vacuum"):
+        with pytest.raises(TableLockedError, match="vacuum"):
+            V.tag_snapshot(table, "pin", wait_s=0.0)
+    # lease released: the tag lands and pins as usual
+    snap = V.tag_snapshot(table, "pin", wait_s=0.0)
+    assert V.ref_snapshot(table, "pin") == snap
