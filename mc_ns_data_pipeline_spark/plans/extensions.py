@@ -3534,18 +3534,23 @@ def x106_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x107_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish lifecycle (sinks/versioned.py named refs),
     oracle-checked: publish a base snapshot of even-keyed orders, STAGE
-    two append batches on a branch ref (invisible to table readers),
-    then fast-forward CURRENT to the audited head with `publish_ref`.
+    two append batches, a MOR UPSERT (keys ≡ 0 mod 10 re-priced to
+    -1.0), and a MOR DELETE (keys ≡ 6 mod 20) on a branch ref — all
+    four invisible to table readers — then fast-forward CURRENT to the
+    audited head with `publish_ref`.
 
     Three phases emit side by side, each a lazy time-travel read over
     a retained manifest so the returned plan stays valid: the
-    pre-publish table (base rows only — staged commits truly invisible),
-    the audited branch head, and the published table (identical to the
-    branch head: publish is ONE pointer flip, no data movement). The
-    oracle states each phase's membership algebraically from the same
-    modular predicates. Scale: staging rides the normal append path
-    (O(commit) data + metadata, chunk reuse on chunked tables);
-    publish and rollback are metadata-only."""
+    pre-publish table (base rows only, original prices — staged
+    commits, masks included, truly invisible), the audited branch
+    head, and the published table (identical to the branch head:
+    publish is ONE pointer flip, no data movement — rows, upsert mask,
+    and delete mask become visible as one unit). The oracle states
+    each phase's membership algebraically from the same modular
+    predicates. Scale: staging rides the normal append/MOR paths
+    (O(commit) data + metadata, chunk reuse on chunked tables, no
+    data file rewritten by the staged mutations); publish and
+    rollback are metadata-only."""
     import os
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
@@ -3560,6 +3565,15 @@ def x107_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                       table, branch="audit")
     V.append_snapshot(rows.filter(F.col("o_orderkey") % 4 == 3),
                       table, branch="audit")
+    V.merge_snapshot_mor(
+        spark,
+        rows.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("price", F.lit(-1.0)),
+        table, "o_orderkey", branch="audit")
+    V.delete_keys_mor(
+        spark, table, "o_orderkey",
+        rows.filter(F.col("o_orderkey") % 20 == 6),
+        branch="audit")
     head = V.ref_snapshot(table, "audit")
     published = V.publish_ref(table, "audit")
 
@@ -3582,6 +3596,62 @@ def x107_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x108_partition_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partitioning lifecycle (sinks/versioned.py partition
+    spec, r5 verdict #6), oracle-checked: create a versioned events
+    table with ``["days(ts)", "bucket(8, user_id)"]`` declared at
+    write time, append a second batch WITHOUT any layout calls (the
+    spec is inherited from the manifest and the landing auto-clusters
+    to it), then answer two pruned reads whose predicates are on the
+    SOURCE columns only — the 'hidden' contract:
+
+    * a one-day window (``days(ts)`` clustering → tight per-file ts
+      spans → span pruning);
+    * a single-user point lookup (``bucket(8, user_id)`` clustering →
+      per-file blooms auto-enrolled → membership pruning).
+
+    Both sections aggregate per event_type so the oracle states the
+    answer from the raw events table. Scale: the spec is O(1) manifest
+    metadata; each landing pays one range-shuffle of ITS OWN rows
+    (never the table); pruning effectiveness is pinned by the
+    partition-spec unit tests, correctness by this oracle."""
+    import datetime as _dtm
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("event_id", "ts", "user_id", "event_type",
+                         "value")
+    table = os.path.join(_scratch_dir("x108_spec_"), "tbl")
+    V.write_snapshot(rows.filter(F.col("event_id") % 5 != 4), table,
+                     partition_spec=["days(ts)",
+                                     "bucket(8, user_id)"])
+    snap = V.append_snapshot(rows.filter(F.col("event_id") % 5 == 4),
+                             table)
+
+    day = V.read_snapshot(
+        spark, table, snap,
+        predicates=[("ts", ">=", _dtm.datetime(2024, 1, 2)),
+                    ("ts", "<", _dtm.datetime(2024, 1, 3))])
+    user = V.read_snapshot(spark, table, snap,
+                           predicates=[("user_id", "=", 7)])
+
+    def section(name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value"))
+            .select(F.lit(name).alias("section"), "event_type",
+                    "n_rows", "sum_value")
+        )
+
+    return (section("day_window", day)
+            .unionByName(section("user_point", user))
+            .orderBy("section", "event_type"))
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3592,27 +3662,59 @@ EXT_QUERIES = {
     # append new queries at the bottom. Rotation policy: SURVEY.md
     # section 8.
     #
-    # Round-5 window: x36 stays until its driver row is green (r4 red,
-    # oracle BIGINT fix); x38 changed this round (witness-pattern
-    # sketch plan); x98-x101 ride every versioned.py change (blooms,
-    # vacuum, scratch dirs -- rule 2); x102-x106 landed late in r4 and
-    # have never been driver-checked; x44-x58 + x60 + x63-x67 are the
-    # longest-unverified greens (no driver row ever -- rule 3).
-    # Rotated out on unchanged driver-green r4 rows: x30 x31 x59 x61
-    # x62 x80 x97 xs12-xs14 x91 x90 x12 x27-x29 x32-x35 x37 x39-x43.
+    # Round-6 window (r5 verdict #1: clear the driver-evidence debt in
+    # one rotation): q01-q18 pinned, then x107 + x108 (rule 2: WAP
+    # gained staged MOR mutations this round; x108 is the new
+    # partition-spec lifecycle), then 7 more rule-2 fills from the
+    # versioned block — x98/x101/x102 (chunk .blm planning + _InProbe),
+    # x103/x106 (optimistic MOR delete/upsert), x99/x105 (changelog
+    # reads over the rewritten prune/vacuum paths) — then ALL 23
+    # remaining never-driver-checked queries: x68-x79, x81-x84,
+    # xs5-xs11 (rule 3; the streaming block waited five rounds).
+    # Rotated out on unchanged driver-green r5 rows: x36 x38 x100 x104
+    # x44-x58 x60 x63-x67 (x100/x104's own code — changes_between,
+    # matview.py — is untouched this round; the shared read machinery
+    # they sit on is covered by the x99/x101/x102/x105 entrants).
+    # After this rotation ZERO queries remain without a driver row.
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
-    "x36_ann_recall": x36_ann_recall,
-    "x38_column_profile": x38_column_profile,
+    "x107_wap_publish": x107_wap_publish,
+    "x108_partition_spec": x108_partition_spec,
     "x98_snapshot_merge": x98_snapshot_merge,
     "x99_changelog_read": x99_changelog_read,
-    "x100_cdc_diff": x100_cdc_diff,
     "x101_pruned_read": x101_pruned_read,
     "x102_bloom_lookup": x102_bloom_lookup,
     "x103_mor_delete": x103_mor_delete,
-    "x104_incremental_view": x104_incremental_view,
     "x105_changes_cdc": x105_changes_cdc,
     "x106_mor_upsert": x106_mor_upsert,
+    "x68_source_calibration": x68_source_calibration,
+    "x69_source_overlap": x69_source_overlap,
+    "x70_retrieval_mrr": x70_retrieval_mrr,
+    "x71_dedup_token_budget": x71_dedup_token_budget,
+    "x72_anomaly_zscore": x72_anomaly_zscore,
+    "x73_funnel_conversion": x73_funnel_conversion,
+    "x74_event_transitions": x74_event_transitions,
+    "x75_retention_cohorts": x75_retention_cohorts,
+    "x76_containment_pairs": x76_containment_pairs,
+    "x77_mixed_language": x77_mixed_language,
+    "x78_leakage_safe_split": x78_leakage_safe_split,
+    "x79_token_budget_mixture": x79_token_budget_mixture,
+    "x81_bm25_topk": x81_bm25_topk,
+    "x82_priority_sample": x82_priority_sample,
+    "x83_winnow_fingerprints": x83_winnow_fingerprints,
+    "x84_cdc_chunks": x84_cdc_chunks,
+    "xs5_stream_stream_join": xs5_stream_stream_join,
+    "xs6_stream_latest_state": xs6_stream_latest_state,
+    "xs7_stream_pattern_detect": xs7_stream_pattern_detect,
+    "xs8_stream_static_join": xs8_stream_static_join,
+    "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
+    "xs10_stream_topk": xs10_stream_topk,
+    "xs11_stream_quality_gate": xs11_stream_quality_gate,
+    # --- end of driver gate window (50 names incl. 16 core q) ---------
+    "x36_ann_recall": x36_ann_recall,
+    "x38_column_profile": x38_column_profile,
+    "x100_cdc_diff": x100_cdc_diff,
+    "x104_incremental_view": x104_incremental_view,
     "x44_bloom_semi_join": x44_bloom_semi_join,
     "x45_corr_matrix": x45_corr_matrix,
     "x46_quantile_binning": x46_quantile_binning,
@@ -3634,7 +3736,6 @@ EXT_QUERIES = {
     "x65_bpe_pairs": x65_bpe_pairs,
     "x66_bigram_lm": x66_bigram_lm,
     "x67_ngram_novelty": x67_ngram_novelty,
-    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x30_distinct_sketch": x30_distinct_sketch,
     "x31_rollup_merge": x31_rollup_merge,
     "x59_semantic_dedup": x59_semantic_dedup,
@@ -3680,22 +3781,6 @@ EXT_QUERIES = {
     "x18_hash_sample": x18_hash_sample,
     "x19_token_packing": x19_token_packing,
     "x21_percentiles_sketch": x21_percentiles_sketch,
-    "x68_source_calibration": x68_source_calibration,
-    "x69_source_overlap": x69_source_overlap,
-    "x70_retrieval_mrr": x70_retrieval_mrr,
-    "x71_dedup_token_budget": x71_dedup_token_budget,
-    "x72_anomaly_zscore": x72_anomaly_zscore,
-    "x73_funnel_conversion": x73_funnel_conversion,
-    "x74_event_transitions": x74_event_transitions,
-    "x75_retention_cohorts": x75_retention_cohorts,
-    "x76_containment_pairs": x76_containment_pairs,
-    "x77_mixed_language": x77_mixed_language,
-    "x78_leakage_safe_split": x78_leakage_safe_split,
-    "x79_token_budget_mixture": x79_token_budget_mixture,
-    "x81_bm25_topk": x81_bm25_topk,
-    "x82_priority_sample": x82_priority_sample,
-    "x83_winnow_fingerprints": x83_winnow_fingerprints,
-    "x84_cdc_chunks": x84_cdc_chunks,
     "x85_percentiles_exact": x20_percentiles,
     "x86_embed_neardup_broadcast": x86_embed_neardup_broadcast,
     "x87_zorder_key": x87_zorder_key,
@@ -3710,18 +3795,10 @@ EXT_QUERIES = {
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs3_stream_dedup": xs3_stream_dedup,
     "xs4_stream_session": xs4_stream_session,
-    "xs5_stream_stream_join": xs5_stream_stream_join,
-    "xs6_stream_latest_state": xs6_stream_latest_state,
-    "xs7_stream_pattern_detect": xs7_stream_pattern_detect,
-    "xs8_stream_static_join": xs8_stream_static_join,
-    "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
-    "xs10_stream_topk": xs10_stream_topk,
-    "xs11_stream_quality_gate": xs11_stream_quality_gate,
     "x23_asof_join": x23_asof_join,
     "x24_stratified_sample": x24_stratified_sample,
     "x25_tfidf_topk": x25_tfidf_topk,
     "x26_scd2_history": x26_scd2_history,
-    "x107_wap_publish": x107_wap_publish,
 }
 
 # ---------------------------------------------------------------------------
@@ -6909,8 +6986,12 @@ EXT_ORACLES["x106_mor_upsert"] = """
 EXT_ORACLES["x107_wap_publish"] = """
     WITH base AS (
         SELECT o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0
-    ), everything AS (
-        SELECT o_totalprice AS price FROM orders
+    ), audited AS (
+        -- the staged lineage: everything, upsert re-prices keys
+        -- = 0 (mod 10), delete drops keys = 6 (mod 20)
+        SELECT CASE WHEN o_orderkey % 10 = 0 THEN -1.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 20 <> 6
     )
     SELECT '1_before_publish' AS phase, count(*)::BIGINT AS n_rows,
            CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -6918,10 +6999,28 @@ EXT_ORACLES["x107_wap_publish"] = """
     UNION ALL
     SELECT '2_branch_head', count(*)::BIGINT,
            CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
-    FROM everything
+    FROM audited
     UNION ALL
     SELECT '3_after_publish', count(*)::BIGINT,
            CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
-    FROM everything
+    FROM audited
     ORDER BY phase
+"""
+
+EXT_ORACLES["x108_partition_spec"] = """
+    SELECT 'day_window' AS section, event_type,
+           count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02'
+      AND ts <  TIMESTAMP '2024-01-03'
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'user_point', event_type, count(*)::BIGINT,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events
+    WHERE user_id = 7
+    GROUP BY event_type
+    ORDER BY section, event_type
 """

@@ -42,19 +42,25 @@ Layout::
   scattered deletes on huge tables — Iceberg v2's trade, selectable
   per call.
 * Writers commit OPTIMISTICALLY where rebasing is provably lossless:
-  ``append_snapshot`` and ``compact_snapshot`` do their expensive
-  work (landing files, stats/bloom scans, the rewrite) with NO lease
-  held and take the lease only for the metadata publish — an append
-  rebases onto whatever the head became (its files are disjoint by
-  construction), a compaction rebases over interposed APPENDS and
-  raises ``CommitConflictError`` when a non-append interposed (its
-  inputs are stale; landed files become vacuum orphans). So a
-  streaming lander and a maintenance OPTIMIZE both commit, no lost
-  update. Row-rewriting commits (COW/MOR merge & delete) stay
-  pessimistic — they hold the lease for the whole mutation, whose
-  heartbeat (sinks/lease) keeps long rewrites safe from TTL eviction.
-  ``vacuum_snapshots`` reference-counts pool files across retained
-  manifests (data AND delete files) before deleting.
+  ``append_snapshot``, ``compact_snapshot``, and (r6) the MOR pair
+  ``merge_snapshot_mor``/``delete_keys_mor`` do their expensive work
+  (landing files, stats/bloom scans, the rewrite, the decrement
+  count) with NO lease held and take the lease only for the metadata
+  publish — an append rebases onto whatever the head became (its
+  files are disjoint by construction); a compaction rebases over
+  interposed APPENDS and MOR commits and raises
+  ``CommitConflictError`` when a COW rewrite interposed (its inputs
+  are stale; landed files become vacuum orphans); a MOR commit
+  rebases over interposed appends (incremental decrement over just
+  their files) and over row-rewriting/masking commits (one recount
+  against the new head — the key-sequenced mask stays exact), and
+  conflicts only on a full refresh. So a streaming lander, a
+  streaming MOR upserter, and a maintenance OPTIMIZE all commit, no
+  lost update. Only COW merge/delete stay pessimistic — they hold
+  the lease for the whole mutation, whose heartbeat (sinks/lease)
+  keeps long rewrites safe from TTL eviction. ``vacuum_snapshots``
+  reference-counts pool files across retained manifests (data AND
+  delete files) before deleting.
 * Crash safety: a crash before the flip leaves orphan pool files / an
   orphan manifest (CURRENT still names the last good snapshot; vacuum
   reaps unreferenced files once the orphan leaves the keep window). A
@@ -478,9 +484,12 @@ def _write_chunks(table: str, files: list[str], stats: dict | None,
         cid = uuid.uuid4().hex
         _atomic_write_json(
             os.path.join(_chunks_root(table), f"{cid}.json"), side)
-        descs.append(
-            {"id": cid, "n": len(part),
-             "spans": _chunk_spans(part, side["stats"], stats_cols)})
+        desc = {"id": cid, "n": len(part),
+                "spans": _chunk_spans(part, side["stats"], stats_cols)}
+        if side["blooms"]:
+            desc["blm"] = _write_chunk_blm(
+                table, cid, part, side["blooms"], side["file_seq"])
+        descs.append(desc)
     return descs
 
 
@@ -914,6 +923,212 @@ def _bloom_candidates(man: dict, key: str, key_values,
     return kept
 
 
+# ---------------------------------------------------------------------------
+# Chunk-level bloom planning (r5 verdict item: unclustered point
+# lookups loaded EVERY sidecar — 4.1 s @1M files — because the per-file
+# blooms live inside the fat per-chunk JSON).
+#
+# Naively OR-folding 4096 member blooms into "one chunk bloom"
+# saturates (a chunk holds millions of distinct id-like values; any
+# membership summary needs ~10 bits per value — information-theoretic,
+# not an implementation detail). Instead each chunk stores its member
+# blooms BIT-SLICED: the (m x n_members) bit matrix transposed so row p
+# is "which members have bloom bit p set" — the signature-file layout
+# (Faloutsos & Christodoulakis 1984; BIGSI/COBS use it at genome
+# scale). A point probe then reads the chunk header plus K=3 rows
+# (~n/8 bytes each) via seek — never the sidecar JSON — and ANDs them
+# into the surviving-member bitmap. Per-file granularity and the
+# never-miss guarantee are exactly the per-file blooms'; member blooms
+# of mixed sizes fold down (position p -> p mod m, sound because m is
+# a power of two and the build hashes mod m) to the chunk's common m.
+#
+# The .blm file: [8B magic][4B LE header len][header JSON][matrices].
+# Header: {"n", "names", "seq", "cols": {col: {"m", "row_bytes",
+# "off" (relative to matrix section), "nobloom": [member idx...]}}}.
+# Names + file_seq ride in the header so a pure-equality plan skips
+# the sidecar entirely; "nobloom" members (no bloom recorded for the
+# column) survive every probe — absence stays 'must scan'.
+# ---------------------------------------------------------------------------
+
+_BLM_MAGIC = b"BLMSLICE"
+#: Per-column matrix cap: chunks whose min member bloom is large fold
+#: further to fit (graceful FPR cost), keeping the worst-case build
+#: memory and probe file size bounded.
+_BLM_MAX_MATRIX_BYTES = 1 << 23  # 8 MiB
+#: Equality batches larger than this skip the row-probe (the sidecar
+#: batch probe with its own budget takes over) — K rows per value.
+_BLM_PROBE_MAX_VALUES = 64
+
+
+def _blm_path(table: str, chunk_id: str) -> str:
+    return os.path.join(_chunks_root(table), f"{chunk_id}.blm")
+
+
+def _write_chunk_blm(table: str, cid: str, part: list[str],
+                     blooms: dict, file_seq: dict | None) -> bool:
+    """Build and write one chunk's bit-sliced bloom matrices. Returns
+    True when a .blm was written (descriptor flag). Build cost is
+    O(set bits) per member — a one-time, chunk-write-side pass; chunks
+    are immutable so appends/COW reuse the .blm by id forever."""
+    import base64
+
+    import numpy as np
+
+    n = len(part)
+    cols: dict = {}
+    sections: list[bytes] = []
+    off = 0
+    all_cols = sorted({c for entry in blooms.values() for c in entry})
+    for col in all_cols:
+        member_bits: list = []
+        nobloom: list[int] = []
+        m_min = None
+        for j, f in enumerate(part):
+            b64 = (blooms.get(f) or {}).get(col)
+            if b64 is None:
+                member_bits.append(None)
+                nobloom.append(j)
+                continue
+            raw = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+            member_bits.append(raw)
+            m_min = len(raw) * 8 if m_min is None else min(
+                m_min, len(raw) * 8)
+        if m_min is None:
+            continue  # no member carries this column
+        # Fold to the chunk's common m: the min member size, further
+        # reduced if the matrix would exceed the cap.
+        m = m_min
+        row_bytes = (n + 7) // 8
+        while m > 8 and m * row_bytes > _BLM_MAX_MATRIX_BYTES * 8:
+            m //= 2
+        matrix = np.zeros((m, row_bytes), dtype=np.uint8)
+        for j, raw in enumerate(member_bits):
+            if raw is None:
+                continue
+            folded = np.bitwise_or.reduce(
+                raw.reshape(-1, m // 8), axis=0)
+            pos = np.flatnonzero(
+                np.unpackbits(folded, bitorder="little"))
+            matrix[pos, j >> 3] |= np.uint8(1 << (j & 7))
+        cols[col] = {"m": int(m), "row_bytes": row_bytes,
+                     "off": off, "nobloom": nobloom}
+        blob = matrix.tobytes()
+        sections.append(blob)
+        off += len(blob)
+    if not cols:
+        return False
+    header = {"n": n, "names": part,
+              "seq": ([file_seq.get(f) for f in part]
+                      if file_seq else None),
+              "cols": cols}
+    hdr = json.dumps(header, separators=(",", ":")).encode()
+    path = _blm_path(table, cid)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as fh:
+        fh.write(_BLM_MAGIC)
+        fh.write(len(hdr).to_bytes(4, "little"))
+        fh.write(hdr)
+        for blob in sections:
+            fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return True
+
+
+def _blm_hash_batch(values):
+    """(h1, h2) uint64 arrays for an equality batch, or None when any
+    value's canonical text could diverge from the build side (same
+    type rules as `_bloom_candidates`)."""
+    vals = [v for v in values if v is not None]
+    if not vals or any(isinstance(v, bool) or not isinstance(v, (int, str))
+                       for v in vals):
+        return None if vals else ([], [])
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(vals, dtype="object").astype(str)
+    h = pd.util.hash_pandas_object(
+        s, index=False, categorize=False).to_numpy(dtype=np.uint64)
+    return (h & np.uint64(0xFFFFFFFF),
+            (h >> np.uint64(32)) | np.uint64(1))
+
+
+def _blm_probe(table: str, ch: dict, eq_preds: list[tuple]
+               ) -> tuple[list[str], dict] | None:
+    """Probe one chunk's bit-sliced blooms for AND-combined equality
+    predicates. Returns (surviving member names in sidecar order,
+    their file_seq entries) WITHOUT loading the sidecar — or None when
+    inconclusive (no .blm, a column without a matrix, an oversized or
+    non-canonical batch, a corrupt file), in which case the caller
+    falls back to loading the sidecar exactly as before. Excluded
+    (tombstoned) members are dropped here so COW-rewritten files never
+    resurface."""
+    import numpy as np
+
+    try:
+        with open(_blm_path(table, ch["id"]), "rb") as fh:
+            if fh.read(8) != _BLM_MAGIC:
+                return None
+            hdr_len = int.from_bytes(fh.read(4), "little")
+            header = json.loads(fh.read(hdr_len))
+            base = 12 + hdr_len
+            n = header["n"]
+            row_bytes = None
+            alive = np.ones(n, dtype=bool)
+            for col, _op, val in eq_preds:
+                meta = (header.get("cols") or {}).get(col)
+                if meta is None:
+                    return None  # column not sliced: inconclusive
+                batch = list(val) if not isinstance(val, (int, str)) \
+                    else [val]
+                if len(batch) > _BLM_PROBE_MAX_VALUES:
+                    return None
+                hashed = _blm_hash_batch(batch)
+                if hashed is None:
+                    return None
+                h1, h2 = hashed
+                m = np.uint64(meta["m"])
+                row_bytes = meta["row_bytes"]
+                hit = np.zeros(n, dtype=bool)
+                if len(h1):
+                    rows: dict[int, np.ndarray] = {}
+                    for i in range(_BLOOM_K):
+                        for p in ((h1 + np.uint64(i) * h2) % m):
+                            p = int(p)
+                            if p not in rows:
+                                fh.seek(base + meta["off"]
+                                        + p * row_bytes)
+                                rows[p] = np.frombuffer(
+                                    fh.read(row_bytes), dtype=np.uint8)
+                    for k in range(len(h1)):
+                        acc = None
+                        for i in range(_BLOOM_K):
+                            p = int((h1[k] + np.uint64(i) * h2[k]) % m)
+                            acc = rows[p] if acc is None \
+                                else acc & rows[p]
+                        hit |= np.unpackbits(
+                            acc, bitorder="little")[:n].astype(bool)
+                for j in meta.get("nobloom") or ():
+                    hit[j] = True  # no bloom recorded: must scan
+                alive &= hit
+                if not alive.any():
+                    break
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return None  # unreadable/corrupt .blm: plan from the sidecar
+    excl = set(ch.get("exclude") or ())
+    names = header["names"]
+    seq = header.get("seq")
+    kept = [names[j] for j in np.flatnonzero(alive)
+            if names[j] not in excl]
+    fseq = {}
+    if seq is not None:
+        idx = {nm: j for j, nm in enumerate(names)}
+        fseq = {nm: seq[idx[nm]] for nm in kept
+                if seq[idx[nm]] is not None}
+    return kept, fseq
+
+
 _BLOOM_OK_TYPES = ("string", "byte", "short", "integer", "long")
 
 
@@ -1195,14 +1410,26 @@ def _prune_chunked(table: str, core: dict,
     blooms, same code as inline). Returns the `_prune_from_man` shape
     plus ``chunks_loaded`` / ``chunks_total`` and ``file_seq`` for the
     kept names (the delete-mask sequencing the read needs) — at 1M
-    files a clustered point lookup reads the core plus ONE sidecar."""
+    files a clustered point lookup reads the core plus ONE sidecar.
+
+    Equality/IN predicates on bloom columns first probe the chunk's
+    BIT-SLICED bloom matrix (.blm — K row reads, no JSON): a chunk
+    with zero surviving members skips its sidecar outright, and when
+    the plan is PURE equality the survivors (names + file_seq from the
+    .blm header) are final without any sidecar load — unclustered
+    point planning is O(bloom-surviving chunks), not O(chunks)."""
     predicates = _norm_predicates(predicates)
     kept: list[str] = []
     fseq: dict = {}
     by_chunk: dict[str, list[str]] = {}
     total = 0
     loaded = 0
+    probed = 0
     chunks = core["chunks"]
+    bloom_cols = set(core.get("bloom_cols") or [])
+    eq_preds = [(c, op, v) for (c, op, v) in predicates
+                if c in bloom_cols and op in ("=", "in")]
+    pure_eq = bool(eq_preds) and len(eq_preds) == len(predicates)
     sub_base = {"stats_cols": core.get("stats_cols"),
                 "bloom_cols": core.get("bloom_cols")}
     for ch in chunks:
@@ -1210,10 +1437,26 @@ def _prune_chunked(table: str, core: dict,
         total += n_live
         if not _chunk_survives(ch, predicates):
             continue
+        blm_survivors = None
+        if eq_preds and ch.get("blm"):
+            hit = _blm_probe(table, ch, eq_preds)
+            if hit is not None:
+                probed += 1
+                survivors, pseq = hit
+                if not survivors:
+                    continue  # whole sidecar ruled out by K row reads
+                if pure_eq:
+                    kept += survivors
+                    by_chunk[ch["id"]] = survivors
+                    fseq.update(pseq)
+                    continue  # residual predicates refine at scan
+                blm_survivors = set(survivors)
         loaded += 1
         side = _read_chunk(table, ch["id"])
         excl = set(ch.get("exclude") or [])
-        part = [f for f in side["files"] if f not in excl]
+        part = [f for f in side["files"]
+                if f not in excl
+                and (blm_survivors is None or f in blm_survivors)]
         sub = {**sub_base, "files": part,
                "stats": side.get("stats"),
                "blooms": side.get("blooms")}
@@ -1227,6 +1470,7 @@ def _prune_chunked(table: str, core: dict,
     return {"total": total, "kept": kept,
             "skipped": total - len(kept),
             "chunks_total": len(chunks), "chunks_loaded": loaded,
+            "chunks_blm_probed": probed,
             "file_seq": fseq, "by_chunk": by_chunk}
 
 
@@ -1443,7 +1687,8 @@ def _publish(table: str, files: list[str], rows: int,
              file_seq: dict | None = None,
              delete_files: list[dict] | None = None,
              parent_chunks: list[dict] | None = None,
-             ref: str | None = None) -> str:
+             ref: str | None = None,
+             partition_spec: list[dict] | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease.
 
@@ -1468,6 +1713,14 @@ def _publish(table: str, files: list[str], rows: int,
     name = _next_snapshot_name(table)
     gen = _gen_of(name)
     os.makedirs(_snapshots_root(table), exist_ok=True)
+    if partition_spec is None and op != "overwrite" and parent:
+        # hidden partitioning inherits through EVERY commit kind; only
+        # a full refresh redefines (or drops) the spec
+        try:
+            partition_spec = _read_core(table, parent).get(
+                "partition_spec")
+        except FileNotFoundError:
+            pass
     carried = dict(file_seq or {})
     fresh = set(new_files if new_files is not None else files)
     for f in files:
@@ -1503,6 +1756,7 @@ def _publish(table: str, files: list[str], rows: int,
         "bloom_cols": bloom_cols,
         "file_seq": {f: carried[f] for f in files},
         "delete_files": stamped_dels,
+        "partition_spec": partition_spec,
     }
     if chunks is not None:
         # per-file metadata lives in the sidecars; the core stays
@@ -1661,10 +1915,129 @@ def _carry_stats(parent_man: dict, untouched: list[str],
     return carried or None
 
 
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg-style partition spec, r5 verdict #6):
+# a TABLE-LEVEL declaration of how landings should cluster, recorded
+# in the manifest and inherited by every later commit — so new writers
+# get pruning-friendly layout automatically, without caller-side
+# sinks/layout calls, and readers keep filtering on the SOURCE columns
+# (the "hidden" in hidden partitioning: no derived column leaks into
+# the schema or the query).
+#
+# Transform semantics, Spark-first: each landing repartitions by the
+# transform values and sorts within partitions by the source columns.
+# Value-grouping transforms (identity/days/hours/months/truncate) then
+# yield files whose per-file [min, max] spans are TIGHT on the source
+# column, so the EXISTING stats machinery prunes range and point
+# predicates — the spec auto-enrolls the column in ``stats_cols``.
+# ``bucket(n, col)`` colocates equal keys without ordering them, so
+# span pruning can't help; the spec instead auto-enrolls the column in
+# ``bloom_cols`` — each file's bloom covers ~1/n of the keyspace and
+# point lookups prune via the per-file blooms and the chunk-level
+# .blm matrices. (A driver-side bucket-value translation of equality
+# predicates — Iceberg's exact route — would need Spark's murmur3 on
+# the driver; the bloom route gets the same pruning without it.)
+# ---------------------------------------------------------------------------
+
+def _parse_partition_spec(spec: list[str]) -> list[dict]:
+    """``["days(ts)", "bucket(16, k)", "region"]`` → descriptors.
+    Bare names are identity transforms."""
+    import re
+
+    out = []
+    for s in spec:
+        s = s.strip()
+        m = re.fullmatch(r"(\w+)\s*\(([^)]*)\)", s)
+        if m is None:
+            out.append({"transform": "identity", "col": s})
+            continue
+        name = m.group(1)
+        args = [a.strip() for a in m.group(2).split(",")]
+        if name in ("days", "hours", "months") and len(args) == 1:
+            out.append({"transform": name, "col": args[0]})
+        elif name == "identity" and len(args) == 1:
+            out.append({"transform": "identity", "col": args[0]})
+        elif name == "bucket" and len(args) == 2:
+            out.append({"transform": "bucket", "n": int(args[0]),
+                        "col": args[1]})
+        elif name == "truncate" and len(args) == 2:
+            out.append({"transform": "truncate", "w": int(args[0]),
+                        "col": args[1]})
+        else:
+            raise ValueError(
+                f"unsupported partition transform {s!r} (supported: "
+                "identity, days, hours, months, bucket(n, col), "
+                "truncate(w, col))")
+    return out
+
+
+def _partition_exprs(spec: list[dict]) -> list[Column]:
+    exprs = []
+    for e in spec:
+        c = F.col(e["col"])
+        t = e["transform"]
+        if t == "identity":
+            exprs.append(c)
+        elif t == "days":
+            exprs.append(F.to_date(c))
+        elif t == "hours":
+            exprs.append(F.date_trunc("hour", c))
+        elif t == "months":
+            exprs.append(F.trunc(c, "month"))
+        elif t == "bucket":
+            exprs.append(F.pmod(F.hash(c), F.lit(e["n"])))
+        elif t == "truncate":
+            exprs.append(F.floor(c / e["w"]) * e["w"])
+    return exprs
+
+
+def _cluster_to_spec(df: DataFrame, spec: list[dict] | None
+                     ) -> DataFrame:
+    """Cluster a landing batch to the table's partition spec: RANGE-
+    repartition by the transform values — consecutive transform tuples
+    land in the same or adjacent files, so per-file [min, max] spans
+    on the leading source columns come out tight (the property span
+    pruning feeds on), unlike hash clustering which mixes distant
+    days into every file. AQE still coalesces small batches, so a
+    100-row append doesn't shatter into shuffle-partition-count files.
+    Within partitions, rows sort by the source columns. Columns the
+    batch lacks (schema evolution: pre-spec writers) drop out of the
+    clustering rather than failing the landing."""
+    if not spec:
+        return df
+    present = {f.name for f in df.schema.fields}
+    live = [e for e in spec if e["col"] in present]
+    if not live:
+        return df
+    return (df.repartitionByRange(*_partition_exprs(live))
+            .sortWithinPartitions(*[e["col"] for e in live]))
+
+
+def _spec_auto_cols(spec: list[dict] | None,
+                    stats_cols: list[str] | None,
+                    bloom_cols: list[str] | None
+                    ) -> tuple[list[str] | None, list[str] | None]:
+    """The spec's automatic metadata opt-ins: value-grouping transforms
+    enroll their source column in stats (span pruning), bucket enrolls
+    in blooms (membership pruning)."""
+    if not spec:
+        return stats_cols, bloom_cols
+    stats = list(stats_cols or [])
+    blooms = list(bloom_cols or [])
+    for e in spec:
+        if e["transform"] == "bucket":
+            if e["col"] not in blooms:
+                blooms.append(e["col"])
+        elif e["col"] not in stats:
+            stats.append(e["col"])
+    return (stats or None), (blooms or None)
+
+
 def write_snapshot(df: DataFrame, table: str,
                    stats_cols: list[str] | None = None,
                    bloom_cols: list[str] | None = None,
-                   txn_id: str | None = None) -> str:
+                   txn_id: str | None = None,
+                   partition_spec: list[str] | None = None) -> str:
     """Full-refresh publish (K8 semantics, reader-safe): the new state
     becomes visible in one atomic pointer flip; in-flight readers keep
     the old snapshot's files, which this write never touches.
@@ -1676,8 +2049,26 @@ def write_snapshot(df: DataFrame, table: str,
     and the merge locate step. ``bloom_cols`` (string/integral
     columns) adds per-file equality blooms — the point-lookup
     complement for UNCLUSTERED columns, where every file's [min, max]
-    spans the keyspace and range stats prune nothing."""
+    spans the keyspace and range stats prune nothing.
+
+    ``partition_spec`` declares HIDDEN PARTITIONING (see the section
+    comment above): e.g. ``["days(ts)", "bucket(16, user_id)"]``.
+    This landing and every inheriting append/MOR-upsert auto-cluster
+    to it, and the source columns auto-enroll in stats/blooms — new
+    writers never call sinks/layout, pruning just works. A full
+    refresh REDEFINES the spec (omit to drop it)."""
     os.makedirs(table, exist_ok=True)
+    spec = (_parse_partition_spec(partition_spec)
+            if partition_spec else None)
+    if spec:
+        missing = [e["col"] for e in spec
+                   if e["col"] not in {f.name for f in df.schema.fields}]
+        if missing:
+            raise ValueError(
+                f"partition spec columns not in schema: {missing}")
+        stats_cols, bloom_cols = _spec_auto_cols(spec, stats_cols,
+                                                 bloom_cols)
+        df = _cluster_to_spec(df, spec)
     if bloom_cols:
         _check_bloom_cols(df.schema, bloom_cols)
     with table_lease(table, owner="write_snapshot"):
@@ -1694,7 +2085,7 @@ def write_snapshot(df: DataFrame, table: str,
                         txn_id=txn_id,
                         op="overwrite", schema=df.schema, stats=stats,
                         stats_cols=stats_cols, blooms=blooms,
-                        bloom_cols=bloom_cols)
+                        bloom_cols=bloom_cols, partition_spec=spec)
 
 
 def _txn_already_applied(table: str, txn_id: str,
@@ -1777,7 +2168,8 @@ def append_snapshot(df: DataFrame, table: str,
     stats_cols = base_man.get("stats_cols")
     bloom_cols = base_man.get("bloom_cols")
     _merge_schema(_schema_from_man(base_man), df.schema)  # fail early
-    new_files = _land_in_pool(df, table)
+    new_files = _land_in_pool(
+        _cluster_to_spec(df, base_man.get("partition_spec")), table)
     new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                           stats_cols)
     new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
@@ -2282,9 +2674,62 @@ def _mor_live_matches_chunked(spark: SparkSession, table: str,
     )
 
 
+def _mor_matched(spark: SparkSession, table: str, man: dict,
+                 key: str, keys_df: DataFrame) -> int:
+    """Live-row decrement for a key batch against one manifest,
+    chunked or inline — the cheap key-column count every MOR commit's
+    row accounting rides on."""
+    if "chunks" in man:
+        return _mor_live_matches_chunked(spark, table, man, key,
+                                         keys_df)
+    return _mor_live_matches(spark, table, man, key, keys_df)
+
+
+def _rebase_mor_matched(spark: SparkSession, table: str,
+                        head: str, base: str | None, head_man: dict,
+                        key: str, keys_df: DataFrame,
+                        matched_base: int) -> int:
+    """Rebase an optimistic MOR commit's decrement count from the
+    ``base`` it staged against onto the moved ``head``:
+
+    * interposed APPENDS only — the base count stays exact (appends
+      never unlive a base row) and only the appended files can hold
+      additional matching rows, so count matches over JUST those files
+      (they postdate every pending mask: raw count is live count);
+    * anything that rewrote or masked rows (COW merge/delete, MOR
+      commits, compaction) — the base count is stale in both
+      directions; recount live matches against the head (still the
+      metadata-pruned key-column count, never a table scan). The mask
+      being published is key-based and sequenced at the PUBLISH
+      generation, so it stays semantically exact over any interposed
+      lineage — last-writer-wins, the MOR commit serializing after
+      whatever interposed;
+    * a FULL REFRESH (op=overwrite) is a semantic barrier: the batch
+      was staged against content that no longer exists — conflict."""
+    chain = _rebase_chain(table, head, base)
+    ops = {m.get("op") for m in chain}
+    if "overwrite" in ops:
+        raise CommitConflictError(
+            f"{table}: a full refresh interposed while this MOR "
+            f"commit was staging — re-run against the new table")
+    if ops <= {"append"}:
+        appended = [f for m in chain for f in (m.get("new_files") or [])]
+        if not appended:
+            return matched_base
+        return matched_base + (
+            _read_pool(spark, table, appended,
+                       _schema_from_man(head_man))
+            .select(key)
+            .join(F.broadcast(keys_df), key, "left_semi")
+            .count()
+        )
+    return _mor_matched(spark, table, head_man, key, keys_df)
+
+
 def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
                        table: str, key: str,
-                       txn_id: str | None = None) -> str:
+                       txn_id: str | None = None,
+                       branch: str | None = None) -> str:
     """Merge-on-read upsert: same answer as ``merge_snapshot`` (updated
     keys win, unmatched target rows survive), different physics — the
     update batch lands as NEW files and the OLD row versions are
@@ -2305,49 +2750,106 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     Prefer COW ``merge_snapshot`` when batches are key-clustered (it
     rewrites ~the files the range hits and keeps reads mask-free);
     prefer MOR when updates scatter. Iceberg v2's
-    write.update.mode=merge-on-read, on the manifest-pointer pattern."""
-    os.makedirs(table, exist_ok=True)
-    with table_lease(table, owner=f"merge_snapshot_mor:{key}"):
-        if txn_id is not None:
-            applied = _txn_already_applied(table, txn_id)
-            if applied is not None:
-                return applied
-        parent = current_snapshot(table)
-        if parent is None:
-            files = _land_in_pool(updates, table)
-            rows = _count_pool_rows(spark, table, files)
-            return _publish(table, files, rows, None, 0, op="merge",
-                            txn_id=txn_id, schema=updates.schema)
+    write.update.mode=merge-on-read, on the manifest-pointer pattern.
 
-        parent_man = _read_core(table, parent)
-        stats_cols = parent_man.get("stats_cols")
-        bloom_cols = parent_man.get("bloom_cols")
+    OPTIMISTIC commit (r6): the batch lands, its stats/bloom scans
+    run, and the delete file is written with NO lease held — only the
+    metadata publish takes the lease. A head that moved meanwhile is
+    rebased onto via ``_rebase_mor_matched``: interposed appends cost
+    one key-column count over just their files, anything row-rewriting
+    or masking costs one recount against the new head, and only a full
+    refresh conflicts. A streaming MOR-upsert lander therefore never
+    blocks behind (or is blocked by) a concurrent COW merge beyond the
+    merge's own lease hold — both commit.
+
+    ``branch`` stages the commit on a NAMED REF (write-audit-publish),
+    same contract as ``append_snapshot(branch=)``: invisible to table
+    readers until ``publish_ref``; the mask's generation sequences
+    inside the staged lineage, so the publish flips rows + mask as one
+    unit."""
+    os.makedirs(table, exist_ok=True)
+
+    def _head() -> str | None:
+        if branch is not None:  # HEADS only (same rule as append)
+            staged = _ref_read(_ref_path(table, branch, "heads"))
+            if staged is not None:
+                return staged
+        return current_snapshot(table)
+
+    if txn_id is not None:  # cheap pre-check: replayed batch skips
+        applied = _txn_already_applied(table, txn_id, start=_head())
+        if applied is not None:
+            return applied
+    base = _head()
+    if base is None:  # first commit: cheap, stay pessimistic
+        with table_lease(table, owner=f"merge_snapshot_mor:{key}",
+                         wait_s=_COMMIT_WAIT_S):
+            if _head() is None:
+                files = _land_in_pool(updates, table)
+                rows = _count_pool_rows(spark, table, files)
+                return _publish(table, files, rows, None, 0,
+                                op="merge", txn_id=txn_id,
+                                schema=updates.schema, ref=branch)
+        base = _head()  # raced a table creation: continue against it
+
+    base_man = _read_core(table, base)
+    stats_cols = base_man.get("stats_cols")
+    bloom_cols = base_man.get("bloom_cols")
+    _merge_schema(_schema_from_man(base_man), updates.schema)  # early
+
+    # ---- expensive staging: NO lease held ----
+    new_files = _land_in_pool(
+        _cluster_to_spec(updates, base_man.get("partition_spec")),
+        table)
+    new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                          stats_cols)
+    if new_rows == 0:
+        return base  # empty batch: publish nothing (the landed
+        # empty files are orphans for vacuum) — a dead mask entry
+        # would force every reader onto the sequenced path and
+        # count toward optimize_table's compaction threshold
+    new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
+                              updates.schema)
+    # The mask: the batch's distinct keys, derived from the landed
+    # files (one pass over the caller's lineage — the write).
+    root = _data_root(table)
+    batch_keys = (spark.read.parquet(
+        *(os.path.join(root, f) for f in new_files))
+        .select(key).distinct().filter(F.col(key).isNotNull()))
+    del_files = _land_in_pool(batch_keys.coalesce(1), table)
+    entries = [{"file": f, "key": key, "seq": None}
+               for f in del_files]
+    matched = _mor_matched(spark, table, base_man, key, batch_keys)
+
+    # ---- metadata publish: lease held briefly ----
+    with table_lease(table, owner=f"merge_snapshot_mor:{key}",
+                     wait_s=_COMMIT_WAIT_S):
+        if txn_id is not None:  # decisive re-check under the lease
+            applied = _txn_already_applied(table, txn_id,
+                                           start=_head())
+            if applied is not None:
+                return applied  # lost a replay race: files orphan
+        parent = _head()
+        parent_man = (base_man if parent == base
+                      else _read_core(table, parent))
+        if parent != base:
+            matched = _rebase_mor_matched(
+                spark, table, parent, base, parent_man, key,
+                batch_keys, matched)
+            if sorted(parent_man.get("stats_cols") or []) != sorted(
+                    stats_cols or []):  # opt-ins moved (full refresh
+                stats_cols = parent_man.get("stats_cols")  # conflicts,
+                _, new_stats = _scan_new_files(  # but stay defensive)
+                    spark, table, new_files, stats_cols)
+            if sorted(parent_man.get("bloom_cols") or []) != sorted(
+                    bloom_cols or []):
+                bloom_cols = parent_man.get("bloom_cols")
+                new_blooms = _scan_blooms(spark, table, new_files,
+                                          bloom_cols, updates.schema)
         schema = _merge_schema(_schema_from_man(parent_man),
                                updates.schema)
-
-        new_files = _land_in_pool(updates, table)
-        new_rows, new_stats = _scan_new_files(spark, table, new_files,
-                                              stats_cols)
-        if new_rows == 0:
-            return parent  # empty batch: publish nothing (the landed
-            # empty files are orphans for vacuum) — a dead mask entry
-            # would force every reader onto the sequenced path and
-            # count toward optimize_table's compaction threshold
-        new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
-                                  updates.schema)
-        # The mask: the batch's distinct keys, derived from the landed
-        # files (one pass over the caller's lineage — the write).
-        root = _data_root(table)
-        batch_keys = (spark.read.parquet(
-            *(os.path.join(root, f) for f in new_files))
-            .select(key).distinct().filter(F.col(key).isNotNull()))
-        del_files = _land_in_pool(batch_keys.coalesce(1), table)
-        entries = [{"file": f, "key": key, "seq": None}
-                   for f in del_files]
         if "chunks" in parent_man:  # O(commit) metadata: one new
-            matched = _mor_live_matches_chunked(  # sidecar, parent
-                spark, table, parent_man, key, batch_keys)  # reused
-            return _publish(
+            return _publish(  # sidecar, parent chunks reused
                 table, new_files,
                 parent_man["rows"] - matched + new_rows, parent,
                 _chunk_file_count(parent_man), op="merge-mor",
@@ -2356,9 +2858,8 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
                 blooms=new_blooms, bloom_cols=bloom_cols,
                 delete_files=(parent_man.get("delete_files") or [])
                 + entries,
-                parent_chunks=parent_man["chunks"])
-        matched = _mor_live_matches(spark, table, parent_man, key,
-                                    batch_keys)
+                parent_chunks=parent_man["chunks"], ref=branch)
+        parent_man = _materialize(table, parent_man)
         rows = parent_man["rows"] - matched + new_rows
         return _publish(
             table, parent_man["files"] + new_files, rows, parent,
@@ -2372,7 +2873,7 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
             bloom_cols=bloom_cols,
             file_seq=parent_man.get("file_seq"),
             delete_files=(parent_man.get("delete_files") or [])
-            + entries)
+            + entries, ref=branch)
 
 
 #: Age floor for reaping crashed writers' ``__staging-*`` dirs: long
@@ -2474,6 +2975,23 @@ def vacuum_snapshots(table: str, keep: int = 2,
                         _manifest_path(table, s)) > cutoff:
                     retained.add(s)
         doomed = [s for s in snaps if s not in retained]
+        # Per-snapshot work below reads CORES only and loads each
+        # DISTINCT chunk sidecar at most once (shared cache) — on a
+        # 1M-file chunked table with dozens of tags/branches this is
+        # O(refs + distinct chunks), not O(refs x chunks): the old
+        # read_manifest-per-snapshot materialization re-parsed every
+        # sidecar once per retained AND doomed manifest.
+        side_cache: dict[str, dict | None] = {}
+
+        def _side_files(cid: str) -> list[str] | None:
+            if cid not in side_cache:
+                try:
+                    side_cache[cid] = _read_chunk(table, cid)
+                except FileNotFoundError:
+                    side_cache[cid] = None  # already reaped
+            side = side_cache[cid]
+            return None if side is None else side["files"]
+
         # Record what the doomed manifests referenced BEFORE deleting
         # them: files they named were committed-then-superseded and
         # reap immediately, while a pool file referenced by NO
@@ -2481,15 +2999,25 @@ def vacuum_snapshots(table: str, keep: int = 2,
         # (append/compact move files into the pool and scan them with
         # no lease held, before any manifest names them) — those only
         # reap past the same age floor that guards staging dirs.
+        # (Every file a sidecar names was committed by SOME manifest —
+        # sidecars are written at publish — so excluded members count
+        # as committed debris too.)
         doomed_refs: set[str] = set()
         for s in doomed:
             try:
-                man = read_manifest(table, s)
-                doomed_refs.update(man.get("files") or [])
-                doomed_refs.update(
-                    d["file"] for d in man.get("delete_files") or [])
+                core = _read_core(table, s)
             except FileNotFoundError:
-                pass  # sidecar already reaped: remove the shell too
+                core = None
+            if core is not None:
+                if "chunks" in core:
+                    for ch in core["chunks"]:
+                        files = _side_files(ch["id"])
+                        if files:
+                            doomed_refs.update(files)
+                else:
+                    doomed_refs.update(core.get("files") or [])
+                doomed_refs.update(
+                    d["file"] for d in core.get("delete_files") or [])
             try:
                 os.remove(_manifest_path(table, s))
             except FileNotFoundError:
@@ -2497,18 +3025,36 @@ def vacuum_snapshots(table: str, keep: int = 2,
 
         live: set[str] = set()
         live_chunks: set[str] = set()
+        # A chunk member is live unless EVERY retained manifest that
+        # references the chunk tombstones it (exclude lists) — track
+        # the intersection of excludes per chunk id, from cores alone.
+        chunk_excl: dict[str, set] = {}
         for s in retained:
-            man = read_manifest(table, s)
-            live.update(man["files"])
+            core = _read_core(table, s)
             # Merge-on-read delete files live in the same pool and are
             # load-bearing for their manifests' semantics — reaping one
             # would RESURRECT its masked rows.
             live.update(d["file"]
-                        for d in man.get("delete_files") or [])
-            # Chunk sidecars are shared forward like data files:
-            # refcount across RETAINED manifests before reaping.
-            live_chunks.update(ch["id"]
-                               for ch in man.get("chunks") or [])
+                        for d in core.get("delete_files") or [])
+            if "chunks" in core:
+                # Chunk sidecars are shared forward like data files:
+                # refcount across RETAINED manifests before reaping.
+                for ch in core["chunks"]:
+                    cid = ch["id"]
+                    excl = set(ch.get("exclude") or ())
+                    if cid in live_chunks:
+                        chunk_excl[cid] &= excl
+                    else:
+                        live_chunks.add(cid)
+                        chunk_excl[cid] = excl
+            else:
+                live.update(core.get("files") or [])
+        for cid in live_chunks:
+            files = _side_files(cid)
+            if files is None:
+                continue
+            excl = chunk_excl.get(cid) or ()
+            live.update(f for f in files if f not in excl)
         removed_files = 0
         root = _data_root(table)
         age_cutoff = _time.time() - staging_age_seconds
@@ -2529,8 +3075,11 @@ def vacuum_snapshots(table: str, keep: int = 2,
         croot = _chunks_root(table)
         if os.path.isdir(croot):
             for f in os.listdir(croot):
-                if (f.endswith(".json")
-                        and f[:-len(".json")] not in live_chunks):
+                # sidecar JSON and its bit-sliced bloom sibling (.blm)
+                # share the chunk id and the same liveness
+                stem, dot, ext = f.rpartition(".")
+                if (dot and ext in ("json", "blm")
+                        and stem not in live_chunks):
                     os.remove(os.path.join(croot, f))
                     removed_chunks += 1
 
@@ -2761,7 +3310,8 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
 
 
 def delete_keys_mor(spark: SparkSession, table: str, key: str,
-                    doomed: DataFrame) -> str:
+                    doomed: DataFrame,
+                    branch: str | None = None) -> str:
     """Right-to-be-forgotten as a MERGE-ON-READ commit: land the doomed
     keys as one tiny delete file and publish — NO data file is read in
     full or rewritten. Readers mask matching rows at scan time via a
@@ -2788,38 +3338,64 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
 
     Reference anchor: DELETE FROM processed_files WHERE ...
     (mastercontrol_pipeline/file_processor.py) — row deletes the
-    reference gets transactionally from PostgreSQL."""
-    with table_lease(table, owner=f"delete_keys_mor:{key}"):
-        parent = current_snapshot(table)
-        if parent is None:
-            raise NoCurrentSnapshotError(table)
-        parent_man = _read_core(table, parent)
-        schema = _schema_from_man(parent_man)
-        if schema is not None and key not in {f.name
-                                              for f in schema.fields}:
-            raise ValueError(f"delete key {key!r} not in table schema")
-        # Land the delete file FIRST, then derive everything else
-        # (count, span, decrement join) from the landed kilobytes —
-        # the caller's doomed lineage may be an expensive query and
-        # is evaluated exactly once, by the write. An empty batch
-        # leaves one orphan pool file (vacuum reaps it, same as a
-        # pre-flip crash) and publishes nothing.
-        del_files = _land_in_pool(
-            doomed.select(key).distinct()
-            .filter(F.col(key).isNotNull()).coalesce(1), table)
-        root = _data_root(table)
-        doomed_keys = spark.read.parquet(
-            *(os.path.join(root, f) for f in del_files))
-        n_keys = doomed_keys.count()  # delete batches: small by design
-        if n_keys == 0:
-            return parent  # nothing to forget: current stays
+    reference gets transactionally from PostgreSQL.
 
-        entries = [{"file": f, "key": key, "seq": None, "keys": n_keys}
-                   for f in del_files]  # seq stamped by _publish
+    OPTIMISTIC commit (r6, same contract as ``merge_snapshot_mor``):
+    the delete file lands and the decrement counts with NO lease held;
+    the publish rebases onto a moved head (appends: incremental count
+    over just their files; row-rewriting/masking commits: one recount;
+    full refresh: conflict). ``branch`` stages the mask on a named ref
+    for write-audit-publish."""
+
+    def _head() -> str | None:
+        if branch is not None:
+            staged = _ref_read(_ref_path(table, branch, "heads"))
+            if staged is not None:
+                return staged
+        return current_snapshot(table)
+
+    base = _head()
+    if base is None:
+        raise NoCurrentSnapshotError(table)
+    base_man = _read_core(table, base)
+    schema = _schema_from_man(base_man)
+    if schema is not None and key not in {f.name
+                                          for f in schema.fields}:
+        raise ValueError(f"delete key {key!r} not in table schema")
+    # ---- staging: NO lease held ----
+    # Land the delete file FIRST, then derive everything else
+    # (count, span, decrement join) from the landed kilobytes —
+    # the caller's doomed lineage may be an expensive query and
+    # is evaluated exactly once, by the write. An empty batch
+    # leaves one orphan pool file (vacuum reaps it, same as a
+    # pre-flip crash) and publishes nothing.
+    del_files = _land_in_pool(
+        doomed.select(key).distinct()
+        .filter(F.col(key).isNotNull()).coalesce(1), table)
+    root = _data_root(table)
+    doomed_keys = spark.read.parquet(
+        *(os.path.join(root, f) for f in del_files))
+    n_keys = doomed_keys.count()  # delete batches: small by design
+    if n_keys == 0:
+        return base  # nothing to forget: current stays
+
+    entries = [{"file": f, "key": key, "seq": None, "keys": n_keys}
+               for f in del_files]  # seq stamped by _publish
+    matched = _mor_matched(spark, table, base_man, key, doomed_keys)
+
+    # ---- metadata publish: lease held briefly ----
+    with table_lease(table, owner=f"delete_keys_mor:{key}",
+                     wait_s=_COMMIT_WAIT_S):
+        parent = _head()
+        parent_man = (base_man if parent == base
+                      else _read_core(table, parent))
+        if parent != base:
+            matched = _rebase_mor_matched(
+                spark, table, parent, base, parent_man, key,
+                doomed_keys, matched)
+            schema = _schema_from_man(parent_man)
         if "chunks" in parent_man:  # O(commit) metadata: no new data
-            matched = _mor_live_matches_chunked(  # files at all, all
-                spark, table, parent_man, key, doomed_keys)  # reused
-            return _publish(
+            return _publish(  # files at all, all chunks reused
                 table, [], parent_man["rows"] - matched, parent,
                 _chunk_file_count(parent_man), op="delete-mor",
                 new_files=[], schema=schema,
@@ -2827,9 +3403,8 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
                 bloom_cols=parent_man.get("bloom_cols"),
                 delete_files=(parent_man.get("delete_files") or [])
                 + entries,
-                parent_chunks=parent_man["chunks"])
-        matched = _mor_live_matches(spark, table, parent_man, key,
-                                    doomed_keys)
+                parent_chunks=parent_man["chunks"], ref=branch)
+        parent_man = _materialize(table, parent_man)
         return _publish(
             table, parent_man["files"], parent_man["rows"] - matched,
             parent, len(parent_man["files"]), op="delete-mor",
@@ -2840,7 +3415,7 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
             bloom_cols=parent_man.get("bloom_cols"),
             file_seq=parent_man.get("file_seq"),
             delete_files=(parent_man.get("delete_files") or [])
-            + entries)
+            + entries, ref=branch)
 
 
 def _chain_between(table: str, since: str,

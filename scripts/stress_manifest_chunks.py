@@ -116,6 +116,83 @@ def main() -> None:
     print(f"    -> kept {len(rep['kept'])}/{rep['total']} files, "
           f"loaded {rep['chunks_loaded']}/{rep['chunks_total']} chunks")
 
+    # Unclustered WITH per-file blooms: the r6 fix. Per-file blooms
+    # ride the sidecars (as production _scan_blooms records them) and
+    # each chunk gets the bit-sliced .blm matrix; a point probe reads
+    # K=3 rows per chunk instead of parsing sidecar JSON. Blooms are
+    # synthesized vectorized (same hash/canonical text as _bloom_b64 —
+    # equivalence asserted below) so the script stays driver-only.
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    KEYS_PER_FILE = 50
+    M_BITS = 4096  # _bloom_m_bits(50)
+    rng = np.random.default_rng(42)
+    keyspace = N_FILES * ROWS_PER_FILE
+    keymat = rng.integers(0, keyspace, size=(N_FILES, KEYS_PER_FILE))
+
+    def synth_blooms():
+        s = pd.Series(keymat.ravel()).astype(str)
+        h = pd.util.hash_pandas_object(
+            s, index=False, categorize=False).to_numpy(dtype=np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        big = np.zeros((N_FILES, M_BITS // 8), dtype=np.uint8)
+        rows = np.repeat(np.arange(N_FILES, dtype=np.int64),
+                         KEYS_PER_FILE)
+        for i in range(V._BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(M_BITS)
+            np.bitwise_or.at(
+                big, (rows, (pos // 8).astype(np.int64)),
+                np.left_shift(np.uint8(1),
+                              (pos % 8).astype(np.uint8)))
+        return {
+            f: {"k": base64.b64encode(big[j].tobytes()).decode()}
+            for j, f in enumerate(files)
+        }
+
+    blooms, t_synth = timed(
+        f"synthesize {N_FILES} per-file blooms "
+        f"({KEYS_PER_FILE} keys/file, vectorized)", synth_blooms)
+    # equivalence spot-check vs the real builder
+    ref = V._bloom_b64(pd.Series(keymat[0]).astype(str), False)
+    assert blooms[files[0]]["k"] == ref, "synthetic bloom diverged"
+
+    blm_chunks, t_blm_build = timed(
+        "chunkify with blooms (sidecars + bit-sliced .blm, one-time)",
+        lambda: V._write_chunks(table, files, unc_stats, blooms,
+                                file_seq, ["k"]))
+    blm = dict(core, snapshot="00000004-stress", chunks=blm_chunks,
+               bloom_cols=["k"])
+    V._atomic_write_json(V._manifest_path(table, blm["snapshot"]), blm)
+    blm_bytes = sum(
+        os.path.getsize(os.path.join(V._chunks_root(table), f))
+        for f in os.listdir(V._chunks_root(table))
+        if f.endswith(".blm"))
+    print(f"{'bit-sliced .blm total':68s} {blm_bytes/1e6:8.2f} MB")
+
+    probe_key = int(keymat[N_FILES // 2, 0])
+    rep, t_unc_blm = timed(
+        "UNCLUSTERED point planning, bit-sliced chunk blooms (r6)",
+        lambda: V.prune_report(table, blm["snapshot"],
+                               [("k", "=", probe_key)]))
+    print(f"    -> kept {len(rep['kept'])}/{rep['total']} files, "
+          f"loaded {rep['chunks_loaded']} sidecars, probed "
+          f"{rep['chunks_blm_probed']}/{rep['chunks_total']} .blm")
+    assert files[N_FILES // 2] in rep["kept"], "probe missed true file"
+    kept_point_blm = len(rep["kept"])
+
+    batch = [int(keymat[j, 0]) for j in range(0, N_FILES,
+                                              max(1, N_FILES // 8))][:8]
+    rep, t_unc_blm_in = timed(
+        "UNCLUSTERED 8-key IN planning, bit-sliced chunk blooms",
+        lambda: V.prune_report(table, blm["snapshot"],
+                               [("k", "in", batch)]))
+    print(f"    -> kept {len(rep['kept'])}/{rep['total']} files, "
+          f"loaded {rep['chunks_loaded']} sidecars")
+
     # Append metadata cost at 1M files: one sidecar + core rewrite.
     new = [f"{uuid.uuid4().hex}.parquet" for _ in range(4)]
     _, t_append = timed(
@@ -155,6 +232,10 @@ def main() -> None:
         "t_point_clustered_s": round(t_point, 3),
         "t_range_clustered_s": round(t_range, 3),
         "t_point_unclustered_s": round(t_unc, 3),
+        "blm_mb": round(blm_bytes / 1e6, 2),
+        "t_point_unclustered_blm_s": round(t_unc_blm, 3),
+        "t_in8_unclustered_blm_s": round(t_unc_blm_in, 3),
+        "kept_point_unclustered_blm": kept_point_blm,
         "t_append_publish_s": round(t_append, 3),
         "t_point_monolithic_s": round(t_mono, 3),
     }))

@@ -299,3 +299,150 @@ def test_chunk_span_soundness_property():
                     assert not _file_survives(stats, f, "k", op, v), (
                         f"chunk-pruned but {f} with {stats[f]} "
                         f"survives k {op} {v}")
+
+
+def _unclustered(spark, n=200, parts=10):
+    """Keys scattered across every partition file: spans all overlap,
+    so only blooms can prune a point lookup."""
+    return (
+        spark.createDataFrame([(i, f"v{i}") for i in range(n)],
+                              "k int, v string")
+        .repartition(parts)  # round-robin: every file spans keyspace
+    )
+
+
+def test_chunked_blm_point_lookup_skips_all_sidecars(
+        spark, tmp_path, tiny_chunks, monkeypatch):
+    """r5 verdict #2: on an UNCLUSTERED chunked table a point lookup
+    on a bloom column plans from the bit-sliced chunk blooms alone —
+    zero sidecar JSON loads — and still never misses the true file."""
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_unclustered(spark), table,
+                            stats_cols=["k"], bloom_cols=["k"])
+    counter = _ChunkReadCounter(monkeypatch)
+    rep = V.prune_report(table, snap, [("k", "=", 42)])
+    assert counter.count == 0, (
+        "pure-equality planning must not parse any sidecar")
+    assert rep["chunks_blm_probed"] == rep["chunks_total"] > 1
+    assert rep["chunks_loaded"] == 0
+    # soundness end-to-end: the pruned read still finds the row
+    got = V.read_snapshot(spark, table, snap,
+                          predicates=[("k", "=", 42)]).collect()
+    assert [(r.k, r.v) for r in got] == [(42, "v42")]
+    # and prunes: far fewer files kept than total
+    assert len(rep["kept"]) < rep["total"]
+
+
+def test_chunked_blm_respects_mor_masks_and_cow_excludes(
+        spark, tmp_path, tiny_chunks):
+    """Tombstoned (COW-rewritten) members never resurface from the
+    .blm fast path, and MOR delete masks still apply above it."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_unclustered(spark), table,
+                     stats_cols=["k"], bloom_cols=["k"])
+    V.merge_snapshot(
+        spark, spark.createDataFrame([(7, "UPD")], "k int, v string"),
+        table, "k")
+    assert [(r.k, r.v) for r in V.read_current(
+        spark, table, predicates=[("k", "=", 7)]).collect()] \
+        == [(7, "UPD")]
+    V.delete_keys_mor(spark, table, "k",
+                      spark.createDataFrame([(8,)], "k int"))
+    assert V.read_current(spark, table,
+                          predicates=[("k", "=", 8)]).count() == 0
+    assert V.read_current(spark, table).count() == 199
+
+
+def test_chunked_blm_mixed_predicates_refine_from_sidecar(
+        spark, tmp_path, tiny_chunks, monkeypatch):
+    """Equality + range together: the .blm cuts chunks first, the
+    surviving chunks' sidecars refine with stats — same answers."""
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_unclustered(spark), table,
+                            stats_cols=["k"], bloom_cols=["k"])
+    got = V.read_snapshot(
+        spark, table, snap,
+        predicates=[("k", "=", 42), ("k", "<=", 100)]).collect()
+    assert [(r.k, r.v) for r in got] == [(42, "v42")]
+    assert V.read_snapshot(
+        spark, table, snap,
+        predicates=[("k", "=", 42), ("k", "<=", 10)]).count() == 0
+
+
+def test_chunk_blm_fold_soundness_property():
+    """Hypothesis: for ANY member value sets (mixed sizes, so folding
+    kicks in) and any probed present value, the bit-sliced probe must
+    keep the member that holds it — chunk blooms never false-negative,
+    the prune-property contract extended to the .blm layout."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        member_vals=st.lists(
+            st.lists(st.one_of(st.integers(-2**62, 2**62),
+                               st.text(max_size=12)),
+                     min_size=0, max_size=30),
+            min_size=1, max_size=6),
+    )
+    def check(member_vals):
+        work = tempfile.mkdtemp()
+        try:
+            table = os.path.join(work, "t")
+            os.makedirs(V._chunks_root(table), exist_ok=True)
+            part = [f"f{i}.parquet" for i in range(len(member_vals))]
+            blooms = {
+                f: {"k": V._bloom_b64(
+                    pd.Series(vals, dtype="object").astype(str),
+                    integral=False)}
+                for f, vals in zip(part, member_vals)
+            }
+            wrote = V._write_chunk_blm(table, "c1", part, blooms,
+                                       {f: 1 for f in part})
+            assert wrote
+            ch = {"id": "c1", "n": len(part)}
+            for f, vals in zip(part, member_vals):
+                for v in vals:
+                    got = V._blm_probe(table, ch, [("k", "=", v)])
+                    assert got is not None
+                    assert f in got[0], (
+                        f"chunk-bloom false negative: {v!r} in {f}")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    check()
+
+
+def test_vacuum_sidecar_reads_are_o_distinct_chunks(
+        spark, tmp_path, tiny_chunks, monkeypatch):
+    """r5 verdict #7: vacuum's refcounting reads CORES plus each
+    DISTINCT sidecar once — pinning many tags/branches at the same
+    history must not multiply sidecar loads (the old
+    read_manifest-per-snapshot materialization was O(refs x chunks))."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_clustered(spark), table, stats_cols=["k"])
+    for i in range(4):
+        V.append_snapshot(
+            spark.createDataFrame([(1000 + i, "a")], "k int, v string"),
+            table)
+        V.tag_snapshot(table, f"tag{i}")  # pins every snapshot
+    V.append_snapshot(
+        spark.createDataFrame([(2000, "b")], "k int, v string"),
+        table, branch="stage")  # plus a staged branch head
+
+    croot = V._chunks_root(table)
+    distinct = len([f for f in os.listdir(croot)
+                    if f.endswith(".json")])
+    counter = _ChunkReadCounter(monkeypatch)
+    V.vacuum_snapshots(table, keep=1)
+    assert counter.count <= distinct, (
+        f"vacuum loaded {counter.count} sidecars with only {distinct} "
+        "distinct chunks on disk — refs multiplied the loads")
+    # and nothing pinned was harmed: every tag still reads
+    for i in range(4):
+        assert V.read_ref(spark, table, f"tag{i}").count() > 0
+    assert V.read_ref(spark, table, "stage").count() == 200 + 4 + 1

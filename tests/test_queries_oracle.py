@@ -45,12 +45,12 @@ def test_queries_nonempty(spark, sf_dir):
 # x80 x97 xs12–xs14 x91 x90 x12 x27–x29 x32–x35 x37 x39–x43.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
-    "x36", "x38",
-    "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
-    "x106",
-    "x44", "x45", "x46", "x47", "x48", "x49", "x50", "x51", "x52",
-    "x53", "x54", "x55", "x56", "x57", "x58",
-    "x60", "x63", "x64", "x65", "x66", "x67",
+    "x107", "x108",
+    "x98", "x99", "x101", "x102", "x103", "x105", "x106",
+    "x68", "x69", "x70", "x71", "x72", "x73", "x74", "x75", "x76",
+    "x77", "x78", "x79",
+    "x81", "x82", "x83", "x84",
+    "xs5", "xs6", "xs7", "xs8", "xs9", "xs10", "xs11",
 ]
 
 

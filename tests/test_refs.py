@@ -257,3 +257,41 @@ def test_tag_snapshot_serializes_with_vacuum(spark, tmp_path):
     # lease released: the tag lands and pins as usual
     snap = V.tag_snapshot(table, "pin", wait_s=0.0)
     assert V.ref_snapshot(table, "pin") == snap
+
+
+def test_wap_staged_upsert_and_delete_publish_as_one_unit(
+        spark, tmp_path):
+    """r5 verdict #5: a WAP audit can quarantine MUTATIONS, not just
+    appends — merge_snapshot_mor(branch=) and delete_keys_mor(branch=)
+    stage on the ref, table readers see nothing (rows OR masks) until
+    publish_ref flips the pointer once."""
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k int, v string")
+    V.write_snapshot(df, table)
+
+    V.merge_snapshot_mor(
+        spark,
+        spark.createDataFrame([(3, "UPD"), (42, "NEW")],
+                              "k int, v string"),
+        table, "k", branch="audit")
+    V.delete_keys_mor(
+        spark, table, "k",
+        spark.createDataFrame([(7,)], "k int"), branch="audit")
+
+    # table readers: pristine — neither new rows nor masks leak
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(i, f"v{i}") for i in range(10)}
+
+    # audit read: upsert + delete applied on the branch head
+    staged = {(r.k, r.v)
+              for r in V.read_ref(spark, table, "audit").collect()}
+    expect = ({(i, f"v{i}") for i in range(10) if i not in (3, 7)}
+              | {(3, "UPD"), (42, "NEW")})
+    assert staged == expect
+
+    V.publish_ref(table, "audit")
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == expect
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == len(expect)

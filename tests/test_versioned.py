@@ -1633,3 +1633,98 @@ def test_vacuum_age_guards_never_referenced_pool_files(spark, tmp_path):
     for f in old_files:  # superseded-manifest files reap immediately
         assert not os.path.exists(os.path.join(root, f))
     assert V.read_current(spark, table).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (r5 verdict #6): partition spec declared once at
+# table creation, inherited by every commit, landings auto-cluster,
+# pruning works on SOURCE columns with no caller-side layout calls.
+# ---------------------------------------------------------------------------
+
+
+def _spec_df(spark, n=2000):
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1 + (i % 5), 3, 0, 0), i % 97,
+             float(i)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_partition_spec_clusters_and_prunes(spark, tmp_path):
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    # pin partition count for the layout assertion (AQE coalesces tiny
+    # test batches to one file, which is right in prod but untestable)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        snap = V.write_snapshot(
+            _spec_df(spark), table,
+            partition_spec=["days(ts)", "bucket(8, user_id)"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    man = V.read_manifest(table, snap)
+    assert man["partition_spec"] == [
+        {"transform": "days", "col": "ts"},
+        {"transform": "bucket", "n": 8, "col": "user_id"}]
+    # auto-enrollment: days -> stats, bucket -> blooms
+    assert "ts" in (man["stats_cols"] or [])
+    assert "user_id" in (man["bloom_cols"] or [])
+    assert len(man["files"]) > 2
+    # span pruning on the SOURCE column: a 1-of-5-days window keeps a
+    # strict subset of files and the exact rows
+    rep = V.prune_report(
+        table, snap,
+        [("ts", ">=", dt.datetime(2024, 1, 3)),
+         ("ts", "<", dt.datetime(2024, 1, 4))])
+    assert 0 < len(rep["kept"]) < rep["total"]
+    got = V.read_snapshot(
+        spark, table, snap,
+        predicates=[("ts", ">=", dt.datetime(2024, 1, 3)),
+                    ("ts", "<", dt.datetime(2024, 1, 4))]).count()
+    assert got == 400
+    # bloom pruning for the bucket transform
+    rep = V.prune_report(table, snap, [("user_id", "=", 7)])
+    assert len(rep["kept"]) < rep["total"]
+    assert V.read_snapshot(
+        spark, table, snap,
+        predicates=[("user_id", "=", 7)]).count() == \
+        sum(1 for i in range(2000) if i % 97 == 7)
+
+
+def test_partition_spec_inherited_by_append_and_mor(spark, tmp_path):
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    spec = ["days(ts)"]
+    V.write_snapshot(_spec_df(spark, 500), table, partition_spec=spec)
+    s2 = V.append_snapshot(_spec_df(spark, 100), table)
+    assert V._read_core(table, s2)["partition_spec"] == [
+        {"transform": "days", "col": "ts"}]
+    s3 = V.merge_snapshot_mor(
+        spark, _spec_df(spark, 10), table, "event_id")
+    assert V._read_core(table, s3)["partition_spec"] == [
+        {"transform": "days", "col": "ts"}]
+    # a full refresh REDEFINES (here: drops) the spec
+    s4 = V.write_snapshot(_spec_df(spark, 50), table)
+    assert V._read_core(table, s4)["partition_spec"] is None
+    # and pre-spec batches lacking a spec column still land
+    V.write_snapshot(_spec_df(spark, 50), table,
+                     partition_spec=["days(ts)"])
+    s5 = V.append_snapshot(
+        spark.createDataFrame([(999999, 1.0)],
+                              "event_id long, value double"), table)
+    assert V.read_snapshot(spark, table, s5).count() == 51
+
+
+def test_partition_spec_validation(spark, tmp_path):
+    table = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="not in schema"):
+        V.write_snapshot(_spec_df(spark, 10), table,
+                         partition_spec=["days(nope)"])
+    with pytest.raises(ValueError, match="unsupported"):
+        V.write_snapshot(_spec_df(spark, 10), table,
+                         partition_spec=["zorder(ts, user_id)"])

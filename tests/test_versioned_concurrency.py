@@ -378,3 +378,124 @@ def test_optimize_compacts_through_interposed_append(spark, tmp_path,
     assert not err, err
     assert res and res[0]["compacted"]
     assert V.read_current(spark, table).count() == 31
+
+
+def test_mor_upsert_and_cow_merge_different_keys_both_commit(
+        spark, tmp_path, monkeypatch):
+    """r5 verdict #3, the Done shape: a MOR upsert stages its files
+    with NO lease held, so a concurrent COW merge (which holds the
+    lease for its whole mutation) on different keys proceeds
+    unblocked; the upsert's publish then REBASES over the interposed
+    merge — one recount against the new head — and BOTH commit."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)]).repartition(8),
+        table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+    done: list[str] = []
+
+    def upserter():
+        try:
+            done.append(V.merge_snapshot_mor(
+                spark, _df(spark, [(1, "mor"), (100, "mor")]),
+                table, "k"))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=upserter)
+    t.start()
+    assert pause.landed.wait(60)  # upsert staged files, NO lease held
+
+    # COW merge on DIFFERENT keys runs to completion while the MOR
+    # writer is mid-staging — it would deadlock here if the upsert
+    # still held the lease through its landing.
+    merged = V.merge_snapshot(
+        spark, _df(spark, [(2, "cow")]), table, "k")
+    assert V.current_snapshot(table) == merged
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    assert done and V.current_snapshot(table) == done[0]
+
+    man = V.read_manifest(table, done[0])
+    assert man["op"] == "merge-mor"
+    assert man["parent"] == merged  # rebased onto the COW merge
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    expect = {(i, "base") for i in range(40) if i not in (1, 2)}
+    expect |= {(1, "mor"), (2, "cow"), (100, "mor")}
+    assert got == expect
+    assert man["rows"] == len(expect)  # decrement recounted at head
+
+
+def test_mor_delete_rebases_over_interposed_matching_append(
+        spark, tmp_path, monkeypatch):
+    """A MOR delete staged before an append of the SAME key must still
+    mask the appended row (the mask sequences at the PUBLISH
+    generation) and its row accounting must include it (the
+    incremental recount over just the appended files)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(10)]), table,
+        stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def deleter():
+        try:
+            V.delete_keys_mor(spark, table, "k",
+                              _df(spark, [(3, "x")]))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=deleter)
+    t.start()
+    assert pause.landed.wait(60)  # delete file landed, lease-free
+
+    V.append_snapshot(_df(spark, [(3, "late"), (77, "late")]), table)
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    expect = ({(i, "base") for i in range(10) if i != 3}
+              | {(77, "late")})
+    assert got == expect, "appended k=3 must be masked too"
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["op"] == "delete-mor"
+    assert man["rows"] == len(expect)  # both copies of k=3 decremented
+
+
+def test_mor_upsert_conflicts_on_interposed_full_refresh(
+        spark, tmp_path, monkeypatch):
+    """A full refresh is a semantic barrier: the staged batch was
+    computed against content that no longer exists — conflict, never
+    a silent apply onto the new table."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def upserter():
+        try:
+            V.merge_snapshot_mor(
+                spark, _df(spark, [(1, "mor")]), table, "k")
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=upserter)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.write_snapshot(_df(spark, [(9, "refreshed")]), table)
+
+    pause.resume.set()
+    t.join(60)
+    assert err and isinstance(err[0], V.CommitConflictError), err
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(9, "refreshed")}
