@@ -526,6 +526,14 @@ def cmd_table(args) -> int:
         return 0
     else:
         df = spark.read.parquet(args.input)
+        if args.branch and not (
+                args.op == "append"
+                or (args.op in ("merge", "delete-keys") and args.mor)):
+            raise SystemExit(  # fail fast: silently publishing to
+                f"table {args.op}: --branch requires a stageable "
+                "op (append, merge --mor, delete-keys --mor) — "
+                "copy-on-write ops cannot quarantine")  # CURRENT would
+            # defeat the write-audit-publish contract the flag promises
         if args.op == "write":
             def col_list(raw, flag):
                 if not raw:
@@ -538,21 +546,27 @@ def cmd_table(args) -> int:
                         f"input columns {df.columns}")
                 return cols
 
+            spec = ([s.strip() for s in
+                     args.partition_spec.split(";") if s.strip()]
+                    if args.partition_spec else None)
             snap = V.write_snapshot(
                 df, args.table,
                 stats_cols=col_list(args.stats_cols, "--stats-cols"),
-                bloom_cols=col_list(args.bloom_cols, "--bloom-cols"))
+                bloom_cols=col_list(args.bloom_cols, "--bloom-cols"),
+                partition_spec=spec)
         elif args.op == "append":
             snap = V.append_snapshot(df, args.table, branch=args.branch,
                                      txn_id=args.txn_id)
         elif args.op == "merge" and args.mor:
             snap = V.merge_snapshot_mor(spark, df, args.table,
-                                        args.key, txn_id=args.txn_id)
+                                        args.key, txn_id=args.txn_id,
+                                        branch=args.branch)
         elif args.op == "merge":
             snap = V.merge_snapshot(spark, df, args.table, args.key,
                                     txn_id=args.txn_id)
         elif args.mor:  # delete-keys, merge-on-read shape
-            snap = V.delete_keys_mor(spark, args.table, args.key, df)
+            snap = V.delete_keys_mor(spark, args.table, args.key, df,
+                                     branch=args.branch)
         else:  # delete-keys, copy-on-write shape
             snap = V.delete_keys_snapshot(spark, args.table,
                                           args.key, df)
@@ -654,6 +668,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list: record per-file [min,max] "
                     "manifest stats at write (enables metadata file "
                     "pruning on later reads and merges)")
+    tb.add_argument("--partition-spec", default=None,
+                    help="hidden partitioning for op=write, "
+                    "';'-separated transforms, e.g. "
+                    "'days(ts);bucket(8, user_id)' — landings "
+                    "auto-cluster, source cols auto-enroll in "
+                    "stats/blooms (sinks/versioned.py)")
     tb.add_argument("--bloom-cols", default=None,
                     help="comma list (string/integral columns): "
                     "record per-file equality blooms at write — "
@@ -667,9 +687,12 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--txn-id", default=None,
                     help="exactly-once append stamp (replays no-op)")
     tb.add_argument("--branch", default=None,
-                    help="append: stage on this named ref instead of "
-                    "CURRENT (write-audit-publish); publish with "
-                    "'table publish --name'")
+                    help="append / merge --mor / delete-keys --mor: "
+                    "stage on this named ref instead of CURRENT "
+                    "(write-audit-publish); publish with "
+                    "'table publish --name'. Rejected for COW ops "
+                    "(write, plain merge/delete-keys) — they cannot "
+                    "stage.")
     tb.add_argument("--name", default=None,
                     help="ref name (tag/publish/rollback)")
     tb.add_argument("--snapshot", default=None,

@@ -116,33 +116,40 @@ def zorder_key(cols_with_bounds: list[tuple[Column, list[float]]],
     return key
 
 
-def write_zordered(df: DataFrame, path: str, cols: list[str],
-                   n_files: int, bits: int = 6,
-                   mode: str = "overwrite") -> None:
-    """Write parquet z-ordered on `cols`.
+def zorder_cluster(df: DataFrame, cols: list[str], bits: int = 6,
+                   n_partitions: int | None = None) -> DataFrame:
+    """Range-cluster `df` by the Morton key of `cols` (quantile
+    bounds from ONE `approxQuantile` pass — the list form computes
+    every column's bounds in a single input scan; the driver holds
+    only the 2^bits boundary values per column). The quantization and
+    bit-interleave are row-local expressions; the only data movement
+    is the final range shuffle on the key (AQE-sized when
+    ``n_partitions`` is None). Shared by `write_zordered` and the
+    versioned tables' ``zorder(...)`` partition-spec transform so the
+    bucketing recipe cannot drift between them."""
+    import uuid
 
-    Quantile bounds come from one `approxQuantile` pass (driver holds
-    only the 2^bits boundary values per column — the same bounded
-    sample-to-driver step every z-order implementation performs); the
-    quantization and bit-interleave are then row-local expressions, and
-    the only data movement is the final range shuffle on the key.
-    """
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # One approxQuantile call for ALL columns — the list form computes
-    # every column's bounds in a single input scan; per-column calls
-    # would each rescan the full input before the write starts.
     all_bounds = df.approxQuantile(list(cols), qs, 0.01)
     with_bounds = list(zip((F.col(c) for c in cols), all_bounds))
     key = zorder_key(with_bounds, bits=bits)
-    (
-        df.withColumn("_zkey", key)
-        .repartitionByRange(n_files, F.col("_zkey"))
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    # uuid-suffixed temp column: a user column literally named _zkey
+    # must survive the round trip untouched
+    tmp = f"_zkey_{uuid.uuid4().hex[:8]}"
+    out = df.withColumn(tmp, key)
+    out = (out.repartitionByRange(n_partitions, F.col(tmp))
+           if n_partitions is not None
+           else out.repartitionByRange(F.col(tmp)))
+    return out.sortWithinPartitions(tmp).drop(tmp)
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   n_files: int, bits: int = 6,
+                   mode: str = "overwrite") -> None:
+    """Write parquet z-ordered on `cols` (see `zorder_cluster`)."""
+    zorder_cluster(df, cols, bits=bits,
+                   n_partitions=n_files).write.mode(mode).parquet(path)
 
 
 def restore_interrupted_swap(path: str) -> bool:

@@ -1080,8 +1080,16 @@ def _blm_probe(table: str, ch: dict, eq_preds: list[tuple]
                 meta = (header.get("cols") or {}).get(col)
                 if meta is None:
                     return None  # column not sliced: inconclusive
-                batch = list(val) if not isinstance(val, (int, str)) \
-                    else [val]
+                # scalars (op "=") wrap; collections (op "in" —
+                # list/tuple/set/frozenset/_InProbe) iterate. A
+                # float/bool/date literal must fall through to
+                # _blm_hash_batch's type gate (inconclusive -> sidecar
+                # path), never TypeError out of the planner.
+                if (isinstance(val, (str, bytes))
+                        or not hasattr(val, "__iter__")):
+                    batch = [val]
+                else:
+                    batch = list(val)
                 if len(batch) > _BLM_PROBE_MAX_VALUES:
                     return None
                 hashed = _blm_hash_batch(batch)
@@ -1963,12 +1971,22 @@ def _parse_partition_spec(spec: list[str]) -> list[dict]:
         elif name == "truncate" and len(args) == 2:
             out.append({"transform": "truncate", "w": int(args[0]),
                         "col": args[1]})
+        elif name == "zorder" and len(args) >= 2:
+            out.append({"transform": "zorder", "cols": args})
         else:
             raise ValueError(
                 f"unsupported partition transform {s!r} (supported: "
                 "identity, days, hours, months, bucket(n, col), "
-                "truncate(w, col))")
+                "truncate(w, col), zorder(a, b, ...))")
+    if (any(e["transform"] == "zorder" for e in out)
+            and len(out) > 1):
+        raise ValueError(
+            "zorder is a whole-layout transform — declare it alone")
     return out
+
+
+def _spec_source_cols(e: dict) -> list[str]:
+    return e["cols"] if e["transform"] == "zorder" else [e["col"]]
 
 
 def _partition_exprs(spec: list[dict]) -> list[Column]:
@@ -1991,8 +2009,8 @@ def _partition_exprs(spec: list[dict]) -> list[Column]:
     return exprs
 
 
-def _cluster_to_spec(df: DataFrame, spec: list[dict] | None
-                     ) -> DataFrame:
+def _cluster_to_spec(df: DataFrame, spec: list[dict] | None,
+                     n_partitions: int | None = None) -> DataFrame:
     """Cluster a landing batch to the table's partition spec: RANGE-
     repartition by the transform values — consecutive transform tuples
     land in the same or adjacent files, so per-file [min, max] spans
@@ -2006,11 +2024,27 @@ def _cluster_to_spec(df: DataFrame, spec: list[dict] | None
     if not spec:
         return df
     present = {f.name for f in df.schema.fields}
-    live = [e for e in spec if e["col"] in present]
+    live = [e for e in spec
+            if all(c in present for c in _spec_source_cols(e))]
     if not live:
         return df
-    return (df.repartitionByRange(*_partition_exprs(live))
-            .sortWithinPartitions(*[e["col"] for e in live]))
+    if live[0]["transform"] == "zorder":
+        # Morton-interleaved multi-column clustering: per-batch
+        # quantile bounds (one approxQuantile pass over the landing's
+        # own rows — batch-bound, like every z-order implementation),
+        # then a range shuffle on the interleaved key. Every file gets
+        # a tight [min, max] on EVERY participating column at once.
+        from mc_ns_data_pipeline_spark.sinks.layout import (
+            zorder_cluster,
+        )
+
+        return zorder_cluster(df, live[0]["cols"],
+                              n_partitions=n_partitions)
+    exprs = _partition_exprs(live)
+    out = (df.repartitionByRange(n_partitions, *exprs)
+           if n_partitions is not None
+           else df.repartitionByRange(*exprs))
+    return out.sortWithinPartitions(*[e["col"] for e in live])
 
 
 def _spec_auto_cols(spec: list[dict] | None,
@@ -2028,8 +2062,10 @@ def _spec_auto_cols(spec: list[dict] | None,
         if e["transform"] == "bucket":
             if e["col"] not in blooms:
                 blooms.append(e["col"])
-        elif e["col"] not in stats:
-            stats.append(e["col"])
+        else:
+            for c in _spec_source_cols(e):
+                if c not in stats:
+                    stats.append(c)
     return (stats or None), (blooms or None)
 
 
@@ -2061,11 +2097,21 @@ def write_snapshot(df: DataFrame, table: str,
     spec = (_parse_partition_spec(partition_spec)
             if partition_spec else None)
     if spec:
-        missing = [e["col"] for e in spec
-                   if e["col"] not in {f.name for f in df.schema.fields}]
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        missing = [c for e in spec for c in _spec_source_cols(e)
+                   if c not in fields]
         if missing:
             raise ValueError(
                 f"partition spec columns not in schema: {missing}")
+        numeric = ("byte", "short", "integer", "long", "float",
+                   "double", "decimal")
+        bad = [c for e in spec if e["transform"] == "zorder"
+               for c in e["cols"]
+               if not fields[c].typeName().startswith(numeric)]
+        if bad:
+            raise ValueError(
+                f"zorder columns must be numeric (quantile "
+                f"bucketing): {bad}")
         stats_cols, bloom_cols = _spec_auto_cols(spec, stats_cols,
                                                  bloom_cols)
         df = _cluster_to_spec(df, spec)
@@ -2266,9 +2312,17 @@ def compact_snapshot(spark: SparkSession, table: str,
         raise NoCurrentSnapshotError(table)
     base_man = read_manifest(table, base)
     cur = read_snapshot(spark, table, base)
+    spec = base_man.get("partition_spec")
     if sort_col is not None:
         cur = cur.repartitionByRange(
             target_files, sort_col).sortWithinPartitions(sort_col)
+    elif spec:
+        # a table with hidden partitioning re-clusters to its spec:
+        # compaction must RESTORE the layout pruning depends on, not
+        # flatten it into arrival order — and still honor the
+        # `target_files` cap (an uncapped range shuffle would emit
+        # shuffle-partition-count files: anti-compaction).
+        cur = _cluster_to_spec(cur, spec, n_partitions=target_files)
     else:
         cur = cur.coalesce(target_files)
     stats_cols = base_man.get("stats_cols")
@@ -3217,7 +3271,8 @@ def run_stream_append(spark: SparkSession, events_path: str,
 
 def run_stream_upsert(spark: SparkSession, events_path: str,
                       table: str, checkpoint_dir: str, key: str,
-                      app_id: str = "stream_upsert") -> None:
+                      app_id: str = "stream_upsert",
+                      branch: str | None = None) -> None:
     """Land a stream into a versioned table as exactly-once UPSERTS:
     foreachBatch → ``merge_snapshot_mor`` stamped
     ``f"{app_id}:{batch_id}"``. Each micro-batch commits its rows plus
@@ -3229,7 +3284,12 @@ def run_stream_upsert(spark: SparkSession, events_path: str,
     cadence). The streaming checkpoint dedups offsets across restarts;
     the txn stamp dedups the one batch a crash can replay after its
     commit already flipped (same exactly-once pair as
-    ``run_stream_append``)."""
+    ``run_stream_append``).
+
+    ``branch`` quarantines the upsert stream on a named ref (same
+    write-audit-publish contract as ``run_stream_append(branch=)``):
+    each micro-batch's rows AND mask stage invisibly until
+    ``publish_ref`` promotes the audited head."""
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         _events_stream,
     )
@@ -3239,7 +3299,8 @@ def run_stream_upsert(spark: SparkSession, events_path: str,
         .writeStream.outputMode("append")
         .foreachBatch(
             lambda df, bid: merge_snapshot_mor(
-                spark, df, table, key, txn_id=f"{app_id}:{bid}")
+                spark, df, table, key, txn_id=f"{app_id}:{bid}",
+                branch=branch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -421,3 +421,49 @@ def test_table_wap_and_rollback_cli(spark, tmp_path):
                  "--input", land([(7, "post")], "b3")]) == 0
     assert {r.k for r in V.read_current(spark, table).collect()} \
         == {1, 7}
+
+
+def test_table_write_partition_spec_cli(spark, tmp_path):
+    """`table write --partition-spec` declares hidden partitioning;
+    a later CLI append inherits it with no extra flags."""
+    import datetime as dt
+
+    from mc_ns_data_pipeline_spark.cli import main
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    base = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 3), i % 11)
+         for i in range(300)],
+        "k long, ts timestamp, user_id long").write.parquet(base)
+    table = str(tmp_path / "tbl")
+    assert main(["table", "write", "--table", table, "--input", base,
+                 "--partition-spec",
+                 "days(ts);bucket(4, user_id)"]) == 0
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["partition_spec"] == [
+        {"transform": "days", "col": "ts"},
+        {"transform": "bucket", "n": 4, "col": "user_id"}]
+    assert main(["table", "append", "--table", table,
+                 "--input", base]) == 0
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["partition_spec"] is not None
+    assert V.read_current(spark, table).count() == 600
+
+
+def test_cli_branch_rejected_for_cow_ops(spark, tmp_path):
+    """--branch on a COW op must fail fast — silently publishing to
+    CURRENT would defeat the quarantine the flag promises."""
+    import pytest
+
+    from mc_ns_data_pipeline_spark.cli import main
+
+    base = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a")], "k long, v string") \
+        .write.parquet(base)
+    with pytest.raises(SystemExit, match="stageable"):
+        main(["table", "write", "--table", str(tmp_path / "t"),
+              "--input", base, "--branch", "q"])
+    with pytest.raises(SystemExit, match="stageable"):
+        main(["table", "merge", "--table", str(tmp_path / "t"),
+              "--input", base, "--key", "k", "--branch", "q"])

@@ -446,3 +446,21 @@ def test_vacuum_sidecar_reads_are_o_distinct_chunks(
     for i in range(4):
         assert V.read_ref(spark, table, f"tag{i}").count() > 0
     assert V.read_ref(spark, table, "stage").count() == 200 + 4 + 1
+
+
+def test_chunked_blm_non_canonical_literal_falls_back(
+        spark, tmp_path, tiny_chunks):
+    """A float/bool equality literal on a bloom column must fall back
+    to the sidecar path (blooms only answer int/str membership), never
+    crash the planner or skip a matching file."""
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(_unclustered(spark), table,
+                            stats_cols=["k"], bloom_cols=["k"])
+    # float literal: k = 42.0 matches int 42 in Spark semantics
+    got = V.read_snapshot(spark, table, snap,
+                          predicates=[("k", "=", 42.0)]).collect()
+    assert [(r.k, r.v) for r in got] == [(42, "v42")]
+    # and planning stayed conservative: a non-canonical literal can't
+    # probe blooms, so NOTHING may be pruned (spans are unclustered)
+    rep = V.prune_report(table, snap, [("k", "=", 42.0)])
+    assert len(rep["kept"]) == rep["total"]

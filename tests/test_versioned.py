@@ -1727,4 +1727,127 @@ def test_partition_spec_validation(spark, tmp_path):
                          partition_spec=["days(nope)"])
     with pytest.raises(ValueError, match="unsupported"):
         V.write_snapshot(_spec_df(spark, 10), table,
+                         partition_spec=["hilbert(ts, user_id)"])
+    with pytest.raises(ValueError, match="numeric"):
+        V.write_snapshot(_spec_df(spark, 10), table,
                          partition_spec=["zorder(ts, user_id)"])
+
+
+def test_compaction_restores_partition_spec_clustering(spark, tmp_path):
+    """OPTIMIZE on a hidden-partitioned table must re-cluster to the
+    spec (and keep the spec in the manifest) — otherwise maintenance
+    would silently flatten the layout pruning depends on."""
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_spec_df(spark, 400), table,
+                     partition_spec=["days(ts)"])
+    for i in range(4):  # small appends shatter the layout
+        V.append_snapshot(_spec_df(spark, 50), table)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        snap = V.compact_snapshot(spark, table, target_files=5)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    man = V.read_manifest(table, snap)
+    assert man["partition_spec"] == [
+        {"transform": "days", "col": "ts"}]  # spec inherited
+    rep = V.prune_report(
+        table, snap,
+        [("ts", ">=", dt.datetime(2024, 1, 3)),
+         ("ts", "<", dt.datetime(2024, 1, 4))])
+    assert 0 < len(rep["kept"]) < rep["total"], (
+        "compacted files must be day-clustered again")
+    assert V.read_snapshot(
+        spark, table, snap,
+        predicates=[("ts", ">=", dt.datetime(2024, 1, 3)),
+                    ("ts", "<", dt.datetime(2024, 1, 4))]).count() \
+        == 80 + 4 * 10
+
+
+def test_stream_upsert_stages_on_branch_until_published(
+        spark, sf_dir, tmp_path):
+    """WAP streaming UPSERT: each micro-batch's rows AND mask stage on
+    the branch; the table is pristine until publish, then reads as
+    latest-version-per-key."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+
+    table = str(tmp_path / "vt")
+    seed = spark.createDataFrame([(-1, "seed")],
+                                 "event_id long, v string")
+    V.write_snapshot(seed, table)
+    ckpt = str(tmp_path / "ckpt")
+    events = f"{sf_dir}/events.parquet"
+    V.run_stream_upsert(spark, events, table, ckpt, key="event_id",
+                        branch="quarantine")
+    assert V.read_current(spark, table).count() == 1  # invisible
+    n_keys = (load_table(spark, sf_dir, "events")
+              .select("event_id").distinct().count())
+    staged = V.read_ref(spark, table, "quarantine").count()
+    assert staged == 1 + n_keys  # seed key -1 is no event_id
+
+    V.publish_ref(table, "quarantine")
+    assert V.read_current(spark, table).count() == 1 + n_keys
+
+
+def test_partition_spec_zorder_prunes_both_dimensions(spark, tmp_path):
+    """zorder(a, b) as a whole-layout transform: every file gets a
+    tight [min, max] on BOTH columns, so range predicates on either
+    dimension prune — multi-dimensional data skipping with no caller-
+    side layout calls."""
+    rows = [(i, float(i % 100), float((i * 37) % 100))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    table = str(tmp_path / "t")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        snap = V.write_snapshot(df, table,
+                                partition_spec=["zorder(a, b)"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    man = V.read_manifest(table, snap)
+    assert man["partition_spec"] == [
+        {"transform": "zorder", "cols": ["a", "b"]}]
+    assert {"a", "b"} <= set(man["stats_cols"])
+    assert len(man["files"]) > 4
+    rep_a = V.prune_report(table, snap, [("a", "<", 10.0)])
+    rep_b = V.prune_report(table, snap, [("b", "<", 10.0)])
+    assert len(rep_a["kept"]) < rep_a["total"]
+    assert len(rep_b["kept"]) < rep_b["total"]
+    got = V.read_snapshot(spark, table, snap,
+                          predicates=[("a", "<", 10.0)]).count()
+    assert got == sum(1 for _, a, _b in rows if a < 10.0)
+    with pytest.raises(ValueError, match="alone"):
+        V.write_snapshot(df, str(tmp_path / "t2"),
+                         partition_spec=["zorder(a, b)", "id"])
+
+
+def test_zorder_spec_preserves_user_zkey_column(spark, tmp_path):
+    """A user column literally named _zkey must survive zorder
+    clustering untouched (the temp key column is uuid-suffixed)."""
+    df = spark.createDataFrame(
+        [(float(i), float(i * 3 % 7), f"z{i}") for i in range(50)],
+        "a double, b double, _zkey string")
+    table = str(tmp_path / "t")
+    snap = V.write_snapshot(df, table, partition_spec=["zorder(a, b)"])
+    got = {r._zkey for r in V.read_snapshot(spark, table, snap)
+           .collect()}
+    assert got == {f"z{i}" for i in range(50)}
+
+
+def test_compact_honors_target_files_on_spec_table(spark, tmp_path):
+    """target_files caps the output of a spec-clustered compaction —
+    an uncapped range shuffle would EMIT more files than it consumed."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_spec_df(spark, 400), table,
+                     partition_spec=["days(ts)"])
+    for _ in range(5):
+        V.append_snapshot(_spec_df(spark, 40), table)
+    snap = V.compact_snapshot(spark, table, target_files=3)
+    man = V.read_manifest(table, snap)
+    assert len(man["files"]) <= 3
+    assert V.read_snapshot(spark, table, snap).count() == 600
