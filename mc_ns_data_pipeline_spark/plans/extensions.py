@@ -3666,26 +3666,29 @@ EXT_QUERIES = {
     # one rotation): q01-q18 pinned, then x107 + x108 (rule 2: WAP
     # gained staged MOR mutations this round; x108 is the new
     # partition-spec lifecycle), then 7 more rule-2 fills from the
-    # versioned block — x98/x101/x102 (chunk .blm planning + _InProbe),
-    # x103/x106 (optimistic MOR delete/upsert), x99/x105 (changelog
-    # reads over the rewritten prune/vacuum paths) — then ALL 23
-    # remaining never-driver-checked queries: x68-x79, x81-x84,
-    # xs5-xs11 (rule 3; the streaming block waited five rounds).
-    # Rotated out on unchanged driver-green r5 rows: x36 x38 x100 x104
-    # x44-x58 x60 x63-x67 (x100/x104's own code — changes_between,
-    # matview.py — is untouched this round; the shared read machinery
-    # they sit on is covered by the x99/x101/x102/x105 entrants).
-    # After this rotation ZERO queries remain without a driver row.
+    # versioned block, by DEGREE of behavioral change: x98/x100/x104
+    # (merge_snapshot / delete_keys_snapshot went OPTIMISTIC this
+    # round; x104's matview refresh rides merge_snapshot),
+    # x103/x106 (optimistic MOR delete/upsert), x101/x102 (chunk .blm
+    # planning + _InProbe) — then ALL 23 remaining never-driver-
+    # checked queries: x68-x79, x81-x84, xs5-xs11 (rule 3; the
+    # streaming block waited five rounds). Rotated out on unchanged
+    # driver-green r5 rows: x36 x38 x99 x105 x44-x58 x60 x63-x67
+    # (x99/x105's unique surfaces — read_appended_since /
+    # changes_between — are untouched this round; x105's
+    # delete_keys_mor coverage duplicates x103's, and the shared read
+    # machinery is covered by the x101/x102 entrants). After this
+    # rotation ZERO queries remain without a driver row.
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
     "x107_wap_publish": x107_wap_publish,
     "x108_partition_spec": x108_partition_spec,
     "x98_snapshot_merge": x98_snapshot_merge,
-    "x99_changelog_read": x99_changelog_read,
+    "x100_cdc_diff": x100_cdc_diff,
     "x101_pruned_read": x101_pruned_read,
     "x102_bloom_lookup": x102_bloom_lookup,
     "x103_mor_delete": x103_mor_delete,
-    "x105_changes_cdc": x105_changes_cdc,
+    "x104_incremental_view": x104_incremental_view,
     "x106_mor_upsert": x106_mor_upsert,
     "x68_source_calibration": x68_source_calibration,
     "x69_source_overlap": x69_source_overlap,
@@ -3713,8 +3716,8 @@ EXT_QUERIES = {
     # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x36_ann_recall": x36_ann_recall,
     "x38_column_profile": x38_column_profile,
-    "x100_cdc_diff": x100_cdc_diff,
-    "x104_incremental_view": x104_incremental_view,
+    "x99_changelog_read": x99_changelog_read,
+    "x105_changes_cdc": x105_changes_cdc,
     "x44_bloom_semi_join": x44_bloom_semi_join,
     "x45_corr_matrix": x45_corr_matrix,
     "x46_quantile_binning": x46_quantile_binning,

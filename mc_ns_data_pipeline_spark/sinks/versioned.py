@@ -54,13 +54,16 @@ Layout::
   rebases over interposed appends (incremental decrement over just
   their files) and over row-rewriting/masking commits (one recount
   against the new head — the key-sequenced mask stays exact), and
-  conflicts only on a full refresh. So a streaming lander, a
-  streaming MOR upserter, and a maintenance OPTIMIZE all commit, no
-  lost update. Only COW merge/delete stay pessimistic — they hold
-  the lease for the whole mutation, whose heartbeat (sinks/lease)
-  keeps long rewrites safe from TTL eviction. ``vacuum_snapshots``
-  reference-counts pool files across retained manifests (data AND
-  delete files) before deleting.
+  conflicts only on a full refresh. COW merge/delete (r6) also stage
+  lease-free and rebase over interposed appends whose files PROVABLY
+  contain no batch key (manifest spans/blooms — `_cow_rebase_guard`),
+  conflicting on anything that could stale their located affected
+  set. So a streaming lander, a streaming MOR upserter, a dimension
+  COW merge, and a maintenance OPTIMIZE all commit, no lost update;
+  every writer's lease hold is one metadata publish (the lease
+  heartbeat in sinks/lease still protects the rare long holds).
+  ``vacuum_snapshots`` reference-counts pool files across retained
+  manifests (data AND delete files) before deleting.
 * Crash safety: a crash before the flip leaves orphan pool files / an
   orphan manifest (CURRENT still names the last good snapshot; vacuum
   reaps unreferenced files once the orphan leaves the keep window). A
@@ -2541,6 +2544,69 @@ def _tombstoned_chunks(core: dict, by_chunk: dict,
     return descs
 
 
+def _cow_rebase_guard(table: str, head: str, base: str,
+                      base_core: dict, key: str,
+                      preds: list[tuple]) -> None:
+    """Validate that an optimistic COW rewrite staged against ``base``
+    may publish onto the moved ``head``: every interposed commit must
+    be an APPEND whose files PROVABLY contain no batch key — decided
+    from manifest metadata alone (the appended files' recorded spans
+    and blooms; O(interposed commits), never a data scan).
+
+    Sound because then (a) the affected set located at base is still
+    exactly the head's files holding a batch key, (b) no interposed
+    mask exists that the freshly-stamped rewritten files would escape,
+    and (c) the base-counted affected rows are still live at head.
+    Anything else — a key-overlapping (or metadata-less) append, any
+    MOR commit, a COW rewrite, a full refresh — raises
+    ``CommitConflictError``; the caller re-runs against the new head
+    (the staged files become vacuum orphans)."""
+    chain = _rebase_chain(table, head, base)
+    bad = [m["snapshot"] for m in chain if m.get("op") != "append"]
+    if bad:
+        raise CommitConflictError(
+            f"{table}: non-append commits {bad} interposed while this "
+            "COW rewrite ran — its inputs are stale; re-run against "
+            "the current head")
+    # per-file metadata of the interposed appends' own files: inline
+    # manifests carry it directly; chunked appends carry it in the
+    # sidecar(s) they appended (their chunk ids minus their parent's)
+    files: list[str] = []
+    stats: dict = {}
+    blooms: dict = {}
+    chain_parents = chain[1:] + [base_core]
+    for m, pm in zip(chain, chain_parents):
+        new = m.get("new_files") or []
+        if not new:
+            continue
+        files += new
+        if "chunks" in m:
+            parent_ids = {ch["id"] for ch in pm.get("chunks") or []}
+            for ch in m["chunks"]:
+                if ch["id"] in parent_ids:
+                    continue
+                side = _read_chunk(table, ch["id"])
+                stats.update(side.get("stats") or {})
+                blooms.update(side.get("blooms") or {})
+        else:
+            stats.update({f: v for f, v in
+                          (m.get("stats") or {}).items() if f in new})
+            blooms.update({f: v for f, v in
+                           (m.get("blooms") or {}).items() if f in new})
+    if not files:
+        return
+    sub = {"files": files, "stats": stats, "blooms": blooms,
+           "stats_cols": base_core.get("stats_cols"),
+           "bloom_cols": base_core.get("bloom_cols")}
+    kept = _prune_from_man(sub, preds)["kept"]
+    if kept:
+        raise CommitConflictError(
+            f"{table}: interposed appends may contain this batch's "
+            f"keys ({len(kept)} file(s) not ruled out by spans/blooms) "
+            "— the located affected set is stale; re-run against the "
+            "current head")
+
+
 def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
                          parent: str, key: str, keys_df: DataFrame,
                          rewrite, op: str, txn_id: str | None,
@@ -2552,9 +2618,14 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
     affected members tombstoned — commit metadata is O(chunks hit),
     never O(table). ``rewrite(affected_df)`` returns the replacement
     rows for the affected files' live rows (None = publish nothing new
-    beyond survivors)."""
-    plan = _prune_chunked(table, core,
-                          _key_batch_predicates(key, keys_df))
+    beyond survivors).
+
+    OPTIMISTIC (r6): the plan/locate/rewrite/land pipeline runs with
+    NO lease held; the publish takes the lease briefly and, if the
+    head moved, rebases through `_cow_rebase_guard` — key-disjoint
+    appends ride along, anything else conflicts."""
+    preds = _key_batch_predicates(key, keys_df)
+    plan = _prune_chunked(table, core, preds)
     candidates = plan["kept"]
     parent_schema = _schema_from_man(core)
     affected = (_affected_scan(spark, table, candidates, key, keys_df,
@@ -2582,16 +2653,36 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
     new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
                               schema if schema is not None
                               else survivors.schema)
-    descs = _tombstoned_chunks(core, plan["by_chunk"], affected)
-    return _publish(
-        table, new_files,
-        core["rows"] - affected_rows + new_rows, parent,
-        _chunk_file_count({"chunks": descs}), op=op, txn_id=txn_id,
-        new_files=new_files, schema=schema, stats=new_stats,
-        stats_cols=stats_cols, blooms=new_blooms,
-        bloom_cols=bloom_cols,
-        delete_files=core.get("delete_files"),
-        parent_chunks=descs)
+    with table_lease(table, owner=f"{op}:{key}",
+                     wait_s=_COMMIT_WAIT_S):
+        if txn_id is not None:  # decisive re-check under the lease
+            applied = _txn_already_applied(table, txn_id)
+            if applied is not None:
+                return applied
+        head = current_snapshot(table)
+        pub_core = core
+        if head != parent:
+            _cow_rebase_guard(table, head, parent, core, key, preds)
+            pub_core = _read_core(table, head)
+            if "chunks" not in pub_core:  # cannot happen under the
+                raise CommitConflictError(  # append-only guard, but
+                    f"{table}: manifest shape changed mid-rewrite")
+            if schema is not None:  # interposed appends may have
+                schema = _merge_schema(  # widened the table schema
+                    _schema_from_man(pub_core), schema)
+        descs = _tombstoned_chunks(pub_core, plan["by_chunk"],
+                                   affected)
+        return _publish(
+            table, new_files,
+            pub_core["rows"] - affected_rows + new_rows,
+            head if head is not None else parent,
+            _chunk_file_count({"chunks": descs}), op=op,
+            txn_id=txn_id,
+            new_files=new_files, schema=schema, stats=new_stats,
+            stats_cols=stats_cols, blooms=new_blooms,
+            bloom_cols=bloom_cols,
+            delete_files=pub_core.get("delete_files"),
+            parent_chunks=descs)
 
 
 def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
@@ -2606,73 +2697,109 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
     ``txn_id`` extends the append-path idempotence stamp to merges: a
     replayed merge whose commit already published is a no-op returning
     the existing snapshot (the matview refresh path rides this — its
-    stamp doubles as the source watermark)."""
+    stamp doubles as the source watermark).
+
+    OPTIMISTIC commit (r6, completing the writer matrix): the locate
+    scan, the rewrite, and the landing run with NO lease held; only
+    the metadata publish takes the lease. If the head moved, the
+    publish rebases IFF every interposed commit is an append whose
+    files provably contain no merge key (`_cow_rebase_guard` —
+    manifest spans/blooms, no data scan); anything else conflicts,
+    because the rewrite's inputs or its located affected set are
+    stale. So the common race — streaming appends landing while a
+    dimension merge rewrites — commits both sides with no lost
+    update, while overlapping writers stay serialized."""
     os.makedirs(table, exist_ok=True)
-    with table_lease(table, owner=f"merge_snapshot:{key}"):
-        if txn_id is not None:
+    if txn_id is not None:  # cheap pre-check: replays skip the work
+        applied = _txn_already_applied(table, txn_id)
+        if applied is not None:
+            return applied
+    parent = current_snapshot(table)
+    if parent is None:  # first commit: cheap, stay pessimistic
+        with table_lease(table, owner=f"merge_snapshot:{key}",
+                         wait_s=_COMMIT_WAIT_S):
+            if current_snapshot(table) is None:
+                files = _land_in_pool(updates, table)
+                rows = _count_pool_rows(spark, table, files)
+                return _publish(table, files, rows, None, 0,
+                                op="merge", txn_id=txn_id,
+                                schema=updates.schema)
+        parent = current_snapshot(table)
+
+    core = _read_core(table, parent)
+    if "chunks" in core:
+        schema = _merge_schema(_schema_from_man(core),
+                               updates.schema)
+        keys = updates.select(key).distinct()
+
+        def rewrite(affected_df):
+            if affected_df is None:
+                return updates  # pure insert batch
+            return (affected_df
+                    .join(F.broadcast(keys), key, "left_anti")
+                    .unionByName(updates,
+                                 allowMissingColumns=True))
+
+        return _cow_rewrite_chunked(spark, table, core, parent,
+                                    key, keys, rewrite, "merge",
+                                    txn_id, schema)
+    parent_man = core
+    stats_cols = parent_man.get("stats_cols")
+    parent_schema = _schema_from_man(parent_man)
+    schema = _merge_schema(parent_schema, updates.schema)
+    keys = updates.select(key).distinct()
+
+    # ---- expensive staging: NO lease held ----
+    affected_paths, untouched = _locate_affected(
+        spark, table, parent_man, key, keys)
+
+    # Rewrite: survivors of ONLY the affected files, plus updates.
+    # Affected files are read under the PARENT schema — post-
+    # evolution files keep their evolved values, pre-evolution
+    # files project NULL (inference would take whichever footer
+    # lists first and silently drop evolved columns). The read is
+    # delete-applied (_read_live): a rewritten file gets a FRESH
+    # generation, so any MOR-deleted row it still carried would
+    # escape its delete mask and resurrect.
+    if affected_paths:
+        affected = _read_live(spark, table, parent_man,
+                              affected_paths, parent_schema)
+        affected_rows = affected.count()
+        survivors = (
+            affected
+            .join(F.broadcast(keys), key, "left_anti")
+            .unionByName(updates, allowMissingColumns=True)
+        )
+    else:
+        affected_rows = 0
+        survivors = updates
+    new_files = _land_in_pool(survivors, table)
+
+    # Row count maintained incrementally — metadata upkeep scans
+    # only the touched files, never the whole table.
+    new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                          stats_cols)
+    new_blooms = _scan_blooms(spark, table, new_files,
+                              parent_man.get("bloom_cols"), schema)
+    affected_names = {os.path.basename(p) for p in affected_paths}
+
+    # ---- metadata publish: lease held briefly ----
+    with table_lease(table, owner=f"merge_snapshot:{key}",
+                     wait_s=_COMMIT_WAIT_S):
+        if txn_id is not None:  # decisive re-check under the lease
             applied = _txn_already_applied(table, txn_id)
             if applied is not None:
-                return applied
-        parent = current_snapshot(table)
-        if parent is None:
-            files = _land_in_pool(updates, table)
-            rows = _count_pool_rows(spark, table, files)
-            return _publish(table, files, rows, None, 0, op="merge",
-                            txn_id=txn_id, schema=updates.schema)
-
-        core = _read_core(table, parent)
-        if "chunks" in core:
-            schema = _merge_schema(_schema_from_man(core),
+                return applied  # lost a replay race: files orphan
+        head = current_snapshot(table)
+        if head != parent:
+            _cow_rebase_guard(table, head, parent, core, key,
+                              _key_batch_predicates(key, keys))
+            parent_man = _materialize(table, _read_core(table, head))
+            schema = _merge_schema(_schema_from_man(parent_man),
                                    updates.schema)
-            keys = updates.select(key).distinct()
-
-            def rewrite(affected_df):
-                if affected_df is None:
-                    return updates  # pure insert batch
-                return (affected_df
-                        .join(F.broadcast(keys), key, "left_anti")
-                        .unionByName(updates,
-                                     allowMissingColumns=True))
-
-            return _cow_rewrite_chunked(spark, table, core, parent,
-                                        key, keys, rewrite, "merge",
-                                        txn_id, schema)
-        parent_man = core
-        stats_cols = parent_man.get("stats_cols")
-        parent_schema = _schema_from_man(parent_man)
-        schema = _merge_schema(parent_schema, updates.schema)
-        keys = updates.select(key).distinct()
-        affected_paths, untouched = _locate_affected(
-            spark, table, parent_man, key, keys)
-
-        # Rewrite: survivors of ONLY the affected files, plus updates.
-        # Affected files are read under the PARENT schema — post-
-        # evolution files keep their evolved values, pre-evolution
-        # files project NULL (inference would take whichever footer
-        # lists first and silently drop evolved columns). The read is
-        # delete-applied (_read_live): a rewritten file gets a FRESH
-        # generation, so any MOR-deleted row it still carried would
-        # escape its delete mask and resurrect.
-        if affected_paths:
-            affected = _read_live(spark, table, parent_man,
-                                  affected_paths, parent_schema)
-            affected_rows = affected.count()
-            survivors = (
-                affected
-                .join(F.broadcast(keys), key, "left_anti")
-                .unionByName(updates, allowMissingColumns=True)
-            )
-        else:
-            affected_rows = 0
-            survivors = updates
-        new_files = _land_in_pool(survivors, table)
-
-        # Row count maintained incrementally — metadata upkeep scans
-        # only the touched files, never the whole table.
-        new_rows, new_stats = _scan_new_files(spark, table, new_files,
-                                              stats_cols)
-        new_blooms = _scan_blooms(spark, table, new_files,
-                                  parent_man.get("bloom_cols"), schema)
+            untouched = [f for f in parent_man["files"]
+                         if f not in affected_names]
+            parent = head
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
                         len(untouched), op="merge", txn_id=txn_id,
@@ -3319,42 +3446,61 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
     until vacuum, and the deletion "takes effect" atomically at the
     pointer flip. (Compliance note: the doomed rows' bytes leave disk
     when vacuum reaps the superseded snapshots, so retention `keep`
-    bounds the erasure latency.)"""
-    with table_lease(table, owner=f"delete_keys:{key}"):
-        parent = current_snapshot(table)
-        if parent is None:
-            raise NoCurrentSnapshotError(table)
-        core = _read_core(table, parent)
-        doomed_keys = doomed.select(key).distinct()
-        if "chunks" in core:
-            def rewrite(affected_df):
-                if affected_df is None:
-                    return None  # no file holds a doomed key: no-op
-                return affected_df.join(F.broadcast(doomed_keys), key,
-                                        "left_anti")
+    bounds the erasure latency.)
 
-            return _cow_rewrite_chunked(
-                spark, table, core, parent, key, doomed_keys, rewrite,
-                "delete", None, _schema_from_man(core))
-        parent_man = core
-        parent_schema = _schema_from_man(parent_man)
-        affected_paths, untouched = _locate_affected(
-            spark, table, parent_man, key, doomed_keys)
-        if not affected_paths:
-            return parent  # nothing to forget: current stays
-        stats_cols = parent_man.get("stats_cols")
-        affected = _read_live(spark, table, parent_man, affected_paths,
-                              parent_schema)  # schema'd + MOR-applied:
-        affected_rows = affected.count()      # see merge_snapshot
-        survivors = affected.join(F.broadcast(doomed_keys), key,
-                                  "left_anti")
-        new_files = _land_in_pool(survivors, table)
-        new_rows, new_stats = _scan_new_files(spark, table, new_files,
-                                              stats_cols)
-        new_blooms = _scan_blooms(
-            spark, table, new_files, parent_man.get("bloom_cols"),
-            parent_schema if parent_schema is not None
-            else survivors.schema)
+    OPTIMISTIC commit (r6): locate/rewrite/land run lease-free; the
+    publish rebases over key-disjoint interposed appends and
+    conflicts on anything else (same `_cow_rebase_guard` contract as
+    `merge_snapshot`)."""
+    parent = current_snapshot(table)
+    if parent is None:
+        raise NoCurrentSnapshotError(table)
+    core = _read_core(table, parent)
+    doomed_keys = doomed.select(key).distinct()
+    if "chunks" in core:
+        def rewrite(affected_df):
+            if affected_df is None:
+                return None  # no file holds a doomed key: no-op
+            return affected_df.join(F.broadcast(doomed_keys), key,
+                                    "left_anti")
+
+        return _cow_rewrite_chunked(
+            spark, table, core, parent, key, doomed_keys, rewrite,
+            "delete", None, _schema_from_man(core))
+    parent_man = core
+    parent_schema = _schema_from_man(parent_man)
+
+    # ---- expensive staging: NO lease held ----
+    affected_paths, untouched = _locate_affected(
+        spark, table, parent_man, key, doomed_keys)
+    if not affected_paths:
+        return parent  # nothing to forget: current stays
+    stats_cols = parent_man.get("stats_cols")
+    affected = _read_live(spark, table, parent_man, affected_paths,
+                          parent_schema)  # schema'd + MOR-applied:
+    affected_rows = affected.count()      # see merge_snapshot
+    survivors = affected.join(F.broadcast(doomed_keys), key,
+                              "left_anti")
+    new_files = _land_in_pool(survivors, table)
+    new_rows, new_stats = _scan_new_files(spark, table, new_files,
+                                          stats_cols)
+    new_blooms = _scan_blooms(
+        spark, table, new_files, parent_man.get("bloom_cols"),
+        parent_schema if parent_schema is not None
+        else survivors.schema)
+    affected_names = {os.path.basename(p) for p in affected_paths}
+
+    # ---- metadata publish: lease held briefly ----
+    with table_lease(table, owner=f"delete_keys:{key}",
+                     wait_s=_COMMIT_WAIT_S):
+        head = current_snapshot(table)
+        if head != parent:
+            _cow_rebase_guard(table, head, parent, core, key,
+                              _key_batch_predicates(key, doomed_keys))
+            parent_man = _materialize(table, _read_core(table, head))
+            untouched = [f for f in parent_man["files"]
+                         if f not in affected_names]
+            parent = head
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
                         len(untouched), op="delete",

@@ -46,7 +46,7 @@ def test_queries_nonempty(spark, sf_dir):
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x107", "x108",
-    "x98", "x99", "x101", "x102", "x103", "x105", "x106",
+    "x98", "x100", "x101", "x102", "x103", "x104", "x106",
     "x68", "x69", "x70", "x71", "x72", "x73", "x74", "x75", "x76",
     "x77", "x78", "x79",
     "x81", "x82", "x83", "x84",

@@ -499,3 +499,155 @@ def test_mor_upsert_conflicts_on_interposed_full_refresh(
     assert err and isinstance(err[0], V.CommitConflictError), err
     got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
     assert got == {(9, "refreshed")}
+
+
+def test_cow_merge_rebases_over_disjoint_append(spark, tmp_path,
+                                                monkeypatch):
+    """r6: a COW merge stages lease-free; an append of PROVABLY
+    key-disjoint rows (manifest spans rule them out) lands mid-rewrite
+    and the merge REBASES — both commit, appended rows survive."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)]).repartition(8),
+        table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+    done: list[str] = []
+
+    def merger():
+        try:
+            done.append(V.merge_snapshot(
+                spark, _df(spark, [(3, "UPD")]), table, "k"))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=merger)
+    t.start()
+    assert pause.landed.wait(60)  # rewrite landed, NO lease held
+
+    appended = V.append_snapshot(
+        _df(spark, [(500 + i, "mid") for i in range(3)]), table)
+    assert V.current_snapshot(table) == appended
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    man = V.read_manifest(table, done[0])
+    assert man["op"] == "merge" and man["parent"] == appended
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    expect = ({(i, "base") for i in range(40) if i != 3}
+              | {(3, "UPD")} | {(500 + i, "mid") for i in range(3)})
+    assert got == expect
+    assert man["rows"] == len(expect)
+
+
+def test_cow_merge_conflicts_on_overlapping_append(spark, tmp_path,
+                                                   monkeypatch):
+    """An interposed append whose span CAN contain a merge key makes
+    the located affected set stale — the merge must conflict, never
+    silently drop the appended row's update."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)]).repartition(8),
+        table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def merger():
+        try:
+            V.merge_snapshot(spark, _df(spark, [(3, "UPD")]),
+                             table, "k")
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=merger)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.append_snapshot(_df(spark, [(3, "dup")]), table)  # same key!
+
+    pause.resume.set()
+    t.join(60)
+    assert err and isinstance(err[0], V.CommitConflictError), err
+    # the table still holds the append's row; re-running the merge
+    # against the new head converges
+    V.merge_snapshot(spark, _df(spark, [(3, "UPD")]), table, "k")
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == ({(i, "base") for i in range(40) if i != 3}
+                   | {(3, "UPD")})
+
+
+def test_cow_delete_conflicts_on_interposed_mor(spark, tmp_path,
+                                                monkeypatch):
+    """A COW delete racing a MOR commit conflicts (the rewrite's
+    mask-applied inputs are stale) instead of resurrecting rows."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(20)]).repartition(4),
+        table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def deleter():
+        try:
+            V.delete_keys_snapshot(spark, table, "k",
+                                   _df(spark, [(3, "x")]))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=deleter)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(7, "x")]))
+
+    pause.resume.set()
+    t.join(60)
+    assert err and isinstance(err[0], V.CommitConflictError), err
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == set(range(20)) - {7}  # MOR delete intact
+
+
+def test_chunked_cow_merge_rebases_over_disjoint_append(
+        spark, tmp_path, monkeypatch):
+    """Same rebase contract through the CHUNKED COW engine: the
+    publish reuses the head's descriptors (including the interposed
+    append's new sidecar) with the rewritten members tombstoned."""
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", 6)
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_SIZE", 4)
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(40)])
+        .repartitionByRange(8, "k"), table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+    done: list[str] = []
+
+    def merger():
+        try:
+            done.append(V.merge_snapshot(
+                spark, _df(spark, [(3, "UPD")]), table, "k"))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=merger)
+    t.start()
+    assert pause.landed.wait(60)
+
+    appended = V.append_snapshot(
+        _df(spark, [(900, "mid")]), table)
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    core = V._read_core(table, done[0])
+    assert core["op"] == "merge" and core["parent"] == appended
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    expect = ({(i, "base") for i in range(40) if i != 3}
+              | {(3, "UPD"), (900, "mid")})
+    assert got == expect
+    assert core["rows"] == len(expect)
