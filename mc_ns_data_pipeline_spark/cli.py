@@ -436,6 +436,13 @@ def cmd_table(args) -> int:
         need("--group-cols", args.group_cols)
         need("--sum-cols", args.sum_cols)
 
+    if args.op == "set-spec":  # metadata-only: no Spark session
+        spec = ([x.strip() for x in args.partition_spec.split(";")
+                 if x.strip()] if args.partition_spec else None)
+        snap = V.set_partition_spec(args.table, spec)
+        print(f"set-spec: published {snap} "
+              f"({'dropped' if not spec else ';'.join(spec)})")
+        return 0
     if args.op == "tag":  # metadata-only: no Spark session
         snap = V.tag_snapshot(args.table, need("--name", args.name),
                               snapshot=args.snapshot)
@@ -657,7 +664,7 @@ def build_parser() -> argparse.ArgumentParser:
                                    "history", "consume",
                                    "view-refresh", "optimize",
                                    "tag", "refs", "publish",
-                                   "rollback"])
+                                   "rollback", "set-spec"])
     tb.add_argument("--table", required=True,
                     help="versioned table directory")
     tb.add_argument("--input", default=None,

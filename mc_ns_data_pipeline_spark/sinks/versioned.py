@@ -1724,9 +1724,11 @@ def _publish(table: str, files: list[str], rows: int,
     name = _next_snapshot_name(table)
     gen = _gen_of(name)
     os.makedirs(_snapshots_root(table), exist_ok=True)
-    if partition_spec is None and op != "overwrite" and parent:
+    if (partition_spec is None and parent
+            and op not in ("overwrite", "set-spec")):
         # hidden partitioning inherits through EVERY commit kind; only
-        # a full refresh redefines (or drops) the spec
+        # a full refresh or an explicit set_partition_spec redefines
+        # (or drops) it
         try:
             partition_spec = _read_core(table, parent).get(
                 "partition_spec")
@@ -2070,6 +2072,57 @@ def _spec_auto_cols(spec: list[dict] | None,
                 if c not in stats:
                     stats.append(c)
     return (stats or None), (blooms or None)
+
+
+def set_partition_spec(table: str, spec: list[str] | None,
+                       wait_s: float = 60.0) -> str:
+    """SPEC EVOLUTION: redefine (or drop, ``spec=None``) the table's
+    hidden partitioning without rewriting a byte — a metadata-only
+    commit (op ``set-spec``) naming the parent's exact file set.
+    Future landings cluster to the new spec and its source columns
+    auto-enroll in stats/blooms; EXISTING files keep their old layout,
+    which stays sound because pruning reads per-file stats/blooms,
+    never the spec (files lacking an entry for a newly-enrolled
+    column simply always scan). The next ``compact_snapshot`` /
+    ``optimize_table`` re-clusters the whole table to the new spec —
+    Iceberg's partition-spec-evolution contract on the
+    manifest-pointer pattern."""
+    parsed = _parse_partition_spec(spec) if spec else None
+    with table_lease(table, owner="set_partition_spec",
+                     wait_s=wait_s):
+        parent = current_snapshot(table)
+        if parent is None:
+            raise NoCurrentSnapshotError(table)
+        core = _read_core(table, parent)
+        schema = _schema_from_man(core)
+        if parsed and schema is not None:
+            fields = {f.name for f in schema.fields}
+            missing = [c for e in parsed
+                       for c in _spec_source_cols(e) if c not in fields]
+            if missing:
+                raise ValueError(
+                    f"partition spec columns not in table schema: "
+                    f"{missing}")
+        stats_cols, bloom_cols = _spec_auto_cols(
+            parsed, core.get("stats_cols"), core.get("bloom_cols"))
+        if bloom_cols and schema is not None:
+            _check_bloom_cols(schema, bloom_cols)
+        common = dict(
+            op="set-spec", schema=schema,
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
+            delete_files=core.get("delete_files"),
+            partition_spec=parsed,
+        )
+        if "chunks" in core:
+            return _publish(table, [], core["rows"], parent,
+                            _chunk_file_count(core), new_files=[],
+                            parent_chunks=core["chunks"], **common)
+        man = _materialize(table, core)
+        return _publish(table, man["files"], man["rows"], parent,
+                        len(man["files"]), new_files=[],
+                        stats=man.get("stats"),
+                        blooms=man.get("blooms"),
+                        file_seq=man.get("file_seq"), **common)
 
 
 def write_snapshot(df: DataFrame, table: str,

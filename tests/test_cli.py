@@ -467,3 +467,23 @@ def test_cli_branch_rejected_for_cow_ops(spark, tmp_path):
     with pytest.raises(SystemExit, match="stageable"):
         main(["table", "merge", "--table", str(tmp_path / "t"),
               "--input", base, "--key", "k", "--branch", "q"])
+
+
+def test_cli_set_spec_verb(spark, tmp_path):
+    from mc_ns_data_pipeline_spark.cli import main
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    base = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a")], "k long, v string").write.parquet(base)
+    table = str(tmp_path / "tbl")
+    assert main(["table", "write", "--table", table,
+                 "--input", base]) == 0
+    assert main(["table", "set-spec", "--table", table,
+                 "--partition-spec", "bucket(4, k)"]) == 0
+    core = V._read_core(table, V.current_snapshot(table))
+    assert core["partition_spec"] == [
+        {"transform": "bucket", "n": 4, "col": "k"}]
+    assert main(["table", "set-spec", "--table", table]) == 0  # drop
+    core = V._read_core(table, V.current_snapshot(table))
+    assert core["partition_spec"] is None

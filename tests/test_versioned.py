@@ -1851,3 +1851,66 @@ def test_compact_honors_target_files_on_spec_table(spark, tmp_path):
     man = V.read_manifest(table, snap)
     assert len(man["files"]) <= 3
     assert V.read_snapshot(spark, table, snap).count() == 600
+
+
+def test_set_partition_spec_evolution(spark, tmp_path):
+    """Spec evolution: redefine or drop the spec with a metadata-only
+    commit — same rows, future landings cluster to the NEW spec, the
+    next compaction re-clusters everything, old files stay readable."""
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_spec_df(spark, 300), table)  # no spec at all
+    snap = V.set_partition_spec(table, ["days(ts)"])
+    core = V._read_core(table, snap)
+    assert core["op"] == "set-spec"
+    assert core["partition_spec"] == [
+        {"transform": "days", "col": "ts"}]
+    assert "ts" in (core["stats_cols"] or [])  # auto-enrolled
+    assert V.read_current(spark, table).count() == 300  # same rows
+
+    # future landings inherit + cluster to the evolved spec
+    s2 = V.append_snapshot(_spec_df(spark, 100), table)
+    assert V._read_core(table, s2)["partition_spec"] is not None
+    # compaction re-clusters the WHOLE table to the new spec
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        s3 = V.compact_snapshot(spark, table, target_files=5)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    rep = V.prune_report(
+        table, s3,
+        [("ts", ">=", dt.datetime(2024, 1, 3)),
+         ("ts", "<", dt.datetime(2024, 1, 4))])
+    assert 0 < len(rep["kept"]) < rep["total"]
+
+    # drop: future landings stop clustering, nothing breaks
+    s4 = V.set_partition_spec(table, None)
+    assert V._read_core(table, s4)["partition_spec"] is None
+    s5 = V.append_snapshot(_spec_df(spark, 10), table)
+    assert V._read_core(table, s5)["partition_spec"] is None
+    assert V.read_current(spark, table).count() == 410
+
+    # validation still applies on evolution
+    with pytest.raises(ValueError, match="not in table schema"):
+        V.set_partition_spec(table, ["days(nope)"])
+
+
+def test_set_partition_spec_on_chunked_table(spark, tmp_path,
+                                             monkeypatch):
+    """Spec evolution on a CHUNKED table is O(commit) metadata: the
+    parent's sidecars are reused by id."""
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", 6)
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_SIZE", 4)
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _spec_df(spark, 200).repartition(8), table)
+    parent_ids = [ch["id"] for ch in V._read_core(
+        table, V.current_snapshot(table))["chunks"]]
+    snap = V.set_partition_spec(table, ["days(ts)"])
+    core = V._read_core(table, snap)
+    assert [ch["id"] for ch in core["chunks"]] == parent_ids
+    assert core["partition_spec"] is not None
+    assert V.read_current(spark, table).count() == 200
