@@ -307,3 +307,82 @@ def test_in_probe_matches_per_value_reference(values, batch):
     assert probed == ref, (
         f"probe/reference divergence: values={values} batch={batch!r} "
         f"bounds={bounds} ref={ref} probed={probed}")
+
+
+# ---------------------------------------------------------------------------
+# _cow_rebase_guard (r6 optimistic COW): the data-loss-critical half is
+# completeness — whenever an interposed append's file TRULY contains a
+# batch key, the guard must CONFLICT (rebasing would publish a merge
+# that silently missed that row). False conflicts just cost a retry.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    appended=st.lists(st.integers(-2**40, 2**40),
+                      min_size=0, max_size=20),
+    batch=st.lists(st.integers(-2**40, 2**40),
+                   min_size=1, max_size=20),
+)
+def test_cow_rebase_guard_conflicts_on_true_key_overlap(appended,
+                                                        batch):
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from mc_ns_data_pipeline_spark.sinks.versioned import (
+        CommitConflictError,
+        _bloom_b64,
+        _cow_rebase_guard,
+        _key_batch_predicates,  # noqa: F401  (shape documented here)
+        _InProbe,
+        _manifest_path,
+        _snapshots_root,
+        _stat_bounds,
+    )
+
+    work = tempfile.mkdtemp()
+    try:
+        table = os.path.join(work, "t")
+        os.makedirs(_snapshots_root(table), exist_ok=True)
+        base_core = {"snapshot": "00000001-b", "parent": None,
+                     "op": "overwrite", "rows": 0, "files": [],
+                     "new_files": [], "stats_cols": ["k"],
+                     "bloom_cols": ["k"], "delete_files": None,
+                     "schema": None}
+        stats = {}
+        blooms = {}
+        if appended:
+            stats["f1.parquet"] = {
+                "k": _stat_bounds(min(appended), max(appended))}
+            blooms["f1.parquet"] = {"k": _bloom_b64(
+                pd.Series(appended, dtype="object").astype(str),
+                integral=False)}
+        head_core = {"snapshot": "00000002-a", "parent": "00000001-b",
+                     "op": "append", "rows": 0,
+                     "files": ["f1.parquet"] if appended else [],
+                     "new_files": ["f1.parquet"] if appended else [],
+                     "stats": stats, "blooms": blooms,
+                     "stats_cols": ["k"], "bloom_cols": ["k"],
+                     "delete_files": None, "schema": None}
+        for core in (base_core, head_core):
+            with open(_manifest_path(table, core["snapshot"]),
+                      "w") as fh:
+                json.dump(core, fh)
+        preds = [("k", "in", _InProbe(batch))]
+        overlap = bool(set(appended) & set(batch))
+        try:
+            _cow_rebase_guard(table, "00000002-a", "00000001-b",
+                              base_core, "k", preds)
+            conflicted = False
+        except CommitConflictError:
+            conflicted = True
+        if overlap:
+            assert conflicted, (
+                f"guard rebased over an append that truly contains a "
+                f"batch key: appended={appended} batch={batch}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
