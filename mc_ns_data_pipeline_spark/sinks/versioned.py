@@ -2401,7 +2401,7 @@ def compact_snapshot(spark: SparkSession, table: str,
         interposed = _rebase_chain(table, head, base)
         bad = [m["snapshot"] for m in interposed
                if m.get("op") not in ("append", "delete-mor",
-                                      "merge-mor")]
+                                      "merge-mor", "set-spec")]
         if bad:
             raise CommitConflictError(
                 f"{table}: commits {bad} interposed while compacting "
@@ -2615,7 +2615,8 @@ def _cow_rebase_guard(table: str, head: str, base: str,
     ``CommitConflictError``; the caller re-runs against the new head
     (the staged files become vacuum orphans)."""
     chain = _rebase_chain(table, head, base)
-    bad = [m["snapshot"] for m in chain if m.get("op") != "append"]
+    bad = [m["snapshot"] for m in chain
+           if m.get("op") not in ("append", "set-spec")]
     if bad:
         raise CommitConflictError(
             f"{table}: non-append commits {bad} interposed while this "
@@ -2738,6 +2739,20 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
             parent_chunks=descs)
 
 
+def _cow_inline_rebase(table: str, head: str, parent: str,
+                       core: dict, key: str, preds: list[tuple],
+                       affected_names: set) -> tuple[dict, list[str]]:
+    """Lease-held rebase step shared by the inline COW merge and
+    delete publishes: validate via `_cow_rebase_guard`, then re-derive
+    the untouched file set and the carry-metadata view from the new
+    head (whose extra files are key-disjoint appends by the guard's
+    contract, so the staged affected set is still exact)."""
+    _cow_rebase_guard(table, head, parent, core, key, preds)
+    man = _materialize(table, _read_core(table, head))
+    untouched = [f for f in man["files"] if f not in affected_names]
+    return man, untouched
+
+
 def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                    key: str, txn_id: str | None = None) -> str:
     """MVCC upsert (K6 semantics, reader-safe, file-granular COW):
@@ -2835,6 +2850,11 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
     new_blooms = _scan_blooms(spark, table, new_files,
                               parent_man.get("bloom_cols"), schema)
     affected_names = {os.path.basename(p) for p in affected_paths}
+    # predicates for the (rare) rebase guard, built NOW so the lease
+    # never holds a Spark job — and so the guard checks the SAME key
+    # batch the staged rewrite used (a non-deterministic updates
+    # lineage re-evaluated under the lease could diverge)
+    preds = _key_batch_predicates(key, keys)
 
     # ---- metadata publish: lease held briefly ----
     with table_lease(table, owner=f"merge_snapshot:{key}",
@@ -2845,13 +2865,11 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                 return applied  # lost a replay race: files orphan
         head = current_snapshot(table)
         if head != parent:
-            _cow_rebase_guard(table, head, parent, core, key,
-                              _key_batch_predicates(key, keys))
-            parent_man = _materialize(table, _read_core(table, head))
+            parent_man, untouched = _cow_inline_rebase(
+                table, head, parent, core, key, preds,
+                affected_names)
             schema = _merge_schema(_schema_from_man(parent_man),
                                    updates.schema)
-            untouched = [f for f in parent_man["files"]
-                         if f not in affected_names]
             parent = head
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
@@ -3542,17 +3560,21 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
         parent_schema if parent_schema is not None
         else survivors.schema)
     affected_names = {os.path.basename(p) for p in affected_paths}
+    preds = _key_batch_predicates(key, doomed_keys)  # staged, no lease
 
     # ---- metadata publish: lease held briefly ----
     with table_lease(table, owner=f"delete_keys:{key}",
                      wait_s=_COMMIT_WAIT_S):
         head = current_snapshot(table)
         if head != parent:
-            _cow_rebase_guard(table, head, parent, core, key,
-                              _key_batch_predicates(key, doomed_keys))
-            parent_man = _materialize(table, _read_core(table, head))
-            untouched = [f for f in parent_man["files"]
-                         if f not in affected_names]
+            parent_man, untouched = _cow_inline_rebase(
+                table, head, parent, core, key, preds,
+                affected_names)
+            # a schema-widening append may have interposed: publish
+            # the HEAD's schema, never the stale base view (silently
+            # narrowing it would drop the appended column from every
+            # later read)
+            parent_schema = _schema_from_man(parent_man)
             parent = head
         rows = parent_man["rows"] - affected_rows + new_rows
         return _publish(table, untouched + new_files, rows, parent,
@@ -3729,7 +3751,7 @@ def read_appended_since(spark: SparkSession, table: str, since: str,
         op = man.get("op")
         if op == "append":
             files.extend(man.get("new_files", []))
-        elif op == "compact":
+        elif op in ("compact", "set-spec"):
             continue  # row-preserving: no logical change
         else:
             raise NonIncrementalHistoryError(
@@ -3783,7 +3805,8 @@ def read_changes_since(spark: SparkSession, table: str, since: str,
     for man in chain:
         op = man.get("op")
         gen = _gen_of(man["snapshot"])
-        if op not in ("append", "compact", "delete-mor", "merge-mor"):
+        if op not in ("append", "compact", "set-spec", "delete-mor",
+                      "merge-mor"):
             raise NonIncrementalHistoryError(
                 f"commit {man['snapshot']} is op={op!r} — use "
                 "changes_between() for a keyed diff")

@@ -1914,3 +1914,18 @@ def test_set_partition_spec_on_chunked_table(spark, tmp_path,
     assert [ch["id"] for ch in core["chunks"]] == parent_ids
     assert core["partition_spec"] is not None
     assert V.read_current(spark, table).count() == 200
+
+
+def test_changelog_readers_skip_set_spec_commits(spark, tmp_path):
+    """A metadata-only spec evolution in the lineage must not break
+    incremental consumers — it is row-preserving, like compact."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_spec_df(spark, 50), table)
+    since = V.current_snapshot(table)
+    V.set_partition_spec(table, ["days(ts)"])
+    V.append_snapshot(_spec_df(spark, 10), table)
+    got = V.read_appended_since(spark, table, since)
+    assert got.count() == 10  # crossed the set-spec without error
+    chg = V.read_changes_since(spark, table, since)
+    assert chg["inserts"].count() == 10
+    assert not chg["deleted_keys"]

@@ -651,3 +651,124 @@ def test_chunked_cow_merge_rebases_over_disjoint_append(
               | {(3, "UPD"), (900, "mid")})
     assert got == expect
     assert core["rows"] == len(expect)
+
+
+def test_cow_delete_rebase_keeps_widened_schema(spark, tmp_path,
+                                                monkeypatch):
+    """Review finding (r6): a COW delete rebasing over a key-disjoint
+    SCHEMA-WIDENING append must publish the head's widened schema —
+    narrowing it would silently drop the appended column from every
+    later read."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(20)]).repartition(4),
+        table, stats_cols=["k"])
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def deleter():
+        try:
+            V.delete_keys_snapshot(spark, table, "k",
+                                   _df(spark, [(3, "x")]))
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=deleter)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.append_snapshot(  # key-disjoint AND adds column w
+        spark.createDataFrame([(900, "mid", 1.5)],
+                              "k int, v string, w double"), table)
+
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    got = V.read_current(spark, table)
+    assert "w" in got.columns, "widened column lost in the rebase"
+    rows = {(r.k, r.v, r.w) for r in got.collect()}
+    assert (900, "mid", 1.5) in rows
+    assert all(r.w is None for r in got.collect() if r.k != 900)
+    assert not any(k == 3 for (k, _, _) in rows)
+
+
+def test_set_spec_interposes_without_conflicts(spark, tmp_path,
+                                               monkeypatch):
+    """set-spec is row- and file-preserving metadata: compaction, MOR,
+    and COW writers staged across it all rebase instead of
+    conflicting, and incremental changelog readers skip it."""
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1 + i % 3), f"v{i}")
+             for i in range(40)],
+            "k long, ts timestamp, v string").repartition(8),
+        table, stats_cols=["k"])
+    cursor = V.current_snapshot(table)
+
+    # COW merge staged across an interposed set-spec: rebases
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def merger():
+        try:
+            V.merge_snapshot(
+                spark,
+                spark.createDataFrame(
+                    [(3, dt.datetime(2024, 1, 1), "UPD")],
+                    "k long, ts timestamp, v string"),
+                table, "k")
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=merger)
+    t.start()
+    assert pause.landed.wait(60)
+    V.set_partition_spec(table, ["days(ts)"])
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    man = V._read_core(table, V.current_snapshot(table))
+    assert man["partition_spec"] is not None  # spec inherited
+    assert [r.v for r in V.read_current(
+        spark, table, predicates=[("k", "=", 3)]).collect()] == ["UPD"]
+
+    # incremental readers cross the set-spec commit without error
+    V.append_snapshot(
+        spark.createDataFrame([(100, dt.datetime(2024, 1, 2), "new")],
+                              "k long, ts timestamp, v string"),
+        table)
+    # (the merge interposed, so the appended-files fast path refuses
+    # on the MERGE, not the set-spec; check from just before set-spec)
+    chg = V.read_changes_since(spark, table,
+                               V._read_core(
+                                   table, V.current_snapshot(table)
+                               )["parent"])
+    assert chg["inserts"].count() == 1
+
+    # compaction staged across a set-spec: rebases, no conflict
+    pause2 = _Pause(monkeypatch)
+    err2: list[Exception] = []
+
+    def compactor():
+        try:
+            V.compact_snapshot(spark, table, target_files=2)
+        except Exception as e:
+            err2.append(e)
+
+    t2 = threading.Thread(target=compactor)
+    t2.start()
+    assert pause2.landed.wait(60)
+    V.set_partition_spec(table, ["days(ts)", "bucket(4, k)"])
+    pause2.resume.set()
+    t2.join(60)
+    assert not err2, err2
+    core = V._read_core(table, V.current_snapshot(table))
+    assert core["op"] == "compact"
+    assert core["partition_spec"] == [
+        {"transform": "days", "col": "ts"},
+        {"transform": "bucket", "n": 4, "col": "k"}]
+    assert V.read_current(spark, table).count() == 41
