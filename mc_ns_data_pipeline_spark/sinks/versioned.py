@@ -2776,7 +2776,17 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
     because the rewrite's inputs or its located affected set are
     stale. So the common race — streaming appends landing while a
     dimension merge rewrites — commits both sides with no lost
-    update, while overlapping writers stay serialized."""
+    update, while overlapping writers stay serialized.
+
+    Operational note: against a CONTINUOUS merge-on-read lander
+    (run_stream_upsert committing every few seconds), a long COW
+    rewrite will find a MOR commit interposed on every attempt and
+    livelock on retries — rebasing over interposed masks would need
+    two mask-adjusted recounts under the lease, exactly the lease-held
+    work this design removes. On update-heavy tables use
+    ``merge_snapshot_mor`` (both sides then rebase) and let
+    ``optimize_table`` do the rewriting: its compaction rebases over
+    MOR commits via base-generation stamping."""
     os.makedirs(table, exist_ok=True)
     if txn_id is not None:  # cheap pre-check: replays skip the work
         applied = _txn_already_applied(table, txn_id)
@@ -3334,6 +3344,28 @@ def vacuum_snapshots(table: str, keep: int = 2,
                         and stem not in live_chunks):
                     os.remove(os.path.join(croot, f))
                     removed_chunks += 1
+                elif ".tmp-" in f:
+                    # a crash between the tmp write and its atomic
+                    # rename leaves debris; age-guard like staging
+                    # dirs (a live writer's tmp is milliseconds old)
+                    try:
+                        if os.path.getmtime(
+                                os.path.join(croot, f)) < age_cutoff:
+                            os.remove(os.path.join(croot, f))
+                            removed_chunks += 1
+                    except FileNotFoundError:
+                        pass
+
+        sroot = _snapshots_root(table)
+        for f in os.listdir(sroot):  # crashed manifest writes, aged
+            if ".tmp-" in f:
+                p = os.path.join(sroot, f)
+                try:
+                    if (os.path.isfile(p)
+                            and os.path.getmtime(p) < age_cutoff):
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
 
         removed_staging = 0
         for d in os.listdir(table):

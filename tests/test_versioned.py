@@ -1929,3 +1929,27 @@ def test_changelog_readers_skip_set_spec_commits(spark, tmp_path):
     chg = V.read_changes_since(spark, table, since)
     assert chg["inserts"].count() == 10
     assert not chg["deleted_keys"]
+
+
+def test_vacuum_reaps_aged_tmp_debris(spark, tmp_path):
+    """A crash between a tmp write and its atomic rename leaves
+    .tmp- debris in snapshots/ and chunks/ — vacuum reaps it past the
+    staging age floor, never younger (could be a live writer's)."""
+    import time
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    croot = V._chunks_root(table)
+    os.makedirs(croot, exist_ok=True)
+    old = time.time() - 10
+    young_t = os.path.join(croot, "abc.json.tmp-dead")
+    old_t = os.path.join(croot, "def.blm.tmp-dead")
+    man_t = os.path.join(V._snapshots_root(table), "x.json.tmp-dead")
+    for p in (young_t, old_t, man_t):
+        open(p, "w").close()
+    os.utime(old_t, (old, old))
+    os.utime(man_t, (old, old))
+    V.vacuum_snapshots(table, keep=2, staging_age_seconds=5.0)
+    assert os.path.exists(young_t)  # too young: maybe in-flight
+    assert not os.path.exists(old_t)
+    assert not os.path.exists(man_t)
