@@ -772,3 +772,70 @@ def test_set_spec_interposes_without_conflicts(spark, tmp_path,
         {"transform": "days", "col": "ts"},
         {"transform": "bucket", "n": 4, "col": "k"}]
     assert V.read_current(spark, table).count() == 41
+
+
+def test_mixed_verb_hammer_no_lost_update(spark, tmp_path):
+    """Free-running mixed-writer race over the FULLY optimistic
+    matrix: two appenders, one MOR upserter, and one OPTIMIZE run
+    concurrently with no coordination. All of them must commit (these
+    verbs rebase over each other by design) and the final table must
+    contain every appender's rows plus the upserter's last values —
+    no lost update, exact row accounting."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, "base") for i in range(50)]).repartition(4),
+        table, stats_cols=["k"])
+
+    errs: list[Exception] = []
+
+    def appender(base_key):
+        try:
+            for i in range(4):
+                V.append_snapshot(
+                    _df(spark, [(base_key + i, "app")]), table)
+        except Exception as e:
+            errs.append(e)
+
+    def upserter():
+        try:
+            for i in range(3):
+                V.merge_snapshot_mor(
+                    spark, _df(spark, [(7, f"u{i}"), (9, f"u{i}")]),
+                    table, "k")
+        except Exception as e:
+            errs.append(e)
+
+    def optimizer():
+        try:
+            # vacuum_keep high: reaping a mid-flight writer's BASE
+            # manifest is a legitimate conflict ("re-run"), but this
+            # hammer asserts the no-conflict matrix
+            V.optimize_table(spark, table, max_small_files=1,
+                             max_delete_files=0, vacuum_keep=100,
+                             vacuum_min_age_seconds=None)
+        except V.CommitConflictError:
+            pass  # one retry already happened inside; next pass wins
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(1000,)),
+               threading.Thread(target=appender, args=(2000,)),
+               threading.Thread(target=upserter),
+               threading.Thread(target=optimizer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errs, errs
+
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    expect_keys = (set(range(50))
+                   | {1000 + i for i in range(4)}
+                   | {2000 + i for i in range(4)})
+    assert {k for k, _ in got} == expect_keys, "lost or duplicated keys"
+    assert len(got) == len(expect_keys), "duplicate row versions leaked"
+    by_key = dict(got)
+    assert by_key[7] == "u2" and by_key[9] == "u2", (
+        "upserter's last write must win")
+    man = V.read_manifest(table, V.current_snapshot(table))
+    assert man["rows"] == len(expect_keys)  # accounting stayed exact
