@@ -1020,10 +1020,15 @@ def _write_chunk_blm(table: str, cid: str, part: list[str],
         off += len(blob)
     if not cols:
         return False
-    header = {"n": n, "names": part,
-              "seq": ([file_seq.get(f) for f in part]
-                      if file_seq else None),
-              "cols": cols}
+    # names + generations live in a SEPARATE blob after the header:
+    # the probe parses the (tiny) header for every chunk but reads the
+    # names only for chunks with surviving members — at 1M files a
+    # point probe then reads ~200 B/chunk instead of a ~250 KB name
+    # array per chunk (measured 2-3x on the planning wall clock).
+    names_blob = json.dumps(
+        [part, [file_seq.get(f) for f in part] if file_seq else None],
+        separators=(",", ":")).encode()
+    header = {"n": n, "names_len": len(names_blob), "cols": cols}
     hdr = json.dumps(header, separators=(",", ":")).encode()
     path = _blm_path(table, cid)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -1031,6 +1036,7 @@ def _write_chunk_blm(table: str, cid: str, part: list[str],
         fh.write(_BLM_MAGIC)
         fh.write(len(hdr).to_bytes(4, "little"))
         fh.write(hdr)
+        fh.write(names_blob)
         for blob in sections:
             fh.write(blob)
         fh.flush()
@@ -1075,7 +1081,8 @@ def _blm_probe(table: str, ch: dict, eq_preds: list[tuple]
                 return None
             hdr_len = int.from_bytes(fh.read(4), "little")
             header = json.loads(fh.read(hdr_len))
-            base = 12 + hdr_len
+            names_off = 12 + hdr_len
+            base = names_off + header["names_len"]
             n = header["n"]
             row_bytes = None
             alive = np.ones(n, dtype=bool)
@@ -1125,11 +1132,14 @@ def _blm_probe(table: str, ch: dict, eq_preds: list[tuple]
                 alive &= hit
                 if not alive.any():
                     break
+            if not alive.any():
+                return [], {}  # nothing survived: names never read
+            # survivors exist: NOW read the names/generations blob
+            fh.seek(names_off)
+            names, seq = json.loads(fh.read(header["names_len"]))
     except (OSError, ValueError, KeyError, json.JSONDecodeError):
         return None  # unreadable/corrupt .blm: plan from the sidecar
     excl = set(ch.get("exclude") or ())
-    names = header["names"]
-    seq = header.get("seq")
     kept = [names[j] for j in np.flatnonzero(alive)
             if names[j] not in excl]
     fseq = {}
