@@ -422,6 +422,19 @@ def cmd_table(args) -> int:
             raise SystemExit(f"table {args.op}: {flag} is required")
         return value
 
+    if getattr(args, "catalog", None):
+        # name-addressed mode: --table is a catalog entry, resolved to
+        # its root through one tiny JSON read — every op below keeps
+        # its path-addressed shape
+        from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+        try:
+            args.table = TC.load_table(args.catalog, args.table)
+        except TC.NoSuchTableError:
+            raise SystemExit(
+                f"table {args.op}: {args.table!r} not in catalog "
+                f"{args.catalog} (catalog list to inspect)")
+
     # Validate op-specific required flags BEFORE any Spark session —
     # a missing flag must fail in milliseconds, not after JVM startup.
     if args.op in ("write", "append", "merge", "delete-keys"):
@@ -581,6 +594,38 @@ def cmd_table(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    """Catalog verbs (sinks/table_catalog.py): durable name →
+    table-root mapping above the versioned-table layer. All
+    metadata-only — no Spark session, milliseconds at any estate
+    size."""
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+    if args.op != "list" and not args.name:
+        raise SystemExit(f"catalog {args.op}: --name is required")
+    if args.op == "create":
+        root = TC.create_table(args.catalog, args.name,
+                               root=args.root)
+        kind = "external" if args.root else "managed"
+        print(f"created {args.name} ({kind}) -> {root}")
+    elif args.op == "list":
+        for name, root in TC.list_tables(args.catalog,
+                                         args.namespace).items():
+            print(f"  {name} -> {root}")
+    elif args.op == "resolve":
+        print(TC.load_table(args.catalog, args.name))
+    elif args.op == "rename":
+        if not args.to:
+            raise SystemExit("catalog rename: --to is required")
+        root = TC.rename_table(args.catalog, args.name, args.to)
+        print(f"renamed {args.name} -> {args.to} (root {root})")
+    else:  # drop
+        TC.drop_table(args.catalog, args.name, purge=args.purge)
+        print(f"dropped {args.name}"
+              + (" (purged)" if args.purge else ""))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mc_ns_data_pipeline_spark",
@@ -666,7 +711,12 @@ def build_parser() -> argparse.ArgumentParser:
                                    "tag", "refs", "publish",
                                    "rollback", "set-spec"])
     tb.add_argument("--table", required=True,
-                    help="versioned table directory")
+                    help="versioned table directory, or a catalog "
+                    "name when --catalog is given")
+    tb.add_argument("--catalog", default=None,
+                    help="catalog root: resolve --table as a "
+                    "'namespace.name' catalog entry instead of a "
+                    "path (sinks/table_catalog.py) [CATALOG_ROOT]")
     tb.add_argument("--input", default=None,
                     help="parquet path (write/append/merge/delete-keys)")
     tb.add_argument("--key", default=None,
@@ -730,6 +780,30 @@ def build_parser() -> argparse.ArgumentParser:
                     help="consume: increments land as parquet under "
                     "inc-<snapshot> here (overwrite => replay-safe)")
     tb.set_defaults(fn=cmd_table)
+
+    ct = sub.add_parser(
+        "catalog",
+        help="table catalog: name -> versioned-table-root mapping "
+        "(create/list/resolve/rename/drop, sinks/table_catalog.py)")
+    ct.add_argument("op", choices=["create", "list", "resolve",
+                                   "rename", "drop"])
+    ct.add_argument("--catalog", required=True,
+                    help="catalog root directory")
+    ct.add_argument("--name", default=None,
+                    help="table name, 'namespace.table' (all ops "
+                    "except list)")
+    ct.add_argument("--root", default=None,
+                    help="create: register this EXTERNAL root instead "
+                    "of allocating a managed one")
+    ct.add_argument("--to", default=None,
+                    help="rename: the new name (metadata-only; data "
+                    "never moves)")
+    ct.add_argument("--namespace", default=None,
+                    help="list: restrict to one namespace")
+    ct.add_argument("--purge", action="store_true",
+                    help="drop: also delete the data (managed tables "
+                    "only)")
+    ct.set_defaults(fn=cmd_catalog)
     return p
 
 

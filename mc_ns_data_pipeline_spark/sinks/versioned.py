@@ -58,7 +58,12 @@ Layout::
   lease-free and rebase over interposed appends whose files PROVABLY
   contain no batch key (manifest spans/blooms — `_cow_rebase_guard`),
   conflicting on anything that could stale their located affected
-  set. So a streaming lander, a streaming MOR upserter, a dimension
+  set. Full refresh (r7) completes the matrix: ``write_snapshot``
+  stages lease-free too, but REBASING is impossible for an overwrite
+  — publishing over an interposed commit would silently orphan that
+  commit's data — so it conflicts on ANY head movement instead
+  (snapshot-isolation honesty: the caller re-reads and re-decides).
+  So a streaming lander, a streaming MOR upserter, a dimension
   COW merge, and a maintenance OPTIMIZE all commit, no lost update;
   every writer's lease hold is one metadata publish (the lease
   heartbeat in sinks/lease still protects the rare long holds).
@@ -2158,7 +2163,21 @@ def write_snapshot(df: DataFrame, table: str,
     This landing and every inheriting append/MOR-upsert auto-cluster
     to it, and the source columns auto-enroll in stats/blooms — new
     writers never call sinks/layout, pruning just works. A full
-    refresh REDEFINES the spec (omit to drop it)."""
+    refresh REDEFINES the spec (omit to drop it).
+
+    OPTIMISTIC commit, conflict-on-anything (r7): the landing and the
+    stats/bloom scans run with NO lease held; the lease wraps only the
+    metadata publish. Unlike every other verb, a refresh cannot REBASE
+    over a moved head — its semantics are "the table now equals this
+    df as of the state the caller saw", and an overwrite published
+    over interposed commits would silently ORPHAN their data (the
+    lost-update class rebasing exists to prevent). So if CURRENT moved
+    between staging start and publish, this raises
+    ``CommitConflictError`` and the staged files become vacuum
+    orphans; the caller re-reads the table state and decides whether
+    the refresh still applies. This is snapshot-isolation honesty, not
+    a missing feature — a refresh that auto-retried over an interposed
+    append would destroy that append's rows by design."""
     os.makedirs(table, exist_ok=True)
     spec = (_parse_partition_spec(partition_spec)
             if partition_spec else None)
@@ -2183,17 +2202,31 @@ def write_snapshot(df: DataFrame, table: str,
         df = _cluster_to_spec(df, spec)
     if bloom_cols:
         _check_bloom_cols(df.schema, bloom_cols)
+    base = current_snapshot(table)  # the state this refresh replaces
+    if txn_id is not None:
+        applied = _txn_already_applied(table, txn_id)
+        if applied is not None:
+            return applied
+    # stage lease-free: land + scan are the expensive part
+    files = _land_in_pool(df, table)
+    rows, stats = _scan_new_files(df.sparkSession, table, files,
+                                  stats_cols)
+    blooms = _scan_blooms(df.sparkSession, table, files,
+                          bloom_cols, df.schema)
     with table_lease(table, owner="write_snapshot"):
         if txn_id is not None:
             applied = _txn_already_applied(table, txn_id)
             if applied is not None:
-                return applied
-        files = _land_in_pool(df, table)
-        rows, stats = _scan_new_files(df.sparkSession, table, files,
-                                      stats_cols)
-        blooms = _scan_blooms(df.sparkSession, table, files,
-                              bloom_cols, df.schema)
-        return _publish(table, files, rows, current_snapshot(table), 0,
+                return applied  # replay raced us in; files = orphans
+        head = current_snapshot(table)
+        if head != base:
+            raise CommitConflictError(
+                f"full refresh of {table} staged against "
+                f"{base or '<empty>'} but CURRENT is now {head}: an "
+                f"overwrite would orphan the interposed commits' data."
+                f" Re-read the table and re-stage if the refresh "
+                f"still applies (staged files are vacuum orphans).")
+        return _publish(table, files, rows, head, 0,
                         txn_id=txn_id,
                         op="overwrite", schema=df.schema, stats=stats,
                         stats_cols=stats_cols, blooms=blooms,

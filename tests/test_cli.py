@@ -487,3 +487,56 @@ def test_cli_set_spec_verb(spark, tmp_path):
     assert main(["table", "set-spec", "--table", table]) == 0  # drop
     core = V._read_core(table, V.current_snapshot(table))
     assert core["partition_spec"] is None
+
+
+def test_catalog_cli_and_name_addressed_table_ops(spark, tmp_path,
+                                                  capsys):
+    """Catalog verbs (create/list/resolve/rename/drop) plus the
+    --catalog flag on table ops: the whole versioned lifecycle
+    addressed by 'namespace.name' instead of a path."""
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    cat = str(tmp_path / "cat")
+    assert main(["catalog", "create", "--catalog", cat,
+                 "--name", "sales.orders"]) == 0
+    root = TC.load_table(cat, "sales.orders")
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame([(1, "a"), (2, "b")],
+                          "k int, v string").write.parquet(base)
+    assert main(["table", "write", "--catalog", cat,
+                 "--table", "sales.orders", "--input", base]) == 0
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame([(3, "c")],
+                          "k int, v string").write.parquet(b1)
+    assert main(["table", "append", "--catalog", cat,
+                 "--table", "sales.orders", "--input", b1]) == 0
+    assert V.read_current(spark, root).count() == 3
+
+    # rename is metadata-only: same root, old name gone, reads follow
+    assert main(["catalog", "rename", "--catalog", cat,
+                 "--name", "sales.orders", "--to", "sales.live"]) == 0
+    assert TC.load_table(cat, "sales.live") == root
+    assert main(["table", "history", "--catalog", cat,
+                 "--table", "sales.live"]) == 0
+
+    # unknown name fails fast with the catalog named
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="not in catalog"):
+        main(["table", "history", "--catalog", cat,
+              "--table", "sales.orders"])
+
+    capsys.readouterr()
+    assert main(["catalog", "list", "--catalog", cat]) == 0
+    out = capsys.readouterr().out
+    assert "sales.live" in out and root in out
+    assert main(["catalog", "resolve", "--catalog", cat,
+                 "--name", "sales.live"]) == 0
+    assert capsys.readouterr().out.strip() == root
+
+    with _pytest.raises(SystemExit, match="--name is required"):
+        main(["catalog", "drop", "--catalog", cat])
+    assert main(["catalog", "drop", "--catalog", cat,
+                 "--name", "sales.live", "--purge"]) == 0
+    assert not os.path.exists(root)

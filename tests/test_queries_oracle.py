@@ -29,28 +29,30 @@ def test_queries_nonempty(spark, sf_dir):
 # CORRECTNESS_r03: its key set and order exactly match list(QUERIES)[:50]
 # of the r3 tree, while sorted(QUERIES)[:50] does not (VERDICT r03 #1).
 #
-# Round-5 window, chosen per the rotation policy (SURVEY.md §8):
+# Round-7 window, chosen per the rotation policy (SURVEY.md §8):
 #   * q01–q18 — reference-parity core, always in.
-#   * x36 — the one red r4 row (oracle HUGEINT typing); stays until
-#     its driver row is green.
-#   * x38 — implementation changed this round (witness-pattern sketch
-#     plan), rule 2.
-#   * x98–x101 — versioned.py changed this round (bloom canonical
-#     text, vacuum staging reap, scratch dirs), rule 2.
-#   * x102–x106 — landed late in r4 below the marker, never
-#     driver-checked (in-tree green only), rule 2.
-#   * x44–x58, x60, x63–x67 — longest-unverified greens (never had a
-#     driver row), rule 3 round-robin.
-# Rotated out on unchanged driver-green r4 rows: x30 x31 x59 x61 x62
-# x80 x97 xs12–xs14 x91 x90 x12 x27–x29 x32–x35 x37 x39–x43.
+#   * x98–x108 — the whole versioned block, rule 2 AS AMENDED this
+#     round (r6 verdict #3): "implementation changed" includes shared
+#     read/plan machinery a query's path traverses. versioned.py's
+#     commit path changed again (optimistic full refresh), and
+#     x107/x108 had in-bench trims — so x99/x105 rotate back in along
+#     with everything that rides the shared machinery.
+#   * xs2, xs4 — r1 driver rows, the oldest (xs1/xs3 are aliases of
+#     the always-in q17/q18, so re-listing them duplicates coverage).
+#   * x23–x26 — r2 rows, next oldest.
+#   * x01–x11, x13–x16 — r3 rows (x12's row is r4), rule 3
+#     round-robin.
+# Rotated out on unchanged driver-green r6 rows: x68–x79, x81–x84,
+# xs5–xs11. New below the marker: x109_catalog_lifecycle.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x107", "x108",
-    "x98", "x100", "x101", "x102", "x103", "x104", "x106",
-    "x68", "x69", "x70", "x71", "x72", "x73", "x74", "x75", "x76",
-    "x77", "x78", "x79",
-    "x81", "x82", "x83", "x84",
-    "xs5", "xs6", "xs7", "xs8", "xs9", "xs10", "xs11",
+    "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
+    "x106",
+    "xs2", "xs4",
+    "x23", "x24", "x25", "x26",
+    "x01", "x02", "x03", "x04", "x05", "x06", "x07", "x08", "x09",
+    "x10", "x11", "x13", "x14", "x15", "x16",
 ]
 
 

@@ -839,3 +839,98 @@ def test_mixed_verb_hammer_no_lost_update(spark, tmp_path):
         "upserter's last write must win")
     man = V.read_manifest(table, V.current_snapshot(table))
     assert man["rows"] == len(expect_keys)  # accounting stayed exact
+
+
+def test_full_refresh_conflicts_on_interposed_append(
+        spark, tmp_path, monkeypatch):
+    """r7: write_snapshot stages lease-free (land + scans outside the
+    lease) but cannot REBASE — an overwrite published over an
+    interposed append would silently orphan that append's rows. So a
+    refresh whose head moved mid-staging must conflict, and the
+    interposed append's data must survive."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def refresher():
+        try:
+            V.write_snapshot(_df(spark, [(9, "refreshed")]), table)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=refresher)
+    t.start()
+    assert pause.landed.wait(60)  # refresh landed, not yet published
+
+    V.append_snapshot(_df(spark, [(2, "mid")]), table)
+
+    pause.resume.set()
+    t.join(60)
+    assert err and isinstance(err[0], V.CommitConflictError), err
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "base"), (2, "mid")}, (
+        "interposed append must survive a conflicted refresh")
+
+
+def test_full_refresh_racing_full_refresh_second_conflicts(
+        spark, tmp_path, monkeypatch):
+    """Two refreshes race: the first to publish wins; the second sees
+    a moved head and conflicts instead of silently last-writer-winning
+    over state it never saw."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def refresher():
+        try:
+            V.write_snapshot(_df(spark, [(5, "slow")]), table)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=refresher)
+    t.start()
+    assert pause.landed.wait(60)
+
+    V.write_snapshot(_df(spark, [(7, "fast")]), table)
+
+    pause.resume.set()
+    t.join(60)
+    assert err and isinstance(err[0], V.CommitConflictError), err
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(7, "fast")}
+
+
+def test_full_refresh_clean_path_publishes_optimistically(
+        spark, tmp_path, monkeypatch):
+    """No interposition → the staged refresh publishes normally, and
+    the lease was never held during the landing (another writer's
+    publish proceeds while the refresh is paused mid-staging)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+
+    pause = _Pause(monkeypatch)
+    err: list[Exception] = []
+
+    def refresher():
+        try:
+            V.write_snapshot(_df(spark, [(9, "refreshed")]), table)
+        except Exception as e:
+            err.append(e)
+
+    t = threading.Thread(target=refresher)
+    t.start()
+    assert pause.landed.wait(60)
+    # while the refresh is staged-but-unpublished, the table lease is
+    # free: a concurrent writer can take it and release it
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+    with table_lease(table, owner="probe", ttl_s=5):
+        pass
+    pause.resume.set()
+    t.join(60)
+    assert not err, err
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(9, "refreshed")}
