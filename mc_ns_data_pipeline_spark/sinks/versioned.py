@@ -287,34 +287,54 @@ def publish_ref(table: str, name: str) -> str:
     (the branch's data files are untouched; only its manifests are
     orphaned for vacuum)."""
     with table_lease(table, owner=f"publish_ref:{name}"):
-        target = _ref_read(_ref_path(table, name, "heads"))
-        if target is None:
-            raise FileNotFoundError(f"{table}: no branch {name!r}")
-        cur = current_snapshot(table)
-        snap = target
-        seen: set[str] = set()
-        while snap is not None and snap != cur:
-            if snap in seen:  # corrupted parent cycle: loud, bounded
-                raise CommitConflictError(
-                    f"{table}: lineage cycle at {snap!r}")
-            seen.add(snap)
-            try:
-                snap = _read_core(table, snap).get("parent")
-            except FileNotFoundError:
-                raise CommitConflictError(
-                    f"{table}: ref {name!r} lineage broken below "
-                    f"{snap!r} (vacuumed?) — re-stage") from None
-        if snap != cur:
+        _check_ref_publishable(table, name)
+        return _publish_ref_locked(table, name)
+
+
+def _check_ref_publishable(table: str, name: str) -> str:
+    """Validate publish_ref's precondition WITHOUT flipping: the
+    branch exists and CURRENT is an ancestor of its head. Caller
+    holds the table lease (nothing can move under the check). Split
+    out so the multi-table transaction commit (sinks/txn.py) can
+    validate EVERY table before flipping ANY pointer — all-or-nothing
+    needs the checks and the flips in separate passes."""
+    target = _ref_read(_ref_path(table, name, "heads"))
+    if target is None:
+        raise FileNotFoundError(f"{table}: no branch {name!r}")
+    cur = current_snapshot(table)
+    snap = target
+    seen: set[str] = set()
+    while snap is not None and snap != cur:
+        if snap in seen:  # corrupted parent cycle: loud, bounded
             raise CommitConflictError(
-                f"{table}: CURRENT {cur!r} is not an ancestor of ref "
-                f"{name!r} head {target!r} — the table moved since "
-                "staging; re-stage the branch from the new head")
-        _atomic_write_text(_pointer_path(table), target)
-        try:  # consume the BRANCH only — a same-named tag survives
-            os.remove(_ref_path(table, name, "heads"))
+                f"{table}: lineage cycle at {snap!r}")
+        seen.add(snap)
+        try:
+            snap = _read_core(table, snap).get("parent")
         except FileNotFoundError:
-            pass
-        return target
+            raise CommitConflictError(
+                f"{table}: ref {name!r} lineage broken below "
+                f"{snap!r} (vacuumed?) — re-stage") from None
+    if snap != cur:
+        raise CommitConflictError(
+            f"{table}: CURRENT {cur!r} is not an ancestor of ref "
+            f"{name!r} head {target!r} — the table moved since "
+            "staging; re-stage the branch from the new head")
+    return target
+
+
+def _publish_ref_locked(table: str, name: str) -> str:
+    """The flip half of publish_ref — caller holds the lease and has
+    already validated via `_check_ref_publishable`."""
+    target = _ref_read(_ref_path(table, name, "heads"))
+    if target is None:
+        raise FileNotFoundError(f"{table}: no branch {name!r}")
+    _atomic_write_text(_pointer_path(table), target)
+    try:  # consume the BRANCH only — a same-named tag survives
+        os.remove(_ref_path(table, name, "heads"))
+    except FileNotFoundError:
+        pass
+    return target
 
 
 def rollback_table(table: str, snapshot: str) -> str:
@@ -423,11 +443,146 @@ def _read_chunk(table: str, chunk_id: str) -> dict:
 
 
 def _chunk_file_count(core: dict) -> int:
-    """Total live files named by a manifest, from the CORE alone."""
-    if "chunks" not in core:
+    """Total live files named by a manifest, from the CORE alone —
+    paged cores sum the page refs' recorded live counts plus the
+    loose tail, so publishes never load a page just to count."""
+    if "chunks" not in core and "pages" not in core:
         return len(core.get("files") or [])
-    return sum(ch["n"] - len(ch.get("exclude") or [])
-               for ch in core["chunks"])
+    return (sum(pg["files"] for pg in core.get("pages") or [])
+            + sum(ch["n"] - len(ch.get("exclude") or ())
+                  for ch in core.get("chunks") or []))
+
+
+# ---------------------------------------------------------------------------
+# Paged cores: past `_CORE_PAGE_FOLD_AT` chunk descriptors the core
+# manifest stops inlining the descriptor list and folds runs of
+# `_CORE_PAGE_DESCS` descriptors into immutable PAGE files (the
+# Iceberg manifest-list shape, one level up from the chunk sidecars).
+# The core then holds page REFS — id, live-file count, and the union
+# span per stats column — plus a loose descriptor tail that appends
+# push onto. Three costs this bounds at 4-10M+ files:
+#   * core-manifest bytes: page refs, not descriptors — the core
+#     stays KB-sized no matter how many chunks the table has;
+#   * planning: a predicate's span check rules whole PAGES out before
+#     any descriptor is even parsed (clustered tables load one page);
+#   * publish: appends carry the parent's page refs verbatim (zero
+#     page loads) and extend only the tail.
+# Pages are immutable and shared forward like chunk sidecars; a COW
+# tombstone dissolves ONLY the pages holding an affected chunk (their
+# untouched descriptors re-enter the tail and refold). Vacuum
+# refcounts page files across retained manifests exactly like chunks.
+# ---------------------------------------------------------------------------
+
+_CORE_PAGE_DESCS = 256
+_CORE_PAGE_FOLD_AT = 320
+#: Immutable-page read cache (path -> descriptor list). Pages are
+#: content-stable for their lifetime (uuid ids, never rewritten), so
+#: a tiny LRU makes repeated plans against the same snapshot pay one
+#: load per page total. Bounded: ~64 KB/page x 64.
+_PAGE_CACHE_MAX = 64
+_PAGE_CACHE: dict = {}
+
+
+def _pages_root(table: str) -> str:
+    return os.path.join(_snapshots_root(table), "pages")
+
+
+def _page_path(table: str, page_id: str) -> str:
+    return os.path.join(_pages_root(table), f"{page_id}.json")
+
+
+def _read_page(table: str, page_id: str) -> list[dict]:
+    """One page's descriptor list, LRU-cached (pages are immutable)."""
+    path = _page_path(table, page_id)
+    hit = _PAGE_CACHE.pop(path, None)
+    if hit is not None:
+        _PAGE_CACHE[path] = hit  # re-insert: LRU recency
+        return hit
+    with open(path) as fh:
+        descs = json.load(fh)["chunks"]
+    _PAGE_CACHE[path] = descs
+    while len(_PAGE_CACHE) > _PAGE_CACHE_MAX:
+        _PAGE_CACHE.pop(next(iter(_PAGE_CACHE)))
+    return descs
+
+
+def _core_descs(table: str, core: dict) -> list[dict]:
+    """The full chunk-descriptor list of a chunked core — pages
+    materialized, loose tail appended. O(pages); the walk paths that
+    genuinely need every descriptor (materialize, vacuum, COW locate)
+    pay it, planning goes through the page-span cut instead."""
+    out: list[dict] = []
+    for pg in core.get("pages") or []:
+        out += _read_page(table, pg["id"])
+    out += core.get("chunks") or []
+    return out
+
+
+def _union_spans(descs: list[dict]) -> dict | None:
+    """Page-level [lo, hi] per column over member chunk spans — the
+    same conservative algebra as `_chunk_spans` one level up: any
+    member with a missing/None span makes the page unprunable on that
+    column (None); all-NULL members ([None, None]) contribute nothing
+    and an all-NULL page stays skippable."""
+    cols: set = set()
+    for ch in descs:
+        if ch.get("spans") is None:
+            return None  # an unspanned member: page never skippable
+        cols.update(ch["spans"])
+    if not cols:
+        return {}
+    spans: dict = {}
+    for c in cols:
+        los: list = []
+        his: list = []
+        dead = False
+        for ch in descs:
+            s = ch["spans"].get(c, None) if c in ch["spans"] else None
+            if c not in ch["spans"] or s is None:
+                dead = True
+                break
+            lo, hi = s
+            if lo is None and hi is None:
+                continue
+            los.append(lo)
+            his.append(hi)
+        if dead:
+            spans[c] = None
+        elif not los:
+            spans[c] = [None, None]
+        else:
+            try:
+                spans[c] = [min(los), max(his)]
+            except TypeError:
+                spans[c] = None
+    return spans
+
+
+def _write_page(table: str, descs: list[dict]) -> dict:
+    """Write one immutable page file; return its core ref."""
+    os.makedirs(_pages_root(table), exist_ok=True)
+    pid = uuid.uuid4().hex
+    _atomic_write_json(_page_path(table, pid), {"chunks": descs})
+    return {"id": pid,
+            "k": len(descs),
+            "files": sum(ch["n"] - len(ch.get("exclude") or ())
+                         for ch in descs),
+            "spans": _union_spans(descs)}
+
+
+def _fold_pages(table: str, pages: list[dict], tail: list[dict]
+                ) -> tuple[list[dict], list[dict]]:
+    """Fold a long descriptor tail into new immutable pages, keeping
+    the remainder loose. No-op below `_CORE_PAGE_FOLD_AT` — small
+    tables (and every pre-r7 table) stay in the flat `chunks` shape
+    byte-for-byte."""
+    if len(tail) <= _CORE_PAGE_FOLD_AT:
+        return pages, tail
+    pages = list(pages)
+    while len(tail) > _CORE_PAGE_DESCS:
+        pages.append(_write_page(table, tail[:_CORE_PAGE_DESCS]))
+        tail = tail[_CORE_PAGE_DESCS:]
+    return pages, tail
 
 
 def _chunk_spans(part: list[str], stats: dict | None,
@@ -507,13 +662,13 @@ def _materialize(table: str, core: dict) -> dict:
     Inline manifests pass through untouched. O(total files) — the
     mutation and full-scan paths that genuinely need the whole file
     list pay it; planning goes through `_prune_chunked` instead."""
-    if "chunks" not in core:
+    if "chunks" not in core and "pages" not in core:
         return core
     files: list[str] = []
     stats: dict = {}
     blooms: dict = {}
     fseq: dict = {}
-    for ch in core["chunks"]:
+    for ch in _core_descs(table, core):
         side = _read_chunk(table, ch["id"])
         excl = set(ch.get("exclude") or [])
         part = [f for f in side["files"] if f not in excl]
@@ -1068,16 +1223,40 @@ def _blm_hash_batch(values):
             (h >> np.uint64(32)) | np.uint64(1))
 
 
-def _blm_probe(table: str, ch: dict, eq_preds: list[tuple]
+def _blm_hash_preds(eq_preds: list[tuple]) -> list[tuple] | None:
+    """Hash every equality predicate's value batch ONCE per plan —
+    the digests depend only on the literals, never the chunk, so
+    hashing inside the per-chunk probe re-paid pandas' per-call setup
+    O(chunks) times (measured ~2 s of a 3 s point plan at 4M files /
+    977 chunks). Returns [(col, h1, h2), ...] or None when any batch
+    is oversized or non-canonical (probing is then inconclusive for
+    every chunk and the caller skips straight to the sidecar path)."""
+    out = []
+    for col, _op, val in eq_preds:
+        if (isinstance(val, (str, bytes))
+                or not hasattr(val, "__iter__")):
+            batch = [val]
+        else:
+            batch = list(val)
+        if len(batch) > _BLM_PROBE_MAX_VALUES:
+            return None
+        hashed = _blm_hash_batch(batch)
+        if hashed is None:
+            return None
+        out.append((col, hashed[0], hashed[1]))
+    return out
+
+
+def _blm_probe(table: str, ch: dict, hashed_preds: list[tuple]
                ) -> tuple[list[str], dict] | None:
     """Probe one chunk's bit-sliced blooms for AND-combined equality
-    predicates. Returns (surviving member names in sidecar order,
-    their file_seq entries) WITHOUT loading the sidecar — or None when
-    inconclusive (no .blm, a column without a matrix, an oversized or
-    non-canonical batch, a corrupt file), in which case the caller
-    falls back to loading the sidecar exactly as before. Excluded
-    (tombstoned) members are dropped here so COW-rewritten files never
-    resurface."""
+    predicates (pre-hashed by `_blm_hash_preds`). Returns (surviving
+    member names in sidecar order, their file_seq entries) WITHOUT
+    loading the sidecar — or None when inconclusive (no .blm, a
+    column without a matrix, a corrupt file), in which case the
+    caller falls back to loading the sidecar exactly as before.
+    Excluded (tombstoned) members are dropped here so COW-rewritten
+    files never resurface."""
     import numpy as np
 
     try:
@@ -1091,26 +1270,10 @@ def _blm_probe(table: str, ch: dict, eq_preds: list[tuple]
             n = header["n"]
             row_bytes = None
             alive = np.ones(n, dtype=bool)
-            for col, _op, val in eq_preds:
+            for col, h1, h2 in hashed_preds:
                 meta = (header.get("cols") or {}).get(col)
                 if meta is None:
                     return None  # column not sliced: inconclusive
-                # scalars (op "=") wrap; collections (op "in" —
-                # list/tuple/set/frozenset/_InProbe) iterate. A
-                # float/bool/date literal must fall through to
-                # _blm_hash_batch's type gate (inconclusive -> sidecar
-                # path), never TypeError out of the planner.
-                if (isinstance(val, (str, bytes))
-                        or not hasattr(val, "__iter__")):
-                    batch = [val]
-                else:
-                    batch = list(val)
-                if len(batch) > _BLM_PROBE_MAX_VALUES:
-                    return None
-                hashed = _blm_hash_batch(batch)
-                if hashed is None:
-                    return None
-                h1, h2 = hashed
                 m = np.uint64(meta["m"])
                 row_bytes = meta["row_bytes"]
                 hit = np.zeros(n, dtype=bool)
@@ -1429,6 +1592,13 @@ def _chunk_survives(ch: dict, predicates: list[tuple]) -> bool:
                for (c, op, v) in predicates)
 
 
+def _page_survives(pg: dict, predicates: list[tuple]) -> bool:
+    """Can any chunk of page ``pg`` satisfy the predicates? The page
+    ref's union spans carry the exact `_chunk_survives` semantics one
+    level up (None = must load, [None, None] = all-NULL page)."""
+    return _chunk_survives(pg, predicates)
+
+
 def _prune_chunked(table: str, core: dict,
                    predicates: list[tuple]) -> dict:
     """Planning over a CHUNKED manifest: chunk spans rule sidecars out
@@ -1451,33 +1621,54 @@ def _prune_chunked(table: str, core: dict,
     total = 0
     loaded = 0
     probed = 0
-    chunks = core["chunks"]
+    # Page cut first: a paged core's span check rules whole PAGES out
+    # before a single descriptor is parsed — the core read stays
+    # O(page refs), the descriptor parse O(pages the predicate can
+    # hit). Skipped pages still contribute their live counts.
+    pages = core.get("pages") or []
+    pages_loaded = 0
+    chunks: list[dict] = []
+    chunks_total = 0
+    for pg in pages:
+        chunks_total += pg["k"]
+        if not _page_survives(pg, predicates):
+            total += pg["files"]
+            continue
+        pages_loaded += 1
+        chunks += _read_page(table, pg["id"])
+    chunks += core.get("chunks") or []
+    chunks_total += len(core.get("chunks") or [])
     bloom_cols = set(core.get("bloom_cols") or [])
     eq_preds = [(c, op, v) for (c, op, v) in predicates
                 if c in bloom_cols and op in ("=", "in")]
+    # value digests are chunk-independent: hash once per PLAN (a
+    # float/bool/date literal or oversized batch gates to None here —
+    # probing is then inconclusive for every chunk, sidecars decide)
+    hashed_preds = _blm_hash_preds(eq_preds) if eq_preds else None
     pure_eq = bool(eq_preds) and len(eq_preds) == len(predicates)
     sub_base = {"stats_cols": core.get("stats_cols"),
                 "bloom_cols": core.get("bloom_cols")}
-    for ch in chunks:
+
+    def _eval_chunk(ch: dict) -> tuple:
+        """One chunk's full pruning decision, serial on purpose: the
+        probe work is GIL-bound Python (tiny reads, header parses,
+        short numpy ops), and a 16-thread pool measured 8x SLOWER
+        than this loop at 4M files / 977 chunks (3.1 s vs 0.39 s) —
+        contention, not parallelism. Returns
+        (n_live, kept_names, fseq_entries, loaded, probed)."""
         n_live = ch["n"] - len(ch.get("exclude") or [])
-        total += n_live
         if not _chunk_survives(ch, predicates):
-            continue
+            return (n_live, None, None, 0, 0)
         blm_survivors = None
-        if eq_preds and ch.get("blm"):
-            hit = _blm_probe(table, ch, eq_preds)
+        if hashed_preds is not None and ch.get("blm"):
+            hit = _blm_probe(table, ch, hashed_preds)
             if hit is not None:
-                probed += 1
                 survivors, pseq = hit
                 if not survivors:
-                    continue  # whole sidecar ruled out by K row reads
-                if pure_eq:
-                    kept += survivors
-                    by_chunk[ch["id"]] = survivors
-                    fseq.update(pseq)
-                    continue  # residual predicates refine at scan
+                    return (n_live, [], {}, 0, 1)
+                if pure_eq:  # residual-free: .blm header is final
+                    return (n_live, survivors, pseq, 0, 1)
                 blm_survivors = set(survivors)
-        loaded += 1
         side = _read_chunk(table, ch["id"])
         excl = set(ch.get("exclude") or [])
         part = [f for f in side["files"]
@@ -1487,17 +1678,30 @@ def _prune_chunked(table: str, core: dict,
                "stats": side.get("stats"),
                "blooms": side.get("blooms")}
         part_kept = _prune_from_man(sub, predicates)["kept"]
+        side_seq = side.get("file_seq") or {}
+        return (n_live, part_kept,
+                {f: side_seq[f] for f in part_kept if f in side_seq},
+                1, 0)
+
+    for ch, (n_live, part_kept, pseq, did_load, did_probe) in zip(
+            chunks, (_eval_chunk(ch) for ch in chunks)):
+        total += n_live
+        loaded += did_load
+        probed += did_probe
+        if part_kept is None:  # span-skipped
+            continue
         kept += part_kept
         by_chunk[ch["id"]] = part_kept
-        side_seq = side.get("file_seq") or {}
-        for f in part_kept:
-            if f in side_seq:
-                fseq[f] = side_seq[f]
-    return {"total": total, "kept": kept,
-            "skipped": total - len(kept),
-            "chunks_total": len(chunks), "chunks_loaded": loaded,
-            "chunks_blm_probed": probed,
-            "file_seq": fseq, "by_chunk": by_chunk}
+        fseq.update(pseq)
+    out = {"total": total, "kept": kept,
+           "skipped": total - len(kept),
+           "chunks_total": chunks_total, "chunks_loaded": loaded,
+           "chunks_blm_probed": probed,
+           "file_seq": fseq, "by_chunk": by_chunk}
+    if pages:
+        out["pages_total"] = len(pages)
+        out["pages_loaded"] = pages_loaded
+    return out
 
 
 def prune_report(table: str, snapshot: str,
@@ -1713,6 +1917,7 @@ def _publish(table: str, files: list[str], rows: int,
              file_seq: dict | None = None,
              delete_files: list[dict] | None = None,
              parent_chunks: list[dict] | None = None,
+             parent_pages: list[dict] | None = None,
              ref: str | None = None,
              partition_spec: list[dict] | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
@@ -1761,12 +1966,19 @@ def _publish(table: str, files: list[str], rows: int,
             for d in delete_files
         ]
     chunks = None
+    pages = None
     if parent_chunks is not None:
         chunks = list(parent_chunks) + _write_chunks(
             table, files, stats, blooms, carried, stats_cols)
+        pages = list(parent_pages or [])
     elif len(files) >= _MANIFEST_CHUNK_FILES:
         chunks = _write_chunks(table, files, stats, blooms, carried,
                                stats_cols)
+        pages = []
+    if chunks is not None:
+        # fold a long descriptor tail into immutable pages; below the
+        # threshold the core keeps the flat pre-r7 `chunks` shape
+        pages, chunks = _fold_pages(table, pages, chunks)
     manifest = {
         "snapshot": name,
         "parent": parent,
@@ -1788,10 +2000,15 @@ def _publish(table: str, files: list[str], rows: int,
     }
     if chunks is not None:
         # per-file metadata lives in the sidecars; the core stays
-        # small no matter how many files the snapshot names
+        # small no matter how many files the snapshot names. The
+        # "chunks" key is ALWAYS present on a chunked core (possibly
+        # an empty tail beside "pages") — every `"chunks" in core`
+        # routing check relies on that invariant.
         for key in ("files", "stats", "blooms", "file_seq"):
             del manifest[key]
         manifest["chunks"] = chunks
+        if pages:
+            manifest["pages"] = pages
     _atomic_write_json(_manifest_path(table, name), manifest)
 
     if ref is None:
@@ -2131,7 +2348,8 @@ def set_partition_spec(table: str, spec: list[str] | None,
         if "chunks" in core:
             return _publish(table, [], core["rows"], parent,
                             _chunk_file_count(core), new_files=[],
-                            parent_chunks=core["chunks"], **common)
+                            parent_chunks=core["chunks"],
+                            parent_pages=core.get("pages"), **common)
         man = _materialize(table, core)
         return _publish(table, man["files"], man["rows"], parent,
                         len(man["files"]), new_files=[],
@@ -2353,7 +2571,8 @@ def append_snapshot(df: DataFrame, table: str,
                 stats=new_stats, stats_cols=stats_cols,
                 blooms=new_blooms, bloom_cols=bloom_cols,
                 delete_files=parent_core.get("delete_files"),
-                parent_chunks=parent_core["chunks"], ref=branch)
+                parent_chunks=parent_core["chunks"],
+                parent_pages=parent_core.get("pages"), ref=branch)
         parent_man = _materialize(table, parent_core)
         old_files = parent_man.get("files", [])
         return _publish(table, old_files + new_files,
@@ -2618,17 +2837,17 @@ def _key_batch_predicates(key: str, keys_df: DataFrame) -> list[tuple]:
     return [(key, ">=", span["lo"]), (key, "<=", span["hi"])]
 
 
-def _tombstoned_chunks(core: dict, by_chunk: dict,
+def _tombstoned_chunks(descs_in: list[dict], by_chunk: dict,
                        affected: set[str]) -> list[dict]:
-    """The parent's chunk descriptors with the rewritten files
-    tombstoned out — a COW commit on a chunked table touches only the
-    descriptors of chunks that held an affected file (their sidecars
-    are REUSED; the exclude list hides the replaced members). Spans
-    stay as recorded: conservative (a chunk may load needlessly for a
-    dead member's range) but never unsound. A chunk whose every member
-    is excluded drops entirely."""
+    """Chunk descriptors with the rewritten files tombstoned out — a
+    COW commit on a chunked table touches only the descriptors of
+    chunks that held an affected file (their sidecars are REUSED; the
+    exclude list hides the replaced members). Spans stay as recorded:
+    conservative (a chunk may load needlessly for a dead member's
+    range) but never unsound. A chunk whose every member is excluded
+    drops entirely."""
     descs = []
-    for ch in core["chunks"]:
+    for ch in descs_in:
         hit = affected & set(by_chunk.get(ch["id"], ()))
         if not hit:
             descs.append(ch)
@@ -2638,6 +2857,33 @@ def _tombstoned_chunks(core: dict, by_chunk: dict,
             continue
         descs.append({**ch, "exclude": sorted(excl)})
     return descs
+
+
+def _tombstoned_core(table: str, core: dict, by_chunk: dict,
+                     affected: set[str]
+                     ) -> tuple[list[dict], list[dict]]:
+    """Paged-core tombstoning: pages with no affected member keep
+    their REF untouched (zero loads beyond the plan's own); a page
+    holding an affected chunk DISSOLVES — its patched descriptors
+    re-enter the loose tail and refold at publish. Returns
+    (kept page refs, tail descriptors). Membership is decided from
+    the page CONTENTS (plan-surviving pages are LRU-cache hits; a
+    span-skipped page pays one cached load) — a COW rewrite already
+    rewrote data files, so O(pages) 64 KB metadata reads are noise
+    next to it."""
+    affected_cids = {cid for cid, names in by_chunk.items()
+                     if affected & set(names)}
+    pages: list[dict] = []
+    tail: list[dict] = []
+    for pg in core.get("pages") or []:
+        members = _read_page(table, pg["id"])
+        if any(ch["id"] in affected_cids for ch in members):
+            tail += _tombstoned_chunks(members, by_chunk, affected)
+        else:
+            pages.append(pg)
+    tail += _tombstoned_chunks(core.get("chunks") or [], by_chunk,
+                               affected)
+    return pages, tail
 
 
 def _cow_rebase_guard(table: str, head: str, base: str,
@@ -2678,8 +2924,19 @@ def _cow_rebase_guard(table: str, head: str, base: str,
             continue
         files += new
         if "chunks" in m:
+            # this commit's own sidecars = descriptors not in its
+            # parent. Within an append-only chain descriptors only
+            # move tail -> page (folds), never out of a page, so the
+            # parent's TAIL ids suffice — pages shared by ref are
+            # skipped wholesale, and a fold's new page is walked for
+            # the moved-in descs it may carry alongside fresh ones.
             parent_ids = {ch["id"] for ch in pm.get("chunks") or []}
-            for ch in m["chunks"]:
+            pm_pages = {pg["id"] for pg in pm.get("pages") or []}
+            cand = list(m.get("chunks") or [])
+            for pg in m.get("pages") or []:
+                if pg["id"] not in pm_pages:
+                    cand += _read_page(table, pg["id"])
+            for ch in cand:
                 if ch["id"] in parent_ids:
                     continue
                 side = _read_chunk(table, ch["id"])
@@ -2767,19 +3024,19 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
             if schema is not None:  # interposed appends may have
                 schema = _merge_schema(  # widened the table schema
                     _schema_from_man(pub_core), schema)
-        descs = _tombstoned_chunks(pub_core, plan["by_chunk"],
-                                   affected)
+        pages, descs = _tombstoned_core(table, pub_core,
+                                        plan["by_chunk"], affected)
         return _publish(
             table, new_files,
             pub_core["rows"] - affected_rows + new_rows,
             head if head is not None else parent,
-            _chunk_file_count({"chunks": descs}), op=op,
-            txn_id=txn_id,
+            _chunk_file_count({"pages": pages, "chunks": descs}),
+            op=op, txn_id=txn_id,
             new_files=new_files, schema=schema, stats=new_stats,
             stats_cols=stats_cols, blooms=new_blooms,
             bloom_cols=bloom_cols,
             delete_files=pub_core.get("delete_files"),
-            parent_chunks=descs)
+            parent_chunks=descs, parent_pages=pages)
 
 
 def _cow_inline_rebase(table: str, head: str, parent: str,
@@ -3163,7 +3420,8 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
                 blooms=new_blooms, bloom_cols=bloom_cols,
                 delete_files=(parent_man.get("delete_files") or [])
                 + entries,
-                parent_chunks=parent_man["chunks"], ref=branch)
+                parent_chunks=parent_man["chunks"],
+                parent_pages=parent_man.get("pages"), ref=branch)
         parent_man = _materialize(table, parent_man)
         rows = parent_man["rows"] - matched + new_rows
         return _publish(
@@ -3297,6 +3555,16 @@ def vacuum_snapshots(table: str, keep: int = 2,
             side = side_cache[cid]
             return None if side is None else side["files"]
 
+        def _page_descs(pid: str) -> list[dict]:
+            """A page's descriptors for the refcount walks — reaped
+            or torn pages contribute nothing (their chunks are then
+            unreferenced by this manifest, conservative for doomed
+            refs and exactly right for liveness)."""
+            try:
+                return _read_page(table, pid)
+            except (OSError, ValueError, KeyError):
+                return []
+
         # Record what the doomed manifests referenced BEFORE deleting
         # them: files they named were committed-then-superseded and
         # reap immediately, while a pool file referenced by NO
@@ -3315,7 +3583,10 @@ def vacuum_snapshots(table: str, keep: int = 2,
                 core = None
             if core is not None:
                 if "chunks" in core:
-                    for ch in core["chunks"]:
+                    descs = list(core["chunks"])
+                    for pg in core.get("pages") or []:
+                        descs += _page_descs(pg["id"])
+                    for ch in descs:
                         files = _side_files(ch["id"])
                         if files:
                             doomed_refs.update(files)
@@ -3330,6 +3601,7 @@ def vacuum_snapshots(table: str, keep: int = 2,
 
         live: set[str] = set()
         live_chunks: set[str] = set()
+        live_pages: set[str] = set()
         # A chunk member is live unless EVERY retained manifest that
         # references the chunk tombstones it (exclude lists) — track
         # the intersection of excludes per chunk id, from cores alone.
@@ -3342,9 +3614,14 @@ def vacuum_snapshots(table: str, keep: int = 2,
             live.update(d["file"]
                         for d in core.get("delete_files") or [])
             if "chunks" in core:
-                # Chunk sidecars are shared forward like data files:
-                # refcount across RETAINED manifests before reaping.
-                for ch in core["chunks"]:
+                # Chunk sidecars and PAGES are shared forward like
+                # data files: refcount across RETAINED manifests
+                # before reaping (each distinct page read once).
+                descs = list(core["chunks"])
+                for pg in core.get("pages") or []:
+                    live_pages.add(pg["id"])
+                    descs += _page_descs(pg["id"])
+                for ch in descs:
                     cid = ch["id"]
                     excl = set(ch.get("exclude") or ())
                     if cid in live_chunks:
@@ -3399,6 +3676,24 @@ def vacuum_snapshots(table: str, keep: int = 2,
                     except FileNotFoundError:
                         pass
 
+        removed_pages = 0
+        proot = _pages_root(table)
+        if os.path.isdir(proot):
+            for f in os.listdir(proot):
+                stem, dot, ext = f.rpartition(".")
+                p = os.path.join(proot, f)
+                if dot and ext == "json" and stem not in live_pages:
+                    os.remove(p)
+                    _PAGE_CACHE.pop(p, None)
+                    removed_pages += 1
+                elif ".tmp-" in f:
+                    try:
+                        if os.path.getmtime(p) < age_cutoff:
+                            os.remove(p)
+                            removed_pages += 1
+                    except FileNotFoundError:
+                        pass
+
         sroot = _snapshots_root(table)
         for f in os.listdir(sroot):  # crashed manifest writes, aged
             if ".tmp-" in f:
@@ -3425,7 +3720,8 @@ def vacuum_snapshots(table: str, keep: int = 2,
             except FileNotFoundError:
                 pass  # racing writer finished its move: leave it
         return {"snapshots": doomed, "files": removed_files,
-                "staging": removed_staging, "chunks": removed_chunks}
+                "staging": removed_staging, "chunks": removed_chunks,
+                "pages": removed_pages}
 
 
 def optimize_table(spark: SparkSession, table: str,
@@ -3760,7 +4056,8 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
                 bloom_cols=parent_man.get("bloom_cols"),
                 delete_files=(parent_man.get("delete_files") or [])
                 + entries,
-                parent_chunks=parent_man["chunks"], ref=branch)
+                parent_chunks=parent_man["chunks"],
+                parent_pages=parent_man.get("pages"), ref=branch)
         parent_man = _materialize(table, parent_man)
         return _publish(
             table, parent_man["files"], parent_man["rows"] - matched,

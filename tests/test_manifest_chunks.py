@@ -407,7 +407,9 @@ def test_chunk_blm_fold_soundness_property():
             ch = {"id": "c1", "n": len(part)}
             for f, vals in zip(part, member_vals):
                 for v in vals:
-                    got = V._blm_probe(table, ch, [("k", "=", v)])
+                    hp = V._blm_hash_preds([("k", "=", v)])
+                    assert hp is not None
+                    got = V._blm_probe(table, ch, hp)
                     assert got is not None
                     assert f in got[0], (
                         f"chunk-bloom false negative: {v!r} in {f}")
