@@ -1,0 +1,259 @@
+"""Multi-table transactions over versioned tables: stage every write
+on a per-table txn BRANCH (the write-audit-publish machinery), then
+commit all tables with a write-ahead intent record and ordered
+pointer flips under simultaneously-held leases — all-or-nothing
+OUTCOME across tables, with crash ROLL-FORWARD via `recover_txns`.
+
+    with multi_table_txn(log_dir, [orders_tbl, items_tbl]) as txn:
+        txn.append(dfA, orders_tbl)
+        txn.merge_mor(spark, updates, items_tbl, key="id")
+    # exit without exception == commit; an exception == abort
+
+Guarantees and their honest limits:
+
+* **Staging is invisible**: every write lands on branch
+  ``txn-<id>`` — readers of any table see nothing until commit
+  (exactly the WAP contract each verb already has).
+* **Commit is all-or-nothing in OUTCOME**: leases on every written
+  table are acquired in sorted-path order (deadlock-free), every
+  table's publish precondition is validated while nothing can move,
+  the intent record is sealed, and only then do the pointers flip.
+  A conflict (a commit landed directly on any table after staging)
+  aborts BEFORE any flip — no table moves.
+* **Crash atomicity is roll-forward**: a crash between flips leaves
+  the sealed intent; `recover_txns` completes the remaining flips
+  (idempotent — a flipped table is recognized by ancestry). A crash
+  before sealing leaves only branch refs, which vacuum reaps like
+  any abandoned staging.
+* **NOT cross-table read isolation**: during the flip window (and a
+  crash window until recovery runs) a reader can see table A's new
+  state beside table B's old one. Closing that window needs a single
+  catalog-level pointer for the table GROUP — the documented next
+  step for sinks/table_catalog.py. Iceberg/Delta offer no
+  multi-table commit at all; roll-forward durability with staged
+  invisibility is already beyond them.
+* **Recovery edge**: if a crashed commit's lease expires and a new
+  writer commits onto a not-yet-flipped table, that table's staged
+  lineage no longer extends CURRENT. `recover_txns` then rolls the
+  whole transaction BACK if no table had flipped (atomicity
+  preserved), or reports it ``broken`` if some had — run recovery at
+  process start, before new writers.
+
+Reference anchor: the reference pipeline's multi-statement loads
+commit atomically inside one PostgreSQL transaction
+(data_load.py's INSERT…SELECT + status-log write); this module is
+that contract re-expressed for a lake of versioned tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from contextlib import ExitStack
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+__all__ = ["multi_table_txn", "MultiTableTxn", "recover_txns",
+           "TxnBrokenError"]
+
+_COMMIT_WAIT_S = 120.0
+
+
+class TxnBrokenError(RuntimeError):
+    """A partially-flipped transaction could not be rolled forward."""
+
+
+def _intent_path(log_dir: str, txn_id: str) -> str:
+    return os.path.join(log_dir, f"{txn_id}.json")
+
+
+def _is_reachable(table: str, anc: str, snap: str | None) -> bool:
+    """True if ``anc`` is ``snap`` or an ancestor of it."""
+    seen: set[str] = set()
+    while snap is not None and snap not in seen:
+        if snap == anc:
+            return True
+        seen.add(snap)
+        try:
+            snap = V._read_core(table, snap).get("parent")
+        except FileNotFoundError:
+            return False
+    return False
+
+
+class MultiTableTxn:
+    def __init__(self, log_dir: str, tables: list[str]):
+        self.log_dir = log_dir
+        self.tables = [os.path.abspath(t) for t in tables]
+        self.txn_id = uuid.uuid4().hex[:16]
+        self.branch = f"txn-{self.txn_id}"
+        self._written: list[str] = []  # insertion order, deduped
+        self._done = False
+
+    # -- staging wrappers: every verb that takes branch= works; these
+    # -- cover the common three and record which tables were touched
+    def _touch(self, table: str) -> str:
+        table = os.path.abspath(table)
+        if table not in self.tables:
+            raise ValueError(
+                f"{table} not declared in this transaction")
+        if table not in self._written:
+            self._written.append(table)
+        return table
+
+    def append(self, df: DataFrame, table: str) -> str:
+        return V.append_snapshot(df, self._touch(table),
+                                 branch=self.branch)
+
+    def merge_mor(self, spark: SparkSession, updates: DataFrame,
+                  table: str, key: str) -> str:
+        return V.merge_snapshot_mor(spark, updates,
+                                    self._touch(table), key,
+                                    branch=self.branch)
+
+    def delete_mor(self, spark: SparkSession, table: str, key: str,
+                   doomed: DataFrame) -> str:
+        return V.delete_keys_mor(spark, self._touch(table), key,
+                                 doomed, branch=self.branch)
+
+    # -- outcome --------------------------------------------------------
+    def commit(self) -> dict:
+        """Validate every table, seal the intent, flip every pointer.
+        Raises CommitConflictError (nothing flipped) if any table
+        moved since staging."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        staged = list(self._written)
+        if not staged:
+            return {"txn": self.txn_id, "tables": {}}
+        os.makedirs(self.log_dir, exist_ok=True)
+        targets: dict[str, str] = {}
+        with ExitStack() as stack:
+            # sorted-path lease order: two overlapping transactions
+            # can never deadlock, one just waits
+            for t in sorted(staged):
+                stack.enter_context(table_lease(
+                    t, owner=f"txn:{self.txn_id}",
+                    wait_s=_COMMIT_WAIT_S))
+            # pass 1: EVERY precondition while nothing can move; a
+            # conflict is an ABORT (drop the staged branches — the
+            # caller re-runs the whole transaction, not one table)
+            try:
+                for t in staged:
+                    targets[t] = V._check_ref_publishable(
+                        t, self.branch)
+            except Exception:
+                for t in staged:
+                    V.delete_ref(t, self.branch)
+                raise
+            # seal: the commit decision survives a crash from here on
+            V._atomic_write_json(
+                _intent_path(self.log_dir, self.txn_id),
+                {"txn": self.txn_id, "state": "committing",
+                 "branch": self.branch,
+                 "tables": {t: targets[t] for t in staged}})
+            # pass 2: flip — crash mid-way rolls FORWARD via recover
+            for t in staged:
+                V._publish_ref_locked(t, self.branch)
+        os.remove(_intent_path(self.log_dir, self.txn_id))
+        return {"txn": self.txn_id, "tables": targets}
+
+    def abort(self) -> None:
+        """Drop every staged branch; staged manifests and files are
+        vacuum orphans exactly like any abandoned WAP staging."""
+        if self._done:
+            return
+        self._done = True
+        for t in self._written:
+            try:
+                V.delete_ref(t, self.branch)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "MultiTableTxn":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.abort()
+        return False
+
+
+def multi_table_txn(log_dir: str, tables: list[str]) -> MultiTableTxn:
+    return MultiTableTxn(log_dir, tables)
+
+
+def recover_txns(log_dir: str) -> dict:
+    """Resolve every sealed-but-unfinished transaction in ``log_dir``.
+
+    Per intent: classify each table — ``flipped`` (the recorded
+    target is CURRENT or an ancestor of it), ``pending`` (branch ref
+    still publishable), or ``stuck`` (the table moved past the staged
+    lineage). Then:
+
+    * any table flipped  -> roll FORWARD the pending ones; if any is
+      stuck, the transaction is reported broken (and kept on disk
+      for inspection) — partial visibility already happened;
+    * no table flipped   -> roll FORWARD when every table is pending
+      (the sealed decision completes), roll BACK otherwise (drop the
+      branches; atomicity preserved — nothing ever became visible).
+
+    Idempotent: re-running after a crash mid-recovery converges."""
+    out = {"completed": [], "rolled_back": [], "broken": []}
+    if not os.path.isdir(log_dir):
+        return out
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.endswith(".json"):
+            continue
+        path = os.path.join(log_dir, fname)
+        try:
+            with open(path) as fh:
+                intent = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if intent.get("state") != "committing":
+            continue
+        branch = intent["branch"]
+        tables = intent["tables"]
+        with ExitStack() as stack:
+            for t in sorted(tables):
+                stack.enter_context(table_lease(
+                    t, owner=f"txn-recover:{intent['txn']}",
+                    wait_s=_COMMIT_WAIT_S))
+            state: dict[str, str] = {}
+            for t, target in tables.items():
+                if _is_reachable(t, target, V.current_snapshot(t)):
+                    state[t] = "flipped"
+                    continue
+                try:
+                    V._check_ref_publishable(t, branch)
+                    state[t] = "pending"
+                except (FileNotFoundError, V.CommitConflictError):
+                    state[t] = "stuck"
+            any_flipped = "flipped" in state.values()
+            all_ok = all(s in ("flipped", "pending")
+                         for s in state.values())
+            if all_ok:
+                for t, s in state.items():
+                    if s == "pending":
+                        V._publish_ref_locked(t, branch)
+                os.remove(path)
+                out["completed"].append(intent["txn"])
+            elif not any_flipped:
+                for t in tables:
+                    try:
+                        V.delete_ref(t, branch)
+                    except FileNotFoundError:
+                        pass
+                os.remove(path)
+                out["rolled_back"].append(intent["txn"])
+            else:
+                out["broken"].append(intent["txn"])
+    return out
