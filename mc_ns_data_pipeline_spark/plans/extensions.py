@@ -3702,6 +3702,161 @@ def x109_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x110_paged_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paged-core manifest lifecycle (sinks/versioned.py `_fold_pages`
+    two-level metadata, VERDICT r06 #4), oracle-checked: publish the
+    even-keyed orders range-clustered so the core manifest FOLDS its
+    chunk descriptors into immutable page files, append the odd keys
+    (page refs must carry forward verbatim — zero page loads), COW-
+    upsert the keys ≡ 0 mod 10 to price -1.0 (ONLY the pages holding
+    an affected chunk dissolve; the rest keep their refs), then answer
+    a low-key-range aggregate through paged planning.
+
+    Activation thresholds are lowered around the scratch table's
+    lifecycle (try/finally-restored) so a 40-file toy exercises the
+    real machinery; production folding starts at ~1.3M files. The
+    aggregates hash-check against the same membership algebra in
+    DuckDB (paging is layout, never semantics). `paged_ok` pins the
+    metadata contracts in-query: the base core folded, the append
+    reused every parent page ref, the merge kept at least one ref, and
+    the pruned plan loaded fewer pages than the core names. Scale:
+    this is the manifest-list level — at 10M files the core holds ~40
+    page refs instead of 2,400 descriptors, planning's span cut rules
+    whole pages out before any descriptor is parsed, and appends stay
+    one-sidecar-plus-core-rewrite at any table size
+    (scripts/stress_manifest_pages.py measures 4M files)."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select("o_orderkey",
+                         F.col("o_totalprice").alias("price"))
+    span = orders.agg(F.min("o_orderkey").alias("lo"),
+                      F.max("o_orderkey").alias("hi")).first()
+    cut = span["lo"] + (span["hi"] - span["lo"]) // 8
+    table = os.path.join(_scratch_dir("x110_paged_"), "tbl")
+    saved = (V._MANIFEST_CHUNK_FILES, V._MANIFEST_CHUNK_SIZE,
+             V._CORE_PAGE_DESCS, V._CORE_PAGE_FOLD_AT)
+    try:
+        V._MANIFEST_CHUNK_FILES, V._MANIFEST_CHUNK_SIZE = 6, 4
+        V._CORE_PAGE_DESCS, V._CORE_PAGE_FOLD_AT = 3, 4
+        V.write_snapshot(
+            rows.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(40, "o_orderkey"),
+            table, stats_cols=["o_orderkey"])
+        core0 = V._read_core(table, V.current_snapshot(table))
+        pages0 = [pg["id"] for pg in core0.get("pages") or []]
+        V.append_snapshot(
+            rows.filter(F.col("o_orderkey") % 2 == 1)
+            .repartitionByRange(4, "o_orderkey"), table)
+        core1 = V._read_core(table, V.current_snapshot(table))
+        pages1 = [pg["id"] for pg in core1.get("pages") or []]
+        # a NARROW low-key band: clustered layout puts every affected
+        # file in the first page(s), so the dissolve stays local
+        V.merge_snapshot(
+            spark,
+            rows.filter(F.col("o_orderkey") <= cut)
+            .withColumn("price", F.lit(-1.0)),
+            table, key="o_orderkey")
+        snap = V.current_snapshot(table)
+        core2 = V._read_core(table, V.current_snapshot(table))
+        pages2 = {pg["id"] for pg in core2.get("pages") or []}
+        rep = V.prune_report(table, snap,
+                             [("o_orderkey", "<=", cut)])
+        paged_ok = (
+            len(pages0) >= 3
+            and pages1[:len(pages0)] == pages0  # append: refs verbatim
+            and bool(pages2 & set(pages1))  # merge: refs survive
+            and rep.get("pages_loaded", 99) < rep.get("pages_total", 0)
+            and rep["skipped"] > 0
+        )
+    finally:
+        (V._MANIFEST_CHUNK_FILES, V._MANIFEST_CHUNK_SIZE,
+         V._CORE_PAGE_DESCS, V._CORE_PAGE_FOLD_AT) = saved
+
+    def section(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        ).select(F.lit(name).alias("section"), "n_rows", "sum_price")
+
+    full = V.read_current(spark, table)
+    pruned = V.read_current(
+        spark, table, predicates=[("o_orderkey", "<=", int(cut))])
+    return (
+        section("1_full", full)
+        .unionByName(section("2_pruned", pruned))
+        .withColumn("paged_ok", F.lit(bool(paged_ok)))
+        .orderBy("section")
+    )
+
+
+def x111_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transaction lifecycle (sinks/txn.py), oracle-
+    checked: table A starts with the even-keyed orders, table B with
+    the odd keys; ONE transaction stages the complementary half into
+    each (per-table txn branches — the WAP machinery) and commits
+    with the write-ahead intent + ordered-lease pointer flips. Both
+    tables then hold ALL orders — the aggregate each section states.
+
+    `atomic_ok` pins the protocol in-query: mid-transaction reads of
+    BOTH tables still saw only their base halves (staging invisible),
+    and after commit the intent log is fully consumed. Scale: commit
+    cost is O(tables) metadata — two ~100-byte pointer flips under
+    briefly-held leases — regardless of staged data volume; crash
+    atomicity is roll-forward via recover_txns (crash-injection
+    pinned in tests/test_txn.py). Reference anchor: data_load.py's
+    multi-statement loads commit inside one PostgreSQL transaction;
+    this is that contract for a lake of versioned tables."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import txn as T
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select("o_orderkey",
+                         F.col("o_totalprice").alias("price"))
+    evens = rows.filter(F.col("o_orderkey") % 2 == 0)
+    odds = rows.filter(F.col("o_orderkey") % 2 == 1)
+    root = _scratch_dir("x111_txn_")
+    a = os.path.join(root, "a")
+    b = os.path.join(root, "b")
+    log = os.path.join(root, "txnlog")
+    V.write_snapshot(evens, a)
+    V.write_snapshot(odds, b)
+    n_even = V.read_current(spark, a).count()
+    n_odd = V.read_current(spark, b).count()
+    with T.multi_table_txn(log, [a, b]) as txn:
+        txn.append(odds, a)
+        txn.append(evens, b)
+        staged_invisible = (
+            V.read_current(spark, a).count() == n_even
+            and V.read_current(spark, b).count() == n_odd)
+    atomic_ok = staged_invisible and (
+        not os.path.isdir(log) or os.listdir(log) == [])
+
+    def section(name: str, table: str) -> DataFrame:
+        return (
+            V.read_current(spark, table)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,4)"))
+                .cast("double").alias("sum_price"),
+            )
+            .select(F.lit(name).alias("section"), "n_rows",
+                    "sum_price")
+        )
+
+    return (
+        section("a_table", a)
+        .unionByName(section("b_table", b))
+        .withColumn("atomic_ok", F.lit(bool(atomic_ok)))
+        .orderBy("section")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -3850,6 +4005,8 @@ EXT_QUERIES = {
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
     "x109_catalog_lifecycle": x109_catalog_lifecycle,
+    "x110_paged_manifest": x110_paged_manifest,
+    "x111_multi_table_txn": x111_multi_table_txn,
 }
 
 # ---------------------------------------------------------------------------
@@ -7085,4 +7242,52 @@ EXT_ORACLES["x109_catalog_lifecycle"] = """
                AS sum_price,
            TRUE AS renamed_ok
     FROM orders
+"""
+
+# x110: write evens + append odds + COW-upsert the keys <= cut to
+# -1.0 ==> the final table is ALL orders with the low band re-priced;
+# paging is layout, never semantics, so both sections state plain
+# membership algebra.
+EXT_ORACLES["x110_paged_manifest"] = """
+    WITH cut AS (
+        SELECT min(o_orderkey)
+               + CAST(FLOOR((max(o_orderkey) - min(o_orderkey))
+                            / 8.0) AS BIGINT) AS c
+        FROM orders
+    ), t AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey <= cut.c THEN -1.0
+                    ELSE o_totalprice END AS price
+        FROM orders, cut
+    )
+    SELECT * FROM (
+        SELECT '1_full' AS section, count(*)::BIGINT AS n_rows,
+               CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_price,
+               TRUE AS paged_ok
+        FROM t
+        UNION ALL
+        SELECT '2_pruned', count(*)::BIGINT,
+               CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE),
+               TRUE
+        FROM t, cut WHERE t.k <= cut.c
+    ) ORDER BY section
+"""
+
+# x111: each table ends holding ALL orders; atomicity is pinned by
+# the in-query witness, membership by this plain aggregate per table.
+EXT_ORACLES["x111_multi_table_txn"] = """
+    SELECT * FROM (
+        SELECT 'a_table' AS section, count(*)::BIGINT AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS atomic_ok
+        FROM orders
+        UNION ALL
+        SELECT 'b_table', count(*)::BIGINT,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE),
+               TRUE
+        FROM orders
+    ) ORDER BY section
 """
