@@ -219,3 +219,96 @@ def read_table(spark: SparkSession, catalog_root: str,
 
     return V.read_current(spark, load_table(catalog_root, name),
                           **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Group pins: cross-table READ isolation. A group is one atomic JSON
+# object mapping table names to pinned snapshot ids. Readers who
+# resolve through the group (`read_group`) see a CONSISTENT set of
+# snapshots across every member table — one file replace switches the
+# whole view, so a multi-table commit can never be observed torn by a
+# group reader (per-table CURRENT readers still can, during the flip
+# window sinks/txn.py documents; the group object is exactly the
+# catalog-level pointer that closes it). MVCC makes pinned snapshots
+# readable regardless of where CURRENT is, so a pin is valid the
+# moment its manifests exist — vacuum retention bounds its lifetime
+# exactly as it bounds time travel.
+# ---------------------------------------------------------------------------
+
+_GROUPS_DIR = "_groups"
+
+
+def _group_path(catalog_root: str, group: str) -> str:
+    if (not group or any(c in group for c in "/\\\0")
+            or group in (".", "..")):
+        raise ValueError(f"bad group name: {group!r}")
+    return os.path.join(catalog_root, _GROUPS_DIR, group + ".json")
+
+
+def pin_group(catalog_root: str, group: str,
+              snapshots: dict[str, str],
+              merge: bool = True) -> dict[str, str]:
+    """Atomically (re)pin ``group`` to ``{name: snapshot}``. With
+    ``merge`` (default) existing member pins not named survive — a
+    transaction updating two of a five-table group leaves the other
+    three views intact. Returns the full mapping written."""
+    path = _group_path(catalog_root, group)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    mapping = dict(snapshots)
+    if merge:
+        try:
+            with open(path) as fh:
+                mapping = {**json.load(fh), **snapshots}
+        except FileNotFoundError:
+            pass
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(mapping, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return mapping
+
+
+def pin_current_group(catalog_root: str, group: str,
+                      names: list[str]) -> dict[str, str]:
+    """Pin ``group`` to every named table's CURRENT snapshot."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    snaps = {}
+    for name in names:
+        snap = V.current_snapshot(load_table(catalog_root, name))
+        if snap is None:
+            raise NoSuchTableError(
+                f"{name}: no current snapshot to pin")
+        snaps[name] = snap
+    return pin_group(catalog_root, group, snaps)
+
+
+def group_snapshots(catalog_root: str, group: str) -> dict[str, str]:
+    try:
+        with open(_group_path(catalog_root, group)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise NoSuchTableError(f"group {group!r}")
+
+
+def drop_group(catalog_root: str, group: str) -> None:
+    try:
+        os.unlink(_group_path(catalog_root, group))
+    except FileNotFoundError:
+        pass
+
+
+def read_group(spark: SparkSession, catalog_root: str, group: str,
+               name: str, **kwargs) -> DataFrame:
+    """Read ``name`` AT the snapshot the group pins for it — the
+    isolated multi-table view (kwargs pass through to
+    versioned.read_snapshot — predicates)."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    snaps = group_snapshots(catalog_root, group)
+    if name not in snaps:
+        raise NoSuchTableError(f"{name} not pinned by group {group!r}")
+    return V.read_snapshot(spark, load_table(catalog_root, name),
+                           snaps[name], **kwargs)

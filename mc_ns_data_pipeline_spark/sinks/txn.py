@@ -25,13 +25,15 @@ Guarantees and their honest limits:
   (idempotent — a flipped table is recognized by ancestry). A crash
   before sealing leaves only branch refs, which vacuum reaps like
   any abandoned staging.
-* **NOT cross-table read isolation**: during the flip window (and a
-  crash window until recovery runs) a reader can see table A's new
-  state beside table B's old one. Closing that window needs a single
-  catalog-level pointer for the table GROUP — the documented next
-  step for sinks/table_catalog.py. Iceberg/Delta offer no
-  multi-table commit at all; roll-forward durability with staged
-  invisibility is already beyond them.
+* **Cross-table read isolation is opt-in via catalog GROUP pins**:
+  per-table CURRENT readers can see table A's new state beside table
+  B's old one during the flip window (and a crash window until
+  recovery runs). Readers who resolve through
+  ``table_catalog.read_group`` instead never do — `catalog_txn`
+  with ``group=`` repins the whole group in ONE atomic file replace
+  after the flips, so the group view switches between consistent
+  multi-table states (the catalog-level pointer). Iceberg/Delta
+  offer no multi-table commit at all.
 * **Recovery edge**: if a crashed commit's lease expires and a new
   writer commits onto a not-yet-flipped table, that table's staged
   lineage no longer extends CURRENT. `recover_txns` then rolls the
@@ -86,9 +88,26 @@ def _is_reachable(table: str, anc: str, snap: str | None) -> bool:
 
 
 class MultiTableTxn:
-    def __init__(self, log_dir: str, tables: list[str]):
+    def __init__(self, log_dir: str, tables: list[str],
+                 catalog_root: str | None = None,
+                 group: str | None = None,
+                 names: dict[str, str] | None = None):
+        """``catalog_root`` + ``group`` + ``names`` (table root →
+        catalog name) additionally repin the catalog GROUP to the
+        committed snapshots in one atomic file replace AFTER the
+        pointer flips — readers resolving through
+        ``table_catalog.read_group`` then never observe a torn
+        multi-table state, closing the per-table flip window for
+        group-resolving readers (use `catalog_txn` for the resolved
+        convenience shape)."""
         self.log_dir = log_dir
         self.tables = [os.path.abspath(t) for t in tables]
+        self.catalog_root = catalog_root
+        self.group = group
+        self.names = {os.path.abspath(t): n
+                      for t, n in (names or {}).items()}
+        if group is not None and (catalog_root is None or not names):
+            raise ValueError("group pinning needs catalog_root+names")
         self.txn_id = uuid.uuid4().hex[:16]
         self.branch = f"txn-{self.txn_id}"
         self._written: list[str] = []  # insertion order, deduped
@@ -152,14 +171,23 @@ class MultiTableTxn:
                     V.delete_ref(t, self.branch)
                 raise
             # seal: the commit decision survives a crash from here on
+            intent = {"txn": self.txn_id, "state": "committing",
+                      "branch": self.branch,
+                      "tables": {t: targets[t] for t in staged}}
+            if self.group is not None:
+                intent["group"] = {"catalog": self.catalog_root,
+                                   "group": self.group,
+                                   "names": {t: self.names[t]
+                                             for t in staged}}
             V._atomic_write_json(
-                _intent_path(self.log_dir, self.txn_id),
-                {"txn": self.txn_id, "state": "committing",
-                 "branch": self.branch,
-                 "tables": {t: targets[t] for t in staged}})
+                _intent_path(self.log_dir, self.txn_id), intent)
             # pass 2: flip — crash mid-way rolls FORWARD via recover
             for t in staged:
                 V._publish_ref_locked(t, self.branch)
+            # pass 3: repin the catalog group AFTER every flip — one
+            # atomic replace; a crash before this line is completed
+            # by recovery, and a rolled-back txn never pins
+            _pin_intent_group(intent)
         os.remove(_intent_path(self.log_dir, self.txn_id))
         return {"txn": self.txn_id, "tables": targets}
 
@@ -186,8 +214,43 @@ class MultiTableTxn:
         return False
 
 
-def multi_table_txn(log_dir: str, tables: list[str]) -> MultiTableTxn:
-    return MultiTableTxn(log_dir, tables)
+def multi_table_txn(log_dir: str, tables: list[str],
+                    **kwargs) -> MultiTableTxn:
+    return MultiTableTxn(log_dir, tables, **kwargs)
+
+
+def catalog_txn(catalog_root: str, names: list[str],
+                group: str | None = None,
+                log_dir: str | None = None) -> MultiTableTxn:
+    """Catalog-addressed transaction: resolve every name through
+    sinks/table_catalog, log intents under ``<catalog>/_txns`` by
+    default, and (with ``group``) repin that group atomically at
+    commit so group readers switch between consistent multi-table
+    views."""
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+    roots = {TC.load_table(catalog_root, n): n for n in names}
+    return MultiTableTxn(
+        log_dir or os.path.join(catalog_root, "_txns"),
+        list(roots),
+        catalog_root=catalog_root if group is not None else None,
+        group=group,
+        names=roots if group is not None else None)
+
+
+def _pin_intent_group(intent: dict) -> None:
+    """Repin the catalog group an intent names (no-op without one).
+    Idempotent — pinning the same snapshots twice is a same-content
+    replace."""
+    g = intent.get("group")
+    if not g:
+        return
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+    TC.pin_group(g["catalog"], g["group"],
+                 {g["names"][t]: snap
+                  for t, snap in intent["tables"].items()
+                  if t in g["names"]})
 
 
 def recover_txns(log_dir: str) -> dict:
@@ -244,6 +307,7 @@ def recover_txns(log_dir: str) -> dict:
                 for t, s in state.items():
                     if s == "pending":
                         V._publish_ref_locked(t, branch)
+                _pin_intent_group(intent)
                 os.remove(path)
                 out["completed"].append(intent["txn"])
             elif not any_flipped:

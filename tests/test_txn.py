@@ -154,3 +154,96 @@ def test_empty_txn_commits_to_nothing(spark, two_tables):
         pass
     assert _rows(spark, a) == {(1, "a-base")}
     assert not os.path.isdir(log) or os.listdir(log) == []
+
+
+# ---------------------------------------------------------------------------
+# catalog group pins: cross-table read isolation (table_catalog +
+# catalog_txn integration)
+# ---------------------------------------------------------------------------
+
+from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+
+@pytest.fixture
+def catalog_pair(spark, tmp_path):
+    cat = str(tmp_path / "catalog")
+    a = TC.create_table(cat, "sales.a")
+    b = TC.create_table(cat, "sales.b")
+    V.write_snapshot(_df(spark, [(1, "a-base")]), a)
+    V.write_snapshot(_df(spark, [(1, "b-base")]), b)
+    return cat, a, b
+
+
+def _grows(spark, cat, group, name):
+    return {(r.k, r.v) for r in
+            TC.read_group(spark, cat, group, name).collect()}
+
+
+def test_group_pin_isolates_readers_from_later_commits(
+        spark, catalog_pair):
+    cat, a, b = catalog_pair
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    V.append_snapshot(_df(spark, [(9, "a-later")]), a)
+    # group readers still see the pinned consistent pair
+    assert _grows(spark, cat, "nightly", "sales.a") == {(1, "a-base")}
+    assert _grows(spark, cat, "nightly", "sales.b") == {(1, "b-base")}
+    # CURRENT readers see the later commit, as they should
+    assert {(r.k, r.v) for r in
+            TC.read_table(spark, cat, "sales.a").collect()} \
+        == {(1, "a-base"), (9, "a-later")}
+
+
+def test_catalog_txn_repins_group_atomically(spark, catalog_pair):
+    cat, a, b = catalog_pair
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    with T.catalog_txn(cat, ["sales.a", "sales.b"],
+                       group="nightly") as txn:
+        txn.append(_df(spark, [(2, "a-txn")]), a)
+        txn.append(_df(spark, [(2, "b-txn")]), b)
+        # mid-txn the group still shows the OLD consistent pair
+        assert _grows(spark, cat, "nightly", "sales.a") \
+            == {(1, "a-base")}
+    assert _grows(spark, cat, "nightly", "sales.a") \
+        == {(1, "a-base"), (2, "a-txn")}
+    assert _grows(spark, cat, "nightly", "sales.b") \
+        == {(1, "b-base"), (2, "b-txn")}
+
+
+def test_group_repin_completed_by_recovery(spark, catalog_pair,
+                                           monkeypatch):
+    """Crash after the flips but before the group repin: recovery
+    finds every table flipped and completes the pin."""
+    cat, a, b = catalog_pair
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    txn = T.catalog_txn(cat, ["sales.a", "sales.b"], group="nightly")
+    txn.append(_df(spark, [(2, "a-txn")]), a)
+    txn.append(_df(spark, [(2, "b-txn")]), b)
+
+    def crashing_pin(intent):
+        if intent.get("group"):
+            raise OSError("simulated crash before group pin")
+
+    monkeypatch.setattr(T, "_pin_intent_group", crashing_pin)
+    with pytest.raises(OSError):
+        txn.commit()
+    monkeypatch.undo()
+    # group still the OLD pair — consistent, just stale
+    assert _grows(spark, cat, "nightly", "sales.a") == {(1, "a-base")}
+    rep = T.recover_txns(os.path.join(cat, "_txns"))
+    assert rep["completed"]
+    assert _grows(spark, cat, "nightly", "sales.a") \
+        == {(1, "a-base"), (2, "a-txn")}
+    assert _grows(spark, cat, "nightly", "sales.b") \
+        == {(1, "b-base"), (2, "b-txn")}
+
+
+def test_partial_group_merge_keeps_other_members(spark, catalog_pair):
+    cat, a, b = catalog_pair
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    with T.catalog_txn(cat, ["sales.a"], group="nightly") as txn:
+        txn.append(_df(spark, [(2, "a-txn")]), a)
+    snaps = TC.group_snapshots(cat, "nightly")
+    assert set(snaps) == {"sales.a", "sales.b"}  # b's pin survived
+    assert _grows(spark, cat, "nightly", "sales.b") == {(1, "b-base")}
+    assert _grows(spark, cat, "nightly", "sales.a") \
+        == {(1, "a-base"), (2, "a-txn")}
