@@ -3857,6 +3857,174 @@ def x111_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x112_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing accounting: concatenate the corpus
+    in doc_id order and cut every 512 tokens (the concat-then-chunk
+    packing LLM pretraining uses — zero padding waste by
+    construction); per resulting SEQUENCE report how many documents
+    start in it, their token mass, and how many straddle the cut into
+    the next sequence (the cross-document attention-contamination
+    count packing-aware loaders care about).
+
+    Scale: the global prefix sum that defines the cuts is computed
+    DISTRIBUTED — per-bucket token sums (32 doc_id-range buckets)
+    collect to the driver as a ~32-row offset table that broadcasts
+    back, and each bucket's running sum is a window over its own
+    partition. No single-partition global sort anywhere; the only
+    driver data is O(buckets). The DuckDB oracle states the same
+    arithmetic with one flat window — equivalence proves the
+    two-phase prefix sum exact."""
+    from pyspark.sql import Window
+
+    B = 512
+    NB = 32
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("long").alias("n_tokens"))
+    hi = toks.agg(F.max("doc_id").alias("hi")).first()["hi"]
+    width = (int(hi) // NB) + 1
+    t = toks.withColumn(
+        "bucket", F.floor(F.col("doc_id") / F.lit(width)))
+    sums = {r["bucket"]: r["s"]
+            for r in t.groupBy("bucket")
+            .agg(F.sum("n_tokens").alias("s")).collect()}
+    offs = []
+    acc = 0
+    for bkt in range(NB + 1):
+        offs.append((bkt, acc))
+        acc += int(sums.get(bkt, 0))
+    off_df = F.broadcast(spark.createDataFrame(
+        offs, "bucket long, off long"))
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (
+        t.join(off_df, "bucket")
+        .withColumn("cum_before",
+                    F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                    + F.col("off"))
+        .withColumn("seq_id",
+                    F.floor(F.col("cum_before") / F.lit(float(B))))
+    )
+    straddle = (F.col("cum_before") + F.col("n_tokens")
+                > (F.col("seq_id") + 1) * B)
+    return (
+        packed.groupBy("seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("seq_tokens"),
+             F.sum(straddle.cast("long")).alias("n_straddle"))
+        .orderBy("seq_id")
+    )
+
+
+def x113_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunk windows: split every document into
+    200-character windows at stride 150 (50-char overlap), emitting
+    per chunk its offset, clamped length, and content hash — the
+    retrieval-index build step. All JVM-side builtins: a sequence()
+    fan-out + substring, no Python in the row path; a document's
+    chunk count is ceil-ish((n_chars-1)/stride)+1 with a one-chunk
+    floor for empty docs. Scale: map-only (no shuffle) — chunking
+    100 TB parallelizes per input split, and the 50-char overlap is
+    the only write amplification."""
+    W, S = 200, 150
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    k_max = F.greatest(
+        F.floor((F.col("n_chars") - 1) / F.lit(float(S))),
+        F.lit(0).cast("long")).cast("int")
+    return (
+        docs.select(
+            "doc_id", "text", "n_chars",
+            F.explode(F.sequence(F.lit(0), k_max)).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            (F.col("k") * S).cast("long").alias("chunk_start"),
+            F.least(F.lit(W).cast("long"),
+                    F.col("n_chars") - F.col("k") * S)
+            .alias("chunk_len"),
+            F.md5(F.expr(f"substring(text, k * {S} + 1, {W})"))
+            .alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def x114_group_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog GROUP pins — cross-table read isolation
+    (sinks/table_catalog.pin_group + sinks/txn.catalog_txn),
+    oracle-checked: two catalog tables start with the even/odd halves
+    of orders; a catalog-addressed transaction appends each table's
+    complement and atomically REPINS the group at commit; a noise
+    commit then lands directly on table A. Readers resolving through
+    the group see the transaction's consistent pair — ALL orders in
+    both tables, no noise — which is what each section aggregates.
+
+    `isolated_ok` pins the isolation in-query: the group read of A
+    excludes the post-commit noise rows that a CURRENT read sees, and
+    mid-transaction the group still showed the pre-txn halves. Scale:
+    a group is ONE ~200-byte JSON object — repinning is one atomic
+    file replace regardless of table count or data volume, and group
+    reads cost one extra tiny read over path addressing; MVCC keeps
+    pinned snapshots readable until vacuum retention, exactly like
+    time travel."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+    from mc_ns_data_pipeline_spark.sinks import txn as T
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select("o_orderkey",
+                         F.col("o_totalprice").alias("price"))
+    evens = rows.filter(F.col("o_orderkey") % 2 == 0)
+    odds = rows.filter(F.col("o_orderkey") % 2 == 1)
+    cat = os.path.join(_scratch_dir("x114_group_"), "catalog")
+    a = TC.create_table(cat, "sales.a")
+    b = TC.create_table(cat, "sales.b")
+    V.write_snapshot(evens, a)
+    V.write_snapshot(odds, b)
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    n_even = TC.read_table(spark, cat, "sales.a").count()
+    with T.catalog_txn(cat, ["sales.a", "sales.b"],
+                       group="nightly") as txn:
+        txn.append(odds, a)
+        txn.append(evens, b)
+        mid_isolated = (TC.read_group(spark, cat, "nightly",
+                                      "sales.a").count() == n_even)
+    # noise lands on A AFTER the commit: CURRENT sees it, the
+    # group's pinned view must not
+    V.append_snapshot(
+        rows.filter(F.col("o_orderkey") % 1000 == 7)
+        .withColumn("price", F.lit(-9.0)), a)
+    n_total = orders.count()
+    isolated_ok = (
+        mid_isolated
+        and TC.read_group(spark, cat, "nightly",
+                          "sales.a").count() == n_total
+        and TC.read_table(spark, cat, "sales.a").count() > n_total)
+
+    def section(name: str) -> DataFrame:
+        return (
+            TC.read_group(spark, cat, "nightly", f"sales.{name}")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("price").cast("decimal(18,4)"))
+                .cast("double").alias("sum_price"),
+            )
+            .select(F.lit(f"{name}_table").alias("section"),
+                    "n_rows", "sum_price")
+        )
+
+    return (
+        section("a")
+        .unionByName(section("b"))
+        .withColumn("isolated_ok", F.lit(bool(isolated_ok)))
+        .orderBy("section")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4007,6 +4175,9 @@ EXT_QUERIES = {
     "x109_catalog_lifecycle": x109_catalog_lifecycle,
     "x110_paged_manifest": x110_paged_manifest,
     "x111_multi_table_txn": x111_multi_table_txn,
+    "x112_sequence_packing": x112_sequence_packing,
+    "x113_chunk_windows": x113_chunk_windows,
+    "x114_group_isolation": x114_group_isolation,
 }
 
 # ---------------------------------------------------------------------------
@@ -7282,6 +7453,68 @@ EXT_ORACLES["x111_multi_table_txn"] = """
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
                     AS DOUBLE) AS sum_price,
                TRUE AS atomic_ok
+        FROM orders
+        UNION ALL
+        SELECT 'b_table', count(*)::BIGINT,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE),
+               TRUE
+        FROM orders
+    ) ORDER BY section
+"""
+
+# x112: one flat window states the same cuts the distributed
+# prefix-sum computes; counting sums cast to BIGINT (HUGEINT hazard).
+EXT_ORACLES["x112_sequence_packing"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_before
+        FROM toks
+    )
+    SELECT CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS seq_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS seq_tokens,
+           sum(CASE WHEN cum_before + n_tokens
+                         > (FLOOR(cum_before / 512.0) + 1) * 512
+                    THEN 1 ELSE 0 END)::BIGINT AS n_straddle
+    FROM c GROUP BY 1 ORDER BY seq_id
+"""
+
+# x113: same window arithmetic via unnest(range(...)); substring and
+# md5 agree byte-for-byte with Spark on the same text.
+EXT_ORACLES["x113_chunk_windows"] = """
+    WITH base AS (
+        SELECT doc_id, text, n_chars,
+               unnest(range(0,
+                   GREATEST(CAST(FLOOR((n_chars - 1) / 150.0)
+                                 AS BIGINT), 0) + 1)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           k::BIGINT AS chunk_idx,
+           (k * 150)::BIGINT AS chunk_start,
+           CAST(LEAST(200, n_chars - k * 150) AS BIGINT) AS chunk_len,
+           md5(substring(text, CAST(k * 150 + 1 AS INT), 200))
+               AS chunk_hash
+    FROM base ORDER BY doc_id, chunk_idx
+"""
+
+# x114: both group-pinned tables hold ALL orders at the pinned commit
+# (the post-commit noise is invisible to the group by construction).
+EXT_ORACLES["x114_group_isolation"] = """
+    SELECT * FROM (
+        SELECT 'a_table' AS section, count(*)::BIGINT AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_price,
+               TRUE AS isolated_ok
         FROM orders
         UNION ALL
         SELECT 'b_table', count(*)::BIGINT,

@@ -690,3 +690,34 @@ def test_x101_pruned_read_pushes_filter_to_parquet(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x101_pruned_read")
     assert "PushedFilters: [IsNotNull(o_orderkey), " \
            "LessThanOrEqual(o_orderkey," in plan, plan
+
+
+def test_x112_packing_distributed_prefix_sum(spark, sf_dir):
+    """Sequence packing must compute its global running sum WITHOUT a
+    single-partition global sort-window: the physical plan's Window
+    is partitioned by the bucket column (32-way parallel), and the
+    only broadcast is the 33-row offset table."""
+    plan = plan_of(spark, sf_dir, "x112_sequence_packing")
+    assert "Window" in plan
+    # a global window would show 'SinglePartition' feeding the sort
+    import re as _re
+    win_required = _re.search(
+        r"Arguments: .*windowspecdefinition\(bucket", plan)
+    assert win_required or "partitionBy=[bucket" in plan or \
+        "[bucket" in plan.split("Window")[1][:400], (
+        "running sum must be partitioned by bucket, not global")
+    assert "BroadcastExchange" in plan  # the tiny offset table
+
+
+def test_x113_chunking_is_map_only_until_sort(spark, sf_dir):
+    """Chunk-window emission is a pure per-row fan-out: no join, no
+    aggregate, and the only Exchange is the presentation sort's range
+    shuffle."""
+    plan = plan_of(spark, sf_dir, "x113_chunk_windows")
+    assert "Join" not in plan
+    assert n_ops(plan, "HashAggregate") == 0
+    # exactly the fan-out round-robin (tiny single-file input) and
+    # the presentation sort's range shuffle — nothing data-dependent
+    assert n_ops(plan, "Exchange") <= 2
+    assert "RoundRobinPartitioning" in plan
+    assert "Generate" in plan  # the sequence() explode
