@@ -601,7 +601,8 @@ def cmd_catalog(args) -> int:
     size."""
     from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
 
-    if args.op != "list" and not args.name:
+    if args.op in ("create", "resolve", "rename",
+                   "drop") and not args.name:
         raise SystemExit(f"catalog {args.op}: --name is required")
     if args.op == "create":
         root = TC.create_table(args.catalog, args.name,
@@ -619,10 +620,75 @@ def cmd_catalog(args) -> int:
             raise SystemExit("catalog rename: --to is required")
         root = TC.rename_table(args.catalog, args.name, args.to)
         print(f"renamed {args.name} -> {args.to} (root {root})")
-    else:  # drop
+    elif args.op == "drop":
         TC.drop_table(args.catalog, args.name, purge=args.purge)
         print(f"dropped {args.name}"
               + (" (purged)" if args.purge else ""))
+    elif args.op == "pin-group":
+        if not args.group or not args.names:
+            raise SystemExit(
+                "catalog pin-group: --group and --names required")
+        snaps = TC.pin_current_group(args.catalog, args.group,
+                                     args.names.split(","))
+        for name, snap in sorted(snaps.items()):
+            print(f"  {name} @ {snap}")
+    elif args.op == "group-show":
+        if not args.group:
+            raise SystemExit("catalog group-show: --group required")
+        for name, snap in sorted(
+                TC.group_snapshots(args.catalog, args.group).items()):
+            print(f"  {name} @ {snap}")
+    elif args.op == "drop-group":
+        if not args.group:
+            raise SystemExit("catalog drop-group: --group required")
+        TC.drop_group(args.catalog, args.group)
+        print(f"dropped group {args.group}")
+    return 0
+
+
+def cmd_catalog_serve(args) -> int:
+    """Serve the REST catalog (sinks/catalog_service.py) in the
+    foreground. ``--check`` binds, prints the URL, and exits —
+    the health-probe / test shape."""
+    from mc_ns_data_pipeline_spark.sinks import catalog_service as CS
+
+    srv = CS.serve_catalog(args.catalog, host=args.host,
+                           port=args.port)
+    host, port = srv.server_address[:2]
+    print(f"catalog service at http://{host}:{port} "
+          f"(root {args.catalog})")
+    if args.check:
+        srv.shutdown()
+        return 0
+    import time as _t
+    try:
+        while True:
+            _t.sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+def cmd_txn_recover(args) -> int:
+    """Resolve sealed-but-unfinished multi-table transactions
+    (sinks/txn.py recover_txns) — run at process start, before new
+    writers. Metadata-only."""
+    from mc_ns_data_pipeline_spark.sinks import txn as T
+
+    if not args.log and not args.catalog:
+        raise SystemExit("txn-recover: --log or --catalog required")
+    log = args.log or os.path.join(args.catalog, "_txns")
+    rep = T.recover_txns(log)
+    for kind in ("completed", "rolled_back", "broken"):
+        for tx in rep[kind]:
+            print(f"  {kind}: {tx}")
+    if rep["broken"]:
+        print(f"{len(rep['broken'])} transaction(s) BROKEN — partial "
+              "visibility happened; inspect the intent files in "
+              f"{log}")
+        return 1
+    print(f"recovered {len(rep['completed'])}, rolled back "
+          f"{len(rep['rolled_back'])}")
     return 0
 
 
@@ -786,7 +852,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="table catalog: name -> versioned-table-root mapping "
         "(create/list/resolve/rename/drop, sinks/table_catalog.py)")
     ct.add_argument("op", choices=["create", "list", "resolve",
-                                   "rename", "drop"])
+                                   "rename", "drop", "pin-group",
+                                   "group-show", "drop-group"])
     ct.add_argument("--catalog", required=True,
                     help="catalog root directory")
     ct.add_argument("--name", default=None,
@@ -803,7 +870,36 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("--purge", action="store_true",
                     help="drop: also delete the data (managed tables "
                     "only)")
+    ct.add_argument("--group", default=None,
+                    help="group ops: the group name (one atomic "
+                    "multi-table snapshot view)")
+    ct.add_argument("--names", default=None,
+                    help="pin-group: comma-separated table names to "
+                    "pin at their CURRENT snapshots")
     ct.set_defaults(fn=cmd_catalog)
+
+    cs = sub.add_parser(
+        "catalog-serve",
+        help="serve the catalog over HTTP "
+        "(sinks/catalog_service.py, Iceberg-REST-shaped verbs)")
+    cs.add_argument("--catalog", required=True,
+                    help="catalog root directory to serve")
+    cs.add_argument("--host", default="127.0.0.1")
+    cs.add_argument("--port", type=int, default=0,
+                    help="0 = ephemeral")
+    cs.add_argument("--check", action="store_true",
+                    help="bind, print the URL, and exit")
+    cs.set_defaults(fn=cmd_catalog_serve)
+
+    tr = sub.add_parser(
+        "txn-recover",
+        help="resolve sealed-but-unfinished multi-table transactions "
+        "(sinks/txn.py); run at process start, before new writers")
+    tr.add_argument("--log", default=None,
+                    help="transaction intent-log directory")
+    tr.add_argument("--catalog", default=None,
+                    help="catalog root (log defaults to its _txns/)")
+    tr.set_defaults(fn=cmd_txn_recover)
     return p
 
 

@@ -1,0 +1,271 @@
+"""REST catalog service + client over the filesystem table catalog.
+
+sinks/table_catalog.py is the durable name → table-root mapping; this
+module puts the Iceberg-REST-shaped transport in front of it so a
+MULTI-TENANT estate can resolve names without mounting the catalog
+filesystem: jobs carry one base URL, the service owns the catalog
+directory, and every catalog verb (create / resolve / list / rename /
+drop, group pin / show / drop) is one small JSON request. The server
+is a stdlib ThreadingHTTPServer delegating straight to the
+table_catalog functions — their filesystem atomicity (exclusive
+link-create, atomic replace for group pins) IS the concurrency
+control, so racing clients get the same guarantees as racing local
+writers. The client mirrors the table_catalog call shapes
+(`RestCatalog.load_table(name) -> root`), so call sites swap
+transports without changing shape — the seam table_catalog.py's
+docstring promised.
+
+Endpoints (all JSON):
+
+    GET    /v1/tables                    list  (?namespace=ns)
+    POST   /v1/tables/{ns.name}          create (body {"root": ...?})
+    GET    /v1/tables/{ns.name}          resolve -> {"root", "managed"}
+    POST   /v1/tables/{ns.name}/rename   body {"to": "ns.other"}
+    DELETE /v1/tables/{ns.name}          (?purge=true)
+    GET    /v1/groups/{group}            pinned {name: snapshot}
+    PUT    /v1/groups/{group}            body {"snapshots": {...},
+                                               "merge": true}
+    POST   /v1/groups/{group}/pin-current  body {"names": [...]}
+    DELETE /v1/groups/{group}
+
+Errors map to status codes: 404 NoSuchTableError, 409
+TableExistsError, 400 ValueError. Scale: resolution stays O(1) — one
+entry read behind one HTTP round trip; the service holds no state
+beyond the catalog directory, so it scales out behind any
+load-balancer pointed at a shared filesystem (or gets replaced by a
+managed REST catalog speaking the same shapes).
+
+Reference anchor: the reference resolves its table names inside
+PostgreSQL — the database server IS its network catalog
+(data_load.py); this gives the lake engine the same property.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+__all__ = ["CatalogHandler", "serve_catalog", "RestCatalog"]
+
+
+class CatalogHandler(BaseHTTPRequestHandler):
+    server_version = "VtableCatalog/1.0"
+
+    def log_message(self, *args):  # quiet under test
+        pass
+
+    # -- plumbing -------------------------------------------------------
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        return json.loads(self.rfile.read(n))
+
+    def _route(self) -> tuple[str, list[str], dict]:
+        url = urllib.parse.urlparse(self.path)
+        qs = {k: v[0] for k, v in
+              urllib.parse.parse_qs(url.query).items()}
+        parts = [urllib.parse.unquote(p)
+                 for p in url.path.strip("/").split("/")]
+        return url.path, parts, qs
+
+    def _dispatch(self, method: str) -> None:
+        _, parts, qs = self._route()
+        root = self.server.catalog_root
+        try:
+            if parts[:2] == ["v1", "tables"]:
+                self._tables(method, parts[2:], qs, root)
+            elif parts[:2] == ["v1", "groups"]:
+                self._groups(method, parts[2:], qs, root)
+            else:
+                self._send(404, {"error": "no such route"})
+        except TC.TableExistsError as e:
+            self._send(409, {"error": str(e)})
+        except TC.NoSuchTableError as e:
+            self._send(404, {"error": str(e)})
+        except (ValueError, KeyError) as e:
+            self._send(400, {"error": str(e)})
+
+    # -- routes ---------------------------------------------------------
+    def _tables(self, method: str, rest: list[str], qs: dict,
+                root: str) -> None:
+        if not rest:
+            if method != "GET":
+                self._send(405, {"error": "method"})
+                return
+            self._send(200, {"tables": TC.list_tables(
+                root, qs.get("namespace"))})
+            return
+        if len(rest) > 2 or (len(rest) == 2
+                             and rest[1] != "rename"):
+            self._send(404, {"error": "no such route"})
+            return
+        name = rest[0]
+        if len(rest) == 2 and rest[1] == "rename":
+            new_root = TC.rename_table(root, name, self._body()["to"])
+            self._send(200, {"root": new_root})
+        elif method == "POST":
+            table_root = TC.create_table(
+                root, name, root=self._body().get("root"))
+            self._send(201, {"root": table_root})
+        elif method == "GET":
+            self._send(200, TC._read_entry(root, name))
+        elif method == "DELETE":
+            TC.drop_table(root, name,
+                          purge=qs.get("purge") == "true")
+            self._send(200, {"dropped": name})
+        else:
+            self._send(405, {"error": "method"})
+
+    def _groups(self, method: str, rest: list[str], qs: dict,
+                root: str) -> None:
+        if not rest:
+            self._send(404, {"error": "group name required"})
+            return
+        group = rest[0]
+        if len(rest) == 2 and rest[1] == "pin-current":
+            snaps = TC.pin_current_group(root, group,
+                                         self._body()["names"])
+            self._send(200, {"snapshots": snaps})
+        elif method == "GET":
+            self._send(200,
+                       {"snapshots": TC.group_snapshots(root, group)})
+        elif method == "PUT":
+            body = self._body()
+            snaps = TC.pin_group(root, group, body["snapshots"],
+                                 merge=body.get("merge", True))
+            self._send(200, {"snapshots": snaps})
+        elif method == "DELETE":
+            TC.drop_group(root, group)
+            self._send(200, {"dropped": group})
+        else:
+            self._send(405, {"error": "method"})
+
+    def do_GET(self):  # noqa: N802 - http.server contract
+        self._dispatch("GET")
+
+    def do_POST(self):  # noqa: N802
+        self._dispatch("POST")
+
+    def do_PUT(self):  # noqa: N802
+        self._dispatch("PUT")
+
+    def do_DELETE(self):  # noqa: N802
+        self._dispatch("DELETE")
+
+
+def serve_catalog(catalog_root: str, host: str = "127.0.0.1",
+                  port: int = 0) -> ThreadingHTTPServer:
+    """Start the catalog service on a daemon thread; returns the
+    server (its ``server_address[1]`` is the bound port; call
+    ``shutdown()`` to stop)."""
+    srv = ThreadingHTTPServer((host, port), CatalogHandler)
+    srv.catalog_root = catalog_root
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+class RestCatalog:
+    """table_catalog call shapes over HTTP — swap
+    ``TC.load_table(root, name)`` for
+    ``RestCatalog(url).load_table(name)`` and nothing else changes."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def _call(self, method: str, path: str,
+              body: dict | None = None, **qs) -> dict:
+        url = f"{self.base_url}{path}"
+        filtered = {k: v for k, v in qs.items() if v is not None}
+        if filtered:
+            url += "?" + urllib.parse.urlencode(filtered)
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            url, data=data, method=method,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            msg = e.read().decode(errors="replace")
+            if e.code == 404:
+                raise TC.NoSuchTableError(msg)
+            if e.code == 409:
+                raise TC.TableExistsError(msg)
+            raise ValueError(f"catalog service {e.code}: {msg}")
+
+    # -- table verbs ----------------------------------------------------
+    def create_table(self, name: str, root: str | None = None) -> str:
+        body = {"root": root} if root else {}
+        return self._call("POST", f"/v1/tables/{urllib.parse.quote(name, safe='')}", body)["root"]
+
+    def load_table(self, name: str) -> str:
+        return self._call("GET", f"/v1/tables/{urllib.parse.quote(name, safe='')}")["root"]
+
+    def table_exists(self, name: str) -> bool:
+        try:
+            self.load_table(name)
+            return True
+        except TC.NoSuchTableError:
+            return False
+
+    def list_tables(self, namespace: str | None = None
+                    ) -> dict[str, str]:
+        return self._call("GET", "/v1/tables",
+                          namespace=namespace)["tables"]
+
+    def rename_table(self, src: str, dst: str) -> str:
+        return self._call("POST", f"/v1/tables/{urllib.parse.quote(src, safe='')}/rename",
+                          {"to": dst})["root"]
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        self._call("DELETE", f"/v1/tables/{urllib.parse.quote(name, safe='')}",
+                   purge="true" if purge else None)
+
+    # -- group verbs ----------------------------------------------------
+    def pin_group(self, group: str, snapshots: dict[str, str],
+                  merge: bool = True) -> dict[str, str]:
+        return self._call("PUT", f"/v1/groups/{urllib.parse.quote(group, safe='')}",
+                          {"snapshots": snapshots,
+                           "merge": merge})["snapshots"]
+
+    def pin_current_group(self, group: str,
+                          names: list[str]) -> dict[str, str]:
+        return self._call("POST", f"/v1/groups/{urllib.parse.quote(group, safe='')}/pin-current",
+                          {"names": names})["snapshots"]
+
+    def group_snapshots(self, group: str) -> dict[str, str]:
+        return self._call("GET", f"/v1/groups/{urllib.parse.quote(group, safe='')}")["snapshots"]
+
+    def drop_group(self, group: str) -> None:
+        self._call("DELETE", f"/v1/groups/{urllib.parse.quote(group, safe='')}")
+
+    # -- reads ----------------------------------------------------------
+    def read_table(self, spark, name: str, **kwargs):
+        from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+        return V.read_current(spark, self.load_table(name), **kwargs)
+
+    def read_group(self, spark, group: str, name: str, **kwargs):
+        from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+        snaps = self.group_snapshots(group)
+        if name not in snaps:
+            raise TC.NoSuchTableError(
+                f"{name} not pinned by group {group!r}")
+        return V.read_snapshot(spark, self.load_table(name),
+                               snaps[name], **kwargs)

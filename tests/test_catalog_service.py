@@ -1,0 +1,110 @@
+"""REST catalog service e2e: a real localhost HTTP server in front of
+the filesystem catalog, driven through RestCatalog — same call shapes
+as table_catalog, same atomicity (the filesystem primitives behind
+the service ARE the concurrency control)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import catalog_service as CS
+from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+
+@pytest.fixture
+def service(tmp_path):
+    cat = str(tmp_path / "catalog")
+    srv = CS.serve_catalog(cat)
+    client = CS.RestCatalog(
+        f"http://127.0.0.1:{srv.server_address[1]}")
+    yield cat, client
+    srv.shutdown()
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_table_lifecycle_over_http(spark, service):
+    cat, rc = service
+    root = rc.create_table("sales.orders")
+    assert rc.load_table("sales.orders") == root
+    assert rc.table_exists("sales.orders")
+    assert not rc.table_exists("sales.nope")
+    # a second create of the same name is a 409 -> TableExistsError
+    with pytest.raises(TC.TableExistsError):
+        rc.create_table("sales.orders")
+
+    # the resolved root is a REAL versioned table
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), root)
+    assert rc.read_table(spark, "sales.orders").count() == 2
+
+    assert rc.list_tables() == {"sales.orders": root}
+    assert rc.rename_table("sales.orders", "sales.live") == root
+    with pytest.raises(TC.NoSuchTableError):
+        rc.load_table("sales.orders")
+    assert rc.load_table("sales.live") == root
+    # client and direct-filesystem views agree (same catalog dir)
+    assert TC.load_table(cat, "sales.live") == root
+    rc.drop_table("sales.live")
+    assert rc.list_tables() == {}
+
+
+def test_group_pins_over_http(spark, service):
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    b = rc.create_table("sales.b")
+    V.write_snapshot(_df(spark, [(1, "a-base")]), a)
+    V.write_snapshot(_df(spark, [(1, "b-base")]), b)
+    snaps = rc.pin_current_group("nightly", ["sales.a", "sales.b"])
+    assert set(snaps) == {"sales.a", "sales.b"}
+    # later commit invisible through the group, visible via CURRENT
+    V.append_snapshot(_df(spark, [(9, "later")]), a)
+    assert rc.read_group(spark, "nightly", "sales.a").count() == 1
+    assert rc.read_table(spark, "sales.a").count() == 2
+    assert rc.group_snapshots("nightly") == snaps
+    rc.drop_group("nightly")
+    with pytest.raises(TC.NoSuchTableError):
+        rc.group_snapshots("nightly")
+
+
+def test_error_mapping(service):
+    _, rc = service
+    with pytest.raises(TC.NoSuchTableError):
+        rc.load_table("no.such")
+    with pytest.raises(ValueError):
+        rc.create_table("bad/name.x")
+    with pytest.raises(TC.NoSuchTableError):
+        rc.rename_table("no.such", "other.name")
+
+
+def test_catalog_txn_through_resolved_roots(spark, service,
+                                            tmp_path):
+    """The transaction layer composes with HTTP resolution: roots
+    resolved through the service drive a multi_table_txn, and the
+    group repin is visible to every other client of the catalog."""
+    from mc_ns_data_pipeline_spark.sinks import txn as T
+
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    b = rc.create_table("sales.b")
+    V.write_snapshot(_df(spark, [(1, "a-base")]), a)
+    V.write_snapshot(_df(spark, [(1, "b-base")]), b)
+    rc.pin_current_group("nightly", ["sales.a", "sales.b"])
+    with T.multi_table_txn(
+            str(tmp_path / "log"), [a, b], catalog_root=cat,
+            group="nightly",
+            names={a: "sales.a", b: "sales.b"}) as txn:
+        txn.append(_df(spark, [(2, "a-txn")]), a)
+        txn.append(_df(spark, [(2, "b-txn")]), b)
+    assert rc.read_group(spark, "nightly", "sales.a").count() == 2
+    assert rc.read_group(spark, "nightly", "sales.b").count() == 2
+
+
+def test_catalog_serve_cli_check(tmp_path, capsys):
+    from mc_ns_data_pipeline_spark.cli import main
+
+    assert main(["catalog-serve", "--catalog",
+                 str(tmp_path / "cat"), "--check"]) == 0
+    assert "catalog service at http://" in capsys.readouterr().out

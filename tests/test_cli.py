@@ -540,3 +540,45 @@ def test_catalog_cli_and_name_addressed_table_ops(spark, tmp_path,
     assert main(["catalog", "drop", "--catalog", cat,
                  "--name", "sales.live", "--purge"]) == 0
     assert not os.path.exists(root)
+
+
+def test_catalog_group_and_txn_recover_cli(spark, tmp_path, capsys):
+    """Group verbs (pin-group/group-show/drop-group) and txn-recover:
+    pin a two-table group at CURRENT, show it, recover an empty log,
+    drop it."""
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    cat = str(tmp_path / "cat")
+    for name in ("sales.a", "sales.b"):
+        assert main(["catalog", "create", "--catalog", cat,
+                     "--name", name]) == 0
+        V.write_snapshot(
+            spark.createDataFrame([(1, name)], "k int, v string"),
+            TC.load_table(cat, name))
+
+    assert main(["catalog", "pin-group", "--catalog", cat,
+                 "--group", "nightly",
+                 "--names", "sales.a,sales.b"]) == 0
+    out = capsys.readouterr().out
+    assert "sales.a @" in out and "sales.b @" in out
+
+    assert main(["catalog", "group-show", "--catalog", cat,
+                 "--group", "nightly"]) == 0
+    assert set(TC.group_snapshots(cat, "nightly")) == {"sales.a",
+                                                       "sales.b"}
+    # group survives a later commit; read_group sees the pinned state
+    V.append_snapshot(
+        spark.createDataFrame([(9, "later")], "k int, v string"),
+        TC.load_table(cat, "sales.a"))
+    assert TC.read_group(spark, cat, "nightly",
+                         "sales.a").count() == 1
+
+    assert main(["txn-recover", "--catalog", cat]) == 0
+    assert "recovered 0" in capsys.readouterr().out
+
+    assert main(["catalog", "drop-group", "--catalog", cat,
+                 "--group", "nightly"]) == 0
+    import pytest as _pytest
+    with _pytest.raises(TC.NoSuchTableError):
+        TC.group_snapshots(cat, "nightly")
