@@ -116,6 +116,9 @@ class CatalogHandler(BaseHTTPRequestHandler):
             return
         name = rest[0]
         if len(rest) == 2 and rest[1] == "rename":
+            if method != "POST":
+                self._send(405, {"error": "method"})
+                return
             new_root = TC.rename_table(root, name, self._body()["to"])
             self._send(200, {"root": new_root})
         elif method == "POST":
@@ -133,11 +136,15 @@ class CatalogHandler(BaseHTTPRequestHandler):
 
     def _groups(self, method: str, rest: list[str], qs: dict,
                 root: str) -> None:
-        if not rest:
-            self._send(404, {"error": "group name required"})
+        if not rest or len(rest) > 2 or (
+                len(rest) == 2 and rest[1] != "pin-current"):
+            self._send(404, {"error": "no such route"})
             return
         group = rest[0]
-        if len(rest) == 2 and rest[1] == "pin-current":
+        if len(rest) == 2:  # .../pin-current
+            if method != "POST":
+                self._send(405, {"error": "method"})
+                return
             snaps = TC.pin_current_group(root, group,
                                          self._body()["names"])
             self._send(200, {"snapshots": snaps})

@@ -247,41 +247,79 @@ def _group_path(catalog_root: str, group: str) -> str:
 
 def pin_group(catalog_root: str, group: str,
               snapshots: dict[str, str],
-              merge: bool = True) -> dict[str, str]:
+              merge: bool = True,
+              monotonic: bool = False) -> dict[str, str]:
     """Atomically (re)pin ``group`` to ``{name: snapshot}``. With
     ``merge`` (default) existing member pins not named survive — a
     transaction updating two of a five-table group leaves the other
-    three views intact. Returns the full mapping written."""
+    three views intact. The merge is a read-modify-write, so it runs
+    under a PER-GROUP lease: two transactions committing disjoint
+    member sets concurrently both land (no lost update — the race a
+    lockless merge loses exactly when the feature matters). With
+    ``monotonic`` an entry only moves FORWARD in commit generation
+    (snapshot names carry the table's monotonic counter) — the
+    replay-safe mode transaction commit/recovery uses, decided INSIDE
+    the lease so a racing newer pin can never be clobbered by an old
+    intent. Explicit rollback pins use the default non-monotonic
+    mode. Returns the full mapping written."""
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
     path = _group_path(catalog_root, group)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    mapping = dict(snapshots)
-    if merge:
-        try:
-            with open(path) as fh:
-                mapping = {**json.load(fh), **snapshots}
-        except FileNotFoundError:
-            pass
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(mapping, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+    with table_lease(os.path.join(catalog_root, _GROUPS_DIR, group),
+                     owner=f"pin_group:{group}", wait_s=30.0):
+        mapping = dict(snapshots)
+        if merge:
+            try:
+                with open(path) as fh:
+                    current = json.load(fh)
+            except FileNotFoundError:
+                current = {}
+            wanted = dict(snapshots)
+            if monotonic:
+                from mc_ns_data_pipeline_spark.sinks import (
+                    versioned as V,
+                )
+
+                wanted = {
+                    n: s for n, s in wanted.items()
+                    if n not in current
+                    or V._gen_of(current[n]) < V._gen_of(s)
+                }
+            mapping = {**current, **wanted}
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(mapping, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
     return mapping
 
 
 def pin_current_group(catalog_root: str, group: str,
                       names: list[str]) -> dict[str, str]:
-    """Pin ``group`` to every named table's CURRENT snapshot."""
-    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    """Pin ``group`` to every named table's CURRENT snapshot —
+    holding every member's table lease (sorted order, deadlock-free
+    with txn.commit) while the CURRENTs are read, so the captured
+    view can never itself be a torn mid-commit pair."""
+    from contextlib import ExitStack
 
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.sinks.lease import table_lease
+
+    roots = {name: load_table(catalog_root, name) for name in names}
     snaps = {}
-    for name in names:
-        snap = V.current_snapshot(load_table(catalog_root, name))
-        if snap is None:
-            raise NoSuchTableError(
-                f"{name}: no current snapshot to pin")
-        snaps[name] = snap
+    with ExitStack() as stack:
+        for name in sorted(roots, key=roots.get):
+            stack.enter_context(table_lease(
+                roots[name], owner=f"pin_current_group:{group}",
+                wait_s=30.0))
+        for name, root in roots.items():
+            snap = V.current_snapshot(root)
+            if snap is None:
+                raise NoSuchTableError(
+                    f"{name}: no current snapshot to pin")
+            snaps[name] = snap
     return pin_group(catalog_root, group, snaps)
 
 

@@ -73,8 +73,12 @@ def _intent_path(log_dir: str, txn_id: str) -> str:
     return os.path.join(log_dir, f"{txn_id}.json")
 
 
-def _is_reachable(table: str, anc: str, snap: str | None) -> bool:
-    """True if ``anc`` is ``snap`` or an ancestor of it."""
+def _is_reachable(table: str, anc: str,
+                  snap: str | None) -> bool | None:
+    """True if ``anc`` is ``snap`` or an ancestor of it; False when
+    the lineage walks to its origin without finding it; None when the
+    walk hits a VACUUMED hole before deciding — the caller must not
+    treat a retention gap as proof the flip never happened."""
     seen: set[str] = set()
     while snap is not None and snap not in seen:
         if snap == anc:
@@ -83,7 +87,7 @@ def _is_reachable(table: str, anc: str, snap: str | None) -> bool:
         try:
             snap = V._read_core(table, snap).get("parent")
         except FileNotFoundError:
-            return False
+            return None  # lineage reaped: undecidable from here
     return False
 
 
@@ -240,8 +244,12 @@ def catalog_txn(catalog_root: str, names: list[str],
 
 def _pin_intent_group(intent: dict) -> None:
     """Repin the catalog group an intent names (no-op without one).
-    Idempotent — pinning the same snapshots twice is a same-content
-    replace."""
+    MONOTONIC per member: a pin only moves a table's entry FORWARD in
+    generation — when recovery replays an old sealed intent after a
+    LATER transaction already committed and repinned, the newer pin
+    survives (snapshot names carry the table's monotonic commit
+    generation, so the comparison needs no lineage walk). Idempotent
+    — replaying the same intent is a same-content merge."""
     g = intent.get("group")
     if not g:
         return
@@ -250,7 +258,8 @@ def _pin_intent_group(intent: dict) -> None:
     TC.pin_group(g["catalog"], g["group"],
                  {g["names"][t]: snap
                   for t, snap in intent["tables"].items()
-                  if t in g["names"]})
+                  if t in g["names"]},
+                 monotonic=True)
 
 
 def recover_txns(log_dir: str) -> dict:
@@ -292,13 +301,27 @@ def recover_txns(log_dir: str) -> dict:
                     wait_s=_COMMIT_WAIT_S))
             state: dict[str, str] = {}
             for t, target in tables.items():
-                if _is_reachable(t, target, V.current_snapshot(t)):
+                reach = _is_reachable(t, target, V.current_snapshot(t))
+                if reach:
                     state[t] = "flipped"
                     continue
                 try:
                     V._check_ref_publishable(t, branch)
                     state[t] = "pending"
+                    continue
                 except (FileNotFoundError, V.CommitConflictError):
+                    pass
+                # Not publishable and not provably unflipped. If the
+                # ancestry walk broke on a VACUUMED hole and the
+                # branch ref is gone (consumed at flip), the txn
+                # almost certainly completed long ago and retention
+                # ate the evidence — classify flipped rather than
+                # reporting a fully-visible commit as rolled back.
+                if (reach is None
+                        and V._ref_read(
+                            V._ref_path(t, branch, "heads")) is None):
+                    state[t] = "flipped"
+                else:
                     state[t] = "stuck"
             any_flipped = "flipped" in state.values()
             all_ok = all(s in ("flipped", "pending")

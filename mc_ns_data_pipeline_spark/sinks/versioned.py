@@ -1660,14 +1660,16 @@ def _prune_chunked(table: str, core: dict,
         if not _chunk_survives(ch, predicates):
             return (n_live, None, None, 0, 0)
         blm_survivors = None
+        probed = 0
         if hashed_preds is not None and ch.get("blm"):
             hit = _blm_probe(table, ch, hashed_preds)
             if hit is not None:
+                probed = 1
                 survivors, pseq = hit
                 if not survivors:
-                    return (n_live, [], {}, 0, 1)
+                    return (n_live, [], {}, 0, probed)
                 if pure_eq:  # residual-free: .blm header is final
-                    return (n_live, survivors, pseq, 0, 1)
+                    return (n_live, survivors, pseq, 0, probed)
                 blm_survivors = set(survivors)
         side = _read_chunk(table, ch["id"])
         excl = set(ch.get("exclude") or [])
@@ -1681,10 +1683,10 @@ def _prune_chunked(table: str, core: dict,
         side_seq = side.get("file_seq") or {}
         return (n_live, part_kept,
                 {f: side_seq[f] for f in part_kept if f in side_seq},
-                1, 0)
+                1, probed)
 
-    for ch, (n_live, part_kept, pseq, did_load, did_probe) in zip(
-            chunks, (_eval_chunk(ch) for ch in chunks)):
+    for ch in chunks:
+        n_live, part_kept, pseq, did_load, did_probe = _eval_chunk(ch)
         total += n_live
         loaded += did_load
         probed += did_probe
@@ -3556,10 +3558,16 @@ def vacuum_snapshots(table: str, keep: int = 2,
             return None if side is None else side["files"]
 
         def _page_descs(pid: str) -> list[dict]:
-            """A page's descriptors for the refcount walks — reaped
-            or torn pages contribute nothing (their chunks are then
-            unreferenced by this manifest, conservative for doomed
-            refs and exactly right for liveness)."""
+            """A DOOMED manifest's page descriptors — a reaped or
+            torn page contributes nothing there, which is
+            conservative: its files just fall back to the age-guarded
+            never-referenced path instead of immediate reaping. The
+            LIVENESS walk must NOT use this: a swallowed read error
+            there would drop a retained page's chunks from
+            live_chunks and delete live data — the retained walk
+            calls `_read_page` directly and lets any failure abort
+            the vacuum loudly (nothing has been reaped yet at that
+            point; orphans keep to the next run)."""
             try:
                 return _read_page(table, pid)
             except (OSError, ValueError, KeyError):
@@ -3620,7 +3628,9 @@ def vacuum_snapshots(table: str, keep: int = 2,
                 descs = list(core["chunks"])
                 for pg in core.get("pages") or []:
                     live_pages.add(pg["id"])
-                    descs += _page_descs(pg["id"])
+                    # STRICT read: liveness must never degrade on a
+                    # page error (see _page_descs docstring)
+                    descs += _read_page(table, pg["id"])
                 for ch in descs:
                     cid = ch["id"]
                     excl = set(ch.get("exclude") or ())

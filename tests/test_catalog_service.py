@@ -108,3 +108,35 @@ def test_catalog_serve_cli_check(tmp_path, capsys):
     assert main(["catalog-serve", "--catalog",
                  str(tmp_path / "cat"), "--check"]) == 0
     assert "catalog service at http://" in capsys.readouterr().out
+
+
+def test_wrong_method_rejected(service):
+    """Mutating routes must check the HTTP method: a DELETE against
+    /rename or /pin-current is 405, junk subpaths are 404 — a
+    retrying intermediary can never mutate the catalog by accident."""
+    import urllib.error
+    import urllib.request
+
+    _, rc = service
+    rc.create_table("sales.a")
+
+    def req(method, path, body=None):
+        import json as _json
+        data = _json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(rc.base_url + path, data=data,
+                                   method=method)
+        try:
+            with urllib.request.urlopen(r) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert req("DELETE", "/v1/tables/sales.a/rename",
+               {"to": "sales.b"}) == 405
+    assert rc.table_exists("sales.a")  # nothing renamed
+    assert req("GET", "/v1/tables/sales.a/rename") == 405
+    assert req("DELETE", "/v1/groups/g/pin-current",
+               {"names": ["sales.a"]}) == 405
+    assert req("GET", "/v1/groups/g/anything") == 404
+    assert req("GET", "/v1/groups/g/x/y") == 404
+    assert req("POST", "/v1/tables/sales.a/junk") == 404

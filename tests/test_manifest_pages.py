@@ -311,3 +311,24 @@ def test_paged_blm_point_plan_no_sidecar_loads(spark, tmp_path,
     assert rep["chunks_blm_probed"] >= 1
     got = V.read_current(spark, table, predicates=[("k", "=", 7)])
     assert [r.v for r in got.collect()] == ["v7"]
+
+
+def test_mixed_predicate_plan_still_counts_blm_probes(
+        spark, tmp_path, tiny_pages):
+    """chunks_blm_probed must count conclusive probes on the
+    RESIDUAL-predicate path too (r7 review regression: the refactor
+    returned did_probe=0 whenever a sidecar was also loaded)."""
+    _fresh_cache()
+    table = str(tmp_path / "t")
+    df = (spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(400)],
+        "k int, grp int, v string").repartition(40))
+    snap = V.write_snapshot(df, table, stats_cols=["k", "grp"],
+                            bloom_cols=["k"])
+    rep = V.prune_report(table, snap,
+                         [("k", "=", 7), ("grp", ">=", 0)])
+    assert rep["chunks_blm_probed"] >= 1
+    got = V.read_current(spark, table,
+                         predicates=[("k", "=", 7),
+                                     ("grp", ">=", 0)])
+    assert [r.v for r in got.collect()] == ["v7"]

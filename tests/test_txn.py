@@ -247,3 +247,146 @@ def test_partial_group_merge_keeps_other_members(spark, catalog_pair):
     assert _grows(spark, cat, "nightly", "sales.b") == {(1, "b-base")}
     assert _grows(spark, cat, "nightly", "sales.a") \
         == {(1, "a-base"), (2, "a-txn")}
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (r7): vacuum page strictness, group-pin
+# concurrency, recovery replay ordering, REST method guards
+# ---------------------------------------------------------------------------
+
+
+def test_recovery_replay_never_clobbers_newer_group_pin(
+        spark, catalog_pair, monkeypatch):
+    """A crashed txn's sealed intent, replayed AFTER a later txn
+    already committed and repinned, must not move the group's pins
+    backwards (monotonic pin)."""
+    cat, a, b = catalog_pair
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    txn1 = T.catalog_txn(cat, ["sales.a", "sales.b"],
+                         group="nightly")
+    txn1.append(_df(spark, [(2, "a-txn1")]), a)
+    txn1.append(_df(spark, [(2, "b-txn1")]), b)
+
+    def crashing_pin(intent):
+        if intent.get("group"):
+            raise OSError("crash before group pin")
+
+    monkeypatch.setattr(T, "_pin_intent_group", crashing_pin)
+    with pytest.raises(OSError):
+        txn1.commit()
+    monkeypatch.undo()
+
+    # a LATER txn commits and pins newer snapshots
+    with T.catalog_txn(cat, ["sales.a", "sales.b"],
+                       group="nightly") as txn2:
+        txn2.append(_df(spark, [(3, "a-txn2")]), a)
+        txn2.append(_df(spark, [(3, "b-txn2")]), b)
+    newer = TC.group_snapshots(cat, "nightly")
+
+    # replaying txn1's sealed intent must keep txn2's pins
+    rep = T.recover_txns(os.path.join(cat, "_txns"))
+    assert rep["completed"]
+    assert TC.group_snapshots(cat, "nightly") == newer
+    assert _grows(spark, cat, "nightly", "sales.a") == {
+        (1, "a-base"), (2, "a-txn1"), (3, "a-txn2")}
+
+
+def test_recovery_after_vacuumed_lineage_reports_completed(
+        spark, two_tables, monkeypatch):
+    """All flips done, intent left behind, lineage later vacuumed:
+    recovery must report the txn completed, never rolled_back."""
+    a, b, log = two_tables
+    txn = T.multi_table_txn(log, [a, b])
+    txn.append(_df(spark, [(2, "a-txn")]), a)
+    txn.append(_df(spark, [(2, "b-txn")]), b)
+
+    orig_rm = os.remove
+    import builtins  # noqa: F401 - keep the patch local
+
+    def no_intent_removal(path, *a2, **k2):
+        if "txnlog" in str(path):
+            raise OSError("crash before intent removal")
+        return orig_rm(path, *a2, **k2)
+
+    monkeypatch.setattr(os, "remove", no_intent_removal)
+    with pytest.raises(OSError):
+        txn.commit()
+    monkeypatch.undo()
+    # both tables ARE flipped; age the history out via more commits
+    # + vacuum so the targets' lineage develops a hole
+    for t in (a, b):
+        V.append_snapshot(_df(spark, [(7, "later")]), t)
+        V.append_snapshot(_df(spark, [(8, "later2")]), t)
+        V.vacuum_snapshots(t, keep=1, min_age_seconds=None,
+                           staging_age_seconds=0.0)
+    rep = T.recover_txns(log)
+    assert rep["completed"] and not rep["rolled_back"]
+    assert not rep["broken"]
+    got = _rows(spark, a)
+    assert (2, "a-txn") in got  # the txn's rows are visible
+
+
+def test_concurrent_disjoint_group_pins_both_land(spark,
+                                                  catalog_pair):
+    """Two merge-mode pinners updating DISJOINT members must both
+    land (the per-group lease makes the read-modify-write safe)."""
+    import threading
+
+    cat, a, b = catalog_pair
+    TC.pin_current_group(cat, "nightly", ["sales.a", "sales.b"])
+    s_a = V.current_snapshot(a)
+    s_b = V.current_snapshot(b)
+    V.append_snapshot(_df(spark, [(2, "a2")]), a)
+    V.append_snapshot(_df(spark, [(2, "b2")]), b)
+    n_a = V.current_snapshot(a)
+    n_b = V.current_snapshot(b)
+    errs = []
+
+    def pin(name, snap):
+        try:
+            TC.pin_group(cat, "nightly", {name: snap})
+        except Exception as e:
+            errs.append(e)
+
+    ths = [threading.Thread(target=pin, args=("sales.a", n_a)),
+           threading.Thread(target=pin, args=("sales.b", n_b))]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join(30)
+    assert not errs, errs
+    snaps = TC.group_snapshots(cat, "nightly")
+    assert snaps == {"sales.a": n_a, "sales.b": n_b}, (
+        "a lost update reverted a member", s_a, s_b, snaps)
+
+
+def test_vacuum_aborts_on_unreadable_live_page(spark, tmp_path,
+                                               monkeypatch):
+    """A page-read failure during the LIVENESS walk must abort the
+    vacuum loudly — never silently drop a retained page's chunks
+    from liveness (that would reap live data)."""
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", 6)
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_SIZE", 4)
+    monkeypatch.setattr(V, "_CORE_PAGE_DESCS", 3)
+    monkeypatch.setattr(V, "_CORE_PAGE_FOLD_AT", 4)
+    V._PAGE_CACHE.clear()
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(400)],
+                              "k int, v string")
+        .repartitionByRange(40, "k"), table, stats_cols=["k"])
+    V.append_snapshot(
+        spark.createDataFrame([(1000, "x")], "k int, v string"),
+        table)
+    core = V._read_core(table, V.current_snapshot(table))
+    victim = core["pages"][0]["id"]
+    page_path = V._page_path(table, victim)
+    data_before = set(os.listdir(os.path.join(table)))
+    with open(page_path, "w") as fh:
+        fh.write("{corrupt")
+    V._PAGE_CACHE.clear()
+    with pytest.raises(Exception):
+        V.vacuum_snapshots(table, keep=1, min_age_seconds=None,
+                           staging_age_seconds=0.0)
+    # nothing from the data pool was reaped by the aborted run
+    assert set(os.listdir(os.path.join(table))) == data_before
