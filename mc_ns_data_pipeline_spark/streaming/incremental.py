@@ -680,6 +680,277 @@ def run_stream_zone_maps(spark: SparkSession, events_path: str,
 # x51, run as a stream that maintains its own LSH index)
 # ---------------------------------------------------------------------------
 
+# Hash-bucket fan-out of the persisted index. A probe reads only the
+# buckets its batch's keys hash into, so per-batch bytes scale with the
+# increment, not the corpus. 16 keeps local dirs small; a cluster
+# deployment raises it (buckets are the read-parallelism unit).
+IDX_BUCKETS = 16
+# Fold epoch deltas into the compacted base once this many accumulate:
+# bounds per-batch files-read at ~IDX_BUCKETS + IDX_COMPACT_EVERY dirs
+# regardless of stream lifetime (the LSM size-bound, VERDICT r07 #2).
+IDX_COMPACT_EVERY = 4
+
+
+def _idx_bucket(col) -> "F.Column":
+    """Deterministic index bucket of a key (same expr on write + probe)."""
+    return F.pmod(F.xxhash64(col), F.lit(IDX_BUCKETS)).cast("int")
+
+
+class _LshIndexStore:
+    """Bucketed, compacting on-disk LSH index for the streaming dedup
+    loop (VERDICT r07 #2: bound the per-epoch index read by candidate
+    buckets, not index size).
+
+    Layout per kind ('bands' keyed by band_key, 'sets' keyed by doc_id):
+
+        {store}/{kind}/epoch=N/bucket=B/*.parquet    epoch deltas
+        {store}/{kind}_base/v=M/bucket=B/*.parquet   compacted base
+                                 (_complete marker; M = folded-through)
+
+    A probe enumerates leaf dirs EXPLICITLY — latest complete base +
+    epoch deltas in (M, current), restricted to the batch's bucket set —
+    so pruning is guaranteed by construction, not by Catalyst partition
+    discovery, and is trivially measurable. Every IDX_COMPACT_EVERY
+    epochs the deltas fold into a new base version: per-batch dirs-read
+    stays O(IDX_BUCKETS + IDX_COMPACT_EVERY) for the life of the stream
+    (previously O(total epochs) — the xs14 growth term).
+
+    Crash safety: a base version publishes by atomic rename with its
+    `_complete` marker written INSIDE the staging dir, so readers never
+    see a partial base; folded epoch dirs and superseded bases are
+    reaped best-effort afterward (a crash between publish and reap
+    leaves garbage that readers ignore — the reader derives its view
+    from the latest complete base, never from what happens to exist).
+    A replayed foreachBatch epoch overwrites its own `epoch=N` dirs
+    with identical content and compaction only ever folds epochs
+    strictly below the in-flight one, so replay is idempotent.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        import os
+
+        self.spark = spark
+        self.root = root
+        self._os = os
+
+    # -- paths ----------------------------------------------------------
+    def _delta_root(self, kind: str) -> str:
+        return self._os.path.join(self.root, kind)
+
+    def _base_root(self, kind: str) -> str:
+        return self._os.path.join(self.root, f"{kind}_base")
+
+    def _delta_epochs(self, kind: str) -> list[int]:
+        root = self._delta_root(kind)
+        if not self._os.path.isdir(root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in self._os.listdir(root)
+            if d.startswith("epoch=")
+        )
+
+    def _base_version(self, kind: str) -> int | None:
+        """Highest complete base version, or None."""
+        root = self._base_root(kind)
+        if not self._os.path.isdir(root):
+            return None
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in self._os.listdir(root)
+            if d.startswith("v=")
+            and self._os.path.exists(
+                self._os.path.join(root, d, "_complete"))
+        ]
+        return max(versions) if versions else None
+
+    # -- write ----------------------------------------------------------
+    def write_epoch(self, kind: str, df: DataFrame, epoch: int,
+                    key_col: str) -> None:
+        """Persist an epoch delta hash-partitioned by key bucket.
+        Overwrite of the whole epoch dir keeps foreachBatch replay
+        idempotent (same input -> identical content)."""
+        (
+            df.withColumn("bucket", _idx_bucket(F.col(key_col)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{self._delta_root(kind)}/epoch={epoch}")
+        )
+
+    def compact(self, kind: str, before_epoch: int) -> None:
+        """Fold epoch deltas strictly below `before_epoch` into a new
+        base version once IDX_COMPACT_EVERY have accumulated."""
+        import shutil
+
+        base_v = self._base_version(kind)
+        foldable = [
+            e for e in self._delta_epochs(kind)
+            if e < before_epoch and (base_v is None or e > base_v)
+        ]
+        if len(foldable) < IDX_COMPACT_EVERY:
+            return
+        parts = [
+            f"{self._delta_root(kind)}/epoch={e}" for e in foldable
+        ]
+        if base_v is not None:
+            parts.append(f"{self._base_root(kind)}/v={base_v}")
+        # each root is read on its own (they share no base path, so a
+        # multi-path read would mis-discover partitions); the `bucket`
+        # partition column parses out of the dir names, so the rewrite
+        # re-partitions without rehashing
+        merged = None
+        for p in parts:
+            piece = self.spark.read.parquet(p)
+            merged = piece if merged is None else merged.unionByName(piece)
+        new_v = max(foldable)
+        final = f"{self._base_root(kind)}/v={new_v}"
+        staging = f"{final}.staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        open(self._os.path.join(staging, "_complete"), "w").close()
+        shutil.rmtree(final, ignore_errors=True)
+        self._os.rename(staging, final)
+        # best-effort reap: readers key off the latest complete base,
+        # so leftover garbage after a crash here is invisible
+        for e in foldable:
+            shutil.rmtree(f"{self._delta_root(kind)}/epoch={e}",
+                          ignore_errors=True)
+        if base_v is not None:
+            shutil.rmtree(f"{self._base_root(kind)}/v={base_v}",
+                          ignore_errors=True)
+
+    # -- probe ----------------------------------------------------------
+    def probe_dirs(self, kind: str, before_epoch: int,
+                   buckets: list[int]) -> tuple[list[str], dict]:
+        """Leaf dirs a probe must read: latest base + newer deltas,
+        bucket-pruned. Returns (dirs, stats) where stats carries the
+        pruning evidence (dirs/files read vs what a full scan of the
+        index would have touched)."""
+        base_v = self._base_version(kind)
+        roots: list[str] = []
+        if base_v is not None and base_v < before_epoch:
+            roots.append(f"{self._base_root(kind)}/v={base_v}")
+        for e in self._delta_epochs(kind):
+            if e < before_epoch and (base_v is None or e > base_v):
+                roots.append(f"{self._delta_root(kind)}/epoch={e}")
+        leaves, n_files = [], 0
+        total_leaves, total_files = 0, 0
+        want = {f"bucket={b}" for b in buckets}
+        for root in roots:
+            for d in self._os.listdir(root):
+                if not d.startswith("bucket="):
+                    continue
+                leaf = self._os.path.join(root, d)
+                files = [
+                    f for f in self._os.listdir(leaf)
+                    if f.endswith(".parquet")
+                ]
+                total_leaves += 1
+                total_files += len(files)
+                if d in want:
+                    leaves.append(leaf)
+                    n_files += len(files)
+        stats = {
+            "dirs_read": len(leaves),
+            "files_read": n_files,
+            "dirs_total": total_leaves,
+            "files_total": total_files,
+            "epoch_dirs": len(roots),
+        }
+        return leaves, stats
+
+    def read(self, kind: str, before_epoch: int, buckets: list[int],
+             template: DataFrame) -> tuple[DataFrame, dict]:
+        leaves, stats = self.probe_dirs(kind, before_epoch, buckets)
+        if not leaves:
+            return template, stats
+        return self.spark.read.parquet(*leaves), stats
+
+    def log_probe(self, epoch: int, stats: dict) -> None:
+        """Append per-epoch pruning evidence (local diagnostic file the
+        growth stress-test reads; never on a query's data path)."""
+        import json
+
+        try:
+            with open(self._os.path.join(self.root, "_probe_stats.jsonl"),
+                      "a") as fh:
+                fh.write(json.dumps({"epoch": epoch, **stats}) + "\n")
+        except OSError:
+            pass
+
+
+def dedup_index_batch(spark: SparkSession, batch_df: DataFrame,
+                      epoch_id: int, store: _LshIndexStore,
+                      threshold: float = 0.5) -> None:
+    """One micro-batch of the incremental-dedup loop against the
+    bucketed index store. Semantics identical to
+    operators.dedup.incremental_dedup_pairs (dedup.py:673) — same
+    shingle/sign/band functions, same new-vs-all band join, same exact
+    Jaccard verify — but the prior index is read bucket-pruned:
+
+      1. the batch's band keys hash to <= IDX_BUCKETS buckets; only
+         those buckets of the band index are read (a key outside them
+         cannot equi-join on band_key);
+      2. only ids that survive the band join need shingle sets, so the
+         sets index is read pruned to the CANDIDATES' id buckets.
+
+    The two `.collect()`s are bucket-id lists, bounded by IDX_BUCKETS
+    rows each — never corpus-sized.
+    """
+    from mc_ns_data_pipeline_spark.operators import dedup as D
+
+    sets = D._materialize(D.doc_shingle_sets(batch_df))
+    bands = D.lsh_band_keys(D.minhash_signatures(sets))
+
+    store.compact("bands", epoch_id)
+    store.compact("sets", epoch_id)
+
+    band_buckets = [
+        r[0] for r in bands.select(
+            _idx_bucket(F.col("band_key")).alias("b")).distinct().collect()
+    ]
+    index_bands, band_stats = store.read(
+        "bands", epoch_id, band_buckets, bands.limit(0))
+    n = bands.select(
+        F.col("doc_id").alias("_nid"), "band_id", "band_key")
+    m = (
+        index_bands.select("doc_id", "band_id", "band_key")
+        .unionByName(bands)
+        .select(F.col("doc_id").alias("_mid"), "band_id", "band_key")
+    )
+    pairs = D._materialize(
+        n.join(m, ["band_id", "band_key"])
+        .filter(F.col("_nid") != F.col("_mid"))
+        .select(
+            F.least("_nid", "_mid").alias("doc_a"),
+            F.greatest("_nid", "_mid").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_buckets = [
+        r[0] for r in pairs.select(
+            F.explode(F.array(
+                _idx_bucket(F.col("doc_a")),
+                _idx_bucket(F.col("doc_b")),
+            )).alias("b")).distinct().collect()
+    ]
+    index_sets, set_stats = store.read(
+        "sets", epoch_id, cand_buckets, sets.limit(0))
+    sets_all = index_sets.select("doc_id", "sh_ids").unionByName(sets)
+    verified = D.jaccard_verify(pairs, sets_all, threshold=threshold)
+
+    verified.write.mode("overwrite").parquet(
+        f"{store.root}/pairs/epoch={epoch_id}")
+    store.write_epoch("bands", bands, epoch_id, "band_key")
+    store.write_epoch("sets", sets, epoch_id, "doc_id")
+    store.log_probe(epoch_id, {
+        "bands": band_stats, "sets": set_stats,
+    })
+
 
 def run_stream_incremental_dedup(spark: SparkSession, docs_path: str,
                                  checkpoint_dir: str,
@@ -696,49 +967,23 @@ def run_stream_incremental_dedup(spark: SparkSession, docs_path: str,
     rewrites identical content instead of appending twice — and each
     batch reads only strictly-earlier epochs, so a replay also can't
     see its own partial writes. Index growth is bands+set-arrays per
-    document (a sliver of the text), the crawl-scale property.
+    document (a sliver of the text); per-batch index READS are bounded
+    by the batch's candidate buckets via _LshIndexStore (bucket-pruned
+    probes + LSM compaction), not by index size — the crawl-scale
+    property in both directions.
     """
     import os
 
-    from mc_ns_data_pipeline_spark.operators import dedup as D
     from mc_ns_data_pipeline_spark.session import scoped_conf
 
     # _events_stream is the generic single-file staging helper (the
     # name predates non-event streams); documents carry no timestamps,
     # so its nanos handling is a no-op here
     docs = _events_stream(spark, docs_path)
-
-    def _store(kind: str) -> str:
-        return os.path.join(store_dir, kind)
-
-    def _read_prior(kind: str, template, epoch_id: int):
-        path = _store(kind)
-        if os.path.exists(path) and any(
-            e.startswith("epoch=") for e in os.listdir(path)
-        ):
-            df = spark.read.option("basePath", path).parquet(path)
-            return df.filter(F.col("epoch") < epoch_id).drop("epoch")
-        return template
+    store = _LshIndexStore(spark, store_dir)
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sets = D._materialize(D.doc_shingle_sets(batch_df))
-        bands = D.lsh_band_keys(D.minhash_signatures(sets))
-        empty_bands = bands.limit(0)
-        empty_sets = sets.limit(0)
-        index_bands = _read_prior("bands", empty_bands, epoch_id)
-        index_sets = _read_prior("sets", empty_sets, epoch_id)
-        pairs = D.incremental_dedup_pairs(
-            batch_df, index_bands, index_sets
-        )
-        pairs.write.mode("overwrite").parquet(
-            f"{_store('pairs')}/epoch={epoch_id}"
-        )
-        bands.write.mode("overwrite").parquet(
-            f"{_store('bands')}/epoch={epoch_id}"
-        )
-        sets.write.mode("overwrite").parquet(
-            f"{_store('sets')}/epoch={epoch_id}"
-        )
+        dedup_index_batch(spark, batch_df, epoch_id, store)
 
     with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
         q = (
@@ -750,8 +995,8 @@ def run_stream_incremental_dedup(spark: SparkSession, docs_path: str,
         )
         q.awaitTermination()
     return (
-        spark.read.option("basePath", _store("pairs"))
-        .parquet(_store("pairs"))
+        spark.read.option("basePath", os.path.join(store_dir, "pairs"))
+        .parquet(os.path.join(store_dir, "pairs"))
         .drop("epoch")
         .orderBy("doc_a", "doc_b")
     )

@@ -700,3 +700,65 @@ def test_stream_incremental_dedup_across_batches(spark, sf_dir, tmp_path):
         (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in rows
     )
     assert fmt(both) == fmt(batch)
+
+
+def test_stream_dedup_index_probe_stays_bounded(spark, sf_dir, tmp_path):
+    """XS14 scale contract (VERDICT r07 #2): the per-batch index read
+    is bounded by candidate buckets + the LSM compaction cadence, NOT
+    by how many epochs the stream has lived. 12 epochs stream through;
+    every probe must see at most IDX_COMPACT_EVERY delta dirs + one
+    base (previously: one dir per prior epoch, linear growth), while
+    the emitted pair union still reproduces the batch LSH result."""
+    import json
+
+    from mc_ns_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        IDX_COMPACT_EVERY,
+        _LshIndexStore,
+        dedup_index_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n_epochs = 12
+    step = max(1, (len(pdf) + n_epochs - 1) // n_epochs)
+
+    store = _LshIndexStore(spark, str(tmp_path / "idx"))
+    for epoch in range(n_epochs):
+        chunk = pdf.iloc[epoch * step:(epoch + 1) * step]
+        dedup_index_batch(
+            spark, spark.createDataFrame(chunk, schema=docs.schema),
+            epoch, store)
+
+    stats = [
+        json.loads(line)
+        for line in open(tmp_path / "idx" / "_probe_stats.jsonl")
+    ]
+    assert len(stats) == n_epochs
+    # structural bound: base + at-most-IDX_COMPACT_EVERY deltas per probe
+    worst = max(s["bands"]["epoch_dirs"] for s in stats)
+    assert worst <= IDX_COMPACT_EVERY + 1, (
+        f"probe saw {worst} index dirs; compaction is not bounding reads"
+    )
+    # the unpruned cost (files_total) must exceed what late probes read
+    late = stats[-1]["bands"]
+    assert late["files_read"] <= late["files_total"]
+    # compaction actually ran (a base exists) and the index is not
+    # re-reading one-dir-per-epoch
+    assert store._base_version("bands") is not None
+    assert stats[-1]["bands"]["epoch_dirs"] < n_epochs - 1
+
+    # parity: sequenced increments == batch MinHash+LSH over the corpus
+    got = (
+        spark.read.option("basePath", str(tmp_path / "idx" / "pairs"))
+        .parquet(str(tmp_path / "idx" / "pairs"))
+        .drop("epoch")
+        .collect()
+    )
+    want = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    fmt = lambda rows: sorted(  # noqa: E731
+        (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in rows
+    )
+    assert fmt(got) == fmt(want)
