@@ -24,7 +24,8 @@ Endpoints (all JSON):
     DELETE /v1/tables/{ns.name}          (?purge=true)
     GET    /v1/groups/{group}            pinned {name: snapshot}
     PUT    /v1/groups/{group}            body {"snapshots": {...},
-                                               "merge": true}
+                                               "merge": true,
+                                               "monotonic": false}
     POST   /v1/groups/{group}/pin-current  body {"names": [...]}
     DELETE /v1/groups/{group}
 
@@ -154,7 +155,8 @@ class CatalogHandler(BaseHTTPRequestHandler):
         elif method == "PUT":
             body = self._body()
             snaps = TC.pin_group(root, group, body["snapshots"],
-                                 merge=body.get("merge", True))
+                                 merge=body.get("merge", True),
+                                 monotonic=body.get("monotonic", False))
             self._send(200, {"snapshots": snaps})
         elif method == "DELETE":
             TC.drop_group(root, group)
@@ -245,10 +247,12 @@ class RestCatalog:
 
     # -- group verbs ----------------------------------------------------
     def pin_group(self, group: str, snapshots: dict[str, str],
-                  merge: bool = True) -> dict[str, str]:
+                  merge: bool = True,
+                  monotonic: bool = False) -> dict[str, str]:
         return self._call("PUT", f"/v1/groups/{urllib.parse.quote(group, safe='')}",
                           {"snapshots": snapshots,
-                           "merge": merge})["snapshots"]
+                           "merge": merge,
+                           "monotonic": monotonic})["snapshots"]
 
     def pin_current_group(self, group: str,
                           names: list[str]) -> dict[str, str]:

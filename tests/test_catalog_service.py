@@ -140,3 +140,70 @@ def test_wrong_method_rejected(service):
     assert req("GET", "/v1/groups/g/anything") == 404
     assert req("GET", "/v1/groups/g/x/y") == 404
     assert req("POST", "/v1/tables/sales.a/junk") == 404
+
+
+def test_racing_clients_disjoint_group_merges(spark, service):
+    """VERDICT r07 #6: two RestCatalog clients hammer the SAME group
+    over live HTTP with merge-pins of DISJOINT member sets. The
+    per-group lease serializes the read-modify-write server-side, so
+    every round both members' newest pins must survive — the lost
+    update a lockless merge drops exactly when the feature matters."""
+    import threading
+
+    cat, rc = service
+    rc2 = CS.RestCatalog(rc.base_url)  # second client, own connections
+    rounds, errs = 12, []
+
+    def hammer(client, member):
+        try:
+            for i in range(rounds):
+                client.pin_group("nightly", {member: f"{i:020d}-s"})
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errs.append(e)
+
+    ta = threading.Thread(target=hammer, args=(rc, "sales.a"))
+    tb = threading.Thread(target=hammer, args=(rc2, "sales.b"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+    final = rc.group_snapshots("nightly")
+    last = f"{rounds - 1:020d}-s"
+    assert final == {"sales.a": last, "sales.b": last}
+
+
+def test_racing_clients_monotonic_repin(spark, service):
+    """Generation monotonicity over the wire: a stale transaction
+    intent (older snapshot generation) racing a newer pin can never
+    roll the group backward, whichever request lands last."""
+    import threading
+
+    cat, rc = service
+    rc2 = CS.RestCatalog(rc.base_url)
+    root = rc.create_table("sales.t")
+    V.write_snapshot(_df(spark, [(1, "g1")]), root)
+    old = V.current_snapshot(root)
+    V.append_snapshot(_df(spark, [(2, "g2")]), root)
+    new = V.current_snapshot(root)
+    assert V._gen_of(old) < V._gen_of(new)
+
+    for _ in range(8):
+        rc.drop_group("g")
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def pin(client, snap):
+            try:
+                barrier.wait()
+                client.pin_group("g", {"sales.t": snap},
+                                 monotonic=True)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t1 = threading.Thread(target=pin, args=(rc, old))
+        t2 = threading.Thread(target=pin, args=(rc2, new))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs, errs
+        assert rc.group_snapshots("g") == {"sales.t": new}
+
+    # and the stale intent STILL can't regress an established pin
+    rc.pin_group("g", {"sales.t": old}, monotonic=True)
+    assert rc.group_snapshots("g") == {"sales.t": new}
