@@ -268,12 +268,21 @@ def blocked_near_pairs(docs: DataFrame, max_dist: int = MAX_DIST,
     pb = base.select(
         F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b")
     )
+    # threshold-bounded Levenshtein (Spark >= 3.5): the JVM runs the
+    # Ukkonen banded DP — O(k·n) cells instead of O(n²) — and bails out
+    # the moment the band minimum exceeds k, returning -1. Candidates
+    # are overwhelmingly true negatives (r8 profile: 216k candidates →
+    # 79 pairs at sf0.1), so almost every evaluation takes the early
+    # exit; within the bound the distance is exact, so results are
+    # byte-identical to the unbounded filter (measured 6.4 s → 3.0 s
+    # full-operator, BASELINE.md round-8).
     return (
         cand.join(pa, "doc_a")
         .join(pb, "doc_b")
         .withColumn(
-            "lev_dist", F.levenshtein(F.col("pfx_a"), F.col("pfx_b"))
+            "lev_dist",
+            F.levenshtein(F.col("pfx_a"), F.col("pfx_b"), max_dist),
         )
-        .filter(F.col("lev_dist") <= max_dist)
+        .filter(F.col("lev_dist") >= 0)
         .select("doc_a", "doc_b", "lang", "lev_dist")
     )

@@ -4098,20 +4098,26 @@ EXT_QUERIES = {
     # append new queries at the bottom. Rotation policy: SURVEY.md
     # section 8.
     #
-    # Round-7 window: q01-q18 pinned, then the WHOLE versioned block
-    # x98-x108 under rule 2 as amended this round (r6 verdict #3:
-    # "implementation changed" includes SHARED READ/PLAN MACHINERY a
-    # query's path traverses) -- versioned.py changed again this round
-    # (optimistic full refresh rewrote write_snapshot's commit path,
-    # which every lifecycle query calls; x107/x108 also had their own
-    # in-bench trims). That brings x99/x105 back in, exactly as the
-    # verdict demanded. Then rule-3 fills, oldest driver rows first:
-    # xs2/xs4 (r1 rows; xs1/xs3 are byte-identical aliases of the
-    # always-in q17/q18 so re-listing them would burn 2 slots on
-    # duplicate coverage), x23-x26 (r2 rows), and 15 of the r3 block
-    # x01-x16 (x12's row is r4). Rotated out on unchanged r6-green
-    # rows: x68-x79, x81-x84, xs5-xs11. New this round, registered
-    # BELOW the marker per rule 4: x109_catalog_lifecycle.
+    # Round-8 window (VERDICT r07 #1): q01-q18 pinned, then the WHOLE
+    # x98-x114 block -- rule 2 forces it (versioned.py, table_catalog
+    # .py, and txn.py all changed in r7, and x109-x114 have NEVER had
+    # a driver row), exactly as the r7 verdict demanded. xs14 and x62
+    # rotate in under rule 2 because their implementations changed
+    # THIS round (streaming/incremental.py bucketed index store;
+    # linkage.py bounded levenshtein). Rule-2 scope note: this round's
+    # streaming/incremental.py change is confined to xs14-only
+    # functions (run_stream_incremental_dedup + new _LshIndexStore /
+    # dedup_index_batch) -- no other query's traversed functions
+    # changed, so the xs block does not rotate wholesale; same for
+    # table_catalog.py (register_views is new machinery only x115
+    # traverses). Remaining 13 slots: rule-3 fills, oldest driver
+    # rows first -- the r3 block x17/x18/x19/x21/x85-x89/x92-x95
+    # (x96 defers to r9, the one r3 row that did not fit; xs1/xs3
+    # stay out as byte-identical aliases of the always-in q17/q18).
+    # Rotated out on fresh r7-green rows, implementations unchanged:
+    # xs2, xs4, x23-x26, x01-x16. New below the marker per rule 4:
+    # x115_sql_catalog.
+
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
     "x107_wap_publish": x107_wap_publish,
@@ -4125,6 +4131,28 @@ EXT_QUERIES = {
     "x104_incremental_view": x104_incremental_view,
     "x105_changes_cdc": x105_changes_cdc,
     "x106_mor_upsert": x106_mor_upsert,
+    "x109_catalog_lifecycle": x109_catalog_lifecycle,
+    "x110_paged_manifest": x110_paged_manifest,
+    "x111_multi_table_txn": x111_multi_table_txn,
+    "x112_sequence_packing": x112_sequence_packing,
+    "x113_chunk_windows": x113_chunk_windows,
+    "x114_group_isolation": x114_group_isolation,
+    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
+    "x62_entity_blocking": x62_entity_blocking,
+    "x17_pii_scrub": x17_pii_scrub,
+    "x18_hash_sample": x18_hash_sample,
+    "x19_token_packing": x19_token_packing,
+    "x21_percentiles_sketch": x21_percentiles_sketch,
+    "x85_percentiles_exact": x20_percentiles,
+    "x86_embed_neardup_broadcast": x86_embed_neardup_broadcast,
+    "x87_zorder_key": x87_zorder_key,
+    "x88_zone_maps": x88_zone_maps,
+    "x89_video_fingerprint": x89_video_fingerprint,
+    "x92_embed_quantize": x92_embed_quantize,
+    "x93_robust_scale": x93_robust_scale,
+    "x94_pmi_collocations": x94_pmi_collocations,
+    "x95_ks_drift": x95_ks_drift,
+    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs4_stream_session": xs4_stream_session,
     "x23_asof_join": x23_asof_join,
@@ -4146,7 +4174,6 @@ EXT_QUERIES = {
     "x14_simhash_neardup": x14_simhash_neardup,
     "x15_multimodal_frames": x15_multimodal_frames,
     "x16_dedup_clusters": x16_dedup_clusters,
-    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x68_source_calibration": x68_source_calibration,
     "x69_source_overlap": x69_source_overlap,
     "x70_retrieval_mrr": x70_retrieval_mrr,
@@ -4197,12 +4224,10 @@ EXT_QUERIES = {
     "x31_rollup_merge": x31_rollup_merge,
     "x59_semantic_dedup": x59_semantic_dedup,
     "x61_dsir_select": x61_dsir_select,
-    "x62_entity_blocking": x62_entity_blocking,
     "x80_multimodal_audio": x80_multimodal_audio,
     "x97_compaction_plan": x97_compaction_plan,
     "xs12_stream_anomaly": xs12_stream_anomaly,
     "xs13_stream_zone_maps": xs13_stream_zone_maps,
-    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
     "x91_winsorize": x91_winsorize,
     "x90_er_scoring": x90_er_scoring,
     "x12_multimodal_features": x12_multimodal_features,
@@ -4219,28 +4244,9 @@ EXT_QUERIES = {
     "x41_json_extract": x41_json_extract,
     "x42_interval_join": x42_interval_join,
     "x43_centroid_stats": x43_centroid_stats,
-    "x17_pii_scrub": x17_pii_scrub,
-    "x18_hash_sample": x18_hash_sample,
-    "x19_token_packing": x19_token_packing,
-    "x21_percentiles_sketch": x21_percentiles_sketch,
-    "x85_percentiles_exact": x20_percentiles,
-    "x86_embed_neardup_broadcast": x86_embed_neardup_broadcast,
-    "x87_zorder_key": x87_zorder_key,
-    "x88_zone_maps": x88_zone_maps,
-    "x89_video_fingerprint": x89_video_fingerprint,
-    "x92_embed_quantize": x92_embed_quantize,
-    "x93_robust_scale": x93_robust_scale,
-    "x94_pmi_collocations": x94_pmi_collocations,
-    "x95_ks_drift": x95_ks_drift,
     "x96_curation_pipeline": x96_curation_pipeline,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
-    "x109_catalog_lifecycle": x109_catalog_lifecycle,
-    "x110_paged_manifest": x110_paged_manifest,
-    "x111_multi_table_txn": x111_multi_table_txn,
-    "x112_sequence_packing": x112_sequence_packing,
-    "x113_chunk_windows": x113_chunk_windows,
-    "x114_group_isolation": x114_group_isolation,
     "x115_sql_catalog": x115_sql_catalog,
 }
 

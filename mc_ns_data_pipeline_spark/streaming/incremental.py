@@ -769,9 +769,13 @@ class _LshIndexStore:
                     key_col: str) -> None:
         """Persist an epoch delta hash-partitioned by key bucket.
         Overwrite of the whole epoch dir keeps foreachBatch replay
-        idempotent (same input -> identical content)."""
+        idempotent (same input -> identical content). The repartition
+        collapses the delta to ONE file per bucket — without it every
+        upstream task emits a sliver per bucket and the store decays
+        into the tiny-files regime the bound is meant to prevent."""
         (
             df.withColumn("bucket", _idx_bucket(F.col(key_col)))
+            .repartition(IDX_BUCKETS, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{self._delta_root(kind)}/epoch={epoch}")
@@ -807,7 +811,8 @@ class _LshIndexStore:
         staging = f"{final}.staging"
         shutil.rmtree(staging, ignore_errors=True)
         (
-            merged.write.mode("overwrite")
+            merged.repartition(IDX_BUCKETS, F.col("bucket"))
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(staging)
         )

@@ -29,30 +29,32 @@ def test_queries_nonempty(spark, sf_dir):
 # CORRECTNESS_r03: its key set and order exactly match list(QUERIES)[:50]
 # of the r3 tree, while sorted(QUERIES)[:50] does not (VERDICT r03 #1).
 #
-# Round-7 window, chosen per the rotation policy (SURVEY.md §8):
+# Round-8 window, chosen per the rotation policy (SURVEY.md §8):
 #   * q01–q18 — reference-parity core, always in.
-#   * x98–x108 — the whole versioned block, rule 2 AS AMENDED this
-#     round (r6 verdict #3): "implementation changed" includes shared
-#     read/plan machinery a query's path traverses. versioned.py's
-#     commit path changed again (optimistic full refresh), and
-#     x107/x108 had in-bench trims — so x99/x105 rotate back in along
-#     with everything that rides the shared machinery.
-#   * xs2, xs4 — r1 driver rows, the oldest (xs1/xs3 are aliases of
-#     the always-in q17/q18, so re-listing them duplicates coverage).
-#   * x23–x26 — r2 rows, next oldest.
-#   * x01–x11, x13–x16 — r3 rows (x12's row is r4), rule 3
-#     round-robin.
-# Rotated out on unchanged driver-green r6 rows: x68–x79, x81–x84,
-# xs5–xs11. New below the marker: x109_catalog_lifecycle.
+#   * x98–x114 — the whole versioned/catalog/txn block: rule 2
+#     (versioned.py, table_catalog.py, txn.py all changed in r7) and
+#     VERDICT r07 #1's explicit demand — x109–x114 had NEVER had a
+#     driver CORRECTNESS row.
+#   * xs14, x62 — rule 2, implementations changed THIS round (xs14:
+#     bucketed compacting LSH index store; x62: threshold-bounded
+#     levenshtein verify). Scope note: the incremental.py change is
+#     confined to functions only xs14 traverses, so the rest of the
+#     xs block does not rotate wholesale.
+#   * x17–x19, x21, x85–x89, x92–x95 — the r3 rows, oldest driver
+#     evidence, rule 3 (x96 defers to r9 — one slot short; xs1/xs3
+#     stay out as byte-identical aliases of the always-in q17/q18).
+# Rotated out on fresh r7-green rows, implementations unchanged:
+# xs2, xs4, x23–x26, x01–x16. New below the marker: x115_sql_catalog.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x107", "x108",
     "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
     "x106",
-    "xs2", "xs4",
-    "x23", "x24", "x25", "x26",
-    "x01", "x02", "x03", "x04", "x05", "x06", "x07", "x08", "x09",
-    "x10", "x11", "x13", "x14", "x15", "x16",
+    "x109", "x110", "x111", "x112", "x113", "x114",
+    "xs14", "x62",
+    "x17", "x18", "x19", "x21",
+    "x85", "x86", "x87", "x88", "x89",
+    "x92", "x93", "x94", "x95",
 ]
 
 
