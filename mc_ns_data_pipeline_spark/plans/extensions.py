@@ -3036,6 +3036,28 @@ def xs14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def xs15_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XS15 — IVF ANN as a stream: micro-batches of embeddings
+    coarse-assign against the frozen codebook (map-only centroid
+    literals) and append postings to per-list bucket files (the
+    centroid id IS the storage bucket; LSM-compacted like xs14's
+    index); the end-of-input answer probes only each query's nearest
+    n_probe lists and exact-re-ranks, reproducing
+    similarity.ivf_topk's batch result row-for-row — same oracle as
+    x13. Query cost ∝ probed lists, never corpus size."""
+
+    import tempfile
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_ann_index,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="xs15_ckpt_")
+    store = tempfile.mkdtemp(prefix="xs15_store_") + "/index"
+    return run_stream_ann_index(
+        spark, f"{sf_dir}/embeddings.parquet", ckpt, store
+    )
+
+
 def q17_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate name for xs1 (§2.8 T1/T2 streaming tumbling window).
 
@@ -4088,6 +4110,54 @@ def x115_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x116_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TIME TRAVEL over the catalog: register_views(snapshots=...)
+    addresses an explicitly named — and by now SUPERSEDED — snapshot
+    as a plain temp view, so historical reads are one spark.sql away
+    (x115 freezes a view BEFORE the world moves; this registers AFTER,
+    the read-the-past direction). A corrupting commit lands on the
+    table first; the view registered at the v1 snapshot id must answer
+    with pristine v1 content while CURRENT sees the corruption —
+    `time_travel_ok` pins both counts in-query. MVCC makes this free:
+    the v1 manifests still exist until vacuum retention, exactly like
+    versioned.read_snapshot."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    cat = os.path.join(_scratch_dir("x116_travel_"), "catalog")
+    t_root = TC.create_table(cat, "sales.hist")
+    V.write_snapshot(orders, t_root)
+    snap_v1 = V.current_snapshot(t_root)
+
+    # the corrupting commit: CURRENT moves past v1
+    V.append_snapshot(
+        orders.limit(50).withColumn("o_totalprice", F.lit(-1e6)),
+        t_root)
+    TC.register_views(spark, cat, snapshots={"sales.hist": snap_v1},
+                      prefix="x116_")
+    time_travel_ok = (
+        spark.table("x116_sales_hist").count() == orders.count()
+        and V.read_current(spark, t_root).count()
+        == orders.count() + 50)
+
+    result = spark.sql("""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_price
+        FROM x116_sales_hist
+        GROUP BY o_orderstatus
+    """)
+    return (
+        result.withColumn("time_travel_ok", F.lit(bool(time_travel_ok)))
+        .orderBy("o_orderstatus")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4248,6 +4318,8 @@ EXT_QUERIES = {
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
     "x115_sql_catalog": x115_sql_catalog,
+    "xs15_stream_ann_index": xs15_stream_ann_index,
+    "x116_sql_time_travel": x116_sql_time_travel,
 }
 
 # ---------------------------------------------------------------------------
@@ -7608,4 +7680,22 @@ EXT_ORACLES["x115_sql_catalog"] = """
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c_mktsegment
+"""
+
+# xs15 shares x13's oracle: the streaming IVF maintenance reproduces
+# the batch ivf_topk result exactly (same frozen codebook rule, same
+# scoring/tie expressions; increments only change WHEN postings land).
+EXT_ORACLES["xs15_stream_ann_index"] = EXT_ORACLES["x13_ann_ivf"]
+
+# x116: the time-travel view answers at the PRISTINE v1 snapshot (the
+# corrupting commit is invisible to it by MVCC), i.e. plain orders.
+EXT_ORACLES["x116_sql_time_travel"] = """
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price,
+           TRUE AS time_travel_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
 """

@@ -372,11 +372,13 @@ def view_name_of(name: str) -> str:
 def register_views(spark: SparkSession, catalog_root: str,
                    names: list[str] | None = None,
                    group: str | None = None,
-                   prefix: str = "") -> dict[str, str]:
+                   prefix: str = "",
+                   snapshots: dict[str, str] | None = None
+                   ) -> dict[str, str]:
     """Register temp views over catalog-resolved versioned tables so
     consumers can address them in plain ``spark.sql`` text.
 
-    Two modes:
+    Three modes:
 
     * ``group=`` — resolve the group object ONCE (one tiny JSON read)
       and register every member view AT its pinned snapshot: the SQL
@@ -384,6 +386,10 @@ def register_views(spark: SparkSession, catalog_root: str,
       optionally restricts which members register.
     * ``names=`` — capture each table's CURRENT snapshot at call time
       and register the view at that explicit snapshot.
+    * ``snapshots=`` — explicit ``{name: snapshot_id}``: SQL TIME
+      TRAVEL. Any snapshot vacuum retention still holds (including
+      superseded ones) registers — the textual-SQL twin of
+      ``versioned.read_snapshot``.
 
     Either way the view is a FROZEN MVCC plan: ``read_snapshot``
     resolves the manifest's file list eagerly, so later commits or
@@ -397,7 +403,9 @@ def register_views(spark: SparkSession, catalog_root: str,
     """
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
-    if group is not None:
+    if snapshots is not None:
+        resolved = dict(snapshots)
+    elif group is not None:
         snaps = group_snapshots(catalog_root, group)
         members = names if names is not None else sorted(snaps)
         missing = [n for n in members if n not in snaps]

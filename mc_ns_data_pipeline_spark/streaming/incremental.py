@@ -726,12 +726,18 @@ class _LshIndexStore:
     strictly below the in-flight one, so replay is idempotent.
     """
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str,
+                 bucket_of=None, n_buckets: int = IDX_BUCKETS) -> None:
         import os
 
         self.spark = spark
         self.root = root
         self._os = os
+        # bucket function: key Column -> int bucket Column. The default
+        # hashes (LSH band keys / doc ids); an IVF store passes identity
+        # (the centroid list id IS the bucket — xs15).
+        self.bucket_of = bucket_of if bucket_of is not None else _idx_bucket
+        self.n_buckets = n_buckets
 
     # -- paths ----------------------------------------------------------
     def _delta_root(self, kind: str) -> str:
@@ -774,8 +780,8 @@ class _LshIndexStore:
         upstream task emits a sliver per bucket and the store decays
         into the tiny-files regime the bound is meant to prevent."""
         (
-            df.withColumn("bucket", _idx_bucket(F.col(key_col)))
-            .repartition(IDX_BUCKETS, F.col("bucket"))
+            df.withColumn("bucket", self.bucket_of(F.col(key_col)))
+            .repartition(self.n_buckets, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{self._delta_root(kind)}/epoch={epoch}")
@@ -811,7 +817,7 @@ class _LshIndexStore:
         staging = f"{final}.staging"
         shutil.rmtree(staging, ignore_errors=True)
         (
-            merged.repartition(IDX_BUCKETS, F.col("bucket"))
+            merged.repartition(self.n_buckets, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(staging)
@@ -1004,4 +1010,211 @@ def run_stream_incremental_dedup(spark: SparkSession, docs_path: str,
         .parquet(os.path.join(store_dir, "pairs"))
         .drop("epoch")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# XS15: streaming IVF-ANN index maintenance (x13's IVF coarse-quantize
+# -> inverted lists -> probe+re-rank, run as a stream that builds and
+# maintains its own lists; the ANN twin of xs14's dedup index)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_scored_array(cents) -> "F.Column":
+    """The per-row centroid-scoring array — EXACTLY ivf_topk's
+    expression (operators/similarity.py:225): struct(cos rounded to 6,
+    -cent_id) so sort_array desc ranks best-cosine-then-lowest-id."""
+    from mc_ns_data_pipeline_spark.operators.similarity import (
+        dot,
+        lit_vec,
+    )
+
+    return F.array(*[
+        F.struct(
+            F.round(
+                dot(F.col("_v"), lit_vec(c["vec"]))
+                / (F.col("_norm") * F.lit(float(c["norm"]))),
+                6,
+            ).alias("cos"),
+            F.lit(-int(c["cent_id"])).alias("neg_cent_id"),
+        )
+        for c in cents
+    ])
+
+
+def ann_index_batch(spark: SparkSession, batch_df: DataFrame,
+                    epoch_id: int, store: _LshIndexStore,
+                    n_centroids: int = 16,
+                    query_max_id: int = 20,
+                    query_min_id: int = 0,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """One micro-batch of IVF index maintenance: coarse-assign the
+    batch's vectors against the frozen codebook (map-only, centroid
+    literals — no shuffle, no join) and append the postings to the
+    store partitioned BY LIST ID (the centroid id IS the bucket, so a
+    query probe later reads only its n_probe lists). Queries (rows
+    matching the query predicate) also land in a tiny sidecar so the
+    end-of-stream answer needs no corpus scan to find them.
+
+    Codebook contract: the deterministic centroid rule is ivf_topk's
+    (vectors with id < n_centroids stand in for a trained codebook);
+    the first batch must carry them — the codebook is frozen by an
+    atomic write-once JSON so every later batch (and a replayed first
+    batch) assigns against IDENTICAL literals, which is what makes the
+    end state reproduce the batch IVF result exactly.
+    """
+    import json
+    import os
+
+    from mc_ns_data_pipeline_spark.operators.similarity import with_norm
+
+    store.compact("postings", epoch_id)
+    cent_path = os.path.join(store.root, "centroids.json")
+    if not os.path.exists(cent_path):
+        rows = (
+            with_norm(batch_df, vec_col)
+            .filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cent_id"), "_v", "_norm")
+            .collect()
+        )
+        if len(rows) != n_centroids:
+            raise ValueError(
+                f"codebook incomplete: first batch carries "
+                f"{len(rows)}/{n_centroids} centroid vectors")
+        cents = sorted(
+            ({"cent_id": int(r["cent_id"]),
+              "vec": [float(x) for x in r["_v"]],
+              "norm": float(r["_norm"])} for r in rows),
+            key=lambda c: c["cent_id"])
+        os.makedirs(store.root, exist_ok=True)
+        tmp = f"{cent_path}.tmp-{epoch_id}"
+        with open(tmp, "w") as fh:
+            json.dump(cents, fh)
+        os.replace(tmp, cent_path)
+    with open(cent_path) as fh:
+        cents = json.load(fh)
+    scored = _ivf_scored_array(cents)
+    assigned = (
+        with_norm(batch_df, vec_col)
+        .select(
+            F.col(id_col).alias("vec_id"), "_v", "_norm",
+            F.sort_array(scored, asc=False).alias("_ranked"),
+        )
+        .select(
+            "vec_id", "_v", "_norm",
+            (-F.col("_ranked")[0]["neg_cent_id"]).cast("int")
+            .alias("cent_id"),
+        )
+    )
+    store.write_epoch("postings", assigned, epoch_id, "cent_id")
+    (
+        assigned.filter((F.col("vec_id") >= query_min_id)
+                        & (F.col("vec_id") < query_max_id))
+        .drop("cent_id")
+        .write.mode("overwrite")
+        .parquet(f"{store.root}/queries/epoch={epoch_id}")
+    )
+
+
+def run_stream_ann_index(spark: SparkSession, emb_path: str,
+                         checkpoint_dir: str, store_dir: str,
+                         k: int = 3, n_centroids: int = 16,
+                         n_probe: int = 2,
+                         query_max_id: int = 20,
+                         query_min_id: int = 0) -> DataFrame:
+    """XS15 — IVF ANN as a stream: micro-batches of embeddings
+    coarse-assign map-only and append their postings to per-list
+    bucket files (compacted LSM-style like xs14's index); the
+    end-of-input answer probes each query's nearest n_probe lists,
+    reads ONLY those buckets (the probe evidence lands in
+    _probe_stats.jsonl), and exact-re-ranks — reproducing
+    similarity.ivf_topk's batch result row-for-row, so the oracle is
+    x13's. Query cost is proportional to the probed lists, never the
+    corpus — the property that makes an IVF index worth maintaining
+    incrementally at 100 TB.
+
+    The two `.collect()`s outside foreachBatch are the codebook
+    (n_centroids × dim doubles) and the distinct probed list ids
+    (<= n_centroids ints) — never corpus-sized.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.operators.similarity import dot
+    from mc_ns_data_pipeline_spark.session import scoped_conf
+
+    emb = _events_stream(spark, emb_path)
+    store = _LshIndexStore(
+        spark, store_dir,
+        bucket_of=lambda c: c.cast("int"), n_buckets=n_centroids)
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ann_index_batch(spark, batch_df, epoch_id, store,
+                        n_centroids, query_max_id, query_min_id)
+
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            emb.writeStream.outputMode("append")
+            .foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(os.path.join(store_dir, "centroids.json")) as fh:
+        cents = json.load(fh)
+    scored = _ivf_scored_array(cents)
+    queries_dir = os.path.join(store_dir, "queries")
+    queries = (
+        spark.read.option("basePath", queries_dir).parquet(queries_dir)
+        .drop("epoch")
+    )
+    probes = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_v").alias("q_v"),
+            F.col("_norm").alias("q_norm"),
+            F.sort_array(scored, asc=False).alias("_ranked"),
+        )
+        .select(
+            "query_id", "q_v", "q_norm",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("_ranked"), 1, n_probe),
+                    lambda s: -s["neg_cent_id"],
+                ).cast("array<int>")
+            ).alias("cent_id"),
+        )
+    )
+    probed = sorted(
+        r[0] for r in probes.select("cent_id").distinct().collect())
+    cand, stats = store.read(
+        "postings", 1 << 60, probed,
+        probes.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("q_v").alias("_v"),
+            F.col("q_norm").alias("_norm"), "cent_id").limit(0))
+    store.log_probe(-1, {"postings": stats})
+    assign = cand.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+        "cent_id",
+    )
+    cos_r = F.round(
+        dot(F.col("q_v"), F.col("c_v"))
+        / (F.col("q_norm") * F.col("c_norm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc())
+    return (
+        assign.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos_r.alias("cos_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

@@ -762,3 +762,65 @@ def test_stream_dedup_index_probe_stays_bounded(spark, sf_dir, tmp_path):
         (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in rows
     )
     assert fmt(got) == fmt(want)
+
+
+def test_stream_ann_index_across_batches(spark, sf_dir, tmp_path):
+    """XS15 kill/resume: half the embeddings stream (carrying the
+    codebook ids), the postings persist, the rest streams against the
+    same store. The final answer must equal the BATCH ivf_topk over
+    the whole corpus, and the answering read must touch only the
+    probed lists' buckets (never every list)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mc_ns_data_pipeline_spark.operators.similarity import ivf_topk
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mid = len(pdf) // 2
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt15")
+    store = str(tmp_path / "store15")
+
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:mid]),
+                   str(src / "p1.parquet"))
+    first = run_stream_ann_index(spark, str(src), ckpt, store).collect()
+    assert first, "first increment answered nothing"
+
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[mid:]),
+                   str(src / "p2.parquet"))
+    got = run_stream_ann_index(spark, str(src), ckpt, store).collect()
+
+    want = ivf_topk(
+        emb, F.col("vec_id") < 20, k=3, n_centroids=16, n_probe=2
+    ).collect()
+    fmt = lambda rows: [  # noqa: E731
+        (r.query_id, r.rank, r.neighbor_id, round(r.cos_r, 6))
+        for r in rows
+    ]
+    assert fmt(got) == fmt(want)
+
+    # probe evidence needs a query set that is NOT the centroid set
+    # (queries 0..15 ARE the 16 centroids, so their top-1 probes cover
+    # every list by construction): 3 non-centroid queries probe at
+    # most 6 of 16 lists, and the answering read must touch only those
+    got3 = run_stream_ann_index(
+        spark, str(src), str(tmp_path / "ckpt15b"),
+        str(tmp_path / "store15b"), query_min_id=17).collect()
+    want3 = ivf_topk(
+        emb, (F.col("vec_id") >= 17) & (F.col("vec_id") < 20),
+        k=3, n_centroids=16, n_probe=2).collect()
+    assert fmt(got3) == fmt(want3)
+    stats = [
+        json.loads(line)
+        for line in open(tmp_path / "store15b" / "_probe_stats.jsonl")
+    ]
+    final = [s for s in stats if s["epoch"] == -1][-1]["postings"]
+    assert final["dirs_read"] < final["dirs_total"], (
+        "probe read every list; IVF pruning is not happening")

@@ -208,3 +208,21 @@ def test_register_views_errors(spark, tmp_path):
     C.pin_current_group(cat, "g", ["ns.t"])
     with pytest.raises(C.NoSuchTableError):
         C.register_views(spark, cat, group="g", names=["ns.other"])
+
+
+def test_register_views_explicit_snapshot_time_travel(spark, tmp_path):
+    """snapshots= mode: a SUPERSEDED snapshot registers as a SQL view."""
+    cat = str(tmp_path / "cat")
+    t = C.create_table(cat, "ns.t")
+    V.write_snapshot(
+        spark.createDataFrame([(1, "v1"), (2, "v1")], "k int, tag string"),
+        t)
+    snap1 = V.current_snapshot(t)
+    V.append_snapshot(
+        spark.createDataFrame([(3, "v2")], "k int, tag string"), t)
+    C.register_views(spark, cat, snapshots={"ns.t": snap1})
+    got = spark.sql("SELECT count(*) AS n FROM ns_t").collect()[0].n
+    assert got == 2  # pristine v1, not the moved CURRENT (3 rows)
+    # and the current-mode registration sees the new world
+    C.register_views(spark, cat, names=["ns.t"])
+    assert spark.table("ns_t").count() == 3
