@@ -471,6 +471,10 @@ def cmd_table(args) -> int:
         snap = V.publish_ref(args.table, need("--name", args.name))
         print(f"published {args.name}: CURRENT -> {snap}")
         return 0
+    if args.op == "merge-ref":  # fast-forward or rebase-replay
+        snap = V.merge_ref(args.table, need("--name", args.name))
+        print(f"merged {args.name}: CURRENT -> {snap}")
+        return 0
     if args.op == "rollback":
         snap = V.rollback_table(
             args.table, need("--snapshot",
@@ -775,6 +779,7 @@ def build_parser() -> argparse.ArgumentParser:
                                    "history", "consume",
                                    "view-refresh", "optimize",
                                    "tag", "refs", "publish",
+                                   "merge-ref",
                                    "rollback", "set-spec"])
     tb.add_argument("--table", required=True,
                     help="versioned table directory, or a catalog "

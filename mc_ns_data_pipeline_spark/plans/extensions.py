@@ -4158,6 +4158,62 @@ def x116_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x117_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch MERGE with rebase-replay (sinks/versioned.merge_ref):
+    the verb that completes write-audit-publish into a branch
+    workflow. Odd orders stage on a branch; a direct commit (the
+    %1000==7 slice at price −9) moves CURRENT underneath it, so
+    publish_ref correctly REFUSES; merge_ref replays the branch's
+    append commits onto the moved head REUSING its data files —
+    metadata-only, zero bytes of data move — and flips. The final
+    table is evens + slice + odds = all orders plus the slice, which
+    is what the aggregate (and the oracle) checks. `merged_ok` pins
+    the mechanics in-query: the fast path refused, the replayed head
+    is CURRENT, and the final manifest names the branch's ORIGINAL
+    landed files verbatim (no re-landing)."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select("o_orderkey",
+                         F.col("o_totalprice").alias("price"))
+    evens = rows.filter(F.col("o_orderkey") % 2 == 0)
+    odds = rows.filter(F.col("o_orderkey") % 2 == 1)
+    table = os.path.join(_scratch_dir("x117_merge_"), "tbl")
+    V.write_snapshot(evens, table)
+    V.append_snapshot(odds, table, branch="load")
+    head = V.ref_snapshot(table, "load")
+    branch_files = set(V._read_core(table, head)["new_files"])
+
+    # the table moves underneath the staged branch
+    V.append_snapshot(
+        rows.filter(F.col("o_orderkey") % 1000 == 7)
+        .withColumn("price", F.lit(-9.0)), table)
+    try:
+        V.publish_ref(table, "load")
+        ff_refused = False
+    except V.CommitConflictError:
+        ff_refused = True
+    merged = V.merge_ref(table, "load")
+    final_files = set(
+        V._materialize(table, V._read_core(table, merged))["files"])
+    merged_ok = (
+        ff_refused
+        and V.current_snapshot(table) == merged
+        and branch_files <= final_files)
+
+    return (
+        V.read_current(spark, table)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("merged_ok", F.lit(bool(merged_ok)))
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4320,6 +4376,7 @@ EXT_QUERIES = {
     "x115_sql_catalog": x115_sql_catalog,
     "xs15_stream_ann_index": xs15_stream_ann_index,
     "x116_sql_time_travel": x116_sql_time_travel,
+    "x117_branch_merge": x117_branch_merge,
 }
 
 # ---------------------------------------------------------------------------
@@ -7698,4 +7755,18 @@ EXT_ORACLES["x116_sql_time_travel"] = """
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
+"""
+
+# x117: after the merge the table holds every order (evens + replayed
+# odd-branch) plus the direct-commit slice at price -9.
+EXT_ORACLES["x117_branch_merge"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           TRUE AS merged_ok
+    FROM (
+        SELECT o_totalprice AS price FROM orders
+        UNION ALL
+        SELECT -9.0 FROM orders WHERE o_orderkey % 1000 = 7
+    )
 """

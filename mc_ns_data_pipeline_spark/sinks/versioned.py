@@ -337,6 +337,127 @@ def _publish_ref_locked(table: str, name: str) -> str:
     return target
 
 
+def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
+    """Merge a staged branch into CURRENT — the verb that completes
+    write-audit-publish into a real branch workflow (publish_ref
+    refuses whenever the table moved; this resolves the common case).
+
+    Fast path: CURRENT is still an ancestor of the branch head →
+    fast-forward exactly like publish_ref. Diverged: if EVERY branch
+    commit since the fork point is a pure APPEND, replay them onto the
+    moved head as fresh append commits reusing the SAME data files and
+    their already-recorded per-file stats/blooms — metadata-only, zero
+    bytes of data move, O(branch commits) manifest writes (the
+    Nessie/Iceberg server-side-rebase shape). Divergence involving any
+    non-append branch commit (delete / merge / overwrite / compact)
+    raises CommitConflictError: those ops bake the fork-time file list
+    into their result, so replaying them textually could resurrect
+    rows a concurrent CURRENT commit removed — that is a true
+    conflict only the writer can resolve (re-stage from the new head).
+
+    Replayed files are stamped at their NEW commit's generation, so
+    merge-on-read delete masks published on CURRENT while the branch
+    was staged do not mask the branch's rows (masking is
+    strict-below) — the same semantics a re-staged append would get.
+    Refuses if the two lineages disagree on stats/bloom opt-in
+    columns (only a full refresh changes those; replaying across one
+    would publish metadata the read path then trusts incorrectly).
+    """
+    with table_lease(table, owner=f"merge_ref:{name}", wait_s=wait_s):
+        head = _ref_read(_ref_path(table, name, "heads"))
+        if head is None:
+            raise FileNotFoundError(f"{table}: no branch {name!r}")
+        try:
+            _check_ref_publishable(table, name)
+            return _publish_ref_locked(table, name)  # fast-forward
+        except CommitConflictError:
+            pass
+
+        cur = current_snapshot(table)
+        cur_anc: set[str] = set()
+        snap = cur
+        while snap is not None and snap not in cur_anc:
+            cur_anc.add(snap)
+            snap = _read_core(table, snap).get("parent")
+        chain: list[dict] = []
+        snap = head
+        while snap is not None and snap not in cur_anc:
+            core = _read_core(table, snap)
+            chain.append(core)
+            snap = core.get("parent")
+        if snap is None:
+            raise CommitConflictError(
+                f"{table}: branch {name!r} shares no ancestor with "
+                f"CURRENT {cur!r}")
+        chain.reverse()  # oldest first
+        bad = [c["snapshot"] for c in chain
+               if c.get("op") != "append" or not c.get("new_files")]
+        if bad:
+            raise CommitConflictError(
+                f"{table}: branch {name!r} diverged from CURRENT with "
+                f"non-append commit(s) {bad} — replay could resurrect "
+                "rows a concurrent commit removed; re-stage from the "
+                "new head")
+
+        new_head = cur
+        for core in chain:
+            parent_core = (_read_core(table, new_head)
+                           if new_head else {})
+            if (sorted(parent_core.get("stats_cols") or [])
+                    != sorted(core.get("stats_cols") or [])
+                    or sorted(parent_core.get("bloom_cols") or [])
+                    != sorted(core.get("bloom_cols") or [])):
+                raise CommitConflictError(
+                    f"{table}: stats/bloom opt-in changed between the "
+                    f"branch {name!r} and CURRENT — re-stage")
+            man = _materialize(table, core)
+            nf = core["new_files"]
+            nf_stats = {f: (man.get("stats") or {})[f]
+                        for f in nf if f in (man.get("stats") or {})}
+            nf_blooms = {f: (man.get("blooms") or {})[f]
+                         for f in nf if f in (man.get("blooms") or {})}
+            parent_rows = (_read_core(table, core["parent"])
+                           .get("rows", 0) if core.get("parent") else 0)
+            delta_rows = core.get("rows", 0) - parent_rows
+            branch_schema = _schema_from_man(core)
+            parent_schema = _schema_from_man(parent_core)
+            schema = (_merge_schema(parent_schema, branch_schema)
+                      if branch_schema is not None else parent_schema)
+            if "chunks" in parent_core:  # O(commit) chunk reuse
+                new_head = _publish(
+                    table, nf,
+                    parent_core.get("rows", 0) + delta_rows, new_head,
+                    _chunk_file_count(parent_core), op="append",
+                    new_files=nf, schema=schema,
+                    stats=nf_stats or None, blooms=nf_blooms or None,
+                    stats_cols=parent_core.get("stats_cols"),
+                    bloom_cols=parent_core.get("bloom_cols"),
+                    delete_files=parent_core.get("delete_files"),
+                    parent_chunks=parent_core["chunks"],
+                    parent_pages=parent_core.get("pages"))
+            else:
+                parent_man = _materialize(table, parent_core)
+                old_files = parent_man.get("files", [])
+                new_head = _publish(
+                    table, old_files + nf,
+                    parent_man.get("rows", 0) + delta_rows, new_head,
+                    len(old_files), op="append", new_files=nf,
+                    schema=schema,
+                    stats=_carry_stats(parent_man, old_files,
+                                       nf_stats or None),
+                    blooms=_carry_blooms(parent_man, old_files,
+                                         nf_blooms or None),
+                    stats_cols=parent_man.get("stats_cols"),
+                    bloom_cols=parent_man.get("bloom_cols"),
+                    file_seq=parent_man.get("file_seq"),
+                    delete_files=parent_man.get("delete_files"))
+        try:  # consume the branch; a same-named tag survives
+            os.remove(_ref_path(table, name, "heads"))
+        except FileNotFoundError:
+            pass
+        return new_head
+
+
 def rollback_table(table: str, snapshot: str) -> str:
     """Point CURRENT back at an earlier snapshot of its own lineage
     (the Iceberg rollback verb): one pointer flip, no data movement —

@@ -582,3 +582,28 @@ def test_catalog_group_and_txn_recover_cli(spark, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(TC.NoSuchTableError):
         TC.group_snapshots(cat, "nightly")
+
+
+def test_table_merge_ref_cli(spark, tmp_path):
+    """Diverged-branch merge through the CLI: the staged appends
+    replay onto the moved head and CURRENT holds the union."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    def land(rows, name):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "k int, v string").write.parquet(p)
+        return p
+
+    table = str(tmp_path / "vtbl")
+    assert main(["table", "write", "--table", table,
+                 "--input", land([(1, "base")], "base")]) == 0
+    assert main(["table", "append", "--table", table,
+                 "--input", land([(2, "staged")], "b1"),
+                 "--branch", "audit"]) == 0
+    # the table moves: fast-forward publish is impossible
+    assert main(["table", "append", "--table", table,
+                 "--input", land([(3, "direct")], "b2")]) == 0
+    assert main(["table", "merge-ref", "--table", table,
+                 "--name", "audit"]) == 0
+    assert {(r.k, r.v) for r in V.read_current(spark, table).collect()} \
+        == {(1, "base"), (2, "staged"), (3, "direct")}

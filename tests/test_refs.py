@@ -295,3 +295,73 @@ def test_wap_staged_upsert_and_delete_publish_as_one_unit(
     assert got == expect
     man = V.read_manifest(table, V.current_snapshot(table))
     assert man["rows"] == len(expect)
+
+
+def test_merge_ref_fast_forward(spark, tmp_path):
+    """Un-diverged branch: merge_ref == publish_ref (one pointer flip)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    V.append_snapshot(_df(spark, [(2, "b")]), table, branch="audit")
+    head = V.ref_snapshot(table, "audit")
+    assert V.merge_ref(table, "audit") == head
+    assert V.current_snapshot(table) == head
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert "audit" not in V.list_refs(table)  # branch consumed
+
+
+def test_merge_ref_replays_diverged_appends_metadata_only(spark, tmp_path):
+    """Diverged append-only branch: replay onto the moved head reusing
+    the branch's data files verbatim — nothing lands twice."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+    V.append_snapshot(_df(spark, [(2, "br1")]), table, branch="b")
+    V.append_snapshot(_df(spark, [(3, "br2")]), table, branch="b")
+    head = V.ref_snapshot(table, "b")
+    branch_new = []
+    snap, stop = head, V.current_snapshot(table)
+    while snap != stop:
+        core = V._read_core(table, snap)
+        branch_new += core["new_files"]
+        snap = core["parent"]
+
+    # the table moves: publish_ref now refuses, merge_ref replays
+    V.append_snapshot(_df(spark, [(4, "direct")]), table)
+    with pytest.raises(V.CommitConflictError):
+        V.publish_ref(table, "b")
+    merged = V.merge_ref(table, "b")
+    assert V.current_snapshot(table) == merged
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "base"), (2, "br1"), (3, "br2"), (4, "direct")}
+    # metadata-only: the final manifest names the branch's ORIGINAL
+    # data files — no re-landing, no rewrite
+    final_files = set(V._materialize(table, V._read_core(table, merged))["files"])
+    assert set(branch_new) <= final_files
+    assert "b" not in V.list_refs(table)
+
+
+def test_merge_ref_refuses_non_append_divergence(spark, tmp_path):
+    """A diverged branch carrying a non-append commit is a true
+    conflict: replay could resurrect rows CURRENT removed."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.append_snapshot(_df(spark, [(3, "c")]), table, branch="b")
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(1, "a")]).select("k"), branch="b")
+    V.append_snapshot(_df(spark, [(9, "direct")]), table)  # diverge
+    with pytest.raises(V.CommitConflictError, match="non-append"):
+        V.merge_ref(table, "b")
+
+
+def test_merge_ref_replay_respects_current_side_deletes(spark, tmp_path):
+    """MOR masks published on CURRENT while the branch was staged stay
+    effective for old files and do NOT mask the replayed rows."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "old"), (2, "old")]), table)
+    V.append_snapshot(_df(spark, [(1, "branch-new")]), table, branch="b")
+    # CURRENT-side MOR delete of k=1 (the old row) diverges the table
+    V.delete_keys_mor(spark, table, "k", _df(spark, [(1, "x")]).select("k"))
+    V.merge_ref(table, "b")
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    # old k=1 masked; the branch's k=1 row is NEWER than the mask
+    assert got == {(2, "old"), (1, "branch-new")}
