@@ -4214,6 +4214,40 @@ def x117_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x118_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata tables (sinks/metadata_tables.py) — the Iceberg
+    t$snapshots inspection surface as SQL: two known commits land
+    (overwrite of the even orders, append of the odds), the metadata
+    views register, and plain SQL over the snapshots view reads back
+    exactly the commit ledger — op and row count per generation —
+    which the oracle reproduces from the source table. Metadata-only:
+    the query never scans the data files, just the KB-sized core
+    manifests."""
+    import os
+
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.sinks import metadata_tables as M
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select("o_orderkey",
+                         F.col("o_totalprice").alias("price"))
+    table = os.path.join(_scratch_dir("x118_meta_"), "tbl")
+    V.write_snapshot(rows.filter(F.col("o_orderkey") % 2 == 0), table)
+    V.append_snapshot(rows.filter(F.col("o_orderkey") % 2 == 1), table)
+    M.register_metadata_views(spark, table, prefix="x118")
+    return (
+        spark.table("x118_snapshots")
+        .filter(F.col("on_current_lineage"))
+        .withColumn(
+            "commit_idx",
+            F.row_number().over(Window.orderBy("gen")).cast("long"))
+        .select("commit_idx", "op", "n_rows")
+        .orderBy("commit_idx")
+    )
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4377,6 +4411,7 @@ EXT_QUERIES = {
     "xs15_stream_ann_index": xs15_stream_ann_index,
     "x116_sql_time_travel": x116_sql_time_travel,
     "x117_branch_merge": x117_branch_merge,
+    "x118_metadata_tables": x118_metadata_tables,
 }
 
 # ---------------------------------------------------------------------------
@@ -7769,4 +7804,16 @@ EXT_ORACLES["x117_branch_merge"] = """
         UNION ALL
         SELECT -9.0 FROM orders WHERE o_orderkey % 1000 = 7
     )
+"""
+
+# x118: the snapshots metadata view reads back the commit ledger the
+# query just wrote — overwrite(evens) then append(to all orders).
+EXT_ORACLES["x118_metadata_tables"] = """
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS commit_idx, 'overwrite' AS op,
+               (SELECT count(*) FROM orders
+                WHERE o_orderkey % 2 = 0)::BIGINT AS n_rows
+        UNION ALL
+        SELECT 2, 'append', (SELECT count(*) FROM orders)::BIGINT
+    ) ORDER BY commit_idx
 """
