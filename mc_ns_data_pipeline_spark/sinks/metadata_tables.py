@@ -41,26 +41,41 @@ from mc_ns_data_pipeline_spark.sinks import versioned as V
 _KINDS = ("snapshots", "history", "files", "refs")
 
 
-def _lineage(table: str) -> list[str]:
-    """CURRENT's ancestry, newest first (bounded by commit count)."""
+def _lineage(table: str,
+             cores: dict[str, dict] | None = None) -> list[str]:
+    """CURRENT's ancestry, newest first (bounded by commit count).
+    ``cores`` is an optional per-call manifest cache so callers that
+    also read the cores themselves pay each JSON once, not twice."""
     out, seen = [], set()
     snap = V.current_snapshot(table)
     while snap is not None and snap not in seen:
         out.append(snap)
         seen.add(snap)
         try:
-            snap = V._read_core(table, snap).get("parent")
+            core = (cores.get(snap) if cores is not None else None)
+            if core is None:
+                core = V._read_core(table, snap)
+                if cores is not None:
+                    cores[snap] = core
+            snap = core.get("parent")
         except FileNotFoundError:
             break  # vacuumed below here: history ends where reach does
     return out
 
 
+def _core_of(table: str, snap: str, cores: dict[str, dict]) -> dict:
+    if snap not in cores:
+        cores[snap] = V._read_core(table, snap)
+    return cores[snap]
+
+
 def snapshots_table(spark: SparkSession, table: str) -> DataFrame:
     cur = V.current_snapshot(table)
-    on_lineage = set(_lineage(table))
+    cores: dict[str, dict] = {}
+    on_lineage = set(_lineage(table, cores))
     rows = []
     for s in V.list_snapshots(table):
-        man = V._read_core(table, s)
+        man = _core_of(table, s, cores)
         rows.append((
             s, int(V._gen_of(s)), man.get("parent"),
             man.get("op"), int(man.get("rows") or 0),
@@ -79,8 +94,9 @@ def snapshots_table(spark: SparkSession, table: str) -> DataFrame:
 
 def history_table(spark: SparkSession, table: str) -> DataFrame:
     rows = []
-    for pos, s in enumerate(_lineage(table)):
-        man = V._read_core(table, s)
+    cores: dict[str, dict] = {}
+    for pos, s in enumerate(_lineage(table, cores)):
+        man = _core_of(table, s, cores)
         rows.append((pos, s, int(V._gen_of(s)), man.get("op"),
                      int(man.get("rows") or 0)))
     return spark.createDataFrame(

@@ -362,7 +362,15 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
     Refuses if the two lineages disagree on stats/bloom opt-in
     columns (only a full refresh changes those; replaying across one
     would publish metadata the read path then trusts incorrectly).
+
+    Crash-atomic: the replay publishes onto a STAGING ref
+    (``<name>__rebase``, reset on entry), and CURRENT flips ONCE to
+    the fully-replayed head at the end — a crash mid-replay leaves
+    CURRENT untouched plus orphaned staging manifests for vacuum, and
+    a retry recomputes the chain from the real (unmoved) CURRENT, so
+    nothing can double-apply.
     """
+    staging = f"{name}__rebase"
     with table_lease(table, owner=f"merge_ref:{name}", wait_s=wait_s):
         head = _ref_read(_ref_path(table, name, "heads"))
         if head is None:
@@ -370,19 +378,33 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
         try:
             _check_ref_publishable(table, name)
             return _publish_ref_locked(table, name)  # fast-forward
-        except CommitConflictError:
-            pass
+        except CommitConflictError as e:
+            if "cycle" in str(e):  # corrupted lineage: loud, never
+                raise              # treated as ordinary divergence
 
         cur = current_snapshot(table)
         cur_anc: set[str] = set()
         snap = cur
         while snap is not None and snap not in cur_anc:
             cur_anc.add(snap)
-            snap = _read_core(table, snap).get("parent")
+            try:
+                snap = _read_core(table, snap).get("parent")
+            except FileNotFoundError:
+                break  # vacuum horizon: ancestry ends where reach does
         chain: list[dict] = []
+        chain_seen: set[str] = set()
         snap = head
         while snap is not None and snap not in cur_anc:
-            core = _read_core(table, snap)
+            if snap in chain_seen:
+                raise CommitConflictError(
+                    f"{table}: lineage cycle at {snap!r}")
+            chain_seen.add(snap)
+            try:
+                core = _read_core(table, snap)
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"{table}: branch {name!r} lineage broken below "
+                    f"{snap!r} (vacuumed?) — re-stage") from None
             chain.append(core)
             snap = core.get("parent")
         if snap is None:
@@ -399,6 +421,10 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
                 "rows a concurrent commit removed; re-stage from the "
                 "new head")
 
+        try:  # reset a stale staging ref from a crashed attempt
+            os.remove(_ref_path(table, staging, "heads"))
+        except FileNotFoundError:
+            pass
         new_head = cur
         for core in chain:
             parent_core = (_read_core(table, new_head)
@@ -434,7 +460,8 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
                     bloom_cols=parent_core.get("bloom_cols"),
                     delete_files=parent_core.get("delete_files"),
                     parent_chunks=parent_core["chunks"],
-                    parent_pages=parent_core.get("pages"))
+                    parent_pages=parent_core.get("pages"),
+                    ref=staging)
             else:
                 parent_man = _materialize(table, parent_core)
                 old_files = parent_man.get("files", [])
@@ -450,11 +477,17 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
                     stats_cols=parent_man.get("stats_cols"),
                     bloom_cols=parent_man.get("bloom_cols"),
                     file_seq=parent_man.get("file_seq"),
-                    delete_files=parent_man.get("delete_files"))
-        try:  # consume the branch; a same-named tag survives
-            os.remove(_ref_path(table, name, "heads"))
-        except FileNotFoundError:
-            pass
+                    delete_files=parent_man.get("delete_files"),
+                    ref=staging)
+        # the ONE externally-visible step: flip CURRENT to the fully-
+        # replayed head, then consume the refs (post-flip crash leaves
+        # only stale ref files, which the next merge/publish resets)
+        _atomic_write_text(_pointer_path(table), new_head)
+        for ref_name in (staging, name):
+            try:  # consume; a same-named tag survives
+                os.remove(_ref_path(table, ref_name, "heads"))
+            except FileNotFoundError:
+                pass
         return new_head
 
 

@@ -365,3 +365,55 @@ def test_merge_ref_replay_respects_current_side_deletes(spark, tmp_path):
     got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
     # old k=1 masked; the branch's k=1 row is NEWER than the mask
     assert got == {(2, "old"), (1, "branch-new")}
+
+
+def test_merge_ref_crash_mid_replay_is_atomic(spark, tmp_path,
+                                              monkeypatch):
+    """A crash between replayed commits must leave CURRENT untouched
+    (the replay stages on <name>__rebase; CURRENT flips once at the
+    end), and the retry must merge cleanly with no duplicated rows."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "base")]), table)
+    V.append_snapshot(_df(spark, [(2, "br1")]), table, branch="b")
+    V.append_snapshot(_df(spark, [(3, "br2")]), table, branch="b")
+    V.append_snapshot(_df(spark, [(4, "direct")]), table)  # diverge
+    pre_cur = V.current_snapshot(table)
+
+    real_publish = V._publish
+    calls = {"n": 0}
+
+    def exploding_publish(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first replayed commit lands, second dies
+            raise OSError("injected crash mid-replay")
+        return real_publish(*args, **kwargs)
+
+    monkeypatch.setattr(V, "_publish", exploding_publish)
+    with pytest.raises(OSError, match="injected"):
+        V.merge_ref(table, "b")
+    monkeypatch.setattr(V, "_publish", real_publish)
+
+    # CURRENT never moved; readers saw nothing of the half-replay
+    assert V.current_snapshot(table) == pre_cur
+    assert {r.k for r in V.read_current(spark, table).collect()} \
+        == {1, 4}
+    # the branch survives, and the retry merges with NO duplication
+    merged = V.merge_ref(table, "b")
+    assert V.current_snapshot(table) == merged
+    got = sorted(
+        (r.k, r.v) for r in V.read_current(spark, table).collect())
+    assert got == [(1, "base"), (2, "br1"), (3, "br2"), (4, "direct")]
+
+
+def test_merge_ref_with_vacuumed_deep_history(spark, tmp_path):
+    """A vacuumed deep lineage below the fork point must not break a
+    mergeable branch: the ancestry walk stops at the vacuum horizon."""
+    table = str(tmp_path / "t")
+    for i in range(5):
+        V.write_snapshot(_df(spark, [(i, f"v{i}")]), table)
+    V.vacuum_snapshots(table, keep=1, min_age_seconds=0)
+    V.append_snapshot(_df(spark, [(100, "staged")]), table, branch="b")
+    V.append_snapshot(_df(spark, [(200, "direct")]), table)  # diverge
+    V.merge_ref(table, "b")
+    got = {r.k for r in V.read_current(spark, table).collect()}
+    assert got == {4, 100, 200}
