@@ -207,3 +207,23 @@ def test_racing_clients_monotonic_repin(spark, service):
     # and the stale intent STILL can't regress an established pin
     rc.pin_group("g", {"sales.t": old}, monotonic=True)
     assert rc.group_snapshots("g") == {"sales.t": new}
+
+
+def test_register_views_over_http(spark, service):
+    """SQL views over HTTP-resolved tables: a remote consumer pins a
+    group and speaks plain SQL against it; a repin after registration
+    does not move the resolved views (same MVCC contract as local)."""
+    cat, rc = service
+    a = rc.create_table("sales.facts")
+    V.write_snapshot(_df(spark, [(1, "x"), (2, "y")]), a)
+    rc.pin_current_group("g", ["sales.facts"])
+    views = rc.register_views(spark, group="g", prefix="http_")
+    assert set(views) == {"http_sales_facts"}
+    assert spark.sql(
+        "SELECT count(*) AS n FROM http_sales_facts").collect()[0].n == 2
+
+    V.append_snapshot(_df(spark, [(3, "z")]), a)
+    rc.pin_current_group("g", ["sales.facts"])
+    assert spark.table("http_sales_facts").count() == 2  # frozen
+    rc.register_views(spark, group="g", prefix="http_")  # refresh
+    assert spark.table("http_sales_facts").count() == 3
