@@ -4275,8 +4275,10 @@ EXT_QUERIES = {
     # (x96 defers to r9, the one r3 row that did not fit; xs1/xs3
     # stay out as byte-identical aliases of the always-in q17/q18).
     # Rotated out on fresh r7-green rows, implementations unchanged:
-    # xs2, xs4, x23-x26, x01-x16. New below the marker per rule 4:
-    # x115_sql_catalog.
+    # xs2, xs4, x23-x26, x01-x16. New below the marker per rule 4
+    # (r9 rotation candidates): x115_sql_catalog,
+    # xs15_stream_ann_index, x116_sql_time_travel, x117_branch_merge,
+    # x118_metadata_tables.
 
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,

@@ -44,7 +44,8 @@ def test_queries_nonempty(spark, sf_dir):
 #     evidence, rule 3 (x96 defers to r9 — one slot short; xs1/xs3
 #     stay out as byte-identical aliases of the always-in q17/q18).
 # Rotated out on fresh r7-green rows, implementations unchanged:
-# xs2, xs4, x23–x26, x01–x16. New below the marker: x115_sql_catalog.
+# xs2, xs4, x23–x26, x01–x16. New below the marker (r9 rotation
+# candidates): x115–x118, xs15.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x107", "x108",
