@@ -164,3 +164,18 @@ def register_metadata_views(spark: SparkSession, table: str,
         metadata_table(spark, table, kind).createOrReplaceTempView(name)
         out.append(name)
     return out
+
+
+def register_for_catalog_table(spark: SparkSession, catalog_root: str,
+                               name: str,
+                               prefix: str | None = None) -> list[str]:
+    """Catalog-name flavor: resolve ``ns.name`` through the table
+    catalog and register its metadata views (default prefix = the
+    SQL-safe table identifier, so ``sales.orders`` yields
+    ``sales_orders_snapshots`` etc.)."""
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+    root = TC.load_table(catalog_root, name)
+    if prefix is None:
+        prefix = TC.view_name_of(name)
+    return register_metadata_views(spark, root, prefix)

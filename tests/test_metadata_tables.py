@@ -75,3 +75,17 @@ def test_register_metadata_views_sql(spark, tmp_path):
     assert M.metadata_table(spark, t, "refs").count() == 0
     with pytest.raises(ValueError):
         M.metadata_table(spark, t, "nope")
+
+
+def test_register_for_catalog_table(spark, tmp_path):
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as C
+
+    cat = str(tmp_path / "cat")
+    root = C.create_table(cat, "sales.orders")
+    V.write_snapshot(_df(spark, [(1, "a")]), root)
+    names = M.register_for_catalog_table(spark, cat, "sales.orders")
+    assert "sales_orders_snapshots" in names
+    got = spark.sql(
+        "SELECT n_rows FROM sales_orders_snapshots WHERE is_current"
+    ).collect()
+    assert [r.n_rows for r in got] == [1]
