@@ -366,9 +366,12 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
     Crash-atomic: the replay publishes onto a STAGING ref
     (``<name>__rebase``, reset on entry), and CURRENT flips ONCE to
     the fully-replayed head at the end — a crash mid-replay leaves
-    CURRENT untouched plus orphaned staging manifests for vacuum, and
-    a retry recomputes the chain from the real (unmoved) CURRENT, so
-    nothing can double-apply.
+    CURRENT untouched, and a retry recomputes the chain from the real
+    (unmoved) CURRENT, so nothing can double-apply. A crashed
+    attempt's stale staging ref is visible in ``list_refs`` (refs pin
+    their snapshots against vacuum, so the half-replayed manifests
+    survive until cleanup); retrying the merge resets it, or
+    ``delete_ref(table, "<name>__rebase")`` releases it explicitly.
     """
     staging = f"{name}__rebase"
     with table_lease(table, owner=f"merge_ref:{name}", wait_s=wait_s):
