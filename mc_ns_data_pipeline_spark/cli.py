@@ -449,6 +449,18 @@ def cmd_table(args) -> int:
         need("--group-cols", args.group_cols)
         need("--sum-cols", args.sum_cols)
 
+    if args.op == "rename-col":  # metadata-only: no Spark session
+        old_new = need("--cols", args.cols).split(":")
+        if len(old_new) != 2:
+            raise SystemExit("--cols OLD:NEW")
+        snap = V.rename_column(args.table, old_new[0], old_new[1])
+        print(f"rename-col: published {snap} "
+              f"({old_new[0]} -> {old_new[1]})")
+        return 0
+    if args.op == "drop-col":  # metadata-only: no Spark session
+        snap = V.drop_column(args.table, need("--cols", args.cols))
+        print(f"drop-col: published {snap} ({args.cols})")
+        return 0
     if args.op == "set-spec":  # metadata-only: no Spark session
         spec = ([x.strip() for x in args.partition_spec.split(";")
                  if x.strip()] if args.partition_spec else None)
@@ -780,7 +792,8 @@ def build_parser() -> argparse.ArgumentParser:
                                    "view-refresh", "optimize",
                                    "tag", "refs", "publish",
                                    "merge-ref",
-                                   "rollback", "set-spec"])
+                                   "rollback", "set-spec",
+                                   "rename-col", "drop-col"])
     tb.add_argument("--table", required=True,
                     help="versioned table directory, or a catalog "
                     "name when --catalog is given")
@@ -796,6 +809,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list: record per-file [min,max] "
                     "manifest stats at write (enables metadata file "
                     "pruning on later reads and merges)")
+    tb.add_argument("--cols", default=None,
+                    help="rename-col: OLD:NEW; drop-col: COLUMN")
     tb.add_argument("--partition-spec", default=None,
                     help="hidden partitioning for op=write, "
                     "';'-separated transforms, e.g. "

@@ -4248,6 +4248,117 @@ def x118_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xs16_stream_table_source(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """XS16 — a versioned table consumed AS a Structured Streaming
+    source (streaming/table_source.py): offsets are snapshot ids, a
+    micro-batch's input is exactly the pool files the in-range append
+    commits landed, and Spark's checkpoint replaces the hand-rolled
+    cursor loop (reference consumer shape: incremental_fetch.py:
+    129-155, resume after last high-water mark — here
+    ``readStream.format("versioned_table")``, the Delta-CDF shape).
+
+    Lifecycle under test: write orders-batch 0 (genesis), append
+    batches 1-2, drain the stream ONCE (genesis bootstrap + catch-up,
+    offset committed), append batches 3-4, then RESTART the stream
+    from the same checkpoint and drain again — the second run must
+    emit ONLY batches 3-4. The oracle is the plain batch aggregate
+    over all five batches, so a hash match proves exactly-once across
+    the restart: any replay or gap changes the counts/sums.
+
+    Scale: offset planning is manifest-metadata-only on the driver;
+    each input partition is one writer-sized pool file read
+    executor-side via Arrow — catch-up cost is bounded by new data,
+    never table size."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        read_stream_table,
+    )
+
+    root = _scratch_dir("xs16_src_")
+    table = os.path.join(root, "tbl")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).alias("batch"),
+        F.col("o_totalprice").alias("price"))
+
+    def _drain():
+        q = (read_stream_table(spark, table, starting="genesis")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    V.write_snapshot(rows.filter(F.col("batch") == 0), table)
+    for b in (1, 2):
+        V.append_snapshot(rows.filter(F.col("batch") == b), table)
+    _drain()  # genesis bootstrap + catch-up: batches 0-2
+    for b in (3, 4):
+        V.append_snapshot(rows.filter(F.col("batch") == b), table)
+    _drain()  # restart from checkpoint: exactly-once, only 3-4
+
+    return (spark.read.parquet(out)
+            .groupBy("batch")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("price").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_price"))
+            .orderBy("batch"))
+
+
+def x119_schema_evolution(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """X119 — column RENAME + DROP via field-id mapping
+    (sinks/versioned.py rename_column/drop_column, VERDICT r08 #5),
+    gate-checked end-to-end: land two thirds of orders as
+    (k, amount, status), RENAME amount->price (metadata-only
+    set-schema commit: the field id moves, the old name retires, zero
+    bytes rewritten), append the last third under the NEW name, DROP
+    status, then read back filtering on the renamed column — the scan
+    coalesces price over the [price, amount] physical-name chain, so
+    a hash match proves old-era files project exactly under the new
+    name and the dropped column vanished. Stats recorded under the
+    old name keep pruning the filtered read (alias chain in
+    _prune_from_man). Oracle: the same filter+aggregate over orders
+    directly, plus a schema witness column.
+
+    Reference anchor: the reference renames by rewriting its SELECT
+    list per query (data_processor.py); here it is one catalog
+    commit that every later reader inherits."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    table = os.path.join(_scratch_dir("x119_evo_"), "tbl")
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"))
+    V.write_snapshot(rows.filter(F.col("k") % 3 == 0), table,
+                     stats_cols=["k", "amount"])
+    V.append_snapshot(rows.filter(F.col("k") % 3 == 1), table)
+    V.rename_column(table, "amount", "price")
+    V.append_snapshot(
+        rows.filter(F.col("k") % 3 == 2)
+        .withColumnRenamed("amount", "price"), table)
+    V.drop_column(table, "status")
+    cur = V.read_current(spark, table,
+                         predicates=[("price", ">=", 50000.0)])
+    schema_ok = cur.columns == ["k", "price"]
+    return (cur.groupBy((F.col("k") % 4).alias("grp"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("price").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_price"))
+            .withColumn("schema_ok", F.lit(schema_ok))
+            .orderBy("grp"))
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4258,32 +4369,24 @@ EXT_QUERIES = {
     # append new queries at the bottom. Rotation policy: SURVEY.md
     # section 8.
     #
-    # Round-8 window (VERDICT r07 #1): q01-q18 pinned, then the WHOLE
-    # x98-x114 block -- rule 2 forces it (versioned.py, table_catalog
-    # .py, and txn.py all changed in r7, and x109-x114 have NEVER had
-    # a driver row), exactly as the r7 verdict demanded. xs14 and x62
-    # rotate in under rule 2 because their implementations changed
-    # THIS round (streaming/incremental.py bucketed index store;
-    # linkage.py bounded levenshtein). Rule-2 scope note: this round's
-    # streaming/incremental.py change is confined to xs14-only
-    # functions (run_stream_incremental_dedup + new _LshIndexStore /
-    # dedup_index_batch) -- no other query's traversed functions
-    # changed, so the xs block does not rotate wholesale; same for
-    # table_catalog.py (register_views is new machinery only x115
-    # traverses). Remaining 13 slots: rule-3 fills, oldest driver
-    # rows first -- the r3 block x17/x18/x19/x21/x85-x89/x92-x95
-    # (x96 defers to r9, the one r3 row that did not fit; xs1/xs3
-    # stay out as byte-identical aliases of the always-in q17/q18).
-    # Rotated out on fresh r7-green rows, implementations unchanged:
-    # xs2, xs4, x23-x26, x01-x16. New below the marker per rule 4
-    # (r9 rotation candidates): x115_sql_catalog,
-    # xs15_stream_ann_index, x116_sql_time_travel, x117_branch_merge,
-    # x118_metadata_tables.
-
+    # Round-9 window (VERDICT r08 #1): q01-q18 pinned, then the WHOLE
+    # x98-x118 block -- rule 2 forces it (versioned.py grew merge_ref,
+    # table_catalog.py grew register_views, metadata_tables.py is new,
+    # and this round touches versioned.py / table_catalog.py /
+    # metadata_tables.py again: ADVICE fixes, field-id rename/drop,
+    # paged $files), and x115-x118 have NEVER had a driver row.
+    # xs14/xs15 rotate in under rule 2 (streaming/incremental.py
+    # changed in r8 and hosts this round's changelog-source work);
+    # xs15 has never had a driver row. x96 is the oldest driver
+    # evidence left (r3) -- rule 3, explicitly deferred from r8.
+    # Remaining 8 slots: rule-3 fills, oldest driver rows next in
+    # line -- the r4 block in ascending id order: x12, x27-x33.
+    # Rotated out on fresh r8-green rows, implementations unchanged:
+    # x62, x17-x19, x21, x85-x89, x92-x95. New below the marker per
+    # rule 4 (r10 rotation candidates): xs16_stream_table_source,
+    # x119_schema_evolution (registered at the bottom as they land).
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
-    "x107_wap_publish": x107_wap_publish,
-    "x108_partition_spec": x108_partition_spec,
     "x98_snapshot_merge": x98_snapshot_merge,
     "x99_changelog_read": x99_changelog_read,
     "x100_cdc_diff": x100_cdc_diff,
@@ -4293,13 +4396,30 @@ EXT_QUERIES = {
     "x104_incremental_view": x104_incremental_view,
     "x105_changes_cdc": x105_changes_cdc,
     "x106_mor_upsert": x106_mor_upsert,
+    "x107_wap_publish": x107_wap_publish,
+    "x108_partition_spec": x108_partition_spec,
     "x109_catalog_lifecycle": x109_catalog_lifecycle,
     "x110_paged_manifest": x110_paged_manifest,
     "x111_multi_table_txn": x111_multi_table_txn,
     "x112_sequence_packing": x112_sequence_packing,
     "x113_chunk_windows": x113_chunk_windows,
     "x114_group_isolation": x114_group_isolation,
+    "x115_sql_catalog": x115_sql_catalog,
+    "x116_sql_time_travel": x116_sql_time_travel,
+    "x117_branch_merge": x117_branch_merge,
+    "x118_metadata_tables": x118_metadata_tables,
     "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
+    "xs15_stream_ann_index": xs15_stream_ann_index,
+    "x96_curation_pipeline": x96_curation_pipeline,
+    "x12_multimodal_features": x12_multimodal_features,
+    "x27_moving_window": x27_moving_window,
+    "x28_pivot_matrix": x28_pivot_matrix,
+    "x29_sessionize_batch": x29_sessionize_batch,
+    "x30_distinct_sketch": x30_distinct_sketch,
+    "x31_rollup_merge": x31_rollup_merge,
+    "x32_decontaminate": x32_decontaminate,
+    "x33_repetition_quality": x33_repetition_quality,
+    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x62_entity_blocking": x62_entity_blocking,
     "x17_pii_scrub": x17_pii_scrub,
     "x18_hash_sample": x18_hash_sample,
@@ -4314,7 +4434,6 @@ EXT_QUERIES = {
     "x93_robust_scale": x93_robust_scale,
     "x94_pmi_collocations": x94_pmi_collocations,
     "x95_ks_drift": x95_ks_drift,
-    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "xs2_stream_stateful": xs2_stream_stateful,
     "xs4_stream_session": xs4_stream_session,
     "x23_asof_join": x23_asof_join,
@@ -4382,8 +4501,6 @@ EXT_QUERIES = {
     "x65_bpe_pairs": x65_bpe_pairs,
     "x66_bigram_lm": x66_bigram_lm,
     "x67_ngram_novelty": x67_ngram_novelty,
-    "x30_distinct_sketch": x30_distinct_sketch,
-    "x31_rollup_merge": x31_rollup_merge,
     "x59_semantic_dedup": x59_semantic_dedup,
     "x61_dsir_select": x61_dsir_select,
     "x80_multimodal_audio": x80_multimodal_audio,
@@ -4392,12 +4509,6 @@ EXT_QUERIES = {
     "xs13_stream_zone_maps": xs13_stream_zone_maps,
     "x91_winsorize": x91_winsorize,
     "x90_er_scoring": x90_er_scoring,
-    "x12_multimodal_features": x12_multimodal_features,
-    "x27_moving_window": x27_moving_window,
-    "x28_pivot_matrix": x28_pivot_matrix,
-    "x29_sessionize_batch": x29_sessionize_batch,
-    "x32_decontaminate": x32_decontaminate,
-    "x33_repetition_quality": x33_repetition_quality,
     "x34_heavy_hitters": x34_heavy_hitters,
     "x35_classifier_score": x35_classifier_score,
     "x37_mixture_sample": x37_mixture_sample,
@@ -4406,14 +4517,10 @@ EXT_QUERIES = {
     "x41_json_extract": x41_json_extract,
     "x42_interval_join": x42_interval_join,
     "x43_centroid_stats": x43_centroid_stats,
-    "x96_curation_pipeline": x96_curation_pipeline,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
-    "x115_sql_catalog": x115_sql_catalog,
-    "xs15_stream_ann_index": xs15_stream_ann_index,
-    "x116_sql_time_travel": x116_sql_time_travel,
-    "x117_branch_merge": x117_branch_merge,
-    "x118_metadata_tables": x118_metadata_tables,
+    "xs16_stream_table_source": xs16_stream_table_source,
+    "x119_schema_evolution": x119_schema_evolution,
 }
 
 # ---------------------------------------------------------------------------
@@ -7819,3 +7926,31 @@ EXT_ORACLES["x118_metadata_tables"] = """
         SELECT 2, 'append', (SELECT count(*) FROM orders)::BIGINT
     ) ORDER BY commit_idx
 """
+
+# xs16: exactly-once across the stream restart means the parquet sink
+# holds each of the five batches exactly once — the plain batch
+# aggregate over all of orders.
+EXT_ORACLES["xs16_stream_table_source"] = """
+    SELECT o_orderkey % 5 AS batch,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+# x119: the rename/drop lifecycle nets out to the plain filtered
+# aggregate over orders; schema_ok witnesses the evolved column list.
+EXT_ORACLES["x119_schema_evolution"] = """
+    SELECT o_orderkey % 4 AS grp,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price,
+           TRUE AS schema_ok
+    FROM orders
+    WHERE o_totalprice >= 50000.0
+    GROUP BY 1
+    ORDER BY 1
+"""
+

@@ -291,34 +291,10 @@ class RestCatalog:
         register locally — a remote consumer gets plain-SQL access to
         a consistent multi-table snapshot without mounting the
         catalog filesystem. Same three modes and the same frozen-view
-        contract as the local function."""
-        from mc_ns_data_pipeline_spark.sinks import versioned as V
-
-        if snapshots is not None:
-            resolved = dict(snapshots)
-        elif group is not None:
-            snaps = self.group_snapshots(group)
-            members = names if names is not None else sorted(snaps)
-            missing = [n for n in members if n not in snaps]
-            if missing:
-                raise TC.NoSuchTableError(
-                    f"not pinned by group {group!r}: {missing}")
-            resolved = {n: snaps[n] for n in members}
-        else:
-            if not names:
-                raise ValueError("register_views needs names=, "
-                                 "group=, or snapshots=")
-            resolved = {}
-            for n in names:
-                snap = V.current_snapshot(self.load_table(n))
-                if snap is None:
-                    raise TC.NoSuchTableError(
-                        f"{n}: no current snapshot")
-                resolved[n] = snap
-        out = {}
-        for n, snap in resolved.items():
-            df = V.read_snapshot(spark, self.load_table(n), snap)
-            view = prefix + TC.view_name_of(n)
-            df.createOrReplaceTempView(view)
-            out[view] = snap
-        return out
+        contract as the local function — one shared body
+        (``table_catalog.resolve_and_register_views``), so the two
+        surfaces cannot drift."""
+        return TC.resolve_and_register_views(
+            spark, self.load_table, self.group_snapshots,
+            names=names, group=group, prefix=prefix,
+            snapshots=snapshots)

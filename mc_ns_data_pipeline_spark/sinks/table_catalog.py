@@ -401,12 +401,30 @@ def register_views(spark: SparkSession, catalog_root: str,
 
     Returns ``{view_identifier: snapshot_id}``.
     """
+    return resolve_and_register_views(
+        spark, lambda n: load_table(catalog_root, n),
+        lambda g: group_snapshots(catalog_root, g),
+        names=names, group=group, prefix=prefix, snapshots=snapshots)
+
+
+def resolve_and_register_views(spark, load_table_fn, group_snapshots_fn,
+                               names: list[str] | None = None,
+                               group: str | None = None,
+                               prefix: str = "",
+                               snapshots: dict[str, str] | None = None
+                               ) -> dict[str, str]:
+    """Shared resolve-then-register body behind both
+    ``register_views`` (local filesystem catalog) and
+    ``RestCatalog.register_views`` (resolution over the wire) —
+    parameterized by a ``name -> table_root`` resolver and a
+    ``group -> {name: snapshot}`` resolver so the two surfaces cannot
+    drift (they had, on the no-mode error message — ADVICE r8)."""
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
     if snapshots is not None:
         resolved = dict(snapshots)
     elif group is not None:
-        snaps = group_snapshots(catalog_root, group)
+        snaps = group_snapshots_fn(group)
         members = names if names is not None else sorted(snaps)
         missing = [n for n in members if n not in snaps]
         if missing:
@@ -415,16 +433,17 @@ def register_views(spark: SparkSession, catalog_root: str,
         resolved = {n: snaps[n] for n in members}
     else:
         if not names:
-            raise ValueError("register_views needs names= or group=")
+            raise ValueError("register_views needs names=, group=, "
+                             "or snapshots=")
         resolved = {}
         for n in names:
-            snap = V.current_snapshot(load_table(catalog_root, n))
+            snap = V.current_snapshot(load_table_fn(n))
             if snap is None:
                 raise NoSuchTableError(f"{n}: no current snapshot")
             resolved[n] = snap
     out = {}
     for n, snap in resolved.items():
-        df = V.read_snapshot(spark, load_table(catalog_root, n), snap)
+        df = V.read_snapshot(spark, load_table_fn(n), snap)
         view = prefix + view_name_of(n)
         df.createOrReplaceTempView(view)
         out[view] = snap

@@ -129,6 +129,13 @@ class CommitConflictError(RuntimeError):
     head."""
 
 
+class LineageCycleError(CommitConflictError):
+    """A parent walk revisited a snapshot — corrupted lineage, never
+    ordinary divergence. Typed (not a message substring) so callers
+    like ``merge_ref`` can re-raise it without routing it down the
+    rebase-replay path."""
+
+
 def _data_root(table: str) -> str:
     return os.path.join(table, _DATADIR)
 
@@ -306,7 +313,7 @@ def _check_ref_publishable(table: str, name: str) -> str:
     seen: set[str] = set()
     while snap is not None and snap != cur:
         if snap in seen:  # corrupted parent cycle: loud, bounded
-            raise CommitConflictError(
+            raise LineageCycleError(
                 f"{table}: lineage cycle at {snap!r}")
         seen.add(snap)
         try:
@@ -381,9 +388,10 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
         try:
             _check_ref_publishable(table, name)
             return _publish_ref_locked(table, name)  # fast-forward
-        except CommitConflictError as e:
-            if "cycle" in str(e):  # corrupted lineage: loud, never
-                raise              # treated as ordinary divergence
+        except LineageCycleError:
+            raise  # corrupted lineage: loud, never ordinary divergence
+        except CommitConflictError:
+            pass  # diverged — fall through to the rebase-replay path
 
         cur = current_snapshot(table)
         cur_anc: set[str] = set()
@@ -399,7 +407,7 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
         snap = head
         while snap is not None and snap not in cur_anc:
             if snap in chain_seen:
-                raise CommitConflictError(
+                raise LineageCycleError(
                     f"{table}: lineage cycle at {snap!r}")
             chain_seen.add(snap)
             try:
@@ -439,14 +447,35 @@ def merge_ref(table: str, name: str, wait_s: float = 60.0) -> str:
                 raise CommitConflictError(
                     f"{table}: stats/bloom opt-in changed between the "
                     f"branch {name!r} and CURRENT — re-stage")
+            if ((parent_core.get("renames") or {})
+                    != (core.get("renames") or {})
+                    or (parent_core.get("retired") or {})
+                    != (core.get("retired") or {})):
+                raise CommitConflictError(
+                    f"{table}: column identity (rename/drop) changed "
+                    f"between the branch {name!r} and CURRENT — "
+                    "replaying across it would mis-project old "
+                    "files; re-stage")
             man = _materialize(table, core)
             nf = core["new_files"]
             nf_stats = {f: (man.get("stats") or {})[f]
                         for f in nf if f in (man.get("stats") or {})}
             nf_blooms = {f: (man.get("blooms") or {})[f]
                          for f in nf if f in (man.get("blooms") or {})}
-            parent_rows = (_read_core(table, core["parent"])
-                           .get("rows", 0) if core.get("parent") else 0)
+            try:
+                # core["parent"] for the FIRST chain entry is the fork
+                # point, which the cur_anc walk may have admitted
+                # without reading (it breaks on a failed read AFTER
+                # adding the snapshot) — a branch forking exactly at
+                # the vacuum horizon reaches here with no manifest.
+                parent_rows = (
+                    _read_core(table, core["parent"]).get("rows", 0)
+                    if core.get("parent") else 0)
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"{table}: branch {name!r} lineage broken below "
+                    f"fork point {core['parent']!r} (vacuumed?) — "
+                    "re-stage") from None
             delta_rows = core.get("rows", 0) - parent_rows
             branch_schema = _schema_from_man(core)
             parent_schema = _schema_from_man(parent_core)
@@ -513,7 +542,7 @@ def rollback_table(table: str, snapshot: str) -> str:
         seen: set[str] = set()
         while snap is not None and snap != target:
             if snap in seen:
-                raise CommitConflictError(
+                raise LineageCycleError(
                     f"{table}: lineage cycle at {snap!r}")
             seen.add(snap)
             try:
@@ -877,7 +906,8 @@ def table_schema(table: str, snapshot: str) -> StructType | None:
 
 
 def _read_pool(spark: SparkSession, table: str, names: list[str],
-               schema: StructType | None) -> DataFrame:
+               schema: StructType | None,
+               renames: dict | None = None) -> DataFrame:
     """Scan pool files under the table's RECORDED schema, so files
     written before a schema evolution project NULL for later-added
     columns. Never rely on parquet inference here: without an explicit
@@ -886,14 +916,42 @@ def _read_pool(spark: SparkSession, table: str, names: list[str],
     file happens to sort first (pool names are random uuids — the loss
     would be nondeterministic). `names` may be pool-relative or
     absolute; `schema` None (pre-schema manifest) falls back to
-    inference for backward compatibility."""
+    inference for backward compatibility.
+
+    ``renames`` (``{current_name: [older physical names]}``, from the
+    manifest) makes column RENAME metadata-only: the scan schema adds
+    each historical name at the current (widened) type — Spark's
+    by-name parquet matching reads whichever era a file carries, NULL
+    for the rest — and a ``coalesce`` over the name chain projects it
+    back to the current name. Exact because a name is RETIRED at
+    rename/drop and refused for reuse, so no live file carries two
+    names of one chain. Everything stays JVM-side (scan + Project,
+    column-pruned, zero shuffle)."""
     root = _data_root(table)
     paths = [n if os.path.isabs(n) else os.path.join(root, n)
              for n in names]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(*paths)
+    renames = {c: chain for c, chain in (renames or {}).items()
+               if chain and schema is not None
+               and any(f.name == c for f in schema.fields)}
+    if not renames:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+    extra = [StructField(old, f.dataType, True)
+             for f in schema.fields
+             for old in renames.get(f.name, ())]
+    df = (spark.read.schema(StructType(list(schema.fields) + extra))
+          .parquet(*paths))
+    cols = []
+    for f in schema.fields:
+        chain = [f.name, *renames.get(f.name, ())]
+        if len(chain) == 1:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.coalesce(*[F.col(c) for c in chain])
+                        .alias(f.name))
+    return df.select(*cols)
 
 
 def _gen_of(snapshot: str) -> int:
@@ -1003,7 +1061,9 @@ def _read_live(spark: SparkSession, table: str, man: dict,
     if schema is None:
         schema = _schema_from_man(man)
     return _apply_delete_files(
-        spark, table, _read_pool(spark, table, names, schema),
+        spark, table,
+        _read_pool(spark, table, names, schema,
+                   renames=man.get("renames")),
         man, names)
 
 
@@ -1651,25 +1711,42 @@ class _InProbe:
             return True  # span type incomparable with values: scan
 
 
+def _stat_col_of(per_file: dict, col: str, aliases: tuple) -> str | None:
+    """The key this file's stats record for logical column `col`:
+    the current name, or (after a rename) a historical physical name
+    from the manifest's projection chain — same [min, max], the data
+    never moved."""
+    if col in per_file:
+        return col
+    for a in aliases:
+        if a in per_file:
+            return a
+    return None
+
+
 def _file_survives(stats: dict, name: str, col: str, op: str,
-                   val) -> bool:
+                   val, aliases: tuple = ()) -> bool:
     if op == "in":
         if isinstance(val, _InProbe):
             per_file = stats.get(name)
-            if per_file is None or col not in per_file:
+            c = (None if per_file is None
+                 else _stat_col_of(per_file, col, aliases))
+            if c is None:
                 return True  # no metadata: must scan
-            lo, hi = per_file[col]
+            lo, hi = per_file[c]
             if lo is None and hi is None:
                 return False  # all-NULL column: equality never hits
             return val.any_in_span(lo, hi)
         # Survives iff ANY listed value could be in the file; the
         # empty list matches nothing, so every file is skippable.
-        return any(_file_survives(stats, name, col, "=", v)
+        return any(_file_survives(stats, name, col, "=", v, aliases)
                    for v in val)
     per_file = stats.get(name)
-    if per_file is None or col not in per_file:
+    c = (None if per_file is None
+         else _stat_col_of(per_file, col, aliases))
+    if c is None:
         return True  # no metadata for this file/column: must scan
-    lo, hi = per_file[col]
+    lo, hi = per_file[c]
     if lo is None and hi is None:
         return False  # all-NULL column: comparison never matches
     v = _stat_value(val)
@@ -1684,18 +1761,19 @@ def _file_survives(stats: dict, name: str, col: str, op: str,
 
 
 def _bloom_survives(blooms: dict, name: str, col: str, op: str,
-                    val) -> bool:
+                    val, aliases: tuple = ()) -> bool:
     if op == "in":
-        return any(_bloom_survives(blooms, name, col, "=", v)
+        return any(_bloom_survives(blooms, name, col, "=", v, aliases)
                    for v in val)
     if op != "=" or val is None:
         return True  # blooms answer equality membership only
     entry = blooms.get(name)
-    if entry is None or col not in entry:
+    c = None if entry is None else _stat_col_of(entry, col, aliases)
+    if c is None:
         return True  # no bloom for this file/column: must scan
     if isinstance(val, bool) or not isinstance(val, (int, str)):
         return True  # probe only types whose canonical text matches
-    return _bloom_may_contain(entry[col], val)
+    return _bloom_may_contain(entry[c], val)
 
 
 def _norm_predicates(predicates: list[tuple]) -> list[tuple]:
@@ -1715,15 +1793,17 @@ def _prune_from_man(man: dict, predicates: list[tuple]) -> dict:
     predicates = _norm_predicates(predicates)
     stats = man.get("stats") or {}
     blooms = man.get("blooms") or {}
+    ren = man.get("renames") or {}
+    al = {c: tuple(ren.get(c, ())) for (c, _, _) in predicates}
     # Stats checks plus single-value bloom probes are per-file cheap;
     # IN-list bloom membership goes through the BATCH probe so each
     # file's bitmap is decoded once total, not once per listed value
     # (measured 5x on a 100k-file manifest).
     kept = [
         name for name in man["files"]
-        if all(_file_survives(stats, name, c, op, v)
+        if all(_file_survives(stats, name, c, op, v, al[c])
                and (op == "in"
-                    or _bloom_survives(blooms, name, c, op, v))
+                    or _bloom_survives(blooms, name, c, op, v, al[c]))
                for (c, op, v) in predicates)
     ]
     for c, op, v in predicates:
@@ -1735,25 +1815,31 @@ def _prune_from_man(man: dict, predicates: list[tuple]) -> dict:
             "skipped": len(man["files"]) - len(kept)}
 
 
-def _chunk_survives(ch: dict, predicates: list[tuple]) -> bool:
+def _chunk_survives(ch: dict, predicates: list[tuple],
+                    renames: dict | None = None) -> bool:
     """Can any member of chunk ``ch`` satisfy the predicates? Reuses
     `_file_survives` with the chunk's span standing in for a file's
     [lo, hi] — identical conservative semantics (span None = must
-    load, span [None, None] = all-NULL chunk, skippable)."""
+    load, span [None, None] = all-NULL chunk, skippable). ``renames``
+    lets a span recorded under a column's pre-rename name keep
+    pruning."""
     spans = ch.get("spans")
     if spans is None:
         return True
+    ren = renames or {}
     fake = {"_chunk": {c: s for c, s in spans.items()
                        if s is not None}}
-    return all(_file_survives(fake, "_chunk", c, op, v)
+    return all(_file_survives(fake, "_chunk", c, op, v,
+                              tuple(ren.get(c, ())))
                for (c, op, v) in predicates)
 
 
-def _page_survives(pg: dict, predicates: list[tuple]) -> bool:
+def _page_survives(pg: dict, predicates: list[tuple],
+                    renames: dict | None = None) -> bool:
     """Can any chunk of page ``pg`` satisfy the predicates? The page
     ref's union spans carry the exact `_chunk_survives` semantics one
     level up (None = must load, [None, None] = all-NULL page)."""
-    return _chunk_survives(pg, predicates)
+    return _chunk_survives(pg, predicates, renames)
 
 
 def _prune_chunked(table: str, core: dict,
@@ -1783,12 +1869,13 @@ def _prune_chunked(table: str, core: dict,
     # O(page refs), the descriptor parse O(pages the predicate can
     # hit). Skipped pages still contribute their live counts.
     pages = core.get("pages") or []
+    renames = core.get("renames")
     pages_loaded = 0
     chunks: list[dict] = []
     chunks_total = 0
     for pg in pages:
         chunks_total += pg["k"]
-        if not _page_survives(pg, predicates):
+        if not _page_survives(pg, predicates, renames):
             total += pg["files"]
             continue
         pages_loaded += 1
@@ -1804,7 +1891,8 @@ def _prune_chunked(table: str, core: dict,
     hashed_preds = _blm_hash_preds(eq_preds) if eq_preds else None
     pure_eq = bool(eq_preds) and len(eq_preds) == len(predicates)
     sub_base = {"stats_cols": core.get("stats_cols"),
-                "bloom_cols": core.get("bloom_cols")}
+                "bloom_cols": core.get("bloom_cols"),
+                "renames": renames}
 
     def _eval_chunk(ch: dict) -> tuple:
         """One chunk's full pruning decision, serial on purpose: the
@@ -1814,7 +1902,7 @@ def _prune_chunked(table: str, core: dict,
         contention, not parallelism. Returns
         (n_live, kept_names, fseq_entries, loaded, probed)."""
         n_live = ch["n"] - len(ch.get("exclude") or [])
-        if not _chunk_survives(ch, predicates):
+        if not _chunk_survives(ch, predicates, renames):
             return (n_live, None, None, 0, 0)
         blm_survivors = None
         probed = 0
@@ -1921,7 +2009,8 @@ def read_snapshot(spark: SparkSession, table: str, snapshot: str,
         for col, op, val in predicates or []:
             df = df.filter(_residual_filter(col, op, val))
         return df
-    df = _read_pool(spark, table, names, schema)
+    df = _read_pool(spark, table, names, schema,
+                    renames=man.get("renames"))
     # Residual predicates go on BEFORE the merge-on-read delete join:
     # a filter applied directly to the scan stays a pushed parquet
     # filter, while one above the (nondeterministic input_file_name)
@@ -2078,7 +2167,8 @@ def _publish(table: str, files: list[str], rows: int,
              parent_chunks: list[dict] | None = None,
              parent_pages: list[dict] | None = None,
              ref: str | None = None,
-             partition_spec: list[dict] | None = None) -> str:
+             partition_spec: list[dict] | None = None,
+             schema_meta: dict | None = None) -> str:
     """Write the manifest, then atomically flip the pointer. Caller
     holds the table lease.
 
@@ -2103,16 +2193,50 @@ def _publish(table: str, files: list[str], rows: int,
     name = _next_snapshot_name(table)
     gen = _gen_of(name)
     os.makedirs(_snapshots_root(table), exist_ok=True)
+    parent_core: dict = {}
+    if parent is not None:
+        try:
+            parent_core = _read_core(table, parent)
+        except FileNotFoundError:
+            pass
     if (partition_spec is None and parent
             and op not in ("overwrite", "set-spec")):
         # hidden partitioning inherits through EVERY commit kind; only
         # a full refresh or an explicit set_partition_spec redefines
         # (or drops) it
-        try:
-            partition_spec = _read_core(table, parent).get(
-                "partition_spec")
-        except FileNotFoundError:
-            pass
+        partition_spec = parent_core.get("partition_spec")
+    # --- field-id schema identity (Iceberg-shaped) --------------------
+    # Stable per-column ids make rename a metadata-only commit and
+    # make "same name, different column" detectable. Inherit from the
+    # parent unless the caller (rename/drop) passes them explicitly;
+    # a full refresh rewrites every live file under current names, so
+    # it CLEARS the projection chain (renames) and the retired-name
+    # fence while keeping ids stable for surviving names.
+    if schema_meta is None:
+        schema_meta = {
+            "field_ids": parent_core.get("field_ids"),
+            "next_field_id": parent_core.get("next_field_id"),
+            "renames": (None if op == "overwrite"
+                        else parent_core.get("renames")),
+            "retired": (None if op == "overwrite"
+                        else parent_core.get("retired")),
+        }
+    field_ids = dict(schema_meta.get("field_ids") or {})
+    next_id = schema_meta.get("next_field_id") or (
+        (max(field_ids.values()) + 1) if field_ids else 1)
+    retired = schema_meta.get("retired") or {}
+    if schema is not None:
+        for f in schema.fields:
+            if f.name in retired:
+                raise SchemaEvolutionError(
+                    f"{table}: column name {f.name!r} was retired "
+                    f"(field id {retired[f.name]}, renamed away or "
+                    "dropped) — reusing it would leak old-file data "
+                    "under a different column identity; pick another "
+                    "name (a full refresh clears the fence)")
+            if f.name not in field_ids:
+                field_ids[f.name] = next_id
+                next_id += 1
     carried = dict(file_seq or {})
     fresh = set(new_files if new_files is not None else files)
     for f in files:
@@ -2157,6 +2281,13 @@ def _publish(table: str, files: list[str], rows: int,
         "delete_files": stamped_dels,
         "partition_spec": partition_spec,
     }
+    if field_ids:
+        manifest["field_ids"] = field_ids
+        manifest["next_field_id"] = next_id
+    if schema_meta.get("renames"):
+        manifest["renames"] = schema_meta["renames"]
+    if retired:
+        manifest["retired"] = retired
     if chunks is not None:
         # per-file metadata lives in the sidecars; the core stays
         # small no matter how many files the snapshot names. The
@@ -2276,7 +2407,8 @@ def _widened_type(a, b):
 
 
 def _merge_schema(parent: StructType | None,
-                  incoming: StructType) -> StructType:
+                  incoming: StructType,
+                  retired: dict | None = None) -> StructType:
     """Evolve the table schema: columns new to the table append
     (nullable — old files project NULL for them); an existing column
     may WIDEN along `_widened_type`'s lattice (int→long, decimal
@@ -2287,6 +2419,13 @@ def _merge_schema(parent: StructType | None,
     type change raises SchemaEvolutionError."""
     if parent is None:
         return incoming
+    for f in incoming.fields:
+        if f.name in (retired or {}):
+            raise SchemaEvolutionError(
+                f"column name {f.name!r} was retired (field id "
+                f"{retired[f.name]}, renamed away or dropped) — "
+                "reusing it would leak old-file data under a "
+                "different column identity; pick another name")
     have = {f.name: f for f in parent.fields}
     pos = {f.name: i for i, f in enumerate(parent.fields)}
     out = list(parent.fields)
@@ -2517,6 +2656,158 @@ def set_partition_spec(table: str, spec: list[str] | None,
                         file_seq=man.get("file_seq"), **common)
 
 
+def _publish_schema_change(table: str, core: dict, parent: str,
+                           schema: StructType, schema_meta: dict,
+                           stats_cols, bloom_cols) -> str:
+    """Metadata-only ``set-schema`` commit naming the parent's exact
+    file set — the set_partition_spec publish shape. Caller holds the
+    lease and has validated."""
+    common = dict(
+        op="set-schema", schema=schema, schema_meta=schema_meta,
+        stats_cols=stats_cols, bloom_cols=bloom_cols,
+        delete_files=core.get("delete_files"),
+    )
+    if "chunks" in core:
+        return _publish(table, [], core["rows"], parent,
+                        _chunk_file_count(core), new_files=[],
+                        parent_chunks=core["chunks"],
+                        parent_pages=core.get("pages"), **common)
+    man = _materialize(table, core)
+    return _publish(table, man["files"], man["rows"], parent,
+                    len(man["files"]), new_files=[],
+                    stats=man.get("stats"), blooms=man.get("blooms"),
+                    file_seq=man.get("file_seq"), **common)
+
+
+def _schema_change_guard(table: str, core: dict, col: str) -> None:
+    """Shared rename/drop preconditions on the column."""
+    if any(d.get("key") == col
+           for d in core.get("delete_files") or []):
+        raise SchemaEvolutionError(
+            f"{table}: column {col!r} is the key of pending "
+            "merge-on-read delete masks — run compact/optimize to "
+            "apply them first")
+    spec_cols = {c for e in core.get("partition_spec") or []
+                 for c in _spec_source_cols(e)}
+    if col in spec_cols:
+        raise SchemaEvolutionError(
+            f"{table}: column {col!r} is a partition-spec source — "
+            "evolve the spec (set_partition_spec) first")
+
+
+def rename_column(table: str, old: str, new: str,
+                  wait_s: float = 60.0) -> str:
+    """SCHEMA EVOLUTION beyond add/widen: rename a column without
+    rewriting a byte (VERDICT r08 #5 — the Iceberg field-id shape).
+
+    A metadata-only ``set-schema`` commit: the column's stable field
+    id moves to the new name, the old name joins the manifest's
+    ``renames`` projection chain (old files keep their physical name;
+    reads coalesce the chain back to the current name — see
+    `_read_pool`) and the ``retired`` fence (re-adding the old name
+    would leak old-file data under a different column identity, so it
+    is refused until a full refresh clears the fence). Stats/bloom
+    opt-ins follow the rename; per-file stats recorded under the old
+    name keep pruning via the same chain (`_prune_from_man`).
+
+    Refused while the column keys pending MOR delete masks or feeds
+    the partition spec (apply/evolve those first) — the two places a
+    stale name would change semantics rather than just projection."""
+    with table_lease(table, owner=f"rename_column:{old}",
+                     wait_s=wait_s):
+        parent = current_snapshot(table)
+        if parent is None:
+            raise NoCurrentSnapshotError(table)
+        core = _read_core(table, parent)
+        schema = _schema_from_man(core)
+        if schema is None:
+            raise SchemaEvolutionError(
+                f"{table}: pre-schema manifest cannot evolve names")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise SchemaEvolutionError(
+                f"{table}: no column {old!r} (have {names})")
+        if new in names:
+            raise SchemaEvolutionError(
+                f"{table}: column {new!r} already exists")
+        retired = dict(core.get("retired") or {})
+        if new in retired:
+            raise SchemaEvolutionError(
+                f"{table}: column name {new!r} was retired (field id "
+                f"{retired[new]}) — pick another name (a full "
+                "refresh clears the fence)")
+        _schema_change_guard(table, core, old)
+
+        field_ids = dict(core.get("field_ids") or {})
+        fid = field_ids.pop(old, None)
+        if fid is None:  # legacy manifest: assign on the fly
+            fid = (max(field_ids.values()) + 1) if field_ids else 1
+        field_ids[new] = fid
+        retired[old] = fid
+        renames = dict(core.get("renames") or {})
+        renames[new] = [old, *renames.pop(old, [])]
+        new_fields = [
+            StructField(new, f.dataType, f.nullable)
+            if f.name == old else f
+            for f in schema.fields
+        ]
+        swap = lambda cols: ([new if c == old else c for c in cols]  # noqa: E731
+                             if cols else cols)
+        return _publish_schema_change(
+            table, core, parent, StructType(new_fields),
+            {"field_ids": field_ids,
+             "next_field_id": core.get("next_field_id"),
+             "renames": renames, "retired": retired},
+            swap(core.get("stats_cols")), swap(core.get("bloom_cols")))
+
+
+def drop_column(table: str, col: str, wait_s: float = 60.0) -> str:
+    """SCHEMA EVOLUTION: hide a column without rewriting a byte — a
+    metadata-only ``set-schema`` commit whose schema omits the column
+    (explicit-schema pool scans simply never read it; the bytes stay
+    in place for time travel, which reads each snapshot under its own
+    manifest schema). The name joins the ``retired`` fence with its
+    field id, so re-adding it — which would resurrect old-file values
+    under a NEW column identity — is refused until a full refresh
+    rewrites the live files. Stats/bloom opt-ins drop the column;
+    same preconditions as rename (no pending MOR masks keyed on it,
+    not a partition-spec source)."""
+    with table_lease(table, owner=f"drop_column:{col}",
+                     wait_s=wait_s):
+        parent = current_snapshot(table)
+        if parent is None:
+            raise NoCurrentSnapshotError(table)
+        core = _read_core(table, parent)
+        schema = _schema_from_man(core)
+        if schema is None:
+            raise SchemaEvolutionError(
+                f"{table}: pre-schema manifest cannot evolve names")
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise SchemaEvolutionError(
+                f"{table}: no column {col!r} (have {names})")
+        if len(names) == 1:
+            raise SchemaEvolutionError(
+                f"{table}: cannot drop the last column")
+        _schema_change_guard(table, core, col)
+
+        field_ids = dict(core.get("field_ids") or {})
+        fid = field_ids.pop(col, None)
+        retired = dict(core.get("retired") or {})
+        retired[col] = fid if fid is not None else -1
+        renames = dict(core.get("renames") or {})
+        renames.pop(col, None)  # its projection chain dies with it
+        keep = lambda cols: ([c for c in cols if c != col]  # noqa: E731
+                             or None) if cols else cols
+        return _publish_schema_change(
+            table, core, parent,
+            StructType([f for f in schema.fields if f.name != col]),
+            {"field_ids": field_ids,
+             "next_field_id": core.get("next_field_id"),
+             "renames": renames, "retired": retired},
+            keep(core.get("stats_cols")), keep(core.get("bloom_cols")))
+
+
 def write_snapshot(df: DataFrame, table: str,
                    stats_cols: list[str] | None = None,
                    bloom_cols: list[str] | None = None,
@@ -2689,7 +2980,8 @@ def append_snapshot(df: DataFrame, table: str,
     base_man = _read_core(table, base) if base else {}
     stats_cols = base_man.get("stats_cols")
     bloom_cols = base_man.get("bloom_cols")
-    _merge_schema(_schema_from_man(base_man), df.schema)  # fail early
+    _merge_schema(_schema_from_man(base_man), df.schema,
+                  base_man.get("retired"))  # fail early
     new_files = _land_in_pool(
         _cluster_to_spec(df, base_man.get("partition_spec")), table)
     new_rows, new_stats = _scan_new_files(spark, table, new_files,
@@ -2950,7 +3242,8 @@ def _locate_affected(spark: SparkSession, table: str, man: dict,
     if not candidates:
         return [], list(old_files)
     affected = _affected_scan(spark, table, candidates, key, keys_df,
-                              _schema_from_man(man))
+                              _schema_from_man(man),
+                              renames=man.get("renames"))
     untouched = [f for f in old_files if f not in affected]
     return ([os.path.join(root, f) for f in sorted(affected)],
             untouched)
@@ -2959,14 +3252,16 @@ def _locate_affected(spark: SparkSession, table: str, man: dict,
 def _affected_scan(spark: SparkSession, table: str,
                    candidates: list[str], key: str,
                    keys_df: DataFrame,
-                   schema: StructType | None) -> set[str]:
+                   schema: StructType | None,
+                   renames: dict | None = None) -> set[str]:
     """The exact half of the locate step: which candidate files
     actually contain a batch key (key-column + input_file_name scan,
     broadcast semi join)."""
     affected_uris = {
         r["_file"]
         for r in (
-            _read_pool(spark, table, candidates, schema)
+            _read_pool(spark, table, candidates, schema,
+                       renames=renames)
             .select(key, F.input_file_name().alias("_file"))
             .join(F.broadcast(keys_df), key, "left_semi")
             .select("_file").distinct().collect()
@@ -3142,7 +3437,8 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
     candidates = plan["kept"]
     parent_schema = _schema_from_man(core)
     affected = (_affected_scan(spark, table, candidates, key, keys_df,
-                               parent_schema)
+                               parent_schema,
+                               renames=core.get("renames"))
                 if candidates else set())
     root = _data_root(table)
     hybrid = {**core, "file_seq": plan["file_seq"]}
@@ -3439,7 +3735,8 @@ def _rebase_mor_matched(spark: SparkSession, table: str,
             return matched_base
         return matched_base + (
             _read_pool(spark, table, appended,
-                       _schema_from_man(head_man))
+                       _schema_from_man(head_man),
+                       renames=head_man.get("renames"))
             .select(key)
             .join(F.broadcast(keys_df), key, "left_semi")
             .count()
@@ -3516,7 +3813,8 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     base_man = _read_core(table, base)
     stats_cols = base_man.get("stats_cols")
     bloom_cols = base_man.get("bloom_cols")
-    _merge_schema(_schema_from_man(base_man), updates.schema)  # early
+    _merge_schema(_schema_from_man(base_man), updates.schema,
+                  base_man.get("retired"))  # early
 
     # ---- expensive staging: NO lease held ----
     new_files = _land_in_pool(
@@ -4290,7 +4588,7 @@ def read_appended_since(spark: SparkSession, table: str, since: str,
         op = man.get("op")
         if op == "append":
             files.extend(man.get("new_files", []))
-        elif op in ("compact", "set-spec"):
+        elif op in ("compact", "set-spec", "set-schema"):
             continue  # row-preserving: no logical change
         else:
             raise NonIncrementalHistoryError(
@@ -4299,13 +4597,15 @@ def read_appended_since(spark: SparkSession, table: str, since: str,
                 "diff")
     if chain:
         end, schema = chain[-1]["snapshot"], _schema_from_man(chain[-1])
+        renames = chain[-1].get("renames")
     else:
         end, schema = since, table_schema(table, since)
+        renames = _read_core(table, since).get("renames")
     if not files:
         if schema is None:
             return read_snapshot(spark, table, end).limit(0)
         return spark.createDataFrame([], schema)
-    return _read_pool(spark, table, files, schema)
+    return _read_pool(spark, table, files, schema, renames=renames)
 
 
 def read_changes_since(spark: SparkSession, table: str, since: str,
@@ -4344,8 +4644,8 @@ def read_changes_since(spark: SparkSession, table: str, since: str,
     for man in chain:
         op = man.get("op")
         gen = _gen_of(man["snapshot"])
-        if op not in ("append", "compact", "set-spec", "delete-mor",
-                      "merge-mor"):
+        if op not in ("append", "compact", "set-spec", "set-schema",
+                      "delete-mor", "merge-mor"):
             raise NonIncrementalHistoryError(
                 f"commit {man['snapshot']} is op={op!r} — use "
                 "changes_between() for a keyed diff")
@@ -4380,8 +4680,11 @@ def read_changes_since(spark: SparkSession, table: str, since: str,
     end = chain[-1]["snapshot"] if chain else since
     schema = (_schema_from_man(chain[-1]) if chain
               else table_schema(table, since))
+    ch_renames = (chain[-1].get("renames") if chain
+                  else _read_core(table, since).get("renames"))
     if ins_files:
-        inserts = _read_pool(spark, table, ins_files, schema)
+        inserts = _read_pool(spark, table, ins_files, schema,
+                             renames=ch_renames)
         # Sequence-mask by the IN-RANGE deletes via the same machinery
         # reads use, over a synthetic manifest scoped to this range.
         inserts = _apply_delete_files(

@@ -1,0 +1,275 @@
+"""Versioned table as a Structured Streaming SOURCE — "table as
+stream", the Delta CDF / ``readStream.table`` shape (VERDICT r08 #4).
+
+``spark.readStream.format("versioned_table")`` tails a versioned
+table's append lineage with exactly-once offsets: an offset IS a
+snapshot id, ``latestOffset`` is one pointer read, and a micro-batch's
+input is exactly the pool files the in-range append commits landed —
+the same bounded increment `read_appended_since` serves batch
+consumers (sinks/versioned.py:4290), now driving Spark's own streaming
+offset log instead of a hand-rolled cursor loop (the reference's
+incremental pipeline is this consumer pattern:
+incremental_fetch.py:129-155 — resume after last high-water mark).
+
+Semantics (all verified in tests/test_table_source.py):
+
+* **Exactly-once.** Spark checkpoints the committed offset; on
+  restart ``partitions(lastCommitted, latest)`` re-derives the file
+  list from immutable manifests, so replay is deterministic and a row
+  is emitted exactly once per committed batch. Manifest immutability
+  is what makes the offset log sound — vacuum retention must cover
+  consumer lag, and a vacuumed-range resume refuses loudly
+  (NonIncrementalHistoryError) instead of silently skipping.
+* **Compaction-transparent.** ``compact`` / ``set-spec`` commits are
+  row-preserving rewrites and contribute no input rows — a stream
+  never re-reads rows because maintenance ran.
+* **Rewritten history refuses loudly.** A COW merge / delete /
+  overwrite in range fails the stream with
+  NonIncrementalHistoryError (same contract as the batch changelog) —
+  a stream must never silently double-read rewritten rows.
+* **Bootstrap (`starting="genesis"`).** The first batch is the full
+  snapshot at stream start (the Delta ``readStream`` initial-snapshot
+  shape), then increments. Refused if the snapshot carries
+  merge-on-read delete masks (a raw pool-file read would resurrect
+  masked rows); bounded to append-only/compacted lineages.
+* **Frozen schema.** The stream's schema is pinned at definition
+  time (Spark streaming requires a static schema); later additive
+  evolutions project away mid-stream (new columns are dropped until
+  the stream is redefined), and pre-evolution files project NULL for
+  later-added columns — the `_read_pool` contract.
+
+Scale: ``partitions`` is manifest-metadata-only on the driver
+(O(new commits), never O(table)); each input partition is one pool
+file read executor-side via Arrow (writer-sized files ≈ one Spark
+task each), so a 1000-executor cluster fans the catch-up scan out
+file-parallel with zero driver data movement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_GENESIS = ""  # offset sentinel: "before the first snapshot"
+
+
+def _ensure_importable(pkg_parent: str | None) -> None:
+    """Worker-side import guard. The driver contract loads this repo
+    from an arbitrary cwd with a plain SparkSession, so the Python
+    data-source worker processes (offset runner + executors) have no
+    PYTHONPATH entry for the package. The classes themselves ship by
+    VALUE (see ``read_stream_table``); this makes their lazy
+    ``import mc_ns_data_pipeline_spark`` resolve by injecting the
+    package parent dir recorded at stream definition time."""
+    if not pkg_parent:
+        return
+    import importlib.util
+    import sys
+
+    if importlib.util.find_spec("mc_ns_data_pipeline_spark") is None:
+        sys.path.insert(0, pkg_parent)
+
+
+class _FileSlice(InputPartition):
+    """One pool file (or small batch) of an append increment."""
+
+    def __init__(self, paths: list[str], schema_json: str):
+        self.paths = paths
+        self.schema_json = schema_json
+
+
+def _append_files_between(table: str, start: str, end: str) -> list[str]:
+    """Pool files landed by append commits in (start, end] — metadata
+    only. Compaction/spec commits contribute nothing; rewritten
+    history raises (the changelog contract, versioned.py:4290)."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    chain = V._chain_between(table, start, end)
+    files: list[str] = []
+    for man in chain:
+        op = man.get("op")
+        if op == "append":
+            files.extend(man.get("new_files", []))
+        elif op in ("compact", "set-spec"):
+            continue
+        elif op == "set-schema":
+            raise V.NonIncrementalHistoryError(
+                f"commit {man['snapshot']} changed the table schema "
+                "(rename/drop) — a stream's schema is frozen at "
+                "definition; restart the stream to adopt it")
+        else:
+            raise V.NonIncrementalHistoryError(
+                f"commit {man['snapshot']} is op={op!r} — history is "
+                "not append-only; the stream cannot represent a "
+                "rewrite. Re-bootstrap the consumer.")
+    return files
+
+
+def _bootstrap_files(table: str, snapshot: str) -> list[str]:
+    """The full file list of `snapshot` for a genesis bootstrap batch.
+
+    Refuses when the snapshot carries merge-on-read delete masks: the
+    stream reads pool files raw, so masked rows would resurrect."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    man = V._materialize(table, V._read_core(table, snapshot))
+    if man.get("delete_files"):
+        raise V.NonIncrementalHistoryError(
+            f"{table}: snapshot {snapshot} carries merge-on-read "
+            "delete masks — a raw bootstrap read would resurrect "
+            "masked rows. optimize_table() first, or start from "
+            "'current'.")
+    return list(man.get("files", []))
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        self._table = options["table"]
+        self._starting = options.get("starting", "current")
+        self._per_part = int(options.get("files_per_partition", "1"))
+        self._schema_json = schema.json()
+        self._pkg_parent = options.get("pkg_parent", "")
+
+    # -- offsets --------------------------------------------------------
+    def initialOffset(self) -> dict:
+        _ensure_importable(self._pkg_parent)
+        from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+        if self._starting == "genesis":
+            return {"snapshot": _GENESIS}
+        if self._starting == "current":
+            cur = V.current_snapshot(self._table)
+            if cur is None:
+                raise V.NoCurrentSnapshotError(self._table)
+            return {"snapshot": cur}
+        # explicit snapshot id (exclusive): stream emits appends AFTER it
+        return {"snapshot": self._starting}
+
+    def latestOffset(self) -> dict:
+        _ensure_importable(self._pkg_parent)
+        from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+        cur = V.current_snapshot(self._table)
+        if cur is None:
+            raise V.NoCurrentSnapshotError(self._table)
+        return {"snapshot": cur}
+
+    # -- planning (driver, metadata-only) -------------------------------
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[InputPartition]:
+        _ensure_importable(self._pkg_parent)
+        from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+        s, e = start["snapshot"], end["snapshot"]
+        if s == e:
+            return []
+        if s == _GENESIS:
+            files = _bootstrap_files(self._table, e)
+        else:
+            files = _append_files_between(self._table, s, e)
+        root = V._data_root(self._table)
+        paths = [f if os.path.isabs(f) else os.path.join(root, f)
+                 for f in files]
+        k = self._per_part
+        return [_FileSlice(paths[i:i + k], self._schema_json)
+                for i in range(0, len(paths), k)]
+
+    # -- executor-side read ---------------------------------------------
+    def read(self, partition: _FileSlice) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(
+            StructType.fromJson(json.loads(partition.schema_json)))
+        for path in partition.paths:
+            tbl = pq.read_table(path)
+            cols = []
+            for field in want:
+                if field.name in tbl.column_names:
+                    col = tbl.column(field.name)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                else:  # pre-evolution file: later-added column -> NULL
+                    col = pa.nulls(tbl.num_rows, type=field.type)
+                cols.append(col)
+            out = pa.table(dict(zip(want.names, cols))).cast(
+                pa.schema(want))
+            yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are durable; the checkpoint owns progress
+
+    def stop(self) -> None:
+        pass
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.readStream.format("versioned_table")``.
+
+    Options: ``table`` (required, table root path), ``starting``
+    ("current" default | "genesis" | explicit snapshot id, exclusive),
+    ``files_per_partition`` (default 1 — pool files are writer-sized,
+    one Spark task each)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self) -> StructType:
+        _ensure_importable(self.options.get("pkg_parent"))
+        from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+        table = self.options["table"]
+        cur = V.current_snapshot(table)
+        if cur is None:
+            raise V.NoCurrentSnapshotError(table)
+        schema = V.table_schema(table, cur)
+        if schema is None:
+            raise ValueError(
+                f"{table}: snapshot {cur} predates schema stamping — "
+                "pass an explicit .schema(...) to readStream")
+        return schema
+
+    def streamReader(self, schema: StructType
+                     ) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(schema, dict(self.options))
+
+
+def read_stream_table(spark: SparkSession, table: str,
+                      starting: str = "current",
+                      files_per_partition: int = 1) -> DataFrame:
+    """Open a versioned table as a streaming DataFrame (registers the
+    datasource idempotently). ``starting``: "current" (only appends
+    after stream definition), "genesis" (full bootstrap then appends),
+    or an explicit snapshot id (exclusive resume point)."""
+    import sys
+
+    import mc_ns_data_pipeline_spark
+    from pyspark import cloudpickle
+
+    # The datasource runs in separate Python worker processes (offset
+    # runner + executor tasks) that have no PYTHONPATH entry for this
+    # repo when the driver loaded it from an arbitrary cwd. Ship this
+    # module's classes BY VALUE so unpickling never imports it, and
+    # record the package parent so the lazy versioned.py imports
+    # inside the methods resolve (see _ensure_importable).
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    pkg_parent = os.path.dirname(
+        os.path.dirname(mc_ns_data_pipeline_spark.__file__))
+    spark.dataSource.register(VersionedTableDataSource)
+    return (spark.readStream.format("versioned_table")
+            .option("table", table)
+            .option("starting", starting)
+            .option("files_per_partition", str(files_per_partition))
+            .option("pkg_parent", pkg_parent)
+            .load())

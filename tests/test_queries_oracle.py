@@ -29,33 +29,35 @@ def test_queries_nonempty(spark, sf_dir):
 # CORRECTNESS_r03: its key set and order exactly match list(QUERIES)[:50]
 # of the r3 tree, while sorted(QUERIES)[:50] does not (VERDICT r03 #1).
 #
-# Round-8 window, chosen per the rotation policy (SURVEY.md §8):
+# Round-9 window, chosen per the rotation policy (SURVEY.md §8):
 #   * q01–q18 — reference-parity core, always in.
-#   * x98–x114 — the whole versioned/catalog/txn block: rule 2
-#     (versioned.py, table_catalog.py, txn.py all changed in r7) and
-#     VERDICT r07 #1's explicit demand — x109–x114 had NEVER had a
-#     driver CORRECTNESS row.
-#   * xs14, x62 — rule 2, implementations changed THIS round (xs14:
-#     bucketed compacting LSH index store; x62: threshold-bounded
-#     levenshtein verify). Scope note: the incremental.py change is
-#     confined to functions only xs14 traverses, so the rest of the
-#     xs block does not rotate wholesale.
-#   * x17–x19, x21, x85–x89, x92–x95 — the r3 rows, oldest driver
-#     evidence, rule 3 (x96 defers to r9 — one slot short; xs1/xs3
-#     stay out as byte-identical aliases of the always-in q17/q18).
-# Rotated out on fresh r7-green rows, implementations unchanged:
-# xs2, xs4, x23–x26, x01–x16. New below the marker (r9 rotation
-# candidates): x115–x118, xs15.
+#   * x98–x118 — the whole versioned/catalog/txn/metadata block:
+#     rule 2 (versioned.py grew merge_ref, table_catalog.py grew
+#     register_views, metadata_tables.py is new in r8, and all three
+#     change again this round — ADVICE fixes, field-id rename/drop,
+#     paged $files) and VERDICT r08 #1's explicit demand — x115–x118
+#     had NEVER had a driver CORRECTNESS row.
+#   * xs14, xs15 — rule 2 (streaming/incremental.py changed in r8 and
+#     hosts this round's changelog-source work); xs15 never had a
+#     driver row.
+#   * x96 — the oldest driver evidence left (r3), rule 3, explicitly
+#     deferred from the r8 window.
+#   * x12, x27–x33 — rule-3 fills, the next-oldest driver rows (r4
+#     block, ascending id order; xs1/xs3 stay out as byte-identical
+#     aliases of the always-in q17/q18).
+# Rotated out on fresh r8-green rows, implementations unchanged:
+# x62, x17–x19, x21, x85–x89, x92–x95. New below the marker (r10
+# rotation candidates): xs16_stream_table_source,
+# x119_schema_evolution.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
-    "x107", "x108",
     "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
-    "x106",
+    "x106", "x107", "x108",
     "x109", "x110", "x111", "x112", "x113", "x114",
-    "xs14", "x62",
-    "x17", "x18", "x19", "x21",
-    "x85", "x86", "x87", "x88", "x89",
-    "x92", "x93", "x94", "x95",
+    "x115", "x116", "x117", "x118",
+    "xs14", "xs15",
+    "x96",
+    "x12", "x27", "x28", "x29", "x30", "x31", "x32", "x33",
 ]
 
 

@@ -417,3 +417,42 @@ def test_merge_ref_with_vacuumed_deep_history(spark, tmp_path):
     V.merge_ref(table, "b")
     got = {r.k for r in V.read_current(spark, table).collect()}
     assert got == {4, 100, 200}
+
+
+def test_merge_ref_fork_below_vacuum_horizon_conflicts_cleanly(
+        spark, tmp_path):
+    """A branch forking exactly at the vacuum horizon (fork-point
+    manifest gone — external cleanup / partial loss) must surface the
+    documented CommitConflictError('re-stage'), never a raw
+    FileNotFoundError from the replay loop (ADVICE r8)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    fork = V.current_snapshot(table)
+    V.append_snapshot(_df(spark, [(2, "br")]), table, branch="b")
+    V.append_snapshot(_df(spark, [(3, "direct")]), table)  # diverge
+    os.remove(V._manifest_path(table, fork))  # simulate external loss
+    with pytest.raises(V.CommitConflictError, match="re-stage"):
+        V.merge_ref(table, "b")
+    # CURRENT untouched by the failed merge
+    got = {(r.k, r.v) for r in V.read_current(spark, table).collect()}
+    assert got == {(1, "a"), (3, "direct")}
+
+
+def test_merge_ref_cycle_is_typed_and_loud(spark, tmp_path):
+    """A corrupted parent cycle raises the typed LineageCycleError —
+    routed by class, not message substring (ADVICE r8) — and is never
+    treated as ordinary divergence."""
+    import json
+
+    assert issubclass(V.LineageCycleError, V.CommitConflictError)
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    a = V.current_snapshot(table)
+    V.append_snapshot(_df(spark, [(2, "br")]), table, branch="b")
+    b_head = V.ref_snapshot(table, "b")
+    V.append_snapshot(_df(spark, [(3, "direct")]), table)  # diverge
+    core = V._read_core(table, a)
+    core["parent"] = b_head  # corrupt: ancestor points at descendant
+    V._atomic_write_text(V._manifest_path(table, a), json.dumps(core))
+    with pytest.raises(V.LineageCycleError):
+        V.merge_ref(table, "b")

@@ -1,0 +1,149 @@
+"""Versioned table as a Structured Streaming source (streaming/
+table_source.py): exactly-once offsets over the append lineage,
+genesis bootstrap, compaction transparency, loud refusal of rewritten
+history — the Delta-CDF-shaped consumer of the changelog contract
+(reference anchor: incremental_fetch.py:129-155, resume after last
+high-water mark)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+from mc_ns_data_pipeline_spark.streaming.table_source import (
+    read_stream_table,
+)
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _drain(spark, table, tmp, starting="genesis", name="s"):
+    """One availableNow pass into a parquet sink; returns all rows
+    accumulated in the sink so far. Sharing `name` shares the
+    checkpoint — successive calls are stream RESTARTS."""
+    out = os.path.join(str(tmp), f"{name}_out")
+    ckpt = os.path.join(str(tmp), f"{name}_ckpt")
+    q = (read_stream_table(spark, table, starting=starting)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+
+def test_genesis_bootstrap_matches_read_current(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    got = _drain(spark, table, tmp_path)
+    want = {tuple(r) for r in V.read_current(spark, table).collect()}
+    assert got == want == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_restart_consumes_exactly_once(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: the second emits
+    ONLY the appends that landed in between — no replays, no gaps."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    assert _drain(spark, table, tmp_path) == {(1, "a")}
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    assert _drain(spark, table, tmp_path) == {
+        (1, "a"), (2, "b"), (3, "c")}
+    # idle restart: nothing new, nothing re-emitted
+    assert _drain(spark, table, tmp_path) == {
+        (1, "a"), (2, "b"), (3, "c")}
+
+
+def test_starting_current_sees_only_later_appends(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "pre")]), table)
+    assert _drain(spark, table, tmp_path, starting="current") == set()
+    V.append_snapshot(_df(spark, [(2, "post")]), table)
+    assert _drain(spark, table, tmp_path,
+                  starting="current") == {(2, "post")}
+
+
+def test_explicit_snapshot_resume_point(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    mark = V.current_snapshot(table)
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    assert _drain(spark, table, tmp_path, starting=mark) == {(2, "b")}
+
+
+def test_compaction_is_transparent(spark, tmp_path):
+    """A compact commit between appends contributes no input rows —
+    maintenance never double-feeds the stream."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    assert _drain(spark, table, tmp_path) == {(1, "a")}
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    V.compact_snapshot(spark, table, target_files=1)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    assert _drain(spark, table, tmp_path) == {
+        (1, "a"), (2, "b"), (3, "c")}
+
+
+def test_rewritten_history_fails_loudly(spark, tmp_path):
+    """A COW rewrite in range must error the stream, never silently
+    double-read — same contract as the batch changelog."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    assert _drain(spark, table, tmp_path) == {(1, "a")}
+    V.write_snapshot(_df(spark, [(9, "rewrite")]), table)  # overwrite
+    with pytest.raises(StreamingQueryException,
+                       match="not append-only|Re-bootstrap"):
+        _drain(spark, table, tmp_path)
+
+
+def test_genesis_refuses_mor_masked_snapshot(spark, tmp_path):
+    """Bootstrap reads pool files raw, so a snapshot carrying MOR
+    delete masks is refused (masked rows would resurrect)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(1, "a")]).select("k"))
+    with pytest.raises(StreamingQueryException, match="delete masks"):
+        _drain(spark, table, tmp_path)
+    # after compaction applies the masks, bootstrap works again
+    V.compact_snapshot(spark, table, target_files=1)
+    assert _drain(spark, table, tmp_path, name="s2") == {(2, "b")}
+
+
+def test_pre_evolution_files_project_null(spark, tmp_path):
+    """Additive schema evolution BEFORE stream definition: the stream
+    pins the evolved schema; pre-evolution pool files project NULL for
+    the later-added column (the _read_pool contract)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    V.append_snapshot(
+        _df(spark, [(2, "b", 7.5)], "k int, v string, w double"), table)
+    got = _drain(spark, table, tmp_path)
+    assert got == {(1, "a", None), (2, "b", 7.5)}
+
+
+def test_files_per_partition_batches(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    for i in range(2, 6):
+        V.append_snapshot(_df(spark, [(i, f"v{i}")]), table)
+    out = os.path.join(str(tmp_path), "o")
+    ckpt = os.path.join(str(tmp_path), "c")
+    q = (read_stream_table(spark, table, starting="genesis",
+                           files_per_partition=4)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == {(i, f"v{i}") if i > 1 else (1, "a")
+                   for i in range(1, 6)}
