@@ -23,16 +23,19 @@ manifest JSONs alone:
 
 Scale: ``snapshots``/``history``/``refs`` read O(commits) tiny core
 manifests — cheap at any table size (paged/chunked cores stay
-KB-sized). ``files`` materializes the full file list (O(table files)
-driver memory, the same cost class as the mutation paths that
-genuinely need the whole list); at 10M-file scale, prefer the pruned
-planning paths for queries and keep ``files`` for inspection — or
-filter by snapshot and let the caller page.
+KB-sized). ``files`` on a chunked/paged manifest is a DISTRIBUTED
+lazy plan: the driver holds only page refs + chunk descriptors
+(span-filtered by optional predicates), and executors read the
+surviving immutable sidecars — O(chunks) driver memory at 10M files,
+never O(files) (VERDICT r08 #7; measured in
+scripts/stress_manifest_pages.py). Inline manifests (small by
+construction) still materialize directly.
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -106,21 +109,116 @@ def history_table(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+_FILES_SCHEMA = "file string, gen long, stats_json string"
+
+
 def files_table(spark: SparkSession, table: str,
-                snapshot: str | None = None) -> DataFrame:
+                snapshot: str | None = None,
+                predicates: list[tuple] | None = None) -> DataFrame:
+    """The snapshot's file inventory. Inline manifests materialize on
+    the driver as before (they are small by construction — chunking
+    kicks in at `_MANIFEST_CHUNK_FILES`). CHUNKED/PAGED manifests are
+    served WITHOUT building the table-sized list on the driver
+    (VERDICT r08 #7): the driver touches only page refs and chunk
+    descriptors (span-filtered by ``predicates``), and the sidecar
+    JSONs are read EXECUTOR-side, one task per slice of chunks — at
+    10M files the driver holds O(chunks) descriptors, never O(files)
+    rows, and a predicate over a clustered column prunes whole
+    pages/chunks before any sidecar is opened (the same span
+    machinery query planning uses, so the filter-pushdown behavior is
+    identical). ``predicates`` also filters per-file via the sidecar
+    stats/blooms, exactly like `prune_report` — conservative: a file
+    without metadata for the column always lists.
+
+    The result is a LAZY plan over immutable sidecars (MVCC: valid
+    until that snapshot is vacuumed), so registering it as a view is
+    metadata-only at any table size."""
     snap = snapshot if snapshot is not None else V.current_snapshot(table)
     if snap is None:
         raise V.NoCurrentSnapshotError(table)
-    man = V._materialize(table, V._read_core(table, snap))
-    seq = man.get("file_seq") or {}
-    stats = man.get("stats") or {}
-    rows = [
-        (f, int(seq.get(f, 0)),
-         json.dumps(stats[f]) if f in stats else None)
-        for f in man.get("files") or []
-    ]
-    return spark.createDataFrame(
-        rows, "file string, gen long, stats_json string")
+    core = V._read_core(table, snap)
+    if "chunks" not in core:
+        man = V._materialize(table, core)
+        names = man.get("files") or []
+        if predicates:
+            names = V._prune_from_man(man, predicates)["kept"]
+        seq = man.get("file_seq") or {}
+        stats = man.get("stats") or {}
+        rows = [
+            (f, int(seq.get(f, 0)),
+             json.dumps(stats[f]) if f in stats else None)
+            for f in names
+        ]
+        return spark.createDataFrame(rows, _FILES_SCHEMA)
+
+    # chunked: expand surviving pages to chunk descriptors (driver
+    # cost O(pages + surviving chunks)), ship descriptors to executors
+    preds = list(predicates or [])
+    renames = core.get("renames")
+    chunks: list[dict] = []
+    for pg in core.get("pages") or []:
+        if preds and not V._page_survives(pg, preds, renames):
+            continue
+        chunks += V._read_page(table, pg["id"])
+    chunks += core.get("chunks") or []
+    if preds:
+        chunks = [ch for ch in chunks
+                  if V._chunk_survives(ch, preds, renames)]
+    if not chunks:
+        return spark.createDataFrame([], _FILES_SCHEMA)
+    meta = [(ch["id"], json.dumps(ch.get("exclude") or []))
+            for ch in chunks]
+    desc = spark.createDataFrame(
+        meta, "chunk_id string, exclude_json string")
+    desc = desc.repartition(min(len(meta), 64))
+    chunks_root = V._chunks_root(table)
+    sub_base = {"stats_cols": core.get("stats_cols"),
+                "bloom_cols": core.get("bloom_cols"),
+                "renames": renames}
+    pkg_parent = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
+    def emit(batches):
+        # executor-side: the package may not be importable in the
+        # worker when the driver loaded this repo from an arbitrary
+        # cwd — inject the recorded parent (table_source's pattern)
+        import importlib.util
+        import json as _json
+        import os as _os
+        import sys as _sys
+
+        import pandas as _pd
+
+        if importlib.util.find_spec(
+                "mc_ns_data_pipeline_spark") is None:
+            _sys.path.insert(0, pkg_parent)
+        from mc_ns_data_pipeline_spark.sinks import versioned as VV
+
+        for pdf in batches:
+            rows = []
+            for cid, excl_j in zip(pdf["chunk_id"],
+                                   pdf["exclude_json"]):
+                with open(_os.path.join(chunks_root,
+                                        f"{cid}.json")) as fh:
+                    side = _json.load(fh)
+                excl = set(_json.loads(excl_j))
+                part = [f for f in side["files"] if f not in excl]
+                if preds:
+                    sub = {**sub_base, "files": part,
+                           "stats": side.get("stats"),
+                           "blooms": side.get("blooms")}
+                    part = VV._prune_from_man(sub, preds)["kept"]
+                seq = side.get("file_seq") or {}
+                stats = side.get("stats") or {}
+                for f in part:
+                    rows.append(
+                        (f, int(seq.get(f, 0)),
+                         _json.dumps(stats[f]) if f in stats
+                         else None))
+            yield _pd.DataFrame(
+                rows, columns=["file", "gen", "stats_json"])
+
+    return desc.mapInPandas(emit, _FILES_SCHEMA)
 
 
 def refs_table(spark: SparkSession, table: str) -> DataFrame:

@@ -60,7 +60,7 @@ from mc_ns_data_pipeline_spark.sinks import versioned as V
 from mc_ns_data_pipeline_spark.sinks.lease import table_lease
 
 __all__ = ["multi_table_txn", "MultiTableTxn", "recover_txns",
-           "TxnBrokenError"]
+           "commit_staged", "TxnBrokenError"]
 
 _COMMIT_WAIT_S = 120.0
 
@@ -151,49 +151,14 @@ class MultiTableTxn:
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
-        staged = list(self._written)
-        if not staged:
-            return {"txn": self.txn_id, "tables": {}}
-        os.makedirs(self.log_dir, exist_ok=True)
-        targets: dict[str, str] = {}
-        with ExitStack() as stack:
-            # sorted-path lease order: two overlapping transactions
-            # can never deadlock, one just waits
-            for t in sorted(staged):
-                stack.enter_context(table_lease(
-                    t, owner=f"txn:{self.txn_id}",
-                    wait_s=_COMMIT_WAIT_S))
-            # pass 1: EVERY precondition while nothing can move; a
-            # conflict is an ABORT (drop the staged branches — the
-            # caller re-runs the whole transaction, not one table)
-            try:
-                for t in staged:
-                    targets[t] = V._check_ref_publishable(
-                        t, self.branch)
-            except Exception:
-                for t in staged:
-                    V.delete_ref(t, self.branch)
-                raise
-            # seal: the commit decision survives a crash from here on
-            intent = {"txn": self.txn_id, "state": "committing",
-                      "branch": self.branch,
-                      "tables": {t: targets[t] for t in staged}}
-            if self.group is not None:
-                intent["group"] = {"catalog": self.catalog_root,
-                                   "group": self.group,
-                                   "names": {t: self.names[t]
-                                             for t in staged}}
-            V._atomic_write_json(
-                _intent_path(self.log_dir, self.txn_id), intent)
-            # pass 2: flip — crash mid-way rolls FORWARD via recover
-            for t in staged:
-                V._publish_ref_locked(t, self.branch)
-            # pass 3: repin the catalog group AFTER every flip — one
-            # atomic replace; a crash before this line is completed
-            # by recovery, and a rolled-back txn never pins
-            _pin_intent_group(intent)
-        os.remove(_intent_path(self.log_dir, self.txn_id))
-        return {"txn": self.txn_id, "tables": targets}
+        group_info = None
+        if self.group is not None:
+            group_info = {"catalog": self.catalog_root,
+                          "group": self.group,
+                          "names": {t: self.names[t]
+                                    for t in self._written}}
+        return commit_staged(self.log_dir, self.txn_id, self.branch,
+                             list(self._written), group_info)
 
     def abort(self) -> None:
         """Drop every staged branch; staged manifests and files are
@@ -216,6 +181,62 @@ class MultiTableTxn:
         else:
             self.abort()
         return False
+
+
+def commit_staged(log_dir: str, txn_id: str, branch: str,
+                  staged: list[str],
+                  group_info: dict | None = None) -> dict:
+    """The transaction COMMIT protocol, callable by any authority that
+    can reach the tables: validate every staged branch under
+    simultaneously-held sorted-order leases, seal the write-ahead
+    intent, flip every pointer, repin the catalog group. This is the
+    body `MultiTableTxn.commit` always ran — factored out so the REST
+    catalog service can run the identical protocol server-side for
+    remote clients (clients stage writes on `txn-<id>` branches
+    data-plane; only this control-plane step crosses the wire — the
+    Iceberg-REST commit split).
+
+    ``group_info`` is the intent's group-pin record
+    (``{"catalog", "group", "names": {root: catalog_name}}``).
+    Raises CommitConflictError with NOTHING flipped (staged branches
+    dropped) when any table moved past its staging."""
+    if not staged:
+        return {"txn": txn_id, "tables": {}}
+    os.makedirs(log_dir, exist_ok=True)
+    targets: dict[str, str] = {}
+    with ExitStack() as stack:
+        # sorted-path lease order: two overlapping transactions
+        # can never deadlock, one just waits
+        for t in sorted(staged):
+            stack.enter_context(table_lease(
+                t, owner=f"txn:{txn_id}",
+                wait_s=_COMMIT_WAIT_S))
+        # pass 1: EVERY precondition while nothing can move; a
+        # conflict is an ABORT (drop the staged branches — the
+        # caller re-runs the whole transaction, not one table)
+        try:
+            for t in staged:
+                targets[t] = V._check_ref_publishable(t, branch)
+        except Exception:
+            for t in staged:
+                V.delete_ref(t, branch)
+            raise
+        # seal: the commit decision survives a crash from here on
+        intent = {"txn": txn_id, "state": "committing",
+                  "branch": branch,
+                  "tables": {t: targets[t] for t in staged}}
+        if group_info is not None:
+            intent["group"] = group_info
+        V._atomic_write_json(_intent_path(log_dir, txn_id), intent)
+        # pass 2: flip — crash mid-way rolls FORWARD via recover
+        for t in staged:
+            V._publish_ref_locked(t, branch)
+        # pass 3: repin the catalog group AFTER every flip — one
+        # atomic replace; a crash before this line is completed
+        # by recovery, and a rolled-back txn never pins
+        _pin_intent_group(intent)
+    os.remove(_intent_path(log_dir, txn_id))
+    return {"txn": txn_id, "tables": targets}
 
 
 def multi_table_txn(log_dir: str, tables: list[str],

@@ -227,3 +227,162 @@ def test_register_views_over_http(spark, service):
     assert spark.table("http_sales_facts").count() == 2  # frozen
     rc.register_views(spark, group="g", prefix="http_")  # refresh
     assert spark.table("http_sales_facts").count() == 3
+
+
+def test_wire_txn_commit_and_group_pin(spark, service):
+    """VERDICT r08 #6: the full multi-table txn protocol over live
+    HTTP — the client stages data-plane writes on txn branches, the
+    SERVICE validates + seals + flips + repins the group."""
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    b = rc.create_table("sales.b")
+    V.write_snapshot(_df(spark, [(1, "a0")]), a)
+    V.write_snapshot(_df(spark, [(1, "b0")]), b)
+    rc.pin_current_group("live", ["sales.a", "sales.b"])
+
+    with rc.txn(["sales.a", "sales.b"], group="live") as t:
+        t.append(_df(spark, [(2, "a1")]), "sales.a")
+        t.append(_df(spark, [(2, "b1")]), "sales.b")
+    assert rc.read_table(spark, "sales.a").count() == 2
+    assert rc.read_table(spark, "sales.b").count() == 2
+    # the group repinned atomically to the committed pair
+    snaps = rc.group_snapshots("live")
+    assert snaps["sales.a"] == V.current_snapshot(a)
+    assert snaps["sales.b"] == V.current_snapshot(b)
+    # no leftover branches or intents
+    assert V.list_refs(a) == {} and V.list_refs(b) == {}
+
+
+def test_wire_txn_conflict_flips_nothing(spark, service):
+    """A direct commit interposing on ONE table aborts the whole wire
+    txn with CommitConflictError — neither table moves, staged
+    branches are dropped."""
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    b = rc.create_table("sales.b")
+    V.write_snapshot(_df(spark, [(1, "a0")]), a)
+    V.write_snapshot(_df(spark, [(1, "b0")]), b)
+    base_a, base_b = V.current_snapshot(a), V.current_snapshot(b)
+
+    t = rc.txn(["sales.a", "sales.b"])
+    t.append(_df(spark, [(2, "a1")]), "sales.a")
+    t.append(_df(spark, [(2, "b1")]), "sales.b")
+    V.append_snapshot(_df(spark, [(9, "direct")]), b)  # interpose
+    with pytest.raises(V.CommitConflictError):
+        t.commit()
+    assert V.current_snapshot(a) == base_a  # nothing flipped on a
+    assert V.current_snapshot(b) != base_b  # only the direct append
+    assert rc.read_table(spark, "sales.b").count() == 2
+    assert V.list_refs(a) == {} and V.list_refs(b) == {}
+
+
+def test_racing_wire_txns_one_wins(spark, service):
+    """Two clients race overlapping wire txns to the SAME two tables:
+    the service's sorted-order leases + validate-all admit exactly
+    one; the loser aborts with nothing flipped and both tables land
+    at the winner's snapshots (never a torn mix)."""
+    import threading
+
+    cat, rc = service
+    rc2 = CS.RestCatalog(rc.base_url)
+    a = rc.create_table("sales.a")
+    b = rc.create_table("sales.b")
+    V.write_snapshot(_df(spark, [(1, "a0")]), a)
+    V.write_snapshot(_df(spark, [(1, "b0")]), b)
+
+    t1 = rc.txn(["sales.a", "sales.b"])
+    t1.append(_df(spark, [(2, "t1a")]), "sales.a")
+    t1.append(_df(spark, [(2, "t1b")]), "sales.b")
+    t2 = rc2.txn(["sales.a", "sales.b"])
+    t2.append(_df(spark, [(3, "t2a")]), "sales.a")
+    t2.append(_df(spark, [(3, "t2b")]), "sales.b")
+
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def run(tag, t):
+        try:
+            barrier.wait()
+            t.commit()
+            outcomes[tag] = "committed"
+        except V.CommitConflictError:
+            outcomes[tag] = "conflict"
+
+    th1 = threading.Thread(target=run, args=("t1", t1))
+    th2 = threading.Thread(target=run, args=("t2", t2))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert sorted(outcomes.values()) == ["committed", "conflict"]
+    winner = [k for k, v in outcomes.items() if v == "committed"][0]
+    val = {r.v for r in rc.read_table(spark, "sales.a").collect()}
+    want = {"a0", "t1a"} if winner == "t1" else {"a0", "t2a"}
+    assert val == want
+    val_b = {r.v for r in rc.read_table(spark, "sales.b").collect()}
+    want_b = {"b0", "t1b"} if winner == "t1" else {"b0", "t2b"}
+    assert val_b == want_b
+    assert V.list_refs(a) == {} and V.list_refs(b) == {}
+
+
+def test_wire_txn_recovery_rolls_forward(spark, service):
+    """Crash between flips, recovered OVER THE WIRE: a sealed intent
+    with one table already flipped — POST /v1/txns/recover completes
+    the remaining flip and repins the group atomically."""
+    import os
+
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    b = rc.create_table("sales.b")
+    V.write_snapshot(_df(spark, [(1, "a0")]), a)
+    V.write_snapshot(_df(spark, [(1, "b0")]), b)
+    rc.pin_current_group("live", ["sales.a", "sales.b"])
+
+    t = rc.txn(["sales.a", "sales.b"], group="live")
+    ha = t.append(_df(spark, [(2, "a1")]), "sales.a")
+    hb = t.append(_df(spark, [(2, "b1")]), "sales.b")
+    # simulate the service crashing mid-commit: seal the intent by
+    # hand, flip ONLY table a, leave b's branch staged
+    log_dir = os.path.join(cat, "_txns")
+    os.makedirs(log_dir, exist_ok=True)
+    intent = {"txn": t.txn_id, "state": "committing",
+              "branch": t.branch,
+              "tables": {os.path.abspath(a): ha,
+                         os.path.abspath(b): hb},
+              "group": {"catalog": cat, "group": "live",
+                        "names": {os.path.abspath(a): "sales.a",
+                                  os.path.abspath(b): "sales.b"}}}
+    V._atomic_write_json(
+        os.path.join(log_dir, f"{t.txn_id}.json"), intent)
+    V.publish_ref(a, t.branch)  # the one flip that "happened"
+
+    out = rc.recover_txns()
+    assert out["completed"] == [t.txn_id]
+    assert V.current_snapshot(b) == hb  # rolled forward
+    snaps = rc.group_snapshots("live")
+    assert snaps == {"sales.a": ha, "sales.b": hb}
+    assert not os.listdir(log_dir)  # intent consumed
+
+
+def test_wire_txn_recovery_rolls_back_unflipped(spark, service):
+    """A sealed intent whose staging was invalidated before ANY flip
+    rolls BACK over the wire — atomicity preserved, branches dropped."""
+    import os
+
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    V.write_snapshot(_df(spark, [(1, "a0")]), a)
+    t = rc.txn(["sales.a"])
+    ha = t.append(_df(spark, [(2, "a1")]), "sales.a")
+    base = V.current_snapshot(a)
+    log_dir = os.path.join(cat, "_txns")
+    os.makedirs(log_dir, exist_ok=True)
+    V._atomic_write_json(
+        os.path.join(log_dir, f"{t.txn_id}.json"),
+        {"txn": t.txn_id, "state": "committing", "branch": t.branch,
+         "tables": {os.path.abspath(a): ha}})
+    # the table moves past the staged lineage before any flip
+    V.append_snapshot(_df(spark, [(9, "direct")]), a)
+    out = rc.recover_txns()
+    assert out["rolled_back"] == [t.txn_id]
+    assert V.current_snapshot(a) != base
+    assert {r.v for r in rc.read_table(spark, "sales.a").collect()} \
+        == {"a0", "direct"}
+    assert V.list_refs(a) == {}

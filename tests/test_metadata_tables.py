@@ -89,3 +89,84 @@ def test_register_for_catalog_table(spark, tmp_path):
         "SELECT n_rows FROM sales_orders_snapshots WHERE is_current"
     ).collect()
     assert [r.n_rows for r in got] == [1]
+
+
+def _force_chunked(monkeypatch, n=6):
+    monkeypatch.setattr(V, "_MANIFEST_CHUNK_FILES", n)
+
+
+def test_files_table_chunked_matches_inline(spark, tmp_path,
+                                            monkeypatch):
+    """Chunked manifests serve $files through the distributed
+    (executor-side sidecar read) path — same rows as the driver-side
+    inline path would produce (VERDICT r08 #7)."""
+    _force_chunked(monkeypatch)
+    t = str(tmp_path / "t")
+    df = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS w")
+    V.write_snapshot(df.repartitionByRange(8, "k"), t,
+                     stats_cols=["k"])
+    V.append_snapshot(
+        spark.range(200, 300).selectExpr("id AS k", "id * 2 AS w")
+        .repartition(4), t)
+    core = V._read_core(t, V.current_snapshot(t))
+    assert "chunks" in core, "test must exercise the chunked path"
+    got = M.files_table(spark, t)
+    # lazy distributed plan (executor-side sidecar reads), not a
+    # driver materialization
+    assert "MapInPandas" in \
+        got._jdf.queryExecution().optimizedPlan().toString()
+    rows = {(r.file, r.gen) for r in got.collect()}
+    man = V._materialize(t, core)
+    seq = man.get("file_seq") or {}
+    want = {(f, int(seq.get(f, 0))) for f in man["files"]}
+    assert rows == want
+    # stats survive the distributed read
+    with_stats = [r for r in got.collect() if r.stats_json]
+    assert with_stats and "k" in json.loads(with_stats[0].stats_json)
+
+
+def test_files_table_predicate_prunes_chunks(spark, tmp_path,
+                                             monkeypatch):
+    """A predicate on a clustered stats column rules chunks out before
+    any sidecar is opened — the $files filter-pushdown contract."""
+    _force_chunked(monkeypatch)
+    t = str(tmp_path / "t")
+    df = spark.range(0, 400).selectExpr("id AS k", "id * 2 AS w")
+    V.write_snapshot(df.repartitionByRange(16, "k"), t,
+                     stats_cols=["k"])
+    core = V._read_core(t, V.current_snapshot(t))
+    assert "chunks" in core
+    reads = []
+    orig = V._read_chunk
+
+    def counting(table, cid):
+        reads.append(cid)
+        return orig(table, cid)
+
+    monkeypatch.setattr(V, "_read_chunk", counting)
+    preds = [("k", ">=", 390)]
+    listed = M.files_table(spark, t, predicates=preds).collect()
+    # driver-side planning opened no sidecars (span check only)
+    assert reads == [], "driver must not load sidecars for $files"
+    # and the result is exactly the files the planner would keep
+    want = set(V.prune_report(t, V.current_snapshot(t), preds)["kept"])
+    assert {r.file for r in listed} == want
+    assert len(want) < len(V._materialize(t, core)["files"])
+
+
+def test_files_table_excluded_members_stay_hidden(spark, tmp_path,
+                                                  monkeypatch):
+    """COW-rewritten (tombstoned) members of a reused chunk never
+    surface in $files."""
+    _force_chunked(monkeypatch)
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+    V.write_snapshot(df.repartitionByRange(8, "k"), t,
+                     stats_cols=["k"])
+    V.merge_snapshot(
+        spark,
+        spark.range(0, 5).selectExpr("id AS k", "id * 9 AS w"),
+        t, key="k")
+    man = V._materialize(t, V._read_core(t, V.current_snapshot(t)))
+    got = {r.file for r in M.files_table(spark, t).collect()}
+    assert got == set(man["files"])
