@@ -2233,7 +2233,8 @@ def _publish(table: str, files: list[str], rows: int,
                     f"(field id {retired[f.name]}, renamed away or "
                     "dropped) — reusing it would leak old-file data "
                     "under a different column identity; pick another "
-                    "name (a full refresh clears the fence)")
+                    "name (a full refresh or compaction clears the "
+                    "fence)")
             if f.name not in field_ids:
                 field_ids[f.name] = next_id
                 next_id += 1
@@ -2706,7 +2707,9 @@ def rename_column(table: str, old: str, new: str,
     reads coalesce the chain back to the current name — see
     `_read_pool`) and the ``retired`` fence (re-adding the old name
     would leak old-file data under a different column identity, so it
-    is refused until a full refresh clears the fence). Stats/bloom
+    is refused until a full refresh or a compaction — both
+    rewrite every live file under current names — clears the fence).
+    Stats/bloom
     opt-ins follow the rename; per-file stats recorded under the old
     name keep pruning via the same chain (`_prune_from_man`).
 
@@ -2735,7 +2738,7 @@ def rename_column(table: str, old: str, new: str,
             raise SchemaEvolutionError(
                 f"{table}: column name {new!r} was retired (field id "
                 f"{retired[new]}) — pick another name (a full "
-                "refresh clears the fence)")
+                "refresh or compaction clears the fence)")
         _schema_change_guard(table, core, old)
 
         field_ids = dict(core.get("field_ids") or {})
@@ -3012,7 +3015,8 @@ def append_snapshot(df: DataFrame, table: str,
                 bloom_cols = parent_core.get("bloom_cols")
                 new_blooms = _scan_blooms(spark, table, new_files,
                                           bloom_cols, df.schema)
-        schema = _merge_schema(_schema_from_man(parent_core), df.schema)
+        schema = _merge_schema(_schema_from_man(parent_core), df.schema,
+                               parent_core.get("retired"))
         if "chunks" in parent_core:  # O(commit): reuse parent chunks
             return _publish(
                 table, new_files,
@@ -3105,11 +3109,21 @@ def compact_snapshot(spark: SparkSession, table: str,
     with table_lease(table, owner="compact_snapshot",
                      wait_s=_COMMIT_WAIT_S):
         head = current_snapshot(table)
+        # A compaction rewrites every base-era file under CURRENT
+        # column names (interposed appends already wrote current
+        # names), so the rename projection chain and the retired-name
+        # fence clear — exactly like a full refresh. This also
+        # restores parquet filter pushdown on renamed columns (the
+        # coalesce chain is only needed while old-name files live).
+        meta_clear = {"field_ids": base_man.get("field_ids"),
+                      "next_field_id": base_man.get("next_field_id"),
+                      "renames": None, "retired": None}
         if head == base:
             return _publish(table, files, base_man["rows"], head, 0,
                             op="compact", schema=cur.schema,
                             stats=stats, stats_cols=stats_cols,
-                            blooms=blooms, bloom_cols=bloom_cols)
+                            blooms=blooms, bloom_cols=bloom_cols,
+                            schema_meta=meta_clear)
         head_man = read_manifest(table, head)
         interposed = _rebase_chain(table, head, base)
         bad = [m["snapshot"] for m in interposed
@@ -3146,7 +3160,10 @@ def compact_snapshot(spark: SparkSession, table: str,
         head_seq = head_man.get("file_seq") or {}
         return _publish(
             table, files + inter_files, head_man["rows"], head,
-            len(inter_files), op="compact",
+            len(inter_files), op="compact", schema_meta={
+                **meta_clear,
+                "field_ids": head_man.get("field_ids"),
+                "next_field_id": head_man.get("next_field_id")},
             new_files=files, schema=_schema_from_man(head_man),
             stats=(None if stats is None else {
                 **stats, **{f: head_stats[f] for f in inter_files
@@ -3562,7 +3579,7 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
     core = _read_core(table, parent)
     if "chunks" in core:
         schema = _merge_schema(_schema_from_man(core),
-                               updates.schema)
+                               updates.schema, core.get("retired"))
         keys = updates.select(key).distinct()
 
         def rewrite(affected_df):
@@ -3579,7 +3596,8 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
     parent_man = core
     stats_cols = parent_man.get("stats_cols")
     parent_schema = _schema_from_man(parent_man)
-    schema = _merge_schema(parent_schema, updates.schema)
+    schema = _merge_schema(parent_schema, updates.schema,
+                           parent_man.get("retired"))
     keys = updates.select(key).distinct()
 
     # ---- expensive staging: NO lease held ----

@@ -252,3 +252,29 @@ def test_field_ids_are_stable_and_monotone(spark, tmp_path):
             "k int, label string, w double"), table)
     core = V._read_core(table, V.current_snapshot(table))
     assert core["field_ids"]["w"] > max(ids0.values())  # fresh id
+
+
+def test_compaction_clears_chain_and_restores_pushdown(spark, tmp_path):
+    """Compaction rewrites every live file under CURRENT names, so the
+    rename projection chain and the retired fence clear — and filters
+    on the renamed column push down to the parquet scan again (the
+    coalesce chain blocks footer pushdown while old-name files live)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS qty"),
+        table, stats_cols=["k"])
+    V.rename_column(table, "qty", "quantity")
+    V.compact_snapshot(spark, table, target_files=2)
+    core = V._read_core(table, V.current_snapshot(table))
+    assert not core.get("renames") and not core.get("retired")
+    # field ids survive the clear
+    assert core["field_ids"]["quantity"] > 0
+    # the retired name is reusable again — genuinely fresh column
+    V.append_snapshot(
+        spark.createDataFrame([(200, 7, 1.0)],
+                              "k int, quantity int, qty double"),
+        table)
+    # pushdown: the filter reaches the parquet scan as a data filter
+    df = V.read_current(spark, table).filter("quantity >= 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "quantity" in plan.split("PushedFilters")[1][:200], plan

@@ -147,3 +147,25 @@ def test_files_per_partition_batches(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == {(i, f"v{i}") if i > 1 else (1, "a")
                    for i in range(1, 6)}
+
+
+def test_vacuumed_range_resume_refuses_loudly(spark, tmp_path):
+    """A consumer so far behind that its offset's lineage was vacuumed
+    must FAIL the stream (NonIncrementalHistoryError surfaced), never
+    silently skip rows — vacuum retention must cover consumer lag."""
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    assert _drain(spark, table, tmp_path) == {(1, "a")}
+    # two compactions supersede the old lineage, then vacuum reaps it
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    V.compact_snapshot(spark, table, target_files=1)
+    V.compact_snapshot(spark, table, target_files=1)
+    out = V.vacuum_snapshots(table, keep=1, min_age_seconds=0.0)
+    assert len(out["snapshots"]) >= 1, out
+    with pytest.raises(StreamingQueryException,
+                       match="vacuumed|not an ancestor|missing"):
+        _drain(spark, table, tmp_path)
