@@ -4259,12 +4259,12 @@ def xs16_stream_table_source(spark: SparkSession, sf_dir: str
     ``readStream.format("versioned_table")``, the Delta-CDF shape).
 
     Lifecycle under test: write orders-batch 0 (genesis), append
-    batches 1-2, drain the stream ONCE (genesis bootstrap + catch-up,
-    offset committed), append batches 3-4, then RESTART the stream
-    from the same checkpoint and drain again — the second run must
-    emit ONLY batches 3-4. The oracle is the plain batch aggregate
-    over all five batches, so a hash match proves exactly-once across
-    the restart: any replay or gap changes the counts/sums.
+    batch 1, drain the stream ONCE (genesis bootstrap + catch-up,
+    offset committed), append batch 2, then RESTART the stream from
+    the same checkpoint and drain again — the second run must emit
+    ONLY batch 2. The oracle is the plain batch aggregate over all
+    three batches, so a hash match proves exactly-once across the
+    restart: any replay or gap changes the counts/sums.
 
     Scale: offset planning is manifest-metadata-only on the driver;
     each input partition is one writer-sized pool file read
@@ -4285,7 +4285,7 @@ def xs16_stream_table_source(spark: SparkSession, sf_dir: str
     orders = load_table(spark, sf_dir, "orders")
     rows = orders.select(
         "o_orderkey",
-        (F.col("o_orderkey") % 5).alias("batch"),
+        (F.col("o_orderkey") % 3).alias("batch"),
         F.col("o_totalprice").alias("price"))
 
     def _drain():
@@ -4296,12 +4296,10 @@ def xs16_stream_table_source(spark: SparkSession, sf_dir: str
         q.awaitTermination()
 
     V.write_snapshot(rows.filter(F.col("batch") == 0), table)
-    for b in (1, 2):
-        V.append_snapshot(rows.filter(F.col("batch") == b), table)
-    _drain()  # genesis bootstrap + catch-up: batches 0-2
-    for b in (3, 4):
-        V.append_snapshot(rows.filter(F.col("batch") == b), table)
-    _drain()  # restart from checkpoint: exactly-once, only 3-4
+    V.append_snapshot(rows.filter(F.col("batch") == 1), table)
+    _drain()  # genesis bootstrap + catch-up: batches 0-1
+    V.append_snapshot(rows.filter(F.col("batch") == 2), table)
+    _drain()  # restart from checkpoint: exactly-once, only batch 2
 
     return (spark.read.parquet(out)
             .groupBy("batch")
@@ -7928,10 +7926,10 @@ EXT_ORACLES["x118_metadata_tables"] = """
 """
 
 # xs16: exactly-once across the stream restart means the parquet sink
-# holds each of the five batches exactly once — the plain batch
+# holds each of the three batches exactly once — the plain batch
 # aggregate over all of orders.
 EXT_ORACLES["xs16_stream_table_source"] = """
-    SELECT o_orderkey % 5 AS batch,
+    SELECT o_orderkey % 3 AS batch,
            count(*)::BIGINT AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
                 AS DOUBLE) AS sum_price

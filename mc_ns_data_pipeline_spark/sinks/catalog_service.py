@@ -109,6 +109,12 @@ class CatalogHandler(BaseHTTPRequestHandler):
                 self._txns(method, parts[2:], root)
             else:
                 self._send(404, {"error": "no such route"})
+        except V.LineageCycleError as e:
+            # corrupted lineage must NOT look like ordinary divergence
+            # to a remote writer's retry loop (ADVICE r8's typed-error
+            # contract, preserved across the wire)
+            self._send(409, {"error": str(e),
+                             "kind": "lineage-cycle"})
         except V.CommitConflictError as e:
             self._send(409, {"error": str(e),
                              "kind": "commit-conflict"})
@@ -276,6 +282,8 @@ class RestCatalog:
                     kind = json.loads(msg).get("kind")
                 except (ValueError, AttributeError):
                     kind = None
+                if kind == "lineage-cycle":
+                    raise V.LineageCycleError(msg)
                 if kind == "commit-conflict":
                     raise V.CommitConflictError(msg)
                 raise TC.TableExistsError(msg)
@@ -417,6 +425,17 @@ class RemoteCatalogTxn:
                                  doomed, branch=self.branch)
 
     def commit(self) -> dict:
+        """Post the commit decision to the service.
+
+        Raises CommitConflictError (server already dropped the staged
+        branches) when any table moved. A TRANSPORT failure (service
+        down, connection lost) deliberately leaves the staged
+        ``txn-<id>`` branches in place: the client cannot know whether
+        the server sealed the intent — deleting refs here could strand
+        a roll-forward mid-flip — so resolution belongs to
+        ``recover_txns()`` (completes or rolls back any sealed
+        intent) plus vacuum, which reaps never-sealed staging branches
+        by age exactly like a crashed local writer's."""
         if self._done:
             raise RuntimeError("transaction already finished")
         self._done = True
@@ -426,7 +445,17 @@ class RemoteCatalogTxn:
                 "tables": list(self._written)}
         if self.group is not None:
             body["group"] = self.group
-        return self.catalog._call("POST", "/v1/txns/commit", body)
+        try:
+            return self.catalog._call("POST", "/v1/txns/commit", body)
+        except (V.CommitConflictError, TC.NoSuchTableError):
+            raise  # server resolved it: branches already dropped
+        except Exception as e:
+            raise RuntimeError(
+                f"wire txn {self.txn_id} commit did not complete "
+                f"({e!r}); staged txn-branches remain on "
+                f"{self._written} — run recover_txns() to resolve "
+                "any sealed intent, then retry with a NEW "
+                "transaction") from e
 
     def abort(self) -> None:
         if self._done:

@@ -154,16 +154,22 @@ def files_table(spark: SparkSession, table: str,
     # chunked: expand surviving pages to chunk descriptors (driver
     # cost O(pages + surviving chunks)), ship descriptors to executors
     preds = list(predicates or [])
+    # normalize once per PLAN for the driver-side span checks (big
+    # IN-lists bisect instead of re-scanning per chunk); the closure
+    # below ships the RAW tuples — an _InProbe instance cannot
+    # unpickle in the worker before the import guard runs, and
+    # _prune_from_man re-normalizes executor-side anyway
+    span_preds = V._norm_predicates(preds) if preds else []
     renames = core.get("renames")
     chunks: list[dict] = []
     for pg in core.get("pages") or []:
-        if preds and not V._page_survives(pg, preds, renames):
+        if preds and not V._page_survives(pg, span_preds, renames):
             continue
         chunks += V._read_page(table, pg["id"])
     chunks += core.get("chunks") or []
     if preds:
         chunks = [ch for ch in chunks
-                  if V._chunk_survives(ch, preds, renames)]
+                  if V._chunk_survives(ch, span_preds, renames)]
     if not chunks:
         return spark.createDataFrame([], _FILES_SCHEMA)
     meta = [(ch["id"], json.dumps(ch.get("exclude") or []))
@@ -252,10 +258,15 @@ def metadata_table(spark: SparkSession, table: str,
 def register_metadata_views(spark: SparkSession, table: str,
                             prefix: str) -> list[str]:
     """Register every metadata kind as ``{prefix}_{kind}`` temp views
-    so operators inspect the table in plain SQL. Views snapshot the
-    metadata AT registration (they are createDataFrame results, not
-    live plans) — re-register after commits, matching
-    register_views' frozen-plan contract."""
+    so operators inspect the table in plain SQL. Views are FROZEN at
+    the registration-time snapshot — snapshots/history/refs
+    materialize driver-side; ``files`` on a chunked manifest is a
+    LAZY plan over that snapshot's immutable sidecars (re-register
+    after commits to advance, matching register_views' frozen-plan
+    contract), so like any MVCC read it stays valid until THAT
+    snapshot is vacuumed — vacuuming it makes later ``files`` view
+    queries fail with the sidecars gone, exactly like a pinned
+    read_snapshot plan."""
     out = []
     for kind in _KINDS:
         name = f"{prefix}_{kind}"

@@ -82,9 +82,17 @@ def _ensure_importable(pkg_parent: str | None) -> None:
 class _FileSlice(InputPartition):
     """One pool file (or small batch) of an append increment."""
 
-    def __init__(self, paths: list[str], schema_json: str):
+    def __init__(self, paths: list[str], schema_json: str,
+                 renames: dict | None = None):
         self.paths = paths
         self.schema_json = schema_json
+        # {current_name: [older physical names]} from the END
+        # snapshot's manifest: bootstrap slices may carry pre-rename
+        # era files whose physical column name differs — read()
+        # resolves each field through the chain (a file carries
+        # exactly ONE chain name; retirement forbids reuse), exactly
+        # the projection `_read_pool` applies batch-side.
+        self.renames = renames or {}
 
 
 def _append_files_between(table: str, start: str, end: str) -> list[str]:
@@ -114,14 +122,17 @@ def _append_files_between(table: str, start: str, end: str) -> list[str]:
     return files
 
 
-def _bootstrap_files(table: str, snapshot: str) -> list[str]:
+def _bootstrap_files(table: str, snapshot: str,
+                     core: dict | None = None) -> list[str]:
     """The full file list of `snapshot` for a genesis bootstrap batch.
 
     Refuses when the snapshot carries merge-on-read delete masks: the
     stream reads pool files raw, so masked rows would resurrect."""
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
-    man = V._materialize(table, V._read_core(table, snapshot))
+    man = V._materialize(
+        table, core if core is not None
+        else V._read_core(table, snapshot))
     if man.get("delete_files"):
         raise V.NonIncrementalHistoryError(
             f"{table}: snapshot {snapshot} carries merge-on-read "
@@ -172,15 +183,17 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         s, e = start["snapshot"], end["snapshot"]
         if s == e:
             return []
+        end_core = V._read_core(self._table, e)
         if s == _GENESIS:
-            files = _bootstrap_files(self._table, e)
+            files = _bootstrap_files(self._table, e, end_core)
         else:
             files = _append_files_between(self._table, s, e)
         root = V._data_root(self._table)
         paths = [f if os.path.isabs(f) else os.path.join(root, f)
                  for f in files]
         k = self._per_part
-        return [_FileSlice(paths[i:i + k], self._schema_json)
+        renames = end_core.get("renames")
+        return [_FileSlice(paths[i:i + k], self._schema_json, renames)
                 for i in range(0, len(paths), k)]
 
     # -- executor-side read ---------------------------------------------
@@ -191,12 +204,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         want = to_arrow_schema(
             StructType.fromJson(json.loads(partition.schema_json)))
+        chains = {f.name: [f.name,
+                           *partition.renames.get(f.name, ())]
+                  for f in want}
         for path in partition.paths:
             tbl = pq.read_table(path)
             cols = []
             for field in want:
-                if field.name in tbl.column_names:
-                    col = tbl.column(field.name)
+                # a file carries exactly one name of a rename chain
+                # (retirement forbids reuse) — first present wins
+                have = next((c for c in chains[field.name]
+                             if c in tbl.column_names), None)
+                if have is not None:
+                    col = tbl.column(have)
                     if col.type != field.type:
                         col = col.cast(field.type)
                 else:  # pre-evolution file: later-added column -> NULL

@@ -169,3 +169,16 @@ def test_vacuumed_range_resume_refuses_loudly(spark, tmp_path):
     with pytest.raises(StreamingQueryException,
                        match="vacuumed|not an ancestor|missing"):
         _drain(spark, table, tmp_path)
+
+
+def test_genesis_bootstrap_projects_renamed_columns(spark, tmp_path):
+    """A rename BEFORE stream definition: the bootstrap batch must
+    project old-era files (physical old name) under the current name
+    with real values — never silent NULLs (r9 review finding)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "old-era")]), table)
+    V.rename_column(table, "v", "label")
+    V.append_snapshot(_df(spark, [(2, "new-era")],
+                          "k int, label string"), table)
+    got = _drain(spark, table, tmp_path)
+    assert got == {(1, "old-era"), (2, "new-era")}
