@@ -278,3 +278,21 @@ def test_compaction_clears_chain_and_restores_pushdown(spark, tmp_path):
     df = V.read_current(spark, table).filter("quantity >= 100")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "quantity" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_sql_catalog_views_serve_renamed_tables(spark, tmp_path):
+    """The SQL surface (table_catalog.register_views) composes with
+    rename: a frozen view registered after the rename serves the new
+    column name over old-era files."""
+    from mc_ns_data_pipeline_spark.sinks import table_catalog as TC
+
+    cat = str(tmp_path / "catalog")
+    root = TC.create_table(cat, "sales.t")
+    V.write_snapshot(_df(spark, [(1, "old-era")]), root)
+    V.rename_column(root, "v", "label")
+    V.append_snapshot(_df(spark, [(2, "new-era")],
+                          "k int, label string"), root)
+    TC.register_views(spark, cat, names=["sales.t"], prefix="evo_")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT k, label FROM evo_sales_t ORDER BY k").collect()}
+    assert got == {(1, "old-era"), (2, "new-era")}
