@@ -4357,6 +4357,87 @@ def x119_schema_evolution(spark: SparkSession, sf_dir: str
             .orderBy("grp"))
 
 
+def xs17_stream_change_feed(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """XS17 — the versioned table's CHANGE FEED as a stream
+    (streaming/table_source.py read_stream_changes): insert events
+    from append/MOR-upsert commits' own files, key-only delete events
+    from the commits' new equality-delete entries, each stamped with
+    its commit generation — the full Delta-CDF shape over the
+    changelog contract (reference consumer anchor:
+    incremental_fetch.py:129-155).
+
+    Lifecycle: base = orders k%3==0; stream opens at that snapshot;
+    then an append (k%3==1), a MOR delete (k%6==0), and a MOR upsert
+    (k%6==4 at price+1000 — retraction and re-insert in ONE commit)
+    land; one drain collects the feed. The query applies the
+    documented consumer rule (order by _commit_gen, deletes before
+    inserts at equal generation, last event per key wins) over the
+    base and aggregates the NET state plus event-type counts. The
+    oracle states the net algebra and the counts directly from
+    orders, so a hash match proves the feed is complete, exactly-once
+    and correctly sequenced — any missing/duplicated/mis-ordered
+    event changes a count or the net sums.
+
+    Scale: event planning is manifest-metadata-only; delete events
+    read kilobyte equality-delete files, never a keyed diff."""
+    import os
+
+    from pyspark.sql import Window
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        read_stream_changes,
+    )
+
+    root = _scratch_dir("xs17_cdc_")
+    table = os.path.join(root, "tbl")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(F.col("o_orderkey").alias("k"),
+                         F.col("o_totalprice").alias("price"))
+    V.write_snapshot(rows.filter(F.col("k") % 3 == 0), table)
+    mark = V.current_snapshot(table)
+    V.append_snapshot(rows.filter(F.col("k") % 3 == 1), table)
+    V.delete_keys_mor(spark, table, "k",
+                      rows.filter(F.col("k") % 6 == 0).select("k"))
+    V.merge_snapshot_mor(
+        spark,
+        rows.filter(F.col("k") % 6 == 4)
+        .withColumn("price", F.col("price") + F.lit(1000.0)),
+        table, "k")
+
+    q = (read_stream_changes(spark, table, starting=mark)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    ev = spark.read.parquet(out)
+    n_ins = ev.filter(F.col("_change_type") == "insert").count()
+    n_del = ev.filter(F.col("_change_type") == "delete").count()
+    base = rows.filter(F.col("k") % 3 == 0).select(
+        "k", "price", F.lit("insert").alias("_change_type"),
+        F.lit(0).cast("long").alias("_commit_gen"))
+    w = Window.partitionBy("k").orderBy(
+        F.col("_commit_gen").desc(),
+        (F.col("_change_type") == F.lit("insert")).desc())
+    final = (ev.unionByName(base)
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .filter(F.col("_change_type") == "insert"))
+    return (final.groupBy((F.col("k") % 2).alias("grp"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("price").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_price"))
+            .withColumn("n_insert_events",
+                        F.lit(n_ins).cast("long"))
+            .withColumn("n_delete_events",
+                        F.lit(n_del).cast("long"))
+            .orderBy("grp"))
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4382,7 +4463,8 @@ EXT_QUERIES = {
     # Rotated out on fresh r8-green rows, implementations unchanged:
     # x62, x17-x19, x21, x85-x89, x92-x95. New below the marker per
     # rule 4 (r10 rotation candidates): xs16_stream_table_source,
-    # x119_schema_evolution (registered at the bottom as they land).
+    # x119_schema_evolution, xs17_stream_change_feed (registered at
+    # the bottom as they land).
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
     "x98_snapshot_merge": x98_snapshot_merge,
@@ -4519,6 +4601,7 @@ EXT_QUERIES = {
     "xs3_stream_dedup": xs3_stream_dedup,
     "xs16_stream_table_source": xs16_stream_table_source,
     "x119_schema_evolution": x119_schema_evolution,
+    "xs17_stream_change_feed": xs17_stream_change_feed,
 }
 
 # ---------------------------------------------------------------------------
@@ -7948,6 +8031,34 @@ EXT_ORACLES["x119_schema_evolution"] = """
            TRUE AS schema_ok
     FROM orders
     WHERE o_totalprice >= 50000.0
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+# xs17: the net state after base(k%3==0) - delete(k%6==0) +
+# append(k%3==1) with the k%6==4 slice upserted to price+1000;
+# event counts stated arithmetically (upsert = retraction + insert).
+EXT_ORACLES["xs17_stream_change_feed"] = """
+    SELECT k % 2 AS grp,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price,
+           ((SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+            + (SELECT count(*) FROM orders
+               WHERE o_orderkey % 6 = 4))::BIGINT AS n_insert_events,
+           ((SELECT count(*) FROM orders WHERE o_orderkey % 6 = 0)
+            + (SELECT count(*) FROM orders
+               WHERE o_orderkey % 6 = 4))::BIGINT AS n_delete_events
+    FROM (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 6 = 3
+        UNION ALL
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 6 = 1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000
+        FROM orders WHERE o_orderkey % 6 = 4
+    )
     GROUP BY 1
     ORDER BY 1
 """

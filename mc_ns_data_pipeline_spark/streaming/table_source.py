@@ -60,6 +60,8 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 _GENESIS = ""  # offset sentinel: "before the first snapshot"
+_CHANGE_TYPE = "_change_type"  # CDC meta columns (Delta CDF naming)
+_COMMIT_GEN = "_commit_gen"
 
 
 def _ensure_importable(pkg_parent: str | None) -> None:
@@ -80,10 +82,14 @@ def _ensure_importable(pkg_parent: str | None) -> None:
 
 
 class _FileSlice(InputPartition):
-    """One pool file (or small batch) of an append increment."""
+    """One pool file (or small batch) of an append increment — or, in
+    CHANGES mode, one insert/delete event slice with its commit
+    generation (and for deletes, the equality-delete key column)."""
 
     def __init__(self, paths: list[str], schema_json: str,
-                 renames: dict | None = None):
+                 renames: dict | None = None,
+                 kind: str = "row", gens: list[int] | None = None,
+                 key: str | None = None):
         self.paths = paths
         self.schema_json = schema_json
         # {current_name: [older physical names]} from the END
@@ -93,6 +99,9 @@ class _FileSlice(InputPartition):
         # exactly ONE chain name; retirement forbids reuse), exactly
         # the projection `_read_pool` applies batch-side.
         self.renames = renames or {}
+        self.kind = kind          # "row" | "insert" | "delete"
+        self.gens = gens          # per-path commit generation (CDC)
+        self.key = key            # delete slices: key column name
 
 
 def _append_files_between(table: str, start: str, end: str) -> list[str]:
@@ -122,6 +131,71 @@ def _append_files_between(table: str, start: str, end: str) -> list[str]:
     return files
 
 
+def _change_slices_between(table: str, start: str, end: str,
+                           schema_json: str, renames: dict | None,
+                           per_part: int) -> list["_FileSlice"]:
+    """CDC planning: insert slices from append/merge-mor commits' own
+    files, delete slices from delete-mor/merge-mor commits' NEW
+    equality-delete entries (diffed against the previous commit's
+    list — `read_changes_since`'s attribution, versioned.py), each
+    stamped with its commit generation. Compact/set-spec contribute
+    nothing; set-schema and COW rewrites refuse loudly."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    chain = V._chain_between(table, start, end)
+    root = V._data_root(table)
+    out: list[_FileSlice] = []
+    prev_dels: list[dict] | None = None
+    for man in chain:
+        op = man.get("op")
+        gen = V._gen_of(man["snapshot"])
+        if op in ("compact", "set-spec"):
+            prev_dels = man.get("delete_files") or []
+            continue
+        if op == "set-schema":
+            raise V.NonIncrementalHistoryError(
+                f"commit {man['snapshot']} changed the table schema "
+                "(rename/drop) — a stream's schema is frozen at "
+                "definition; restart the stream to adopt it")
+        if op not in ("append", "merge-mor", "delete-mor"):
+            raise V.NonIncrementalHistoryError(
+                f"commit {man['snapshot']} is op={op!r} — a COW "
+                "rewrite does not decompose into row events; "
+                "re-bootstrap the consumer")
+        if op in ("append", "merge-mor"):
+            files = [f if os.path.isabs(f)
+                     else os.path.join(root, f)
+                     for f in man.get("new_files", [])]
+            for i in range(0, len(files), per_part):
+                part = files[i:i + per_part]
+                out.append(_FileSlice(
+                    part, schema_json, renames, kind="insert",
+                    gens=[gen] * len(part)))
+        if op in ("delete-mor", "merge-mor"):
+            if prev_dels is None:
+                try:  # baseline = the start snapshot's own list —
+                    # a vacuumed start must refuse LOUDLY (falling
+                    # back to [] would re-emit carried deletes)
+                    prev_dels = (V._read_core(table, start)
+                                 .get("delete_files") or [])
+                except FileNotFoundError:
+                    raise V.NonIncrementalHistoryError(
+                        f"snapshot {start} vacuumed from {table!r} — "
+                        "cannot attribute delete entries; "
+                        "re-bootstrap the consumer") from None
+            seen = {d["file"] for d in prev_dels}
+            for d in man.get("delete_files") or []:
+                if d["file"] in seen:
+                    continue
+                path = (d["file"] if os.path.isabs(d["file"])
+                        else os.path.join(root, d["file"]))
+                out.append(_FileSlice(
+                    [path], schema_json, renames, kind="delete",
+                    gens=[gen], key=d["key"]))
+        prev_dels = man.get("delete_files") or []
+    return out
+
+
 def _bootstrap_files(table: str, snapshot: str,
                      core: dict | None = None) -> list[str]:
     """The full file list of `snapshot` for a genesis bootstrap batch.
@@ -147,6 +221,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._table = options["table"]
         self._starting = options.get("starting", "current")
         self._per_part = int(options.get("files_per_partition", "1"))
+        self._changes = options.get("changes", "false") == "true"
         self._schema_json = schema.json()
         self._pkg_parent = options.get("pkg_parent", "")
 
@@ -184,15 +259,32 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if s == e:
             return []
         end_core = V._read_core(self._table, e)
+        renames = end_core.get("renames")
+        k = self._per_part
+        if self._changes and s != _GENESIS:
+            return _change_slices_between(
+                self._table, s, e, self._schema_json, renames, k)
+        root = V._data_root(self._table)
         if s == _GENESIS:
+            man = V._materialize(self._table, end_core)
             files = _bootstrap_files(self._table, e, end_core)
+            if self._changes:
+                # bootstrap = every live row as an insert event at
+                # its file's recorded generation
+                seq = man.get("file_seq") or {}
+                out = []
+                for i in range(0, len(files), k):
+                    part = files[i:i + k]
+                    out.append(_FileSlice(
+                        [f if os.path.isabs(f)
+                         else os.path.join(root, f) for f in part],
+                        self._schema_json, renames, kind="insert",
+                        gens=[int(seq.get(f, 0)) for f in part]))
+                return out
         else:
             files = _append_files_between(self._table, s, e)
-        root = V._data_root(self._table)
         paths = [f if os.path.isabs(f) else os.path.join(root, f)
                  for f in files]
-        k = self._per_part
-        renames = end_core.get("renames")
         return [_FileSlice(paths[i:i + k], self._schema_json, renames)
                 for i in range(0, len(paths), k)]
 
@@ -204,17 +296,23 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         want = to_arrow_schema(
             StructType.fromJson(json.loads(partition.schema_json)))
+        meta = {_CHANGE_TYPE, _COMMIT_GEN}
+        data_fields = [f for f in want if f.name not in meta]
         chains = {f.name: [f.name,
                            *partition.renames.get(f.name, ())]
-                  for f in want}
-        for path in partition.paths:
+                  for f in data_fields}
+        for idx, path in enumerate(partition.paths):
             tbl = pq.read_table(path)
             cols = []
-            for field in want:
+            for field in data_fields:
                 # a file carries exactly one name of a rename chain
-                # (retirement forbids reuse) — first present wins
+                # (retirement forbids reuse) — first present wins;
+                # delete slices carry ONLY their key column, so every
+                # other field projects NULL by the same rule
                 have = next((c for c in chains[field.name]
                              if c in tbl.column_names), None)
+                if partition.kind == "delete" and have is not None                         and partition.key not in chains[field.name]:
+                    have = None  # stray column in a delete file
                 if have is not None:
                     col = tbl.column(have)
                     if col.type != field.type:
@@ -222,7 +320,17 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 else:  # pre-evolution file: later-added column -> NULL
                     col = pa.nulls(tbl.num_rows, type=field.type)
                 cols.append(col)
-            out = pa.table(dict(zip(want.names, cols))).cast(
+            names = [f.name for f in data_fields]
+            if partition.kind != "row":
+                kind = ("insert" if partition.kind == "insert"
+                        else "delete")
+                gen = partition.gens[idx]
+                cols.append(pa.array([kind] * tbl.num_rows,
+                                     type=pa.string()))
+                cols.append(pa.array([gen] * tbl.num_rows,
+                                     type=pa.int64()))
+                names += [_CHANGE_TYPE, _COMMIT_GEN]
+            out = pa.table(dict(zip(names, cols))).cast(
                 pa.schema(want))
             yield from out.to_batches()
 
@@ -258,11 +366,39 @@ class VersionedTableDataSource(DataSource):
             raise ValueError(
                 f"{table}: snapshot {cur} predates schema stamping — "
                 "pass an explicit .schema(...) to readStream")
+        if self.options.get("changes", "false") == "true":
+            from pyspark.sql.types import LongType, StringType
+
+            from pyspark.sql.types import StructField as SF
+            schema = StructType(
+                list(schema.fields)
+                + [SF(_CHANGE_TYPE, StringType(), False),
+                   SF(_COMMIT_GEN, LongType(), False)])
         return schema
 
     def streamReader(self, schema: StructType
                      ) -> VersionedTableStreamReader:
         return VersionedTableStreamReader(schema, dict(self.options))
+
+
+def _register(spark: SparkSession) -> str:
+    """Register the datasource shippable-by-value and return the
+    package parent dir. The datasource runs in separate Python worker
+    processes (offset runner + executor tasks) that have no PYTHONPATH
+    entry for this repo when the driver loaded it from an arbitrary
+    cwd: ship this module's classes BY VALUE so unpickling never
+    imports it, and record the package parent so the lazy
+    versioned.py imports inside the methods resolve
+    (see _ensure_importable)."""
+    import sys
+
+    import mc_ns_data_pipeline_spark
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(VersionedTableDataSource)
+    return os.path.dirname(
+        os.path.dirname(mc_ns_data_pipeline_spark.__file__))
 
 
 def read_stream_table(spark: SparkSession, table: str,
@@ -272,24 +408,43 @@ def read_stream_table(spark: SparkSession, table: str,
     datasource idempotently). ``starting``: "current" (only appends
     after stream definition), "genesis" (full bootstrap then appends),
     or an explicit snapshot id (exclusive resume point)."""
-    import sys
-
-    import mc_ns_data_pipeline_spark
-    from pyspark import cloudpickle
-
-    # The datasource runs in separate Python worker processes (offset
-    # runner + executor tasks) that have no PYTHONPATH entry for this
-    # repo when the driver loaded it from an arbitrary cwd. Ship this
-    # module's classes BY VALUE so unpickling never imports it, and
-    # record the package parent so the lazy versioned.py imports
-    # inside the methods resolve (see _ensure_importable).
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    pkg_parent = os.path.dirname(
-        os.path.dirname(mc_ns_data_pipeline_spark.__file__))
-    spark.dataSource.register(VersionedTableDataSource)
+    pkg_parent = _register(spark)
     return (spark.readStream.format("versioned_table")
             .option("table", table)
             .option("starting", starting)
             .option("files_per_partition", str(files_per_partition))
+            .option("pkg_parent", pkg_parent)
+            .load())
+
+
+def read_stream_changes(spark: SparkSession, table: str,
+                        starting: str = "current",
+                        files_per_partition: int = 1) -> DataFrame:
+    """Open a versioned table's CHANGE FEED as a streaming DataFrame —
+    the full Delta-CDF shape: every row of the table schema plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_gen`` (the
+    commit generation that produced the event).
+
+    Insert events come from append / merge-on-read-upsert commits'
+    own files; delete events are the commits' NEW equality-delete
+    entries (key column populated, every other column NULL — the
+    batch ``read_changes_since`` contract, kilobytes of metadata, no
+    keyed diff). ``starting="genesis"`` bootstraps every live row as
+    an insert at its file's recorded generation.
+
+    Downstream apply rule, exactly once per event: order by
+    ``_commit_gen``, and AT EQUAL generation apply deletes BEFORE
+    inserts — a merge-on-read upsert retracts the old versions and
+    inserts the new ones in one commit, and its own rows must survive
+    its own retraction (the strict-below mask rule, as events).
+    Everything else (exactly-once offsets, compaction transparency,
+    loud refusal of COW rewrites / mid-stream schema changes /
+    vacuumed resume points) matches ``read_stream_table``."""
+    pkg_parent = _register(spark)
+    return (spark.readStream.format("versioned_table")
+            .option("table", table)
+            .option("starting", starting)
+            .option("files_per_partition", str(files_per_partition))
+            .option("changes", "true")
             .option("pkg_parent", pkg_parent)
             .load())

@@ -48,7 +48,7 @@ def test_queries_nonempty(spark, sf_dir):
 # Rotated out on fresh r8-green rows, implementations unchanged:
 # x62, x17–x19, x21, x85–x89, x92–x95. New below the marker (r10
 # rotation candidates): xs16_stream_table_source,
-# x119_schema_evolution.
+# x119_schema_evolution, xs17_stream_change_feed.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",

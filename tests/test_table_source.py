@@ -182,3 +182,131 @@ def test_genesis_bootstrap_projects_renamed_columns(spark, tmp_path):
                           "k int, label string"), table)
     got = _drain(spark, table, tmp_path)
     assert got == {(1, "old-era"), (2, "new-era")}
+
+
+def _drain_changes(spark, table, tmp, starting="genesis", name="cdc"):
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        read_stream_changes,
+    )
+
+    out = os.path.join(str(tmp), f"{name}_out")
+    ckpt = os.path.join(str(tmp), f"{name}_ckpt")
+    q = (read_stream_changes(spark, table, starting=starting)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return {tuple(r) for r in spark.read.parquet(out).collect()}
+
+
+def _apply(events):
+    """The documented consumer rule: order by _commit_gen, deletes
+    before inserts at equal gen; the last event per key decides."""
+    state = {}
+    # rows: (k, v, change_type, gen); sort inserts AFTER deletes at gen
+    for k, v, typ, gen in sorted(events,
+                                 key=lambda e: (e[3], e[2] == "insert")):
+        if typ == "insert":
+            state[k] = v
+        else:
+            state.pop(k, None)
+    return set(state.items())
+
+
+def test_change_feed_appends_and_mor_deletes(spark, tmp_path):
+    """Inserts from appends, delete events from MOR delete entries —
+    applying the feed reproduces the table's net state."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    mark = V.current_snapshot(table)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(1, "a")]).select("k"))
+    got = _drain_changes(spark, table, tmp_path, starting=mark)
+    types = {}
+    for k, v, typ, gen in got:
+        types.setdefault(typ, set()).add(k)
+        if typ == "delete":
+            assert v is None  # key-only event
+    assert types == {"insert": {3}, "delete": {1}}
+    # net state over the pre-stream base
+    base = {(1, "a"), (2, "b")}
+    applied = _apply({(k, v, t, g) for k, v, t, g in got}
+                     | {(k, v, "insert", 0) for k, v in base})
+    want = {tuple(r) for r in V.read_current(spark, table).collect()}
+    assert applied == want == {(2, "b"), (3, "c")}
+
+
+def test_change_feed_mor_upsert_retraction_order(spark, tmp_path):
+    """A merge-on-read upsert emits its retraction (delete) and its
+    new rows (insert) at the SAME generation — the documented apply
+    rule (deletes first at equal gen) keeps the upserted value."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "old"), (2, "keep")]), table)
+    mark = V.current_snapshot(table)
+    V.merge_snapshot_mor(spark, _df(spark, [(1, "NEW")]), table, "k")
+    got = _drain_changes(spark, table, tmp_path, starting=mark)
+    gens = {g for (_, _, _, g) in got}
+    assert len(gens) == 1  # one commit: retraction + insert together
+    assert {(k, v, t) for (k, v, t, _) in got} == {
+        (1, None, "delete"), (1, "NEW", "insert")}
+    applied = _apply(got | {(1, "old", "insert", 0),
+                            (2, "keep", "insert", 0)})
+    assert applied == {(1, "NEW"), (2, "keep")}
+
+
+def test_change_feed_genesis_bootstrap_gens(spark, tmp_path):
+    """Genesis bootstrap emits every live row as an insert at its
+    file's recorded generation (so later incremental deletes sequence
+    correctly against bootstrapped rows)."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    V.append_snapshot(_df(spark, [(2, "b")]), table)
+    got = _drain_changes(spark, table, tmp_path)
+    assert {(k, v, t) for (k, v, t, _) in got} == {
+        (1, "a", "insert"), (2, "b", "insert")}
+    by_key = {k: g for (k, _, _, g) in got}
+    assert by_key[1] < by_key[2]  # per-file gens, not one constant
+
+
+def test_change_feed_exactly_once_across_restart(spark, tmp_path):
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a")]), table)
+    got1 = _drain_changes(spark, table, tmp_path)
+    assert {(k, t) for (k, _, t, _) in got1} == {(1, "insert")}
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(1, "a")]).select("k"))
+    V.append_snapshot(_df(spark, [(5, "e")]), table)
+    got2 = _drain_changes(spark, table, tmp_path)
+    # second drain ADDED only the delete + the new insert
+    assert {(k, t) for (k, _, t, _) in got2} == {
+        (1, "insert"), (1, "delete"), (5, "insert")}
+
+
+def test_change_feed_cow_rewrite_refuses(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    mark = V.current_snapshot(table)
+    V.merge_snapshot(spark, _df(spark, [(1, "NEW")]), table, key="k")
+    with pytest.raises(StreamingQueryException,
+                       match="COW|does not decompose|re-bootstrap"):
+        _drain_changes(spark, table, tmp_path, starting=mark)
+
+
+def test_change_feed_compaction_transparent(spark, tmp_path):
+    """Compaction applies pending masks and rewrites files but emits
+    NO events — already-delivered inserts/deletes never repeat."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    got1 = _drain_changes(spark, table, tmp_path)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(1, "a")]).select("k"))
+    V.compact_snapshot(spark, table, target_files=1)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    got2 = _drain_changes(spark, table, tmp_path)
+    new = {(k, t) for (k, _, t, _) in got2 - got1}
+    assert new == {(1, "delete"), (3, "insert")}
