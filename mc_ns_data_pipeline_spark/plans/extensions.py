@@ -4448,23 +4448,19 @@ EXT_QUERIES = {
     # append new queries at the bottom. Rotation policy: SURVEY.md
     # section 8.
     #
-    # Round-9 window (VERDICT r08 #1): q01-q18 pinned, then the WHOLE
-    # x98-x118 block -- rule 2 forces it (versioned.py grew merge_ref,
-    # table_catalog.py grew register_views, metadata_tables.py is new,
-    # and this round touches versioned.py / table_catalog.py /
-    # metadata_tables.py again: ADVICE fixes, field-id rename/drop,
-    # paged $files), and x115-x118 have NEVER had a driver row.
-    # xs14/xs15 rotate in under rule 2 (streaming/incremental.py
-    # changed in r8 and hosts this round's changelog-source work);
-    # xs15 has never had a driver row. x96 is the oldest driver
-    # evidence left (r3) -- rule 3, explicitly deferred from r8.
-    # Remaining 8 slots: rule-3 fills, oldest driver rows next in
-    # line -- the r4 block in ascending id order: x12, x27-x33.
-    # Rotated out on fresh r8-green rows, implementations unchanged:
-    # x62, x17-x19, x21, x85-x89, x92-x95. New below the marker per
-    # rule 4 (r10 rotation candidates): xs16_stream_table_source,
-    # x119_schema_evolution, xs17_stream_change_feed (registered at
-    # the bottom as they land).
+    # Round-10 window (VERDICT r09 #1): q01-q18 pinned. xs16/xs17/
+    # x119 rotate IN as the round's flagship never-rowed surfaces
+    # (rule 4 from r9). The WHOLE x98-x118 block stays under rule 2:
+    # versioned.py changes again this round (field-id fast path for
+    # the x102/x110 arbitration, ADVICE txn canonicalization) and
+    # table_source.py gains admission control (xs16/xs17/x105/x104
+    # ride it). xs14/xs15 stay under rule 2 (streaming/incremental.py
+    # hosts the CDC-apply work). Remaining 6 slots: rule-3 fills,
+    # oldest driver rows next in line -- the r4 block in ascending id
+    # order: x34, x35, x37, x39, x40, x41 (xs1/xs3 stay out as
+    # byte-identical aliases of the always-in q17/q18).
+    # Rotated out on fresh r9-green rows, implementations unchanged:
+    # x96, x12, x27-x33.
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
     "x98_snapshot_merge": x98_snapshot_merge,
@@ -4490,6 +4486,16 @@ EXT_QUERIES = {
     "x118_metadata_tables": x118_metadata_tables,
     "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
     "xs15_stream_ann_index": xs15_stream_ann_index,
+    "xs16_stream_table_source": xs16_stream_table_source,
+    "xs17_stream_change_feed": xs17_stream_change_feed,
+    "x119_schema_evolution": x119_schema_evolution,
+    "x34_heavy_hitters": x34_heavy_hitters,
+    "x35_classifier_score": x35_classifier_score,
+    "x37_mixture_sample": x37_mixture_sample,
+    "x39_chunk_documents": x39_chunk_documents,
+    "x40_lm_score": x40_lm_score,
+    "x41_json_extract": x41_json_extract,
+    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x96_curation_pipeline": x96_curation_pipeline,
     "x12_multimodal_features": x12_multimodal_features,
     "x27_moving_window": x27_moving_window,
@@ -4499,7 +4505,6 @@ EXT_QUERIES = {
     "x31_rollup_merge": x31_rollup_merge,
     "x32_decontaminate": x32_decontaminate,
     "x33_repetition_quality": x33_repetition_quality,
-    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x62_entity_blocking": x62_entity_blocking,
     "x17_pii_scrub": x17_pii_scrub,
     "x18_hash_sample": x18_hash_sample,
@@ -4589,19 +4594,10 @@ EXT_QUERIES = {
     "xs13_stream_zone_maps": xs13_stream_zone_maps,
     "x91_winsorize": x91_winsorize,
     "x90_er_scoring": x90_er_scoring,
-    "x34_heavy_hitters": x34_heavy_hitters,
-    "x35_classifier_score": x35_classifier_score,
-    "x37_mixture_sample": x37_mixture_sample,
-    "x39_chunk_documents": x39_chunk_documents,
-    "x40_lm_score": x40_lm_score,
-    "x41_json_extract": x41_json_extract,
     "x42_interval_join": x42_interval_join,
     "x43_centroid_stats": x43_centroid_stats,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
-    "xs16_stream_table_source": xs16_stream_table_source,
-    "x119_schema_evolution": x119_schema_evolution,
-    "xs17_stream_change_feed": xs17_stream_change_feed,
 }
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,7 @@ PostgreSQL — the database server IS its network catalog
 from __future__ import annotations
 
 import json
+import re as _re
 import threading
 import urllib.error
 import urllib.parse
@@ -213,6 +214,21 @@ class CatalogHandler(BaseHTTPRequestHandler):
             self._send(200, TXN.recover_txns(log_dir))
             return
         body = self._body()
+        # validate client-controlled fields BEFORE they reach the
+        # commit protocol (ADVICE r9): the txn id is joined into the
+        # intent-log path (a '../x' would escape _txns), and the
+        # branch names which ref gets published-or-deleted on every
+        # staged table (an arbitrary name could destroy an unrelated
+        # long-lived branch, e.g. a WAP audit branch). The wire
+        # contract is therefore pinned to the data-plane staging
+        # convention: hex txn ids on their own txn-<id> branch.
+        txn_id = body.get("txn", "")
+        if not _re.fullmatch(r"[0-9a-f]{8,32}", str(txn_id)):
+            self._send(400, {"error": "txn must match [0-9a-f]{8,32}"})
+            return
+        if body.get("branch") != f"txn-{txn_id}":
+            self._send(400, {"error": "branch must be txn-<txn>"})
+            return
         names = body["tables"]
         roots = {TC.load_table(root, n): n for n in names}
         group = body.get("group")

@@ -202,6 +202,13 @@ def commit_staged(log_dir: str, txn_id: str, branch: str,
     dropped) when any table moved past its staging."""
     if not staged:
         return {"txn": txn_id, "tables": {}}
+    # canonicalize INSIDE the protocol so every caller (local
+    # MultiTableTxn, the REST service's wire path, recovery) leases
+    # the same spelling of the same table set in the same sorted
+    # order — two spellings that sort differently would degrade the
+    # deadlock-free-by-sorted-order invariant to a lease-timeout
+    # conflict (ADVICE r9)
+    staged = [os.path.abspath(t) for t in staged]
     os.makedirs(log_dir, exist_ok=True)
     targets: dict[str, str] = {}
     with ExitStack() as stack:

@@ -311,7 +311,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # other field projects NULL by the same rule
                 have = next((c for c in chains[field.name]
                              if c in tbl.column_names), None)
-                if partition.kind == "delete" and have is not None                         and partition.key not in chains[field.name]:
+                if (partition.kind == "delete"
+                        and have is not None
+                        and partition.key not in chains[field.name]):
                     have = None  # stray column in a delete file
                 if have is not None:
                     col = tbl.column(have)

@@ -386,3 +386,73 @@ def test_wire_txn_recovery_rolls_back_unflipped(spark, service):
     assert {r.v for r in rc.read_table(spark, "sales.a").collect()} \
         == {"a0", "direct"}
     assert V.list_refs(a) == {}
+
+
+def test_wire_txn_rejects_hostile_txn_and_branch(spark, service):
+    """ADVICE r9 (medium): POST /v1/txns/commit used to pass the
+    client-controlled txn id straight into the intent path (a
+    '../x' escapes _txns) and the branch straight into publish/
+    delete_ref (any long-lived ref could be destroyed). The wire
+    contract is now pinned: hex txn ids, branch == txn-<id>."""
+    import json as _json
+    import os
+    import urllib.request
+
+    cat, rc = service
+    a = rc.create_table("sales.a")
+    V.write_snapshot(_df(spark, [(1, "a0")]), a)
+    # a long-lived branch a hostile commit must NOT be able to touch
+    V.append_snapshot(_df(spark, [(7, "audit")]), a,
+                      branch="wap-audit")
+
+    def post_commit(body):
+        req = urllib.request.Request(
+            f"{rc.base_url}/v1/txns/commit",
+            data=_json.dumps(body).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # path-traversal txn id -> 400, nothing written outside _txns
+    assert post_commit({"txn": "../escape", "branch": "txn-../escape",
+                        "tables": ["sales.a"]}) == 400
+    assert not os.path.exists(os.path.join(cat, "escape.json"))
+    # non-hex txn -> 400
+    assert post_commit({"txn": "ZZZZZZZZ", "branch": "txn-ZZZZZZZZ",
+                        "tables": ["sales.a"]}) == 400
+    # valid txn id but branch naming an unrelated ref -> 400, and the
+    # ref survives untouched
+    assert post_commit({"txn": "aaaabbbbccccdddd",
+                        "branch": "wap-audit",
+                        "tables": ["sales.a"]}) == 400
+    assert "wap-audit" in V.list_refs(a)
+    # the legitimate protocol still round-trips
+    with rc.txn(["sales.a"]) as t:
+        t.append(_df(spark, [(2, "a1")]), "sales.a")
+    assert rc.read_table(spark, "sales.a").count() == 2
+
+
+def test_commit_staged_canonicalizes_paths(spark, tmp_path):
+    """ADVICE r9 (low): commit_staged normalizes the staged list
+    itself, so a caller handing a noisy spelling ('a/./b', trailing
+    slash) leases and flips the same canonical roots as MultiTableTxn
+    would — the sorted-lease deadlock-freedom invariant holds across
+    caller styles."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import txn as TXN
+
+    root = str(tmp_path / "t1")
+    V.write_snapshot(_df(spark, [(1, "base")]), root)
+    branch = "txn-deadbeefdeadbeef"
+    V.append_snapshot(_df(spark, [(2, "staged")]), root,
+                      branch=branch)
+    noisy = str(tmp_path) + "/./t1/"
+    out = TXN.commit_staged(str(tmp_path / "_txns"),
+                            "deadbeefdeadbeef", branch, [noisy])
+    assert list(out["tables"]) == [os.path.abspath(root)]
+    assert V.read_current(spark, root).count() == 2
+    assert V.list_refs(root) == {}

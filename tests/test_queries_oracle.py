@@ -37,18 +37,19 @@ def test_queries_nonempty(spark, sf_dir):
 #     change again this round — ADVICE fixes, field-id rename/drop,
 #     paged $files) and VERDICT r08 #1's explicit demand — x115–x118
 #     had NEVER had a driver CORRECTNESS row.
-#   * xs14, xs15 — rule 2 (streaming/incremental.py changed in r8 and
-#     hosts this round's changelog-source work); xs15 never had a
-#     driver row.
-#   * x96 — the oldest driver evidence left (r3), rule 3, explicitly
-#     deferred from the r8 window.
-#   * x12, x27–x33 — rule-3 fills, the next-oldest driver rows (r4
-#     block, ascending id order; xs1/xs3 stay out as byte-identical
-#     aliases of the always-in q17/q18).
-# Rotated out on fresh r8-green rows, implementations unchanged:
-# x62, x17–x19, x21, x85–x89, x92–x95. New below the marker (r10
-# rotation candidates): xs16_stream_table_source,
-# x119_schema_evolution, xs17_stream_change_feed.
+#   * xs16, xs17, x119 — rule 4 from r9: the flagship never-rowed
+#     surfaces (table-as-stream, CDC feed, schema evolution), rotated
+#     in per VERDICT r09 #1 for their first driver rows.
+#   * x98–x118 — rule 2: versioned.py changes again this round
+#     (field-id fast path, txn canonicalization) and table_source.py
+#     gains admission control.
+#   * xs14, xs15 — rule 2 (streaming/incremental.py hosts the r10
+#     CDC-apply work).
+#   * x34, x35, x37, x39, x40, x41 — rule-3 fills, the oldest driver
+#     rows left (r4 block, ascending id order; xs1/xs3 stay out as
+#     byte-identical aliases of the always-in q17/q18).
+# Rotated out on fresh r9-green rows, implementations unchanged:
+# x96, x12, x27–x33.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
     "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
@@ -56,8 +57,8 @@ DRIVER_GATE_WINDOW = [
     "x109", "x110", "x111", "x112", "x113", "x114",
     "x115", "x116", "x117", "x118",
     "xs14", "xs15",
-    "x96",
-    "x12", "x27", "x28", "x29", "x30", "x31", "x32", "x33",
+    "xs16", "xs17", "x119",
+    "x34", "x35", "x37", "x39", "x40", "x41",
 ]
 
 
