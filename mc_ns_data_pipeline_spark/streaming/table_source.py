@@ -32,6 +32,14 @@ Semantics (all verified in tests/test_table_source.py):
   shape), then increments. Refused if the snapshot carries
   merge-on-read delete masks (a raw pool-file read would resurrect
   masked rows); bounded to append-only/compacted lineages.
+* **Bounded admission.** ``max_commits_per_trigger`` /
+  ``max_files_per_trigger`` cap how much lineage one micro-batch
+  admits: a consumer that fell behind N commits (or a genesis
+  bootstrap over a long lineage) drains as ⌈N/cap⌉ checkpointed
+  batches instead of ONE unbounded batch — the reference's own
+  one-6h-window-per-run admission (incremental_fetch.py:158-175),
+  generalized. A kill mid-drain resumes from the last committed
+  batch, exactly-once preserved.
 * **Frozen schema.** The stream's schema is pinned at definition
   time (Spark streaming requires a static schema); later additive
   evolutions project away mid-stream (new columns are dropped until
@@ -216,6 +224,100 @@ def _bootstrap_files(table: str, snapshot: str,
     return list(man.get("files", []))
 
 
+def _floor_from_offset_log(checkpoint: str) -> str | None:
+    """Best-effort read of Spark's own offset log under a stream's
+    checkpoint dir: the END offset of the latest PLANNED batch — the
+    position admission control should cap from after a runner
+    restart. The offset file is Spark's HDFSMetadataLog text format
+    (version line, metadata JSON line, then one serialized offset per
+    source); this source serializes offsets as the {"snapshot": ...}
+    JSON dict. Returns None when the log is absent or unparseable —
+    the caller then falls back to one uncapped batch."""
+    d = os.path.join(checkpoint, "offsets")
+    try:
+        batches = [int(f) for f in os.listdir(d) if f.isdigit()]
+    except OSError:
+        return None
+    if not batches:
+        return None
+    try:
+        with open(os.path.join(d, str(max(batches)))) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        off = json.loads(lines[-1])
+        if isinstance(off, str):  # SerializedOffset double-encoding
+            off = json.loads(off)
+        snap = off.get("snapshot")
+        return snap if isinstance(snap, str) else None
+    except (OSError, ValueError, AttributeError, IndexError):
+        return None
+
+
+_BOOT_OK_OPS = ("append", "compact", "set-spec")
+
+
+def _bounded_end(table: str, floor: str, head: str,
+                 max_commits: int, max_files: int,
+                 core_memo: dict[str, dict]) -> str:
+    """Admission control (VERDICT r09 #3): the latest snapshot a
+    micro-batch may admit, walking the lineage (floor, head] and
+    stopping once the batch would exceed ``max_commits`` commits or
+    ``max_files`` new pool files — Delta's maxFilesPerTrigger shape,
+    at commit granularity (a commit is never split, so every batch
+    makes progress; the reference itself admits exactly one 6-h
+    window per run, incremental_fetch.py:158-175). A behind consumer
+    and a genesis bootstrap then drain as MULTIPLE checkpointed
+    batches instead of one unbounded one.
+
+    Genesis flooring additionally keeps the capped bootstrap at least
+    as capable as the uncapped one: the bootstrap point is pushed to
+    cover the last non-append-only commit (a rewrite cannot stream
+    incrementally) and past any snapshot still carrying merge-on-read
+    delete masks (a raw bootstrap read would resurrect masked rows).
+
+    Metadata-only: O(commits behind) small-JSON core reads per
+    trigger, memoized across triggers (manifests are immutable)."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    since = None if floor == _GENESIS else floor
+    snap = head
+    chain: list[dict] = []
+    while snap != since:
+        core = core_memo.get(snap)
+        if core is None:
+            core = V._read_core(table, snap)
+            if len(core_memo) < 65536:
+                core_memo[snap] = core
+        chain.append(core)
+        snap = core.get("parent")
+        if snap is None and since is not None:
+            # not an ancestor — let partitions() raise the loud error
+            return head
+    chain.reverse()
+    # minimum admissible index: genesis bootstraps must cover every
+    # rewrite commit and land on a mask-free snapshot
+    min_idx = 0
+    if floor == _GENESIS:
+        for i, core in enumerate(chain):
+            if core.get("op") not in _BOOT_OK_OPS:
+                min_idx = i
+        while min_idx < len(chain) - 1 and \
+                chain[min_idx].get("delete_files"):
+            min_idx += 1
+    taken = 0
+    nfiles = 0
+    end = head
+    for i, core in enumerate(chain):
+        n = len(core.get("new_files") or [])
+        if i > min_idx and (
+                (max_commits and taken + 1 > max_commits)
+                or (max_files and nfiles + n > max_files)):
+            break
+        taken += 1
+        nfiles += n
+        end = core["snapshot"]
+    return end
+
+
 class VersionedTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict[str, str]):
         self._table = options["table"]
@@ -224,6 +326,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._changes = options.get("changes", "false") == "true"
         self._schema_json = schema.json()
         self._pkg_parent = options.get("pkg_parent", "")
+        self._max_commits = int(
+            options.get("max_commits_per_trigger", "0"))
+        self._max_files = int(options.get("max_files_per_trigger", "0"))
+        self._checkpoint = options.get("checkpoint", "")
+        # admission-control floor: the consumer position the next
+        # offer caps from. Maintained from initialOffset / partitions
+        # / commit; after a bare runner restart it re-seeds from the
+        # checkpoint's offset log when the `checkpoint` option names
+        # it, else the first post-restart batch is uncapped (offers
+        # are a bound, exactly-once is the offset log's job).
+        self._floor: str | None = None
+        self._core_memo: dict[str, dict] = {}
 
     # -- offsets --------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -231,13 +345,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from mc_ns_data_pipeline_spark.sinks import versioned as V
 
         if self._starting == "genesis":
+            self._floor = _GENESIS
             return {"snapshot": _GENESIS}
         if self._starting == "current":
             cur = V.current_snapshot(self._table)
             if cur is None:
                 raise V.NoCurrentSnapshotError(self._table)
+            self._floor = cur
             return {"snapshot": cur}
         # explicit snapshot id (exclusive): stream emits appends AFTER it
+        self._floor = self._starting
         return {"snapshot": self._starting}
 
     def latestOffset(self) -> dict:
@@ -247,7 +364,22 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         cur = V.current_snapshot(self._table)
         if cur is None:
             raise V.NoCurrentSnapshotError(self._table)
-        return {"snapshot": cur}
+        if not (self._max_commits or self._max_files):
+            return {"snapshot": cur}
+        if self._floor is None and self._checkpoint:
+            self._floor = _floor_from_offset_log(self._checkpoint)
+        if self._floor is None:
+            # fresh stream, offered before initialOffset (the
+            # availableNow wrapper probes latestOffset first): the
+            # floor IS the initial offset — deterministic for
+            # genesis/explicit starts, and for "current" the stream
+            # starts caught-up anyway
+            self._floor = self.initialOffset()["snapshot"]
+        if self._floor == cur:
+            return {"snapshot": cur}
+        return {"snapshot": _bounded_end(
+            self._table, self._floor, cur,
+            self._max_commits, self._max_files, self._core_memo)}
 
     # -- planning (driver, metadata-only) -------------------------------
     def partitions(self, start: dict, end: dict
@@ -256,6 +388,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from mc_ns_data_pipeline_spark.sinks import versioned as V
 
         s, e = start["snapshot"], end["snapshot"]
+        # the planned batch end is the authoritative consumer
+        # position — the next latestOffset offer caps from here (and
+        # a post-crash replay of a planned batch re-seeds it)
+        self._floor = e
         if s == e:
             return []
         end_core = V._read_core(self._table, e)
@@ -337,7 +473,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # manifests are durable; the checkpoint owns progress
+        # manifests are durable; the checkpoint owns progress — only
+        # the admission-control floor advances here
+        self._floor = end.get("snapshot", self._floor)
 
     def stop(self) -> None:
         pass
@@ -349,7 +487,14 @@ class VersionedTableDataSource(DataSource):
     Options: ``table`` (required, table root path), ``starting``
     ("current" default | "genesis" | explicit snapshot id, exclusive),
     ``files_per_partition`` (default 1 — pool files are writer-sized,
-    one Spark task each)."""
+    one Spark task each), ``max_commits_per_trigger`` /
+    ``max_files_per_trigger`` (admission control, 0 = unbounded:
+    cap each micro-batch at N lineage commits / M new pool files so a
+    behind consumer or genesis bootstrap drains as multiple
+    checkpointed batches), ``checkpoint`` (the stream's checkpoint
+    location, optional: lets a restarted offset runner re-seed the
+    admission floor from Spark's own offset log so the cap holds
+    across restarts)."""
 
     @classmethod
     def name(cls) -> str:
@@ -405,23 +550,46 @@ def _register(spark: SparkSession) -> str:
 
 def read_stream_table(spark: SparkSession, table: str,
                       starting: str = "current",
-                      files_per_partition: int = 1) -> DataFrame:
+                      files_per_partition: int = 1,
+                      max_commits_per_trigger: int = 0,
+                      max_files_per_trigger: int = 0,
+                      checkpoint: str | None = None) -> DataFrame:
     """Open a versioned table as a streaming DataFrame (registers the
     datasource idempotently). ``starting``: "current" (only appends
     after stream definition), "genesis" (full bootstrap then appends),
-    or an explicit snapshot id (exclusive resume point)."""
+    or an explicit snapshot id (exclusive resume point).
+
+    ``max_commits_per_trigger`` / ``max_files_per_trigger`` (0 =
+    unbounded) bound each micro-batch's admission — a consumer behind
+    N commits, or a genesis bootstrap over a long lineage, drains as
+    ⌈N/cap⌉ checkpointed batches instead of one unbounded batch
+    (Delta maxFilesPerTrigger semantics at commit granularity; one
+    commit is always admitted so every trigger makes progress). Pass
+    ``checkpoint`` (the same checkpointLocation the writer uses) so a
+    restarted stream re-seeds its admission floor from Spark's offset
+    log; without it, the first batch after a restart is uncapped
+    (correctness is unaffected either way — offers only bound batch
+    size, the checkpoint owns exactly-once)."""
     pkg_parent = _register(spark)
-    return (spark.readStream.format("versioned_table")
-            .option("table", table)
-            .option("starting", starting)
-            .option("files_per_partition", str(files_per_partition))
-            .option("pkg_parent", pkg_parent)
-            .load())
+    r = (spark.readStream.format("versioned_table")
+         .option("table", table)
+         .option("starting", starting)
+         .option("files_per_partition", str(files_per_partition))
+         .option("max_commits_per_trigger",
+                 str(max_commits_per_trigger))
+         .option("max_files_per_trigger", str(max_files_per_trigger))
+         .option("pkg_parent", pkg_parent))
+    if checkpoint:
+        r = r.option("checkpoint", checkpoint)
+    return r.load()
 
 
 def read_stream_changes(spark: SparkSession, table: str,
                         starting: str = "current",
-                        files_per_partition: int = 1) -> DataFrame:
+                        files_per_partition: int = 1,
+                        max_commits_per_trigger: int = 0,
+                        max_files_per_trigger: int = 0,
+                        checkpoint: str | None = None) -> DataFrame:
     """Open a versioned table's CHANGE FEED as a streaming DataFrame —
     the full Delta-CDF shape: every row of the table schema plus
     ``_change_type`` ('insert' | 'delete') and ``_commit_gen`` (the
@@ -441,12 +609,19 @@ def read_stream_changes(spark: SparkSession, table: str,
     its own retraction (the strict-below mask rule, as events).
     Everything else (exactly-once offsets, compaction transparency,
     loud refusal of COW rewrites / mid-stream schema changes /
-    vacuumed resume points) matches ``read_stream_table``."""
+    vacuumed resume points, admission control via
+    ``max_commits_per_trigger`` / ``max_files_per_trigger`` /
+    ``checkpoint``) matches ``read_stream_table``."""
     pkg_parent = _register(spark)
-    return (spark.readStream.format("versioned_table")
-            .option("table", table)
-            .option("starting", starting)
-            .option("files_per_partition", str(files_per_partition))
-            .option("changes", "true")
-            .option("pkg_parent", pkg_parent)
-            .load())
+    r = (spark.readStream.format("versioned_table")
+         .option("table", table)
+         .option("starting", starting)
+         .option("files_per_partition", str(files_per_partition))
+         .option("changes", "true")
+         .option("max_commits_per_trigger",
+                 str(max_commits_per_trigger))
+         .option("max_files_per_trigger", str(max_files_per_trigger))
+         .option("pkg_parent", pkg_parent))
+    if checkpoint:
+        r = r.option("checkpoint", checkpoint)
+    return r.load()

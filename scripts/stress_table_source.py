@@ -72,12 +72,8 @@ def main() -> None:
 
     # driver-side planning in isolation: the exact calls the source
     # makes per micro-batch
-    reader = TS.VersionedTableStreamReader.__new__(
-        TS.VersionedTableStreamReader)
-    reader._table, reader._per_part = table, 1
-    reader._schema_json = V.table_schema(
-        table, V.current_snapshot(table)).json()
-    reader._pkg_parent = ""
+    schema = V.table_schema(table, V.current_snapshot(table))
+    reader = TS.VersionedTableStreamReader(schema, {"table": table})
     t0 = time.perf_counter()
     latest = reader.latestOffset()
     t_latest = time.perf_counter() - t0
@@ -98,6 +94,64 @@ def main() -> None:
     print(f"catch-up drain ({k} new files): {dt:7.2f} s "
           f"(bounded by new data, not the {n_commits}-commit history)",
           flush=True)
+
+    # --- admission control (VERDICT r09 #3) ---------------------------
+    # capped latestOffset: the bounding walk is O(commits behind),
+    # metadata-only, memoized across triggers
+    capped = TS.VersionedTableStreamReader(
+        schema, {"table": table, "starting": "genesis",
+                 "max_commits_per_trigger": "25"})
+    capped.initialOffset()
+    t0 = time.perf_counter()
+    off1 = capped.latestOffset()  # cold: walks the full lineage
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    capped.latestOffset()  # warm: memoized cores
+    t_warm = time.perf_counter() - t0
+    print(f"capped latestOffset behind {n_commits + k} commits: "
+          f"cold {t_cold * 1000:6.1f} ms, warm {t_warm * 1000:6.1f} ms"
+          f" (offer = 25 commits)", flush=True)
+
+    # capped genesis bootstrap under a continuous trigger: the whole
+    # backlog drains as ceil(N/25) checkpointed batches, kill/resume
+    # mid-drain preserves exactly-once
+    total = n_commits + k
+    out2, ckpt2 = os.path.join(work, "out2"), os.path.join(work,
+                                                           "ckpt2")
+
+    def capped_run(stop_after_rows=None, timeout_s=600):
+        q = (TS.read_stream_table(spark, table, starting="genesis",
+                                  max_commits_per_trigger=25,
+                                  checkpoint=ckpt2)
+             .writeStream.format("parquet").option("path", out2)
+             .option("checkpointLocation", ckpt2)
+             .trigger(processingTime="50 milliseconds").start())
+        deadline = time.time() + timeout_s
+        target = stop_after_rows or total
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out2).count()
+            except Exception:
+                n = 0
+            if n >= target:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        return spark.read.parquet(out2).count()
+
+    t0 = time.perf_counter()
+    n_mid = capped_run(stop_after_rows=total // 2)  # kill mid-drain
+    n_end = capped_run()                            # resume, finish
+    dt = time.perf_counter() - t0
+    batches = len([f for f in os.listdir(os.path.join(
+        ckpt2, "commits")) if f.isdigit()])
+    assert n_end == total, (n_end, total)
+    import math
+    print(f"capped genesis drain ({total} commits, cap 25, killed at "
+          f"{n_mid} rows then resumed): {dt:7.2f} s, {batches} "
+          f"batches (ceil = {math.ceil(total / 25)}), rows exact "
+          f"{n_end}", flush=True)
     spark.stop()
 
 

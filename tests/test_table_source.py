@@ -310,3 +310,181 @@ def test_change_feed_compaction_transparent(spark, tmp_path):
     got2 = _drain_changes(spark, table, tmp_path)
     new = {(k, t) for (k, _, t, _) in got2 - got1}
     assert new == {(1, "delete"), (3, "insert")}
+
+
+# --- admission control (VERDICT r09 #3) -------------------------------
+#
+# Trigger semantics (pinned by these tests): a CONTINUOUS trigger
+# consults latestOffset every micro-batch, so a behind consumer or a
+# genesis bootstrap drains as ceil(N/cap) checkpointed batches within
+# one query lifecycle. Trigger.AvailableNow captures the FIRST offer
+# as the run's end (the Python DataSource API has no per-batch
+# admission hook for the availableNow wrapper), so a capped
+# availableNow run admits exactly ONE bounded batch and repeated runs
+# converge — in both modes no single micro-batch ever exceeds the cap,
+# which is the 100 TB property (an unbounded batch has no intermediate
+# checkpoints and must fit the backlog in one shot).
+
+def _n_batches(tmp, name):
+    d = os.path.join(str(tmp), f"{name}_ckpt", "commits")
+    return len([f for f in os.listdir(d) if f.isdigit()])
+
+
+def _sink_rows(spark, tmp, name):
+    out = os.path.join(str(tmp), f"{name}_out")
+    try:
+        return {tuple(r) for r in spark.read.parquet(out).collect()}
+    except Exception:
+        return set()
+
+
+def _drain_capped(spark, table, tmp, name, starting="genesis",
+                  **caps):
+    """One capped availableNow pass (ONE bounded batch per run)."""
+    out = os.path.join(str(tmp), f"{name}_out")
+    ckpt = os.path.join(str(tmp), f"{name}_ckpt")
+    q = (read_stream_table(spark, table, starting=starting,
+                           checkpoint=ckpt, **caps)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return _sink_rows(spark, tmp, name)
+
+
+def _run_capped_continuous(spark, table, tmp, name, want_rows,
+                           timeout_s=120, **caps):
+    """Continuous-trigger drain: run until the sink holds want_rows,
+    then stop — the mode where the cap yields multiple batches per
+    lifecycle."""
+    import time
+
+    out = os.path.join(str(tmp), f"{name}_out")
+    ckpt = os.path.join(str(tmp), f"{name}_ckpt")
+    q = (read_stream_table(spark, table, starting="genesis",
+                           checkpoint=ckpt, **caps)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="50 milliseconds").start())
+    try:
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if len(_sink_rows(spark, tmp, name)) >= want_rows:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return _sink_rows(spark, tmp, name)
+
+
+def test_capped_bootstrap_drains_in_bounded_batches(spark, tmp_path):
+    """max_commits_per_trigger=2 over a 6-commit genesis bootstrap
+    under a continuous trigger: the backlog drains as ceil(6/2)=3
+    checkpointed batches in ONE query lifetime — never one unbounded
+    batch — and the union of batches is exactly the table."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "c1")]), table)
+    for i in range(2, 7):
+        V.append_snapshot(_df(spark, [(i, f"c{i}")]), table)
+    want = {(i, f"c{i}") for i in range(1, 7)}
+    got = _run_capped_continuous(spark, table, tmp_path, "cap", 6,
+                                 max_commits_per_trigger=2)
+    assert got == want
+    assert _n_batches(tmp_path, "cap") == 3
+    # same table, uncapped availableNow: one batch (prior default)
+    got2 = _drain_capped(spark, table, tmp_path, "uncap")
+    assert got2 == want
+    assert _n_batches(tmp_path, "uncap") == 1
+
+
+def test_capped_files_per_trigger(spark, tmp_path):
+    """max_files_per_trigger bounds by pool-file count: 6 commits of
+    2 files each (12 files), cap 4 -> 3 continuous batches of 2
+    commits each."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]).repartition(2),
+                     table)
+    for i in range(2, 7):
+        V.append_snapshot(
+            _df(spark, [(10 * i, "x"), (10 * i + 1, "y")])
+            .repartition(2), table)
+    got = _run_capped_continuous(spark, table, tmp_path, "fcap", 12,
+                                 max_files_per_trigger=4)
+    assert len(got) == 12
+    assert _n_batches(tmp_path, "fcap") == 3
+
+
+def test_capped_availablenow_admits_one_bounded_batch(spark,
+                                                      tmp_path):
+    """A capped availableNow run admits exactly one bounded batch
+    (the wrapper pins the run to the first offer); repeated runs over
+    one checkpoint — kill/resume cycles — converge with no replay and
+    no gap."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "c1")]), table)
+    for i in range(2, 10):
+        V.append_snapshot(_df(spark, [(i, f"c{i}")]), table)
+    want = {(i, f"c{i}") for i in range(1, 10)}
+    seen = set()
+    sizes = []
+    for _ in range(6):
+        got = _drain_capped(spark, table, tmp_path, "resume",
+                            max_commits_per_trigger=3)
+        assert seen <= got  # no loss across restarts
+        sizes.append(len(got) - len(seen))
+        seen = got
+        if got == want:
+            break
+    assert seen == want
+    assert sizes == [3, 3, 3]  # ceil(9/3) runs, each capped
+    out = os.path.join(str(tmp_path), "resume_out")
+    assert spark.read.parquet(out).count() == 9  # exactly-once
+
+
+def test_capped_catchup_after_idle_checkpoint(spark, tmp_path):
+    """A consumer that fell behind 6 commits while stopped: on
+    restart the admission floor re-seeds from Spark's own offset log
+    (the `checkpoint` option), so the FIRST post-restart batch is
+    already capped — the backlog drains 2 commits per run, never in
+    one unbounded batch."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "c1")]), table)
+    _drain_capped(spark, table, tmp_path, "lag",
+                  max_commits_per_trigger=2)
+    for i in range(2, 8):  # falls 6 commits behind while stopped
+        V.append_snapshot(_df(spark, [(i, f"c{i}")]), table)
+    want = {(i, f"c{i}") for i in range(1, 8)}
+    sizes = []
+    seen = {(1, "c1")}
+    for _ in range(4):
+        got = _drain_capped(spark, table, tmp_path, "lag",
+                            max_commits_per_trigger=2)
+        sizes.append(len(got) - len(seen))
+        seen = got
+        if got == want:
+            break
+    assert seen == want
+    assert sizes == [2, 2, 2]  # capped from the FIRST restart batch
+
+
+def test_capped_genesis_covers_rewrites_and_masks(spark, tmp_path):
+    """Genesis flooring: the bootstrap point advances past rewrite
+    commits and mask-carrying snapshots, so a capped genesis works
+    wherever the uncapped one does. Lineage: write, append, MOR
+    delete (masks), compact (clears masks), then 2 appends — cap 1
+    bootstraps AT the compact, then one append per batch."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    V.append_snapshot(_df(spark, [(3, "c")]), table)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(2, "b")]).select("k"))
+    V.compact_snapshot(spark, table)
+    V.append_snapshot(_df(spark, [(4, "d")]), table)
+    V.append_snapshot(_df(spark, [(5, "e")]), table)
+    want = {tuple(r) for r in V.read_current(spark, table).collect()}
+    got = _run_capped_continuous(spark, table, tmp_path, "gfloor",
+                                 len(want), max_commits_per_trigger=1)
+    assert got == want == {(1, "a"), (3, "c"), (4, "d"), (5, "e")}
+    # bootstrap-at-compact + one append per batch = 3 batches
+    assert _n_batches(tmp_path, "gfloor") == 3
