@@ -34,6 +34,7 @@ def main() -> None:
     from mc_ns_data_pipeline_spark.plans import QUERIES
 
     spark = get_spark("bench")
+    _LOAD0 = os.getloadavg()
 
     # Fixed warmup: JVM/codegen via the flagship query, then the Arrow
     # python-worker pool so the first pandas-stage query isn't charged
@@ -94,6 +95,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS,
         "wall_seconds": wall,
+        # machine-state context (VERDICT r09 #7): round-over-round
+        # arbitration needs to cite the band the vector was taken in —
+        # loadavg at start/end of the suite and the core count let a
+        # reader tell a quiet builder pass from a loaded driver pass
+        # straight from the artifact.
+        "context": {
+            "loadavg_start": [round(x, 2) for x in _LOAD0],
+            "loadavg_end": [round(x, 2)
+                            for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
     }
     # Sidecar with the FULL result: the driver's BENCH_r{N}.json keeps
     # only the last 2000 chars of stdout, which truncates the 127-entry

@@ -4283,7 +4283,11 @@ def xs16_stream_table_source(spark: SparkSession, sf_dir: str
     ckpt = os.path.join(root, "ckpt")
 
     orders = load_table(spark, sf_dir, "orders")
-    rows = orders.select(
+    # the property is STRUCTURAL (exactly-once across a restart), not
+    # volume-bound: the gate query streams a quarter-slice (stated
+    # identically in the oracle) so the suite pays the two priced
+    # streaming lifecycles, not redundant write volume (r9 verdict #4)
+    rows = orders.filter(F.col("o_orderkey") % 8 <= 1).select(
         "o_orderkey",
         (F.col("o_orderkey") % 3).alias("batch"),
         F.col("o_totalprice").alias("price"))
@@ -4395,8 +4399,14 @@ def xs17_stream_change_feed(spark: SparkSession, sf_dir: str
     ckpt = os.path.join(root, "ckpt")
 
     orders = load_table(spark, sf_dir, "orders")
-    rows = orders.select(F.col("o_orderkey").alias("k"),
-                         F.col("o_totalprice").alias("price"))
+    # quarter-slice, stated identically in the oracle: the net-algebra
+    # property is structural, and every event class stays populated
+    # (deletes k%24==0, upsert retract+insert k%24==16, surviving base
+    # k%24==9, both output parity groups) — r9 verdict #4's floor
+    # consolidation without weakening the algebra
+    rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price")))
     V.write_snapshot(rows.filter(F.col("k") % 3 == 0), table)
     mark = V.current_snapshot(table)
     V.append_snapshot(rows.filter(F.col("k") % 3 == 1), table)
@@ -4415,8 +4425,12 @@ def xs17_stream_change_feed(spark: SparkSession, sf_dir: str
     q.awaitTermination()
 
     ev = spark.read.parquet(out)
-    n_ins = ev.filter(F.col("_change_type") == "insert").count()
-    n_del = ev.filter(F.col("_change_type") == "delete").count()
+    counts = ev.agg(
+        F.sum(F.when(F.col("_change_type") == "insert", 1)
+              .otherwise(0)).alias("i"),
+        F.sum(F.when(F.col("_change_type") == "delete", 1)
+              .otherwise(0)).alias("d")).first()
+    n_ins, n_del = int(counts["i"]), int(counts["d"])
     base = rows.filter(F.col("k") % 3 == 0).select(
         "k", "price", F.lit("insert").alias("_change_type"),
         F.lit(0).cast("long").alias("_commit_gen"))
@@ -8013,6 +8027,7 @@ EXT_ORACLES["xs16_stream_table_source"] = """
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
                 AS DOUBLE) AS sum_price
     FROM orders
+    WHERE o_orderkey % 8 <= 1
     GROUP BY 1
     ORDER BY 1
 """
@@ -8039,21 +8054,25 @@ EXT_ORACLES["xs17_stream_change_feed"] = """
            count(*)::BIGINT AS n,
            CAST(sum(CAST(price AS DECIMAL(18,4)))
                 AS DOUBLE) AS sum_price,
-           ((SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+           ((SELECT count(*) FROM orders
+             WHERE o_orderkey % 3 = 1 AND o_orderkey % 8 <= 1)
             + (SELECT count(*) FROM orders
-               WHERE o_orderkey % 6 = 4))::BIGINT AS n_insert_events,
-           ((SELECT count(*) FROM orders WHERE o_orderkey % 6 = 0)
+               WHERE o_orderkey % 6 = 4 AND o_orderkey % 8 <= 1
+              ))::BIGINT AS n_insert_events,
+           ((SELECT count(*) FROM orders
+             WHERE o_orderkey % 6 = 0 AND o_orderkey % 8 <= 1)
             + (SELECT count(*) FROM orders
-               WHERE o_orderkey % 6 = 4))::BIGINT AS n_delete_events
+               WHERE o_orderkey % 6 = 4 AND o_orderkey % 8 <= 1
+              ))::BIGINT AS n_delete_events
     FROM (
         SELECT o_orderkey AS k, o_totalprice AS price
-        FROM orders WHERE o_orderkey % 6 = 3
+        FROM orders WHERE o_orderkey % 6 = 3 AND o_orderkey % 8 <= 1
         UNION ALL
         SELECT o_orderkey, o_totalprice
-        FROM orders WHERE o_orderkey % 6 = 1
+        FROM orders WHERE o_orderkey % 6 = 1 AND o_orderkey % 8 <= 1
         UNION ALL
         SELECT o_orderkey, o_totalprice + 1000
-        FROM orders WHERE o_orderkey % 6 = 4
+        FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey % 8 <= 1
     )
     GROUP BY 1
     ORDER BY 1
