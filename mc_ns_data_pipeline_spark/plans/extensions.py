@@ -4452,6 +4452,69 @@ def xs17_stream_change_feed(spark: SparkSession, sf_dir: str
             .orderBy("grp"))
 
 
+def xs18_cdc_apply_replica(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """XS18 — the CDC round-trip (VERDICT r09 #6): the change feed of
+    a versioned SOURCE table applied to a REPLICA versioned table via
+    ``run_stream_apply_changes`` (streaming/incremental.py) —
+    ``read_stream_changes`` → foreachBatch ``apply_change_batch``,
+    the reference's per-lot delete-then-insert replace
+    (file_processor.py:96-118) as a streaming consumer with a single
+    pointer flip per batch (replica readers never see the
+    intermediate deleted-but-not-reinserted state).
+
+    Lifecycle: source = orders quarter-slice k%3==0; replica
+    initialized as a copy at that mark (genesis CDC bootstrap refuses
+    mask-carrying heads; an initial full copy is the realistic
+    CDC-apply bootstrap anyway); then an append (k%3==1), a MOR
+    delete (k%6==0) and a MOR upsert (k%6==4 at price+1000) land on
+    the SOURCE; one apply drain follows. The result aggregates the
+    REPLICA, and the oracle states the source's net algebra directly
+    from orders — a hash match proves the replica reproduced the
+    net state through deletes-before-inserts ordering, exactly once.
+    Restart/replay/mid-crash properties are pinned in
+    tests/test_streaming_cdc_apply.py.
+
+    Scale: apply cost per batch is O(batch events) — delete files are
+    kilobytes, upserts land as new files plus one equality-delete
+    mask, and the replica is never rewritten."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        run_stream_apply_changes,
+    )
+
+    root = _scratch_dir("xs18_apply_")
+    src = os.path.join(root, "src")
+    rep = os.path.join(root, "rep")
+    ckpt = os.path.join(root, "ckpt")
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price")))
+    V.write_snapshot(rows.filter(F.col("k") % 3 == 0), src)
+    mark = V.current_snapshot(src)
+    V.write_snapshot(V.read_current(spark, src), rep)  # initial copy
+    V.append_snapshot(rows.filter(F.col("k") % 3 == 1), src)
+    V.delete_keys_mor(spark, src, "k",
+                      rows.filter(F.col("k") % 6 == 0).select("k"))
+    V.merge_snapshot_mor(
+        spark,
+        rows.filter(F.col("k") % 6 == 4)
+        .withColumn("price", F.col("price") + F.lit(1000.0)),
+        src, "k")
+    run_stream_apply_changes(spark, src, rep, ckpt, "k",
+                             starting=mark)
+    return (V.read_current(spark, rep)
+            .groupBy((F.col("k") % 2).alias("grp"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("price").cast("decimal(18,4)"))
+                  .cast("double").alias("sum_price"))
+            .orderBy("grp"))
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4612,6 +4675,8 @@ EXT_QUERIES = {
     "x43_centroid_stats": x43_centroid_stats,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
+    # new below the marker per rule 4 (r11 rotation candidate)
+    "xs18_cdc_apply_replica": xs18_cdc_apply_replica,
 }
 
 # ---------------------------------------------------------------------------
@@ -8049,6 +8114,24 @@ EXT_ORACLES["x119_schema_evolution"] = """
 # xs17: the net state after base(k%3==0) - delete(k%6==0) +
 # append(k%3==1) with the k%6==4 slice upserted to price+1000;
 # event counts stated arithmetically (upsert = retraction + insert).
+EXT_ORACLES["xs18_cdc_apply_replica"] = """
+    SELECT k % 2 AS grp,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price
+    FROM (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 6 = 3 AND o_orderkey % 8 <= 1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 6 = 1 AND o_orderkey % 8 <= 1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000
+        FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey % 8 <= 1
+    )
+    GROUP BY 1
+    ORDER BY 1
+"""
 EXT_ORACLES["xs17_stream_change_feed"] = """
     SELECT k % 2 AS grp,
            count(*)::BIGINT AS n,

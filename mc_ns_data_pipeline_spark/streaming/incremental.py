@@ -1218,3 +1218,95 @@ def run_stream_ann_index(spark: SparkSession, emb_path: str,
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
+                       replica: str, key: str,
+                       branch: str) -> None:
+    """Apply one micro-batch of a versioned-table CHANGE FEED to a
+    REPLICA versioned table — the downstream half of the CDC
+    round-trip (VERDICT r09 #6; the reference's per-lot
+    delete-then-insert replace, file_processor.py:96-118, as a stream
+    consumer).
+
+    The batch carries (row columns..., _change_type, _commit_gen).
+    The documented consumer rule collapses it to a NET action per key
+    (latest generation wins; at equal generation an insert beats the
+    delete that retracted the old version — the MOR-upsert
+    retract+reinsert case), then stages BOTH sides on one branch —
+    deletes first, inserts second — and publishes with a single
+    pointer flip, so replica readers never observe the intermediate
+    deleted-but-not-reinserted state the reference's two-phase replace
+    exposes.
+
+    Idempotent as a UNIT: replaying the whole batch (Spark replays
+    the one batch a crash can leave uncommitted) re-derives the same
+    net action and re-applies delete-then-upsert, which reproduces
+    the identical replica state; a crash between the staged commits
+    leaves only an orphaned branch (re-staged from scratch on
+    replay), never a half-applied replica. That unit idempotence is
+    why neither staged commit needs a txn stamp."""
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    meta = ("_change_type", "_commit_gen", "_rn")
+    w = Window.partitionBy(key).orderBy(
+        F.col("_commit_gen").desc(),
+        (F.col("_change_type") == F.lit("insert")).desc())
+    net = (batch_df.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1))
+    net.persist()
+    try:
+        dels = net.filter(F.col("_change_type") == "delete") \
+                  .select(key)
+        ups = net.filter(F.col("_change_type") == "insert") \
+                 .drop(*meta)
+        # re-stage from scratch: a replayed batch drops the orphaned
+        # branch a mid-apply crash may have left
+        if branch in V.list_refs(replica):
+            V.delete_ref(replica, branch)
+        staged = False
+        if dels.limit(1).count():
+            V.delete_keys_mor(spark, replica, key, dels,
+                              branch=branch)
+            staged = True
+        if ups.limit(1).count():
+            V.merge_snapshot_mor(spark, ups, replica, key,
+                                 branch=branch)
+            staged = True
+        if staged:
+            V.publish_ref(replica, branch)
+    finally:
+        net.unpersist()
+
+
+def run_stream_apply_changes(spark: SparkSession, source: str,
+                             replica: str, checkpoint_dir: str,
+                             key: str, starting: str = "current",
+                             app_id: str = "cdc_apply") -> None:
+    """Materialize a versioned table's CHANGE FEED onto a replica
+    versioned table, exactly-once: ``read_stream_changes(source)`` →
+    foreachBatch ``apply_change_batch`` — net state on the replica
+    equals the source after every committed batch, across restarts
+    and interleaved append/upsert/delete commits
+    (tests/test_streaming_cdc_apply.py).
+
+    Contract: initialize the replica to the source snapshot named by
+    ``starting`` first (genesis CDC bootstrap refuses mask-carrying
+    heads, and an initial full copy is the realistic CDC-apply shape
+    anyway); this runner then applies increments. One availableNow
+    pass per call; share ``checkpoint_dir`` across calls to resume."""
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        read_stream_changes,
+    )
+
+    feed = read_stream_changes(spark, source, starting=starting,
+                               checkpoint=checkpoint_dir)
+    q = (feed.writeStream
+         .foreachBatch(lambda b, bid: apply_change_batch(
+             spark, b, replica, key, f"{app_id}-{bid}"))
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,112 @@
+"""CDC round-trip: a versioned table's change feed applied to a
+REPLICA versioned table (streaming/incremental.py
+run_stream_apply_changes / apply_change_batch) — the reference's
+per-lot delete-then-insert replace (file_processor.py:96-118) as a
+streaming consumer, with net-state equality, restart safety, and
+unit-idempotent batch replay."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mc_ns_data_pipeline_spark.sinks import versioned as V
+from mc_ns_data_pipeline_spark.streaming.incremental import (
+    apply_change_batch,
+    run_stream_apply_changes,
+)
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _state(spark, table):
+    return {tuple(r) for r in V.read_current(spark, table).collect()}
+
+
+def _setup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), src)
+    mark = V.current_snapshot(src)
+    # initial copy at the mark — the realistic CDC-apply bootstrap
+    V.write_snapshot(V.read_current(spark, src), rep)
+    return src, rep, ckpt, mark
+
+
+def test_replica_tracks_interleaved_commits(spark, tmp_path):
+    src, rep, ckpt, mark = _setup(spark, tmp_path)
+    V.append_snapshot(_df(spark, [(4, "d"), (5, "e")]), src)
+    V.delete_keys_mor(spark, src, "k",
+                      _df(spark, [(2, "b")]).select("k"))
+    V.merge_snapshot_mor(
+        spark, _df(spark, [(3, "c2"), (6, "f")]), src, "k")
+    run_stream_apply_changes(spark, src, rep, ckpt, "k",
+                             starting=mark)
+    assert _state(spark, rep) == _state(spark, src) == {
+        (1, "a"), (3, "c2"), (4, "d"), (5, "e"), (6, "f")}
+
+
+def test_restart_applies_only_new_changes(spark, tmp_path):
+    src, rep, ckpt, mark = _setup(spark, tmp_path)
+    V.delete_keys_mor(spark, src, "k",
+                      _df(spark, [(1, "a")]).select("k"))
+    run_stream_apply_changes(spark, src, rep, ckpt, "k",
+                             starting=mark)
+    assert _state(spark, rep) == _state(spark, src)
+    # more commits while the consumer is down, then resume
+    V.append_snapshot(_df(spark, [(7, "g")]), src)
+    V.merge_snapshot_mor(spark, _df(spark, [(7, "g2")]), src, "k")
+    V.delete_keys_mor(spark, src, "k",
+                      _df(spark, [(3, "c")]).select("k"))
+    run_stream_apply_changes(spark, src, rep, ckpt, "k",
+                             starting=mark)
+    assert _state(spark, rep) == _state(spark, src) == {
+        (2, "b"), (7, "g2")}
+    # idle restart: no-op
+    before = V.current_snapshot(rep)
+    run_stream_apply_changes(spark, src, rep, ckpt, "k",
+                             starting=mark)
+    assert V.current_snapshot(rep) == before
+
+
+def test_batch_replay_is_unit_idempotent(spark, tmp_path):
+    """Replaying a whole change batch (what a crash between the
+    replica publish and the checkpoint advance produces) reproduces
+    the identical replica state — delete-then-upsert as a unit."""
+    src, rep, ckpt, mark = _setup(spark, tmp_path)
+    # the event shape the change feed emits: delete k=2 at gen 2,
+    # MOR upsert of k=3 at gen 3 (retraction + reinsert, equal gen)
+    batch = spark.createDataFrame(
+        [(2, None, "delete", 2), (3, None, "delete", 3),
+         (3, "c2", "insert", 3)],
+        "k int, v string, _change_type string, _commit_gen long")
+    apply_change_batch(spark, batch, rep, "k", "cdc_apply-0")
+    want = {(1, "a"), (3, "c2")}
+    assert _state(spark, rep) == want
+    apply_change_batch(spark, batch, rep, "k", "cdc_apply-0")
+    assert _state(spark, rep) == want  # replay: same net state
+    assert V.list_refs(rep) == {}  # no orphaned staging branches
+
+
+def test_mid_apply_crash_leaves_replica_consistent(spark, tmp_path):
+    """A crash BETWEEN the staged delete and the staged upsert leaves
+    only an orphaned branch: the replica still reads the pre-batch
+    state (single pointer flip), and the replayed batch completes."""
+    src, rep, ckpt, mark = _setup(spark, tmp_path)
+    V.merge_snapshot_mor(spark, _df(spark, [(1, "a2")]), src, "k")
+    batch = spark.createDataFrame(
+        [(1, None, "delete", 2), (1, "a2", "insert", 2)],
+        "k int, v string, _change_type string, _commit_gen long")
+    pre = _state(spark, rep)
+    # simulate the partial apply: stage ONLY the delete side
+    V.delete_keys_mor(spark, rep, "k",
+                      batch.filter("_change_type = 'delete'")
+                      .select("k"), branch="cdc_apply-0")
+    assert _state(spark, rep) == pre  # intermediate state invisible
+    apply_change_batch(spark, batch, rep, "k", "cdc_apply-0")
+    assert _state(spark, rep) == _state(spark, src)
+    assert V.list_refs(rep) == {}
