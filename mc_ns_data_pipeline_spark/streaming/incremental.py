@@ -1284,7 +1284,8 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
 def run_stream_apply_changes(spark: SparkSession, source: str,
                              replica: str, checkpoint_dir: str,
                              key: str, starting: str = "current",
-                             app_id: str = "cdc_apply") -> None:
+                             app_id: str = "cdc_apply",
+                             maintenance_every: int = 8) -> None:
     """Materialize a versioned table's CHANGE FEED onto a replica
     versioned table, exactly-once: ``read_stream_changes(source)`` →
     foreachBatch ``apply_change_batch`` — net state on the replica
@@ -1296,16 +1297,34 @@ def run_stream_apply_changes(spark: SparkSession, source: str,
     ``starting`` first (genesis CDC bootstrap refuses mask-carrying
     heads, and an initial full copy is the realistic CDC-apply shape
     anyway); this runner then applies increments. One availableNow
-    pass per call; share ``checkpoint_dir`` across calls to resume."""
+    pass per call; share ``checkpoint_dir`` across calls to resume.
+
+    ``maintenance_every``: every N batches, run ``optimize_table`` on
+    the replica (threshold-gated — a no-op when small files and
+    delete masks are below its limits). Without it the per-batch
+    apply cost GROWS with drain length: each upsert batch adds an
+    equality-delete mask and small files, and merge planning reads
+    against all of them (measured: 2.8 s → 4.2 s median per batch
+    over a 12-batch drain; flat with maintenance —
+    scripts/stress_cdc_apply.py). Maintenance commits are
+    row-preserving compactions, so they never produce change events
+    for downstream consumers of the replica itself."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
     from mc_ns_data_pipeline_spark.streaming.table_source import (
         read_stream_changes,
     )
 
+    def _apply(b, bid):
+        apply_change_batch(spark, b, replica, key,
+                           f"{app_id}-{bid}")
+        if maintenance_every and bid % maintenance_every == (
+                maintenance_every - 1):
+            V.optimize_table(spark, replica)
+
     feed = read_stream_changes(spark, source, starting=starting,
                                checkpoint=checkpoint_dir)
     q = (feed.writeStream
-         .foreachBatch(lambda b, bid: apply_change_batch(
-             spark, b, replica, key, f"{app_id}-{bid}"))
+         .foreachBatch(_apply)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

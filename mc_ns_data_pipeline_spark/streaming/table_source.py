@@ -284,7 +284,12 @@ def _bounded_end(table: str, floor: str, head: str,
     while snap != since:
         core = core_memo.get(snap)
         if core is None:
-            core = V._read_core(table, snap)
+            try:
+                core = V._read_core(table, snap)
+            except FileNotFoundError:
+                # vacuumed lineage — offer head and let partitions()
+                # raise its loud NonIncrementalHistoryError
+                return head
             if len(core_memo) < 65536:
                 core_memo[snap] = core
         chain.append(core)

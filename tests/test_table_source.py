@@ -488,3 +488,50 @@ def test_capped_genesis_covers_rewrites_and_masks(spark, tmp_path):
     assert got == want == {(1, "a"), (3, "c"), (4, "d"), (5, "e")}
     # bootstrap-at-compact + one append per batch = 3 batches
     assert _n_batches(tmp_path, "gfloor") == 3
+
+
+def test_capped_change_feed_bounded_batches(spark, tmp_path):
+    """The CHANGE FEED honors the same admission caps (shared
+    _bounded_end): a 6-commit event backlog behind a mark drains as
+    3 continuous batches at max_commits_per_trigger=2, with the net
+    algebra intact."""
+    import time
+
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        read_stream_changes,
+    )
+
+    table = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), table)
+    mark = V.current_snapshot(table)
+    for i in range(3, 7):
+        V.append_snapshot(_df(spark, [(i, f"c{i}")]), table)
+    V.delete_keys_mor(spark, table, "k",
+                      _df(spark, [(2, "b")]).select("k"))
+    V.merge_snapshot_mor(spark, _df(spark, [(3, "c3x")]), table, "k")
+
+    out = os.path.join(str(tmp_path), "cdc_out")
+    ckpt = os.path.join(str(tmp_path), "cdc_ckpt")
+    q = (read_stream_changes(spark, table, starting=mark,
+                             max_commits_per_trigger=2,
+                             checkpoint=ckpt)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="50 milliseconds").start())
+    try:
+        deadline = time.time() + 120
+        want_events = 4 + 1 + 2  # 4 appends + 1 delete + retract+ins
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= want_events:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    ev = spark.read.parquet(out)
+    assert ev.count() == want_events
+    assert ev.filter("_change_type = 'delete'").count() == 2
+    assert _n_batches(tmp_path, "cdc") == 3  # ceil(6 commits / 2)
