@@ -1329,3 +1329,146 @@ def run_stream_apply_changes(spark: SparkSession, source: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
+                        replica: str, view: str, key: str,
+                        group_col: str, value_col: str,
+                        txn_id: str) -> None:
+    """Maintain an aggregate MATERIALIZED VIEW (group_col → n,
+    sum_value) incrementally from one change-feed batch — streaming
+    IVM with DELETE support, the part equality-delete feeds usually
+    punt on: delete events carry only the key, so the retracted
+    row's contribution is recovered by joining the delete keys
+    against the REPLICA's pre-batch state (which this consumer also
+    maintains — apply AFTER the view update, see ordering below).
+
+    Crash/replay contract (Spark replays the one batch a crash can
+    leave uncommitted):
+    1. compute the net batch actions and the group DELTAS against the
+       replica's PRE-batch state;
+    2. read-modify-write the view, committed with ``txn_id`` — a
+       replayed batch's view merge is stamp-skipped
+       (_txn_already_applied), so the view counts each batch once;
+    3. apply the batch to the replica (apply_change_batch,
+       unit-idempotent).
+    Replay after a crash between 2 and 3 recomputes a stale delta
+    (the replica moved) but the stamp discards it; replay after a
+    crash before 2 recomputes the same delta. Groups whose count
+    reaches zero stay in the view with n=0 (no delete commit needed;
+    re-inserts revive them)."""
+    from pyspark.sql import Window
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    meta = ("_change_type", "_commit_gen", "_rn")
+    w = Window.partitionBy(key).orderBy(
+        F.col("_commit_gen").desc(),
+        (F.col("_change_type") == F.lit("insert")).desc())
+    net = (batch_df.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1))
+    net.persist()
+    try:
+        ups = net.filter(F.col("_change_type") == "insert") \
+                 .drop(*meta)
+        keys = net.select(key)  # every touched key retracts its
+        # pre-batch contribution: an upsert replaces, a delete removes
+        pre = (V.read_current(spark, replica)
+               .join(F.broadcast(keys), key, "left_semi")
+               .select(F.col(group_col).alias("g"),
+                       F.lit(-1).alias("dn"),
+                       (-F.col(value_col)).alias("dv")))
+        add = ups.select(F.col(group_col).alias("g"),
+                         F.lit(1).alias("dn"),
+                         F.col(value_col).alias("dv"))
+        delta = (pre.unionByName(add)
+                 .groupBy("g")
+                 .agg(F.sum("dn").cast("long").alias("dn"),
+                      F.sum(F.col("dv").cast("decimal(18,4)"))
+                       .alias("dv")))
+        cur = (V.read_current(spark, view) if
+               V.current_snapshot(view) is not None else
+               spark.createDataFrame(
+                   [], f"g {delta.schema['g'].dataType.simpleString()}"
+                       ", n long, sum_value decimal(18,4)"))
+        new = (delta.join(cur, "g", "full_outer")
+               .select(
+                   "g",
+                   (F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0)))
+                   .cast("long").alias("n"),
+                   (F.coalesce(F.col("sum_value"),
+                               F.lit(0).cast("decimal(18,4)"))
+                    + F.coalesce(F.col("dv"),
+                                 F.lit(0).cast("decimal(18,4)")))
+                   .cast("decimal(18,4)").alias("sum_value"))
+               .join(F.broadcast(delta.select("g")), "g",
+                     "left_semi"))  # touch only changed groups
+        if V.current_snapshot(view) is None:
+            V.write_snapshot(new, view, txn_id=txn_id)
+        else:
+            V.merge_snapshot_mor(spark, new, view, "g",
+                                 txn_id=txn_id)
+    finally:
+        net.unpersist()
+
+
+def run_stream_matview(spark: SparkSession, source: str,
+                       replica: str, view: str,
+                       checkpoint_dir: str, key: str,
+                       group_col: str, value_col: str,
+                       starting: str = "current",
+                       app_id: str = "cdc_matview",
+                       maintenance_every: int = 8) -> None:
+    """CDC → (replica, aggregate view), both versioned tables: the
+    change feed maintains a row-level REPLICA (apply_change_batch)
+    and a group-level MATERIALIZED VIEW (matview_delta_batch) —
+    ``view`` always equals ``SELECT group, count(*),
+    sum(value) FROM source``-net-state after every committed batch,
+    including through MOR deletes (the replica supplies retracted
+    values the key-only delete events lack). Initialize the replica
+    to the source snapshot at ``starting``; an unwritten view is
+    seeded here, before the stream starts, as the aggregate of that
+    initial copy (deltas alone can't reconstruct the pre-stream
+    contribution).
+
+    Scale: per batch this reads O(batch keys) replica rows (broadcast
+    left-semi; bloom/stat pruning applies), O(touched groups) view
+    rows, and rewrites nothing."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        read_stream_changes,
+    )
+
+    if V.current_snapshot(view) is None:
+        V.write_snapshot(
+            V.read_current(spark, replica)
+            .groupBy(F.col(group_col).alias("g"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col(value_col).cast("decimal(18,4)"))
+                  .alias("sum_value")),
+            view, txn_id=f"{app_id}:view:init")
+
+    def _apply(b, bid):
+        b.persist()
+        try:
+            matview_delta_batch(spark, b, replica, view, key,
+                                group_col, value_col,
+                                f"{app_id}:view:{bid}")
+            apply_change_batch(spark, b, replica, key,
+                               f"{app_id}-{bid}")
+        finally:
+            b.unpersist()
+        if maintenance_every and bid % maintenance_every == (
+                maintenance_every - 1):
+            V.optimize_table(spark, replica)
+            V.optimize_table(spark, view)
+
+    feed = read_stream_changes(spark, source, starting=starting,
+                               checkpoint=checkpoint_dir)
+    q = (feed.writeStream
+         .foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
