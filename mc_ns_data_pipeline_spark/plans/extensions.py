@@ -4496,7 +4496,10 @@ def xs18_cdc_apply_replica(spark: SparkSession, sf_dir: str
                     F.col("o_totalprice").alias("price")))
     V.write_snapshot(rows.filter(F.col("k") % 3 == 0), src)
     mark = V.current_snapshot(src)
-    V.write_snapshot(V.read_current(spark, src), rep)  # initial copy
+    # initial copy at the mark — written from the same source slice
+    # (identical content to read_current(src) at `mark`, one read
+    # cheaper)
+    V.write_snapshot(rows.filter(F.col("k") % 3 == 0), rep)
     V.append_snapshot(rows.filter(F.col("k") % 3 == 1), src)
     V.delete_keys_mor(spark, src, "k",
                       rows.filter(F.col("k") % 6 == 0).select("k"))

@@ -1262,16 +1262,20 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
                   .select(key)
         ups = net.filter(F.col("_change_type") == "insert") \
                  .drop(*meta)
+        # one probe job over the persisted net, not one per side
+        kinds = {r["_change_type"]: r["n"] for r in
+                 net.groupBy("_change_type")
+                 .agg(F.count("*").alias("n")).collect()}
         # re-stage from scratch: a replayed batch drops the orphaned
         # branch a mid-apply crash may have left
         if branch in V.list_refs(replica):
             V.delete_ref(replica, branch)
         staged = False
-        if dels.limit(1).count():
+        if kinds.get("delete"):
             V.delete_keys_mor(spark, replica, key, dels,
                               branch=branch)
             staged = True
-        if ups.limit(1).count():
+        if kinds.get("insert"):
             V.merge_snapshot_mor(spark, ups, replica, key,
                                  branch=branch)
             staged = True
