@@ -4518,6 +4518,96 @@ def xs18_cdc_apply_replica(spark: SparkSession, sf_dir: str
             .orderBy("grp"))
 
 
+def x120_matview_delta(spark: SparkSession, sf_dir: str
+                       ) -> DataFrame:
+    """X120 — incremental materialized-view maintenance with DELETE
+    support (streaming/incremental.py matview_delta_batch +
+    apply_change_batch), driver-checked WITHOUT a streaming lifecycle
+    (the machinery is batch-callable; the stream wrapper's lifecycle
+    cost is priced in BASELINE.md round-10 and its restart semantics
+    are pytest-pinned in test_streaming_matview.py).
+
+    Shape: replica = orders quarter-slice k%3∈{0,1} keyed by
+    o_orderkey, grouped by o_orderstatus, valued by o_totalprice;
+    view seeded as its aggregate. One change batch then lands: insert
+    events for k%3==2, key-only delete events for k%6==0, and a MOR
+    upsert (retract+reinsert at equal generation) moving k%6==4 to
+    price+1000. The view update must recover the retracted
+    contributions from the replica's PRE-batch state (key-only delete
+    events carry no values — the case equality-delete feeds usually
+    punt on), and the replica applies the same batch after. The
+    result is the view (groups with n>0) plus a witness that the
+    view's total count equals the replica's row count; the oracle
+    states the net algebra directly from orders.
+
+    Scale: the delta reads O(batch keys) replica rows via a broadcast
+    left-semi join and O(touched groups) view rows; nothing is
+    rewritten."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        apply_change_batch,
+        matview_delta_batch,
+    )
+
+    root = _scratch_dir("x120_ivm_")
+    rep = os.path.join(root, "rep")
+    view = os.path.join(root, "view")
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("g"),
+                    F.col("o_totalprice").alias("price")))
+    V.write_snapshot(rows.filter(F.col("k") % 3 <= 1), rep)
+    V.write_snapshot(
+        rows.filter(F.col("k") % 3 <= 1)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("price").cast("decimal(18,4)"))
+              .alias("sum_value")),
+        view)
+
+    null_g = F.lit(None).cast("string").alias("g")
+    null_p = F.lit(None).cast("double").alias("price")
+    ev = (
+        rows.filter(F.col("k") % 3 == 2)
+        .select("k", "g", "price",
+                F.lit("insert").alias("_change_type"),
+                F.lit(2).cast("long").alias("_commit_gen"))
+        .unionByName(
+            rows.filter(F.col("k") % 6 == 0)
+            .select("k", null_g, null_p,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(3).cast("long").alias("_commit_gen")))
+        .unionByName(
+            rows.filter(F.col("k") % 6 == 4)
+            .select("k", null_g, null_p,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(4).cast("long").alias("_commit_gen")))
+        .unionByName(
+            rows.filter(F.col("k") % 6 == 4)
+            .select("k", "g",
+                    (F.col("price") + F.lit(1000.0)).alias("price"),
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(4).cast("long").alias("_commit_gen")))
+    )
+    matview_delta_batch(spark, ev, rep, view, "k", "g", "price",
+                        "x120:view:0")
+    apply_change_batch(spark, ev, rep, "k", "x120-0")
+
+    n_replica = V.read_current(spark, rep).count()
+    out = V.read_current(spark, view).filter(F.col("n") > 0)
+    total = out.agg(F.sum("n").cast("long").alias("t")).first()["t"]
+    return (out.select(
+        "g", F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"))
+        .withColumn("replica_consistent",
+                    F.lit(bool(total == n_replica)))
+        .orderBy("g"))
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4678,8 +4768,9 @@ EXT_QUERIES = {
     "x43_centroid_stats": x43_centroid_stats,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
-    # new below the marker per rule 4 (r11 rotation candidate)
+    # new below the marker per rule 4 (r11 rotation candidates)
     "xs18_cdc_apply_replica": xs18_cdc_apply_replica,
+    "x120_matview_delta": x120_matview_delta,
 }
 
 # ---------------------------------------------------------------------------
@@ -8117,6 +8208,29 @@ EXT_ORACLES["x119_schema_evolution"] = """
 # xs17: the net state after base(k%3==0) - delete(k%6==0) +
 # append(k%3==1) with the k%6==4 slice upserted to price+1000;
 # event counts stated arithmetically (upsert = retraction + insert).
+EXT_ORACLES["x120_matview_delta"] = """
+    SELECT g,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_value,
+           TRUE AS replica_consistent
+    FROM (
+        SELECT o_orderstatus AS g, o_totalprice AS price
+        FROM orders
+        WHERE o_orderkey % 8 <= 1 AND o_orderkey % 3 <= 1
+          AND o_orderkey % 6 NOT IN (0, 4)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 8 <= 1 AND o_orderkey % 3 = 2
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 1000
+        FROM orders
+        WHERE o_orderkey % 8 <= 1 AND o_orderkey % 6 = 4
+    )
+    GROUP BY 1
+    ORDER BY 1
+"""
 EXT_ORACLES["xs18_cdc_apply_replica"] = """
     SELECT k % 2 AS grp,
            count(*)::BIGINT AS n,
