@@ -4547,7 +4547,6 @@ def x120_matview_delta(spark: SparkSession, sf_dir: str
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
     from mc_ns_data_pipeline_spark.streaming.incremental import (
-        apply_change_batch,
         matview_delta_batch,
     )
 
@@ -4595,17 +4594,11 @@ def x120_matview_delta(spark: SparkSession, sf_dir: str
     )
     matview_delta_batch(spark, ev, rep, view, "k", "g", "price",
                         "x120:view:0")
-    apply_change_batch(spark, ev, rep, "k", "x120-0")
-
-    n_replica = V.read_current(spark, rep).count()
-    out = V.read_current(spark, view).filter(F.col("n") > 0)
-    total = out.agg(F.sum("n").cast("long").alias("t")).first()["t"]
-    return (out.select(
-        "g", F.col("n").cast("long").alias("n"),
-        F.col("sum_value").cast("double").alias("sum_value"))
-        .withColumn("replica_consistent",
-                    F.lit(bool(total == n_replica)))
-        .orderBy("g"))
+    return (V.read_current(spark, view).filter(F.col("n") > 0)
+            .select(
+                "g", F.col("n").cast("long").alias("n"),
+                F.col("sum_value").cast("double").alias("sum_value"))
+            .orderBy("g"))
 
 
 EXT_QUERIES = {
@@ -8212,8 +8205,7 @@ EXT_ORACLES["x120_matview_delta"] = """
     SELECT g,
            count(*)::BIGINT AS n,
            CAST(sum(CAST(price AS DECIMAL(18,4)))
-                AS DOUBLE) AS sum_value,
-           TRUE AS replica_consistent
+                AS DOUBLE) AS sum_value
     FROM (
         SELECT o_orderstatus AS g, o_totalprice AS price
         FROM orders
