@@ -535,3 +535,20 @@ def test_capped_change_feed_bounded_batches(spark, tmp_path):
     assert ev.count() == want_events
     assert ev.filter("_change_type = 'delete'").count() == 2
     assert _n_batches(tmp_path, "cdc") == 3  # ceil(6 commits / 2)
+
+
+def test_capped_oversized_commit_still_admits(spark, tmp_path):
+    """Progress guarantee: a single commit larger than
+    max_files_per_trigger is never split — it admits whole, so every
+    trigger makes progress instead of stalling forever."""
+    table = str(tmp_path / "t")
+    V.write_snapshot(
+        _df(spark, [(i, f"v{i}") for i in range(12)]).repartition(6),
+        table)
+    V.append_snapshot(_df(spark, [(100, "tail")]), table)
+    got = _run_capped_continuous(spark, table, tmp_path, "big", 13,
+                                 max_files_per_trigger=2)
+    assert len(got) == 13
+    # batch 1 = the whole 6-file genesis commit (oversized), batch 2
+    # = the tail append
+    assert _n_batches(tmp_path, "big") == 2
