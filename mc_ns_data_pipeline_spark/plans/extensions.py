@@ -4454,45 +4454,61 @@ def xs17_stream_change_feed(spark: SparkSession, sf_dir: str
 
 def xs18_cdc_apply_replica(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
-    """XS18 — the CDC round-trip (VERDICT r09 #6): the change feed of
-    a versioned SOURCE table applied to a REPLICA versioned table via
-    ``run_stream_apply_changes`` (streaming/incremental.py) —
-    ``read_stream_changes`` → foreachBatch ``apply_change_batch``,
-    the reference's per-lot delete-then-insert replace
-    (file_processor.py:96-118) as a streaming consumer with a single
-    pointer flip per batch (replica readers never see the
-    intermediate deleted-but-not-reinserted state).
+    """XS18 — the CDC round-trip (VERDICT r09 #6; extended r11 per
+    VERDICT r10 #3/#4): the change feed of a versioned SOURCE table
+    drives BOTH a row-level REPLICA and an aggregate MATERIALIZED
+    VIEW through the public ``run_stream_matview`` runner
+    (streaming/incremental.py) — ``read_stream_changes`` →
+    foreachBatch (``matview_delta_batch`` then
+    ``apply_change_batch``), the reference's per-lot
+    delete-then-insert replace (file_processor.py:96-118) as a
+    streaming consumer with a single pointer flip per table per
+    batch, under admission control (``max_commits_per_trigger`` —
+    the bounded-broadcast guarantee of VERDICT r10 #2, through the
+    public runner's capped drain loop).
 
-    Lifecycle: source = orders quarter-slice k%3==0; replica
-    initialized as a copy at that mark (genesis CDC bootstrap refuses
-    mask-carrying heads; an initial full copy is the realistic
-    CDC-apply bootstrap anyway); then an append (k%3==1), a MOR
-    delete (k%6==0) and a MOR upsert (k%6==4 at price+1000) land on
-    the SOURCE; one apply drain follows. The result aggregates the
-    REPLICA, and the oracle states the source's net algebra directly
-    from orders — a hash match proves the replica reproduced the
-    net state through deletes-before-inserts ordering, exactly once.
-    Restart/replay/mid-crash properties are pinned in
-    tests/test_streaming_cdc_apply.py.
+    Lifecycle: source = orders quarter-slice k%3==0 with group col
+    g=k%2; replica initialized as a copy at that mark; the view is
+    seeded by the runner from the replica BEFORE the stream (deltas
+    alone cannot reconstruct pre-stream contributions); then an
+    append (k%3==1), a MOR delete (k%6==0) and a MOR upsert (k%6==4
+    at price+1000) land on the SOURCE; one capped drain follows.
 
-    Scale: apply cost per batch is O(batch events) — delete files are
-    kilobytes, upserts land as new files plus one equality-delete
-    mask, and the replica is never rewritten."""
+    The result joins the replica's direct aggregate with the
+    INCREMENTALLY maintained view per group and carries the raw
+    change-event counts the runner's batches consumed (the
+    ``on_batch`` witness — xs17's event algebra, folded in per
+    VERDICT r10 #3). The oracle states net algebra, view algebra and
+    event counts directly from orders, so one hash match proves: the
+    replica reproduced the net state through deletes-before-inserts
+    ordering; the view's deltas (including retractions recovered
+    from the replica's pre-batch state — key-only delete events
+    carry no values) sum to the same aggregate; and the feed
+    delivered exactly the expected raw events (nothing missing,
+    duplicated or mis-sequenced). Restart/replay/mid-crash and
+    capped-drain properties are pinned in
+    tests/test_streaming_cdc_apply.py / test_streaming_matview.py.
+
+    Scale: per batch O(batch events) apply work + an O(batch keys)
+    broadcast left-semi against the replica — bounded because the
+    feed is capped; the replica and view are never rewritten."""
     import os
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
     from mc_ns_data_pipeline_spark.streaming.incremental import (
-        run_stream_apply_changes,
+        run_stream_matview,
     )
 
     root = _scratch_dir("xs18_apply_")
     src = os.path.join(root, "src")
     rep = os.path.join(root, "rep")
+    view = os.path.join(root, "view")
     ckpt = os.path.join(root, "ckpt")
 
     orders = load_table(spark, sf_dir, "orders")
     rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
             .select(F.col("o_orderkey").alias("k"),
+                    (F.col("o_orderkey") % 2).alias("g"),
                     F.col("o_totalprice").alias("price")))
     V.write_snapshot(rows.filter(F.col("k") % 3 == 0), src)
     mark = V.current_snapshot(src)
@@ -4508,13 +4524,38 @@ def xs18_cdc_apply_replica(spark: SparkSession, sf_dir: str
         rows.filter(F.col("k") % 6 == 4)
         .withColumn("price", F.col("price") + F.lit(1000.0)),
         src, "k")
-    run_stream_apply_changes(spark, src, rep, ckpt, "k",
-                             starting=mark)
-    return (V.read_current(spark, rep)
-            .groupBy((F.col("k") % 2).alias("grp"))
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.col("price").cast("decimal(18,4)"))
-                  .cast("double").alias("sum_price"))
+
+    counts = {"i": 0, "d": 0}
+
+    def _witness(bid, secs, batch_df):
+        row = batch_df.agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1)
+                  .otherwise(0)).alias("i"),
+            F.sum(F.when(F.col("_change_type") == "delete", 1)
+                  .otherwise(0)).alias("d")).first()
+        counts["i"] += int(row["i"] or 0)
+        counts["d"] += int(row["d"] or 0)
+
+    run_stream_matview(spark, src, rep, view, ckpt, "k", "g",
+                       "price", starting=mark,
+                       max_commits_per_trigger=4,
+                       on_batch=_witness)
+    rep_agg = (V.read_current(spark, rep)
+               .groupBy(F.col("g").alias("grp"))
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("price").cast("decimal(18,4)"))
+                     .cast("double").alias("sum_price")))
+    view_agg = (V.read_current(spark, view)
+                .filter(F.col("n") > 0)
+                .select(F.col("g").alias("grp"),
+                        F.col("n").cast("long").alias("view_n"),
+                        F.col("sum_value").cast("double")
+                         .alias("view_sum_price")))
+    return (rep_agg.join(view_agg, "grp")
+            .withColumn("n_insert_events",
+                        F.lit(counts["i"]).cast("long"))
+            .withColumn("n_delete_events",
+                        F.lit(counts["d"]).cast("long"))
             .orderBy("grp"))
 
 
@@ -4536,9 +4577,8 @@ def x120_matview_delta(spark: SparkSession, sf_dir: str
     contributions from the replica's PRE-batch state (key-only delete
     events carry no values — the case equality-delete feeds usually
     punt on), and the replica applies the same batch after. The
-    result is the view (groups with n>0) plus a witness that the
-    view's total count equals the replica's row count; the oracle
-    states the net algebra directly from orders.
+    result is the view (groups with n>0, as g/n/sum_value); the
+    oracle states the net algebra directly from orders.
 
     Scale: the delta reads O(batch keys) replica rows via a broadcast
     left-semi join and O(touched groups) view rows; nothing is
@@ -4601,6 +4641,105 @@ def x120_matview_delta(spark: SparkSession, sf_dir: str
             .orderBy("g"))
 
 
+def x121_wire_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 — the WIRE multi-table transaction path (VERDICT r10 #6):
+    two catalog-named versioned tables staged through
+    ``RemoteCatalogTxn`` against a LIVE localhost catalog service
+    (sinks/catalog_service.py POST /v1/txns/commit) — the client's
+    Spark writes the data files onto ``txn-<id>`` branches locally
+    (the data plane never crosses the wire) and the service runs the
+    full commit protocol (leases, validate, sealed intent, ordered
+    flips) under its own catalog directory.
+
+    Lifecycle: orders quarter-slice k%8<=1; ``wh.fact`` seeded with
+    the even keys, ``wh.dim`` with the whole slice; ONE wire txn
+    appends the odd keys to fact and MOR-upserts the k%4==1 dim rows
+    to price+500 (both tables flip together, one commit decision);
+    a SECOND txn stages marker rows onto fact and aborts — its
+    staging must be invisible and its branch reaped. The result is
+    both tables' post-commit aggregates plus witnesses:
+    ``committed_atomic`` (the wire response pinned BOTH tables'
+    snapshots), ``aborted_invisible`` (no marker row survived) and
+    ``no_stray_refs`` (no staging branch left on either table). The
+    oracle states both tables' net algebra from orders with the
+    witnesses TRUE — a hash match proves the wire protocol committed
+    exactly the staged changes, atomically, and nothing else.
+
+    Scale: the wire carries only control-plane JSON (table names, a
+    txn id); staging and reads are ordinary versioned-table
+    operations, so a 100 TB estate pays one HTTP round trip per
+    resolution and per commit decision, never per byte."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.sinks.catalog_service import (
+        RestCatalog,
+        serve_catalog,
+    )
+
+    cat = os.path.join(_scratch_dir("x121_wire_"), "catalog")
+    os.makedirs(cat, exist_ok=True)
+    srv = serve_catalog(cat)
+    try:
+        client = RestCatalog(
+            f"http://127.0.0.1:{srv.server_address[1]}")
+        orders = load_table(spark, sf_dir, "orders")
+        rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
+                .select(F.col("o_orderkey").alias("k"),
+                        F.col("o_totalprice").alias("price")))
+        fact_root = client.create_table("wh.fact")
+        dim_root = client.create_table("wh.dim")
+        V.write_snapshot(rows.filter(F.col("k") % 2 == 0), fact_root)
+        V.write_snapshot(rows, dim_root)
+
+        t = client.txn(["wh.fact", "wh.dim"])
+        t.append(rows.filter(F.col("k") % 2 == 1), "wh.fact")
+        t.merge_mor(
+            spark,
+            rows.filter(F.col("k") % 4 == 1)
+            .withColumn("price", F.col("price") + F.lit(500.0)),
+            "wh.dim", "k")
+        res = t.commit()
+
+        # staged-then-aborted txn: invisible, branch reaped
+        t2 = client.txn(["wh.fact"])
+        t2.append(rows.limit(5)
+                  .withColumn("price", F.lit(-999999.0)), "wh.fact")
+        t2.abort()
+
+        fact = client.read_table(spark, "wh.fact")
+        dim = client.read_table(spark, "wh.dim")
+        # the wire response pinned BOTH tables to the snapshots now
+        # current — the commit decision was one atomic unit
+        flipped = res.get("tables", {})
+        committed_atomic = (
+            len(flipped) == 2
+            and V.current_snapshot(fact_root) in flipped.values()
+            and V.current_snapshot(dim_root) in flipped.values())
+        aborted_invisible = (
+            fact.filter(F.col("price") < 0).count() == 0)
+        no_stray_refs = (V.list_refs(fact_root) == {}
+                         and V.list_refs(dim_root) == {})
+
+        def agg(df, name):
+            return (df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_price"))
+                .select(F.lit(name).alias("tbl"), "n", "sum_price"))
+
+        return (agg(fact, "wh.fact").unionByName(agg(dim, "wh.dim"))
+                .withColumn("committed_atomic",
+                            F.lit(bool(committed_atomic)))
+                .withColumn("aborted_invisible",
+                            F.lit(bool(aborted_invisible)))
+                .withColumn("no_stray_refs",
+                            F.lit(bool(no_stray_refs)))
+                .orderBy("tbl"))
+    finally:
+        srv.shutdown()
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4611,21 +4750,54 @@ EXT_QUERIES = {
     # append new queries at the bottom. Rotation policy: SURVEY.md
     # section 8.
     #
-    # Round-10 window (VERDICT r09 #1): q01-q18 pinned. xs16/xs17/
-    # x119 rotate IN as the round's flagship never-rowed surfaces
-    # (rule 4 from r9). The WHOLE x98-x118 block stays under rule 2:
-    # versioned.py changes again this round (field-id fast path for
-    # the x102/x110 arbitration, ADVICE txn canonicalization) and
-    # table_source.py gains admission control (xs16/xs17/x105/x104
-    # ride it). xs14/xs15 stay under rule 2 (streaming/incremental.py
-    # hosts the CDC-apply work). Remaining 6 slots: rule-3 fills,
-    # oldest driver rows next in line -- the r4 block in ascending id
-    # order: x34, x35, x37, x39, x40, x41 (xs1/xs3 stay out as
-    # byte-identical aliases of the always-in q17/q18).
-    # Rotated out on fresh r9-green rows, implementations unchanged:
-    # x96, x12, x27-x33.
+    # Round-11 window (VERDICT r10 #1): q01-q18 pinned. xs18/x120
+    # rotate IN as the only queries with zero driver evidence (rule
+    # 4). Rule 2: xs14-xs17 ride this round's streaming changes
+    # (incremental.py cap plumbing + drain loop, table_source.py
+    # committed_end_offset), x111 rides txn.py realpath
+    # canonicalization, x109 rides catalog_service (r10 validation
+    # changes, judge-prescribed). Rule-3 fills, oldest driver rows
+    # first: the whole r4 block (x42 x43 x59 x61 x80 x90 x91 x97
+    # xs12 xs13), then the r5 block head in registration order (x36
+    # x38 x44-x55). xs1/xs3 stay out as byte-identical aliases of
+    # the always-in q17/q18. Rotated out on fresh r10-green rows,
+    # implementations unchanged: x98-x108, x110, x112-x118, x119,
+    # x34, x35, x37, x39-x41.
     "q17_stream_tumbling": q17_stream_tumbling,
     "q18_stream_dedup": q18_stream_dedup,
+    "xs18_cdc_apply_replica": xs18_cdc_apply_replica,
+    "x120_matview_delta": x120_matview_delta,
+    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
+    "xs15_stream_ann_index": xs15_stream_ann_index,
+    "xs16_stream_table_source": xs16_stream_table_source,
+    "xs17_stream_change_feed": xs17_stream_change_feed,
+    "x111_multi_table_txn": x111_multi_table_txn,
+    "x109_catalog_lifecycle": x109_catalog_lifecycle,
+    "x42_interval_join": x42_interval_join,
+    "x43_centroid_stats": x43_centroid_stats,
+    "x59_semantic_dedup": x59_semantic_dedup,
+    "x61_dsir_select": x61_dsir_select,
+    "x80_multimodal_audio": x80_multimodal_audio,
+    "x90_er_scoring": x90_er_scoring,
+    "x91_winsorize": x91_winsorize,
+    "x97_compaction_plan": x97_compaction_plan,
+    "xs12_stream_anomaly": xs12_stream_anomaly,
+    "xs13_stream_zone_maps": xs13_stream_zone_maps,
+    "x36_ann_recall": x36_ann_recall,
+    "x38_column_profile": x38_column_profile,
+    "x44_bloom_semi_join": x44_bloom_semi_join,
+    "x45_corr_matrix": x45_corr_matrix,
+    "x46_quantile_binning": x46_quantile_binning,
+    "x47_canonical_docs": x47_canonical_docs,
+    "x48_topk_quality": x48_topk_quality,
+    "x49_key_skew_profile": x49_key_skew_profile,
+    "x50_line_dedup": x50_line_dedup,
+    "x51_incremental_dedup": x51_incremental_dedup,
+    "x52_kmeans_refine": x52_kmeans_refine,
+    "x53_snapshot_diff": x53_snapshot_diff,
+    "x54_gopher_rules": x54_gopher_rules,
+    "x55_cms_frequency": x55_cms_frequency,
+    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x98_snapshot_merge": x98_snapshot_merge,
     "x99_changelog_read": x99_changelog_read,
     "x100_cdc_diff": x100_cdc_diff,
@@ -4637,9 +4809,7 @@ EXT_QUERIES = {
     "x106_mor_upsert": x106_mor_upsert,
     "x107_wap_publish": x107_wap_publish,
     "x108_partition_spec": x108_partition_spec,
-    "x109_catalog_lifecycle": x109_catalog_lifecycle,
     "x110_paged_manifest": x110_paged_manifest,
-    "x111_multi_table_txn": x111_multi_table_txn,
     "x112_sequence_packing": x112_sequence_packing,
     "x113_chunk_windows": x113_chunk_windows,
     "x114_group_isolation": x114_group_isolation,
@@ -4647,10 +4817,6 @@ EXT_QUERIES = {
     "x116_sql_time_travel": x116_sql_time_travel,
     "x117_branch_merge": x117_branch_merge,
     "x118_metadata_tables": x118_metadata_tables,
-    "xs14_stream_incremental_dedup": xs14_stream_incremental_dedup,
-    "xs15_stream_ann_index": xs15_stream_ann_index,
-    "xs16_stream_table_source": xs16_stream_table_source,
-    "xs17_stream_change_feed": xs17_stream_change_feed,
     "x119_schema_evolution": x119_schema_evolution,
     "x34_heavy_hitters": x34_heavy_hitters,
     "x35_classifier_score": x35_classifier_score,
@@ -4658,7 +4824,6 @@ EXT_QUERIES = {
     "x39_chunk_documents": x39_chunk_documents,
     "x40_lm_score": x40_lm_score,
     "x41_json_extract": x41_json_extract,
-    # --- end of driver gate window (50 names incl. 16 core q) ---------
     "x96_curation_pipeline": x96_curation_pipeline,
     "x12_multimodal_features": x12_multimodal_features,
     "x27_moving_window": x27_moving_window,
@@ -4726,20 +4891,6 @@ EXT_QUERIES = {
     "xs9_stream_dedup_bounded": xs9_stream_dedup_bounded,
     "xs10_stream_topk": xs10_stream_topk,
     "xs11_stream_quality_gate": xs11_stream_quality_gate,
-    "x36_ann_recall": x36_ann_recall,
-    "x38_column_profile": x38_column_profile,
-    "x44_bloom_semi_join": x44_bloom_semi_join,
-    "x45_corr_matrix": x45_corr_matrix,
-    "x46_quantile_binning": x46_quantile_binning,
-    "x47_canonical_docs": x47_canonical_docs,
-    "x48_topk_quality": x48_topk_quality,
-    "x49_key_skew_profile": x49_key_skew_profile,
-    "x50_line_dedup": x50_line_dedup,
-    "x51_incremental_dedup": x51_incremental_dedup,
-    "x52_kmeans_refine": x52_kmeans_refine,
-    "x53_snapshot_diff": x53_snapshot_diff,
-    "x54_gopher_rules": x54_gopher_rules,
-    "x55_cms_frequency": x55_cms_frequency,
     "x56_common_spans": x56_common_spans,
     "x57_pq_ann": x57_pq_ann,
     "x58_prefix_similarity_join": x58_prefix_similarity_join,
@@ -4749,21 +4900,10 @@ EXT_QUERIES = {
     "x65_bpe_pairs": x65_bpe_pairs,
     "x66_bigram_lm": x66_bigram_lm,
     "x67_ngram_novelty": x67_ngram_novelty,
-    "x59_semantic_dedup": x59_semantic_dedup,
-    "x61_dsir_select": x61_dsir_select,
-    "x80_multimodal_audio": x80_multimodal_audio,
-    "x97_compaction_plan": x97_compaction_plan,
-    "xs12_stream_anomaly": xs12_stream_anomaly,
-    "xs13_stream_zone_maps": xs13_stream_zone_maps,
-    "x91_winsorize": x91_winsorize,
-    "x90_er_scoring": x90_er_scoring,
-    "x42_interval_join": x42_interval_join,
-    "x43_centroid_stats": x43_centroid_stats,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
-    # new below the marker per rule 4 (r11 rotation candidates)
-    "xs18_cdc_apply_replica": xs18_cdc_apply_replica,
-    "x120_matview_delta": x120_matview_delta,
+    # new below the marker per rule 4 (r12 rotation candidate)
+    "x121_wire_txn": x121_wire_txn,
 }
 
 # ---------------------------------------------------------------------------
@@ -8227,7 +8367,20 @@ EXT_ORACLES["xs18_cdc_apply_replica"] = """
     SELECT k % 2 AS grp,
            count(*)::BIGINT AS n,
            CAST(sum(CAST(price AS DECIMAL(18,4)))
-                AS DOUBLE) AS sum_price
+                AS DOUBLE) AS sum_price,
+           count(*)::BIGINT AS view_n,
+           CAST(sum(CAST(price AS DECIMAL(18,4)))
+                AS DOUBLE) AS view_sum_price,
+           ((SELECT count(*) FROM orders
+             WHERE o_orderkey % 3 = 1 AND o_orderkey % 8 <= 1)
+            + (SELECT count(*) FROM orders
+               WHERE o_orderkey % 6 = 4 AND o_orderkey % 8 <= 1
+              ))::BIGINT AS n_insert_events,
+           ((SELECT count(*) FROM orders
+             WHERE o_orderkey % 6 = 0 AND o_orderkey % 8 <= 1)
+            + (SELECT count(*) FROM orders
+               WHERE o_orderkey % 6 = 4 AND o_orderkey % 8 <= 1
+              ))::BIGINT AS n_delete_events
     FROM (
         SELECT o_orderkey AS k, o_totalprice AS price
         FROM orders WHERE o_orderkey % 6 = 3 AND o_orderkey % 8 <= 1
@@ -8240,6 +8393,30 @@ EXT_ORACLES["xs18_cdc_apply_replica"] = """
     )
     GROUP BY 1
     ORDER BY 1
+"""
+EXT_ORACLES["x121_wire_txn"] = """
+    SELECT tbl, n, sum_price,
+           TRUE AS committed_atomic,
+           TRUE AS aborted_invisible,
+           TRUE AS no_stray_refs
+    FROM (
+        SELECT 'wh.dim' AS tbl, count(*)::BIGINT AS n,
+               CAST(sum(CAST(price AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_price
+        FROM (
+            SELECT o_totalprice AS price
+            FROM orders WHERE o_orderkey % 8 = 0
+            UNION ALL
+            SELECT o_totalprice + 500
+            FROM orders WHERE o_orderkey % 8 = 1
+        )
+        UNION ALL
+        SELECT 'wh.fact', count(*)::BIGINT,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE)
+        FROM orders WHERE o_orderkey % 8 <= 1
+    )
+    ORDER BY tbl
 """
 EXT_ORACLES["xs17_stream_change_feed"] = """
     SELECT k % 2 AS grp,

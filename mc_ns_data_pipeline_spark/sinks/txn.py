@@ -105,10 +105,13 @@ class MultiTableTxn:
         group-resolving readers (use `catalog_txn` for the resolved
         convenience shape)."""
         self.log_dir = log_dir
-        self.tables = [os.path.abspath(t) for t in tables]
+        # realpath mirrors commit_staged's canonicalization so
+        # abort() deletes staged refs on the SAME spelling the
+        # protocol leased (ADVICE r10)
+        self.tables = [os.path.realpath(t) for t in tables]
         self.catalog_root = catalog_root
         self.group = group
-        self.names = {os.path.abspath(t): n
+        self.names = {os.path.realpath(t): n
                       for t, n in (names or {}).items()}
         if group is not None and (catalog_root is None or not names):
             raise ValueError("group pinning needs catalog_root+names")
@@ -120,7 +123,7 @@ class MultiTableTxn:
     # -- staging wrappers: every verb that takes branch= works; these
     # -- cover the common three and record which tables were touched
     def _touch(self, table: str) -> str:
-        table = os.path.abspath(table)
+        table = os.path.realpath(table)
         if table not in self.tables:
             raise ValueError(
                 f"{table} not declared in this transaction")
@@ -199,7 +202,11 @@ def commit_staged(log_dir: str, txn_id: str, branch: str,
     ``group_info`` is the intent's group-pin record
     (``{"catalog", "group", "names": {root: catalog_name}}``).
     Raises CommitConflictError with NOTHING flipped (staged branches
-    dropped) when any table moved past its staging."""
+    dropped) when any table moved past its staging. The returned
+    ``tables`` dict is keyed by the CALLER's spellings (the wire
+    handler maps them back to catalog names); the sealed intent on
+    disk always records canonical paths so recovery flips the same
+    spellings the leases guarded."""
     if not staged:
         return {"txn": txn_id, "tables": {}}
     # canonicalize INSIDE the protocol so every caller (local
@@ -207,8 +214,18 @@ def commit_staged(log_dir: str, txn_id: str, branch: str,
     # the same spelling of the same table set in the same sorted
     # order — two spellings that sort differently would degrade the
     # deadlock-free-by-sorted-order invariant to a lease-timeout
-    # conflict (ADVICE r9)
-    staged = [os.path.abspath(t) for t in staged]
+    # conflict (ADVICE r9). realpath, not abspath: two SYMLINKED
+    # spellings of the same table must lease the same path too —
+    # and therefore DEDUPE to one lease, not a self-deadlocking pair
+    # (ADVICE r10)
+    spelling: dict[str, str] = {}  # canonical -> caller's spelling
+    for t in staged:
+        spelling.setdefault(os.path.realpath(t), t)
+    staged = list(spelling)
+    if group_info is not None and group_info.get("names"):
+        group_info = dict(group_info)
+        group_info["names"] = {os.path.realpath(t): n
+                               for t, n in group_info["names"].items()}
     os.makedirs(log_dir, exist_ok=True)
     targets: dict[str, str] = {}
     with ExitStack() as stack:
@@ -243,7 +260,9 @@ def commit_staged(log_dir: str, txn_id: str, branch: str,
         # by recovery, and a rolled-back txn never pins
         _pin_intent_group(intent)
     os.remove(_intent_path(log_dir, txn_id))
-    return {"txn": txn_id, "tables": targets}
+    return {"txn": txn_id,
+            "tables": {spelling[t]: snap
+                       for t, snap in targets.items()}}
 
 
 def multi_table_txn(log_dir: str, tables: list[str],

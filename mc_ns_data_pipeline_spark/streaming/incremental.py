@@ -1285,11 +1285,55 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
         net.unpersist()
 
 
+def _drain_change_feed(spark: SparkSession, source: str,
+                       checkpoint_dir: str, apply_fn,
+                       starting: str,
+                       max_commits_per_trigger: int,
+                       max_files_per_trigger: int) -> None:
+    """Run a change-feed → foreachBatch consumer to COMPLETION under
+    admission control. ``Trigger.AvailableNow`` captures the first
+    offer as the run end (no per-batch admission hook in the Python
+    datasource API — table_source.py module header), so a capped run
+    admits exactly ONE bounded batch; this helper loops availableNow
+    runs until the stream's COMMITTED offset reaches the source head,
+    i.e. a backlog of N commits drains as ⌈N/cap⌉ checkpointed runs
+    of one bounded batch each. Every run is its own exactly-once
+    checkpointed lifecycle: a kill mid-drain resumes from the last
+    committed batch. Uncapped, the first run admits everything and
+    the loop exits after one caught-up check (metadata-only — no
+    second lifecycle is paid)."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming import table_source as TS
+
+    prev = TS.committed_end_offset(checkpoint_dir)
+    while True:
+        feed = TS.read_stream_changes(
+            spark, source, starting=starting,
+            max_commits_per_trigger=max_commits_per_trigger,
+            max_files_per_trigger=max_files_per_trigger,
+            checkpoint=checkpoint_dir)
+        q = (feed.writeStream
+             .foreachBatch(apply_fn)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        end = TS.committed_end_offset(checkpoint_dir)
+        if end is None or end == prev:
+            break  # nothing admitted — source had no new commits
+        prev = end
+        if end == V.current_snapshot(source):
+            break  # caught up to the head
+
+
 def run_stream_apply_changes(spark: SparkSession, source: str,
                              replica: str, checkpoint_dir: str,
                              key: str, starting: str = "current",
                              app_id: str = "cdc_apply",
-                             maintenance_every: int = 8) -> None:
+                             maintenance_every: int = 8,
+                             max_commits_per_trigger: int = 0,
+                             max_files_per_trigger: int = 0,
+                             on_batch=None) -> None:
     """Materialize a versioned table's CHANGE FEED onto a replica
     versioned table, exactly-once: ``read_stream_changes(source)`` →
     foreachBatch ``apply_change_batch`` — net state on the replica
@@ -1300,8 +1344,31 @@ def run_stream_apply_changes(spark: SparkSession, source: str,
     Contract: initialize the replica to the source snapshot named by
     ``starting`` first (genesis CDC bootstrap refuses mask-carrying
     heads, and an initial full copy is the realistic CDC-apply shape
-    anyway); this runner then applies increments. One availableNow
-    pass per call; share ``checkpoint_dir`` across calls to resume.
+    anyway); this runner then applies increments, DRAINING the
+    backlog available at call time to completion before returning;
+    share ``checkpoint_dir`` across calls to resume.
+
+    ``max_commits_per_trigger`` / ``max_files_per_trigger`` (0 =
+    unbounded) bound each micro-batch's admitted lineage — the scale
+    lever for a replica that fell far behind: the per-batch net
+    window, the staged delete/upsert sides, and (in the matview
+    variant) the broadcast touched-key set are all O(batch events),
+    which is only a bound if the feed is capped. Because
+    Trigger.AvailableNow admits exactly ONE bounded batch per run,
+    capped drains loop availableNow runs until the committed offset
+    reaches the source head — ⌈N/cap⌉ checkpointed runs, each its
+    own exactly-once lifecycle (_drain_change_feed); a kill
+    mid-drain resumes from the last committed batch
+    (scripts/stress_cdc_apply.py proves both through this public
+    runner). Uncapped calls pay exactly one lifecycle, as before.
+
+    ``on_batch`` (optional ``callable(batch_id, seconds,
+    batch_df)``) fires driver-side after each applied batch with the
+    batch's apply time and the batch DataFrame (still valid inside
+    the foreachBatch scope) — drain instrumentation and feed
+    witnesses (xs18 counts raw change events through it). At-least-
+    once under crash replay, like the batch itself; leave None in
+    production.
 
     ``maintenance_every``: every N batches, run ``optimize_table`` on
     the replica (threshold-gated — a no-op when small files and
@@ -1313,26 +1380,23 @@ def run_stream_apply_changes(spark: SparkSession, source: str,
     scripts/stress_cdc_apply.py). Maintenance commits are
     row-preserving compactions, so they never produce change events
     for downstream consumers of the replica itself."""
+    import time
+
     from mc_ns_data_pipeline_spark.sinks import versioned as V
-    from mc_ns_data_pipeline_spark.streaming.table_source import (
-        read_stream_changes,
-    )
 
     def _apply(b, bid):
+        t0 = time.perf_counter()
         apply_change_batch(spark, b, replica, key,
                            f"{app_id}-{bid}")
         if maintenance_every and bid % maintenance_every == (
                 maintenance_every - 1):
             V.optimize_table(spark, replica)
+        if on_batch is not None:
+            on_batch(bid, time.perf_counter() - t0, b)
 
-    feed = read_stream_changes(spark, source, starting=starting,
-                               checkpoint=checkpoint_dir)
-    q = (feed.writeStream
-         .foreachBatch(_apply)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    _drain_change_feed(spark, source, checkpoint_dir, _apply,
+                       starting, max_commits_per_trigger,
+                       max_files_per_trigger)
 
 
 def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
@@ -1356,11 +1420,13 @@ def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
        (_txn_already_applied), so the view counts each batch once;
     3. apply the batch to the replica (apply_change_batch,
        unit-idempotent).
-    Replay after a crash between 2 and 3 recomputes a stale delta
-    (the replica moved) but the stamp discards it; replay after a
-    crash before 2 recomputes the same delta. Groups whose count
-    reaches zero stay in the view with n=0 (no delete commit needed;
-    re-inserts revive them)."""
+    Replay after a crash before step 3 completed (including between
+    2 and 3) recomputes the SAME delta — the replica has not moved;
+    the stamp then skips the already-committed view merge. Replay
+    after step 3 completed but before the checkpoint commit
+    recomputes a STALE delta (the replica moved), and the stamp
+    discards it. Groups whose count reaches zero stay in the view
+    with n=0 (no delete commit needed; re-inserts revive them)."""
     from pyspark.sql import Window
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
@@ -1423,7 +1489,10 @@ def run_stream_matview(spark: SparkSession, source: str,
                        group_col: str, value_col: str,
                        starting: str = "current",
                        app_id: str = "cdc_matview",
-                       maintenance_every: int = 8) -> None:
+                       maintenance_every: int = 8,
+                       max_commits_per_trigger: int = 0,
+                       max_files_per_trigger: int = 0,
+                       on_batch=None) -> None:
     """CDC → (replica, aggregate view), both versioned tables: the
     change feed maintains a row-level REPLICA (apply_change_batch)
     and a group-level MATERIALIZED VIEW (matview_delta_batch) —
@@ -1438,11 +1507,17 @@ def run_stream_matview(spark: SparkSession, source: str,
 
     Scale: per batch this reads O(batch keys) replica rows (broadcast
     left-semi; bloom/stat pruning applies), O(touched groups) view
-    rows, and rewrites nothing."""
+    rows, and rewrites nothing — but "O(batch keys)" is only a BOUND
+    when the feed is capped: set ``max_commits_per_trigger`` /
+    ``max_files_per_trigger`` so a consumer that fell a week behind
+    broadcasts the capped key set per batch, never the whole
+    backlog's. Admission, drain-to-completion, kill/resume, and
+    ``on_batch`` semantics match ``run_stream_apply_changes``
+    (capped availableNow runs loop until caught up —
+    ``_drain_change_feed``)."""
+    import time
+
     from mc_ns_data_pipeline_spark.sinks import versioned as V
-    from mc_ns_data_pipeline_spark.streaming.table_source import (
-        read_stream_changes,
-    )
 
     if V.current_snapshot(view) is None:
         V.write_snapshot(
@@ -1454,6 +1529,7 @@ def run_stream_matview(spark: SparkSession, source: str,
             view, txn_id=f"{app_id}:view:init")
 
     def _apply(b, bid):
+        t0 = time.perf_counter()
         b.persist()
         try:
             matview_delta_batch(spark, b, replica, view, key,
@@ -1467,12 +1543,9 @@ def run_stream_matview(spark: SparkSession, source: str,
                 maintenance_every - 1):
             V.optimize_table(spark, replica)
             V.optimize_table(spark, view)
+        if on_batch is not None:
+            on_batch(bid, time.perf_counter() - t0, b)
 
-    feed = read_stream_changes(spark, source, starting=starting,
-                               checkpoint=checkpoint_dir)
-    q = (feed.writeStream
-         .foreachBatch(_apply)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    _drain_change_feed(spark, source, checkpoint_dir, _apply,
+                       starting, max_commits_per_trigger,
+                       max_files_per_trigger)

@@ -39,7 +39,14 @@ Semantics (all verified in tests/test_table_source.py):
   batches instead of ONE unbounded batch — the reference's own
   one-6h-window-per-run admission (incremental_fetch.py:158-175),
   generalized. A kill mid-drain resumes from the last committed
-  batch, exactly-once preserved.
+  batch, exactly-once preserved. TRIGGER CAVEAT: only continuous
+  triggers (``processingTime``) consult ``latestOffset`` per batch
+  and drain multi-batch in one run; ``Trigger.AvailableNow``
+  captures the FIRST offer as the run end (no per-batch admission
+  hook in the Python datasource API), so a capped availableNow run
+  admits exactly ONE bounded batch and terminates with backlog
+  remaining — loop such runs until caught up (the public CDC
+  runners in streaming/incremental.py do exactly this).
 * **Frozen schema.** The stream's schema is pinned at definition
   time (Spark streaming requires a static schema); later additive
   evolutions project away mid-stream (new columns are dropped until
@@ -224,24 +231,12 @@ def _bootstrap_files(table: str, snapshot: str,
     return list(man.get("files", []))
 
 
-def _floor_from_offset_log(checkpoint: str) -> str | None:
-    """Best-effort read of Spark's own offset log under a stream's
-    checkpoint dir: the END offset of the latest PLANNED batch — the
-    position admission control should cap from after a runner
-    restart. The offset file is Spark's HDFSMetadataLog text format
-    (version line, metadata JSON line, then one serialized offset per
-    source); this source serializes offsets as the {"snapshot": ...}
-    JSON dict. Returns None when the log is absent or unparseable —
-    the caller then falls back to one uncapped batch."""
-    d = os.path.join(checkpoint, "offsets")
+def _offset_file_snapshot(path: str) -> str | None:
+    """Parse one Spark HDFSMetadataLog offset file (version line,
+    metadata JSON line, then one serialized offset per source) and
+    return this source's {"snapshot": ...} end position, or None."""
     try:
-        batches = [int(f) for f in os.listdir(d) if f.isdigit()]
-    except OSError:
-        return None
-    if not batches:
-        return None
-    try:
-        with open(os.path.join(d, str(max(batches)))) as fh:
+        with open(path) as fh:
             lines = [ln.strip() for ln in fh if ln.strip()]
         off = json.loads(lines[-1])
         if isinstance(off, str):  # SerializedOffset double-encoding
@@ -250,6 +245,41 @@ def _floor_from_offset_log(checkpoint: str) -> str | None:
         return snap if isinstance(snap, str) else None
     except (OSError, ValueError, AttributeError, IndexError):
         return None
+
+
+def _floor_from_offset_log(checkpoint: str) -> str | None:
+    """Best-effort read of Spark's own offset log under a stream's
+    checkpoint dir: the END offset of the latest PLANNED batch — the
+    position admission control should cap from after a runner
+    restart. Returns None when the log is absent or unparseable —
+    the caller then falls back to one uncapped batch."""
+    d = os.path.join(checkpoint, "offsets")
+    try:
+        batches = [int(f) for f in os.listdir(d) if f.isdigit()]
+    except OSError:
+        return None
+    if not batches:
+        return None
+    return _offset_file_snapshot(os.path.join(d, str(max(batches))))
+
+
+def committed_end_offset(checkpoint: str) -> str | None:
+    """The END offset (snapshot id) of the latest COMMITTED batch in
+    a stream's checkpoint — unlike ``_floor_from_offset_log`` this
+    consults ``commits/`` first, so a planned-but-uncommitted batch
+    (a crash the next run will replay) is not counted as progress.
+    The public CDC runners use this to decide a capped availableNow
+    drain loop is caught up (one bounded batch per run — module
+    header). Returns None when no batch has committed."""
+    c = os.path.join(checkpoint, "commits")
+    try:
+        batches = [int(f) for f in os.listdir(c) if f.isdigit()]
+    except OSError:
+        return None
+    if not batches:
+        return None
+    return _offset_file_snapshot(
+        os.path.join(checkpoint, "offsets", str(max(batches))))
 
 
 _BOOT_OK_OPS = ("append", "compact", "set-spec")
@@ -569,7 +599,12 @@ def read_stream_table(spark: SparkSession, table: str,
     N commits, or a genesis bootstrap over a long lineage, drains as
     ⌈N/cap⌉ checkpointed batches instead of one unbounded batch
     (Delta maxFilesPerTrigger semantics at commit granularity; one
-    commit is always admitted so every trigger makes progress). Pass
+    commit is always admitted so every trigger makes progress).
+    Multi-batch draining needs a continuous trigger: under
+    ``Trigger.AvailableNow`` a capped run admits exactly ONE bounded
+    batch and terminates with backlog remaining (availableNow
+    captures the first offer as the run end) — loop availableNow
+    runs until caught up, as the public CDC runners do. Pass
     ``checkpoint`` (the same checkpointLocation the writer uses) so a
     restarted stream re-seeds its admission floor from Spark's offset
     log; without it, the first batch after a restart is uncapped
@@ -616,7 +651,8 @@ def read_stream_changes(spark: SparkSession, table: str,
     loud refusal of COW rewrites / mid-stream schema changes /
     vacuumed resume points, admission control via
     ``max_commits_per_trigger`` / ``max_files_per_trigger`` /
-    ``checkpoint``) matches ``read_stream_table``."""
+    ``checkpoint`` — including the availableNow one-bounded-batch-
+    per-run caveat) matches ``read_stream_table``."""
     pkg_parent = _register(spark)
     r = (spark.readStream.format("versioned_table")
          .option("table", table)

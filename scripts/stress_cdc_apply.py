@@ -1,21 +1,27 @@
 #!/usr/bin/env python
-"""CDC-apply scale posture (round-10, VERDICT r09 #6).
+"""CDC-apply scale posture (round-10, VERDICT r09 #6; round-11
+re-pointed at the PUBLIC runner, VERDICT r10 #2).
 
-The 100 TB claim to verify: applying a change feed to a replica costs
-O(batch events) per micro-batch — delete files are kilobytes, upserts
-land as new files plus one equality-delete mask, the replica is never
-rewritten — and a capped drain applies a long backlog as bounded
-batches with the replica readable (and consistent) between each.
+The 100 TB claims to verify, all through the public
+``run_stream_apply_changes`` surface (no hand-built feed):
 
-Builds a source table, lands N_COMMITS interleaved append/upsert/
-delete commits, then drains them onto a replica with
-max_commits_per_trigger=CAP and verifies replica ≡ source.
+* applying a change feed to a replica costs O(batch events) per
+  micro-batch — delete files are kilobytes, upserts land as new
+  files plus one equality-delete mask, the replica is never
+  rewritten (per-batch apply time flat across the drain);
+* ``max_commits_per_trigger`` bounds every batch: a backlog of
+  N commits drains as ⌈N/cap⌉ checkpointed batches (one bounded
+  batch per availableNow run, looped until caught up);
+* a KILL mid-drain (simulated: the batch hook raises) resumes from
+  the last committed batch and finishes exactly-once —
+  replica ≡ source at the end.
 
 Usage: python scripts/stress_cdc_apply.py [WORK] [N_COMMITS] [CAP]
 """
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import sys
@@ -32,10 +38,7 @@ def main() -> None:
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
     from mc_ns_data_pipeline_spark.streaming.incremental import (
-        apply_change_batch,
-    )
-    from mc_ns_data_pipeline_spark.streaming.table_source import (
-        read_stream_changes,
+        run_stream_apply_changes,
     )
 
     spark = (SparkSession.builder.master("local[8]")
@@ -68,38 +71,48 @@ def main() -> None:
     print(f"build: {n_commits} interleaved commits in "
           f"{time.perf_counter() - t0:6.1f} s", flush=True)
 
+    expect_batches = math.ceil(n_commits / cap)
+    kill_at = expect_batches // 2
     batch_times: list[float] = []
 
-    def apply(b, bid):
-        t = time.perf_counter()
-        apply_change_batch(spark, b, rep, "k", f"stress-{bid}")
-        if bid % 4 == 3:  # threshold-gated replica maintenance —
-            V.optimize_table(spark, rep)  # the flatness lever
-        batch_times.append(time.perf_counter() - t)
+    def on_batch(bid, secs, b):
+        batch_times.append(secs)
+        if len(batch_times) == kill_at:
+            raise RuntimeError("simulated kill mid-drain")
 
     t0 = time.perf_counter()
-    q = (read_stream_changes(spark, src, starting=mark,
-                             max_commits_per_trigger=cap,
-                             checkpoint=ckpt)
-         .writeStream.foreachBatch(apply)
-         .option("checkpointLocation", ckpt)
-         .trigger(processingTime="50 milliseconds").start())
-    want = {tuple(r) for r in V.read_current(spark, src).collect()}
-    deadline = time.time() + 600
-    got = set()
-    while time.time() < deadline:
-        got = {tuple(r) for r in V.read_current(spark, rep).collect()}
-        if got == want:
-            break
-        time.sleep(0.5)
-    q.stop()
-    q.awaitTermination()
+    killed = False
+    try:
+        run_stream_apply_changes(
+            spark, src, rep, ckpt, "k", starting=mark,
+            maintenance_every=4,
+            max_commits_per_trigger=cap, on_batch=on_batch)
+    except Exception as e:  # the simulated kill surfaces here
+        assert "simulated kill" in str(e), e
+        killed = True
+    assert killed, "kill hook never fired"
+    print(f"killed after {kill_at} applied batches "
+          f"(batch {kill_at} uncommitted -> will replay)",
+          flush=True)
+    # resume: replays at most the one uncommitted batch, then
+    # finishes the remaining capped batches
+    run_stream_apply_changes(
+        spark, src, rep, ckpt, "k", starting=mark,
+        maintenance_every=4, max_commits_per_trigger=cap,
+        on_batch=lambda bid, secs, b: batch_times.append(secs))
     dt = time.perf_counter() - t0
+
+    want = {tuple(r) for r in V.read_current(spark, src).collect()}
+    got = {tuple(r) for r in V.read_current(spark, rep).collect()}
     assert got == want, (len(got), len(want))
-    half = len(batch_times) // 2
+    # kill left batch #kill_at uncommitted: it replays once
+    assert len(batch_times) == expect_batches + 1, (
+        len(batch_times), expect_batches)
     import statistics
-    print(f"capped apply drain: {n_commits} commits as "
-          f"{len(batch_times)} batches (cap {cap}) in {dt:6.1f} s; "
+    half = len(batch_times) // 2
+    print(f"capped drain via PUBLIC runner: {n_commits} commits as "
+          f"{expect_batches} batches (cap {cap}, +1 replayed after "
+          f"kill) in {dt:6.1f} s wall incl. per-run lifecycles; "
           f"replica == source ({len(want)} rows)", flush=True)
     print(f"per-batch apply: first-half median "
           f"{statistics.median(batch_times[:half]):5.2f} s, "

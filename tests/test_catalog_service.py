@@ -436,11 +436,14 @@ def test_wire_txn_rejects_hostile_txn_and_branch(spark, service):
 
 
 def test_commit_staged_canonicalizes_paths(spark, tmp_path):
-    """ADVICE r9 (low): commit_staged normalizes the staged list
-    itself, so a caller handing a noisy spelling ('a/./b', trailing
-    slash) leases and flips the same canonical roots as MultiTableTxn
-    would — the sorted-lease deadlock-freedom invariant holds across
-    caller styles."""
+    """ADVICE r9 + r10 (low): commit_staged canonicalizes the staged
+    list itself (realpath — dots, trailing slashes AND symlinks), so
+    a caller handing a noisy spelling leases and flips the same
+    canonical roots as MultiTableTxn would — the sorted-lease
+    deadlock-freedom invariant holds across caller styles. The
+    RETURN value is keyed by the CALLER's spellings (the wire
+    handler maps them back to catalog names); two spellings of the
+    same table dedupe to ONE lease instead of self-deadlocking."""
     import os
 
     from mc_ns_data_pipeline_spark.sinks import txn as TXN
@@ -450,9 +453,15 @@ def test_commit_staged_canonicalizes_paths(spark, tmp_path):
     branch = "txn-deadbeefdeadbeef"
     V.append_snapshot(_df(spark, [(2, "staged")]), root,
                       branch=branch)
+    link = str(tmp_path / "t1_link")
+    os.symlink(root, link)
     noisy = str(tmp_path) + "/./t1/"
+    # two spellings of the SAME table: canonicalized to one lease,
+    # one flip; the result echoes the first caller spelling
     out = TXN.commit_staged(str(tmp_path / "_txns"),
-                            "deadbeefdeadbeef", branch, [noisy])
-    assert list(out["tables"]) == [os.path.abspath(root)]
+                            "deadbeefdeadbeef", branch,
+                            [noisy, link])
+    assert list(out["tables"]) == [noisy]
     assert V.read_current(spark, root).count() == 2
     assert V.list_refs(root) == {}
+    assert V.list_refs(link) == {}

@@ -52,13 +52,12 @@ def test_queries_nonempty(spark, sf_dir):
 # x96, x12, x27–x33.
 DRIVER_GATE_WINDOW = [
     *[f"q{i:02d}" for i in range(1, 19)],
-    "x98", "x99", "x100", "x101", "x102", "x103", "x104", "x105",
-    "x106", "x107", "x108",
-    "x109", "x110", "x111", "x112", "x113", "x114",
-    "x115", "x116", "x117", "x118",
-    "xs14", "xs15",
-    "xs16", "xs17", "x119",
-    "x34", "x35", "x37", "x39", "x40", "x41",
+    "xs18", "x120",
+    "xs14", "xs15", "xs16", "xs17", "x111", "x109",
+    "x42", "x43", "x59", "x61", "x80", "x90", "x91", "x97",
+    "xs12", "xs13",
+    "x36", "x38", "x44", "x45", "x46", "x47", "x48", "x49",
+    "x50", "x51", "x52", "x53", "x54", "x55",
 ]
 
 

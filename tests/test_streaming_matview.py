@@ -86,3 +86,36 @@ def test_view_survives_restart_and_revival(spark, tmp_path):
     run_stream_matview(spark, src, rep, view, ckpt, "k", "g", "val",
                        starting=mark)
     assert V.current_snapshot(view) == before
+
+
+def test_capped_matview_batch_bounds_broadcast_key_set(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r10 #2: with admission control set, each matview batch
+    computes its delta over ONLY the capped batch's key set — the
+    F.broadcast(keys) inside matview_delta_batch is bounded by the
+    cap, never by how far the consumer fell behind. 6 commits of ≤2
+    keys each with max_commits_per_trigger=1 must arrive as 6
+    batches whose per-batch key sets never exceed one commit's."""
+    import mc_ns_data_pipeline_spark.streaming.incremental as I
+
+    src, rep, view, ckpt, mark = _setup(spark, tmp_path)
+    for i in range(6):
+        V.append_snapshot(
+            _df(spark, [(10 + 2 * i, "a", 1.0),
+                        (11 + 2 * i, "b", 2.0)]), src)
+
+    seen_keys: list[int] = []
+    real = I.matview_delta_batch
+
+    def probe(spark_, batch_df, *a, **kw):
+        seen_keys.append(
+            batch_df.select("k").distinct().count())
+        return real(spark_, batch_df, *a, **kw)
+
+    monkeypatch.setattr(I, "matview_delta_batch", probe)
+    run_stream_matview(spark, src, rep, view, ckpt, "k", "g", "val",
+                       starting=mark, max_commits_per_trigger=1)
+    assert len(seen_keys) == 6          # ⌈6 commits / cap 1⌉
+    assert max(seen_keys) <= 2          # one commit's keys per batch
+    assert sum(seen_keys) == 12         # whole backlog still applied
+    assert _view(spark, view) == _want(spark, src)

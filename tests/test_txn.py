@@ -390,3 +390,38 @@ def test_vacuum_aborts_on_unreadable_live_page(spark, tmp_path,
                            staging_age_seconds=0.0)
     # nothing from the data pool was reaped by the aborted run
     assert set(os.listdir(os.path.join(table))) == data_before
+
+
+def test_symlinked_spellings_lease_and_abort_same_table(
+        spark, two_tables, tmp_path):
+    """ADVICE r10: canonicalization must resolve SYMLINKS, not just
+    relative paths — a txn declared through a symlinked spelling of a
+    table must (a) lease/commit the same underlying table as its real
+    spelling, and (b) on abort, delete the staged ref on the spelling
+    the protocol leased (no orphaned txn- branch left behind)."""
+    a, b, log = two_tables
+    link = str(tmp_path / "a_link")
+    os.symlink(a, link)
+
+    # commit through the SYMLINKED spelling lands on the real table
+    with T.multi_table_txn(log, [link, b]) as txn:
+        txn.append(_df(spark, [(2, "via-link")]), link)
+    assert _rows(spark, a) == {(1, "a-base"), (2, "via-link")}
+
+    # abort through the symlinked spelling leaves no staged ref on
+    # either spelling
+    with pytest.raises(RuntimeError, match="boom"):
+        with T.multi_table_txn(log, [link]) as txn:
+            txn.append(_df(spark, [(3, "doomed")]), link)
+            raise RuntimeError("boom")
+    assert V.list_refs(a) == {}
+    assert V.list_refs(link) == {}
+    assert _rows(spark, a) == {(1, "a-base"), (2, "via-link")}
+
+    # two spellings of the SAME table inside one txn resolve to one
+    # canonical lease path — commit_staged's sorted-order invariant
+    # sees one table, so the commit cannot self-deadlock
+    with T.multi_table_txn(log, [a, link]) as txn:
+        txn.append(_df(spark, [(4, "both")]), a)
+        txn.append(_df(spark, [(5, "both2")]), link)
+    assert {(4, "both"), (5, "both2")} <= _rows(spark, a)
