@@ -1220,9 +1220,26 @@ def run_stream_ann_index(spark: SparkSession, emb_path: str,
     )
 
 
+def _net_actions(batch_df: DataFrame, key: str) -> DataFrame:
+    """Collapse one change-feed batch to the NET action per key — the
+    documented consumer rule: latest generation wins, and at equal
+    generation an insert beats the delete that retracted the old
+    version (the MOR-upsert retract+reinsert case). Shared by the
+    view and apply halves of a batch so the window shuffle runs
+    once (run_stream_matview passes the persisted result to both)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col("_commit_gen").desc(),
+        (F.col("_change_type") == F.lit("insert")).desc())
+    return (batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+
+
 def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
                        replica: str, key: str,
-                       branch: str) -> None:
+                       branch: str, net: DataFrame | None = None
+                       ) -> None:
     """Apply one micro-batch of a versioned-table CHANGE FEED to a
     REPLICA versioned table — the downstream half of the CDC
     round-trip (VERDICT r09 #6; the reference's per-lot
@@ -1245,18 +1262,20 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
     the identical replica state; a crash between the staged commits
     leaves only an orphaned branch (re-staged from scratch on
     replay), never a half-applied replica. That unit idempotence is
-    why neither staged commit needs a txn stamp."""
-    from pyspark.sql import Window
+    why neither staged commit needs a txn stamp.
 
+    ``net``: optionally the precomputed (and persisted)
+    ``_net_actions(batch_df, key)`` relation — run_stream_matview
+    passes one shared net to both the view and apply halves so the
+    per-batch window shuffle runs once; the caller owns its
+    persistence."""
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
     meta = ("_change_type", "_commit_gen", "_rn")
-    w = Window.partitionBy(key).orderBy(
-        F.col("_commit_gen").desc(),
-        (F.col("_change_type") == F.lit("insert")).desc())
-    net = (batch_df.withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1))
-    net.persist()
+    own_net = net is None
+    if own_net:
+        net = _net_actions(batch_df, key)
+        net.persist()
     try:
         dels = net.filter(F.col("_change_type") == "delete") \
                   .select(key)
@@ -1282,7 +1301,8 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
         if staged:
             V.publish_ref(replica, branch)
     finally:
-        net.unpersist()
+        if own_net:
+            net.unpersist()
 
 
 def _drain_change_feed(spark: SparkSession, source: str,
@@ -1402,7 +1422,8 @@ def run_stream_apply_changes(spark: SparkSession, source: str,
 def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
                         replica: str, view: str, key: str,
                         group_col: str, value_col: str,
-                        txn_id: str) -> None:
+                        txn_id: str, net: DataFrame | None = None
+                        ) -> None:
     """Maintain an aggregate MATERIALIZED VIEW (group_col → n,
     sum_value) incrementally from one change-feed batch — streaming
     IVM with DELETE support, the part equality-delete feeds usually
@@ -1426,18 +1447,20 @@ def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
     after step 3 completed but before the checkpoint commit
     recomputes a STALE delta (the replica moved), and the stamp
     discards it. Groups whose count reaches zero stay in the view
-    with n=0 (no delete commit needed; re-inserts revive them)."""
-    from pyspark.sql import Window
+    with n=0 (no delete commit needed; re-inserts revive them).
 
+    ``net``: optionally the precomputed (and persisted)
+    ``_net_actions(batch_df, key)`` relation — run_stream_matview
+    shares one net between this and apply_change_batch so the
+    per-batch window shuffle runs once; the caller owns its
+    persistence."""
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
     meta = ("_change_type", "_commit_gen", "_rn")
-    w = Window.partitionBy(key).orderBy(
-        F.col("_commit_gen").desc(),
-        (F.col("_change_type") == F.lit("insert")).desc())
-    net = (batch_df.withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1))
-    net.persist()
+    own_net = net is None
+    if own_net:
+        net = _net_actions(batch_df, key)
+        net.persist()
     try:
         ups = net.filter(F.col("_change_type") == "insert") \
                  .drop(*meta)
@@ -1480,7 +1503,8 @@ def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
             V.merge_snapshot_mor(spark, new, view, "g",
                                  txn_id=txn_id)
     finally:
-        net.unpersist()
+        if own_net:
+            net.unpersist()
 
 
 def run_stream_matview(spark: SparkSession, source: str,
@@ -1531,13 +1555,16 @@ def run_stream_matview(spark: SparkSession, source: str,
     def _apply(b, bid):
         t0 = time.perf_counter()
         b.persist()
+        net = _net_actions(b, key)
+        net.persist()  # one window shuffle shared by both halves
         try:
             matview_delta_batch(spark, b, replica, view, key,
                                 group_col, value_col,
-                                f"{app_id}:view:{bid}")
+                                f"{app_id}:view:{bid}", net=net)
             apply_change_batch(spark, b, replica, key,
-                               f"{app_id}-{bid}")
+                               f"{app_id}-{bid}", net=net)
         finally:
+            net.unpersist()
             b.unpersist()
         if maintenance_every and bid % maintenance_every == (
                 maintenance_every - 1):
