@@ -4740,6 +4740,94 @@ def x121_wire_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.shutdown()
 
 
+def x122_wire_group_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 — atomic GROUP repin over the WIRE
+    (sinks/catalog_service.py: txn commit with ``group=`` → the
+    service's sealed intent repins the catalog group in one atomic
+    file replace AFTER the ordered pointer flips): readers that
+    resolve through the group never observe a torn multi-table state,
+    the property the per-table flip window would otherwise leak to
+    group-resolving readers.
+
+    Lifecycle: orders slice k%8∈{2,3}; ``wh2.fact`` seeded with
+    k%8==2, ``wh2.dim`` with the whole slice; group ``serving``
+    pinned to both tables' CURRENT snapshots; then ONE wire txn with
+    ``group="serving"`` appends k%8==3 to fact and MOR-upserts the
+    k%8==3 dim rows to price+250 — commit flips both tables AND
+    repins the group as one decision. The result reads both tables
+    THROUGH THE GROUP PIN (``read_group`` — frozen MVCC snapshot
+    resolution, not current-state reads) and aggregates; witnesses:
+    ``pin_advanced`` (the post-commit pin differs from the pre-txn
+    pin for BOTH members) and ``group_is_current`` (the pin equals
+    both tables' current snapshots — the repin happened and nothing
+    moved past it). The oracle states the post-commit algebra from
+    orders with the witnesses TRUE, so a hash match proves the
+    group-resolving read path serves exactly the transactionally
+    committed state.
+
+    Scale: a group pin is one ~100-byte-per-member JSON replace;
+    read_group resolution is O(members), never O(table) — the same
+    call shape fronts a fleet-shared REST catalog at any estate
+    size."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.sinks.catalog_service import (
+        RestCatalog,
+        serve_catalog,
+    )
+
+    cat = os.path.join(_scratch_dir("x122_gpin_"), "catalog")
+    os.makedirs(cat, exist_ok=True)
+    srv = serve_catalog(cat)
+    try:
+        client = RestCatalog(
+            f"http://127.0.0.1:{srv.server_address[1]}")
+        orders = load_table(spark, sf_dir, "orders")
+        rows = (orders.filter((F.col("o_orderkey") % 8).isin(2, 3))
+                .select(F.col("o_orderkey").alias("k"),
+                        F.col("o_totalprice").alias("price")))
+        fact_root = client.create_table("wh2.fact")
+        dim_root = client.create_table("wh2.dim")
+        V.write_snapshot(rows.filter(F.col("k") % 8 == 2), fact_root)
+        V.write_snapshot(rows, dim_root)
+        pre = client.pin_current_group("serving",
+                                       ["wh2.fact", "wh2.dim"])
+
+        t = client.txn(["wh2.fact", "wh2.dim"], group="serving")
+        t.append(rows.filter(F.col("k") % 8 == 3), "wh2.fact")
+        t.merge_mor(
+            spark,
+            rows.filter(F.col("k") % 8 == 3)
+            .withColumn("price", F.col("price") + F.lit(250.0)),
+            "wh2.dim", "k")
+        t.commit()
+
+        post = client.group_snapshots("serving")
+        pin_advanced = (post["wh2.fact"] != pre["wh2.fact"]
+                        and post["wh2.dim"] != pre["wh2.dim"])
+        group_is_current = (
+            post["wh2.fact"] == V.current_snapshot(fact_root)
+            and post["wh2.dim"] == V.current_snapshot(dim_root))
+
+        def agg(name):
+            return (client.read_group(spark, "serving", name)
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum(F.col("price").cast("decimal(18,4)"))
+                          .cast("double").alias("sum_price"))
+                    .select(F.lit(name).alias("tbl"), "n",
+                            "sum_price"))
+
+        return (agg("wh2.fact").unionByName(agg("wh2.dim"))
+                .withColumn("pin_advanced",
+                            F.lit(bool(pin_advanced)))
+                .withColumn("group_is_current",
+                            F.lit(bool(group_is_current)))
+                .orderBy("tbl"))
+    finally:
+        srv.shutdown()
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4902,8 +4990,9 @@ EXT_QUERIES = {
     "x67_ngram_novelty": x67_ngram_novelty,
     "xs1_stream_tumbling": xs1_stream_tumbling,
     "xs3_stream_dedup": xs3_stream_dedup,
-    # new below the marker per rule 4 (r12 rotation candidate)
+    # new below the marker per rule 4 (r12 rotation candidates)
     "x121_wire_txn": x121_wire_txn,
+    "x122_wire_group_pin": x122_wire_group_pin,
 }
 
 # ---------------------------------------------------------------------------
@@ -8415,6 +8504,29 @@ EXT_ORACLES["x121_wire_txn"] = """
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
                     AS DOUBLE)
         FROM orders WHERE o_orderkey % 8 <= 1
+    )
+    ORDER BY tbl
+"""
+EXT_ORACLES["x122_wire_group_pin"] = """
+    SELECT tbl, n, sum_price,
+           TRUE AS pin_advanced,
+           TRUE AS group_is_current
+    FROM (
+        SELECT 'wh2.dim' AS tbl, count(*)::BIGINT AS n,
+               CAST(sum(CAST(price AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_price
+        FROM (
+            SELECT o_totalprice AS price
+            FROM orders WHERE o_orderkey % 8 = 2
+            UNION ALL
+            SELECT o_totalprice + 250
+            FROM orders WHERE o_orderkey % 8 = 3
+        )
+        UNION ALL
+        SELECT 'wh2.fact', count(*)::BIGINT,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DOUBLE)
+        FROM orders WHERE o_orderkey % 8 IN (2, 3)
     )
     ORDER BY tbl
 """
