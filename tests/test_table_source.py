@@ -552,3 +552,43 @@ def test_capped_oversized_commit_still_admits(spark, tmp_path):
     # batch 1 = the whole 6-file genesis commit (oversized), batch 2
     # = the tail append
     assert _n_batches(tmp_path, "big") == 2
+
+
+def test_committed_end_offset_ignores_planned_uncommitted(tmp_path):
+    """committed_end_offset consults commits/ FIRST: a batch that was
+    planned (offsets/N written) but never committed (commits/N
+    absent — the crash window Spark replays) must NOT count as drain
+    progress, or the runner's caught-up check would return with the
+    last batch unapplied. _floor_from_offset_log (the admission
+    floor) deliberately DOES count it — the offer bound may cap from
+    a planned position; exactly-once stays with the commit log."""
+    import json
+
+    from mc_ns_data_pipeline_spark.streaming.table_source import (
+        _floor_from_offset_log,
+        committed_end_offset,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    os.makedirs(os.path.join(ckpt, "commits"))
+
+    def write_offset(bid, snap):
+        with open(os.path.join(ckpt, "offsets", str(bid)), "w") as fh:
+            fh.write("v1\n{}\n" + json.dumps({"snapshot": snap}))
+
+    def write_commit(bid):
+        with open(os.path.join(ckpt, "commits", str(bid)), "w") as fh:
+            fh.write("v1\n{}")
+
+    assert committed_end_offset(ckpt) is None  # empty logs
+    write_offset(0, "000-aaa")
+    assert committed_end_offset(ckpt) is None  # planned, uncommitted
+    assert _floor_from_offset_log(ckpt) == "000-aaa"
+    write_commit(0)
+    assert committed_end_offset(ckpt) == "000-aaa"
+    write_offset(1, "001-bbb")  # next batch planned, not committed
+    assert committed_end_offset(ckpt) == "000-aaa"
+    assert _floor_from_offset_log(ckpt) == "001-bbb"
+    write_commit(1)
+    assert committed_end_offset(ckpt) == "001-bbb"
