@@ -171,3 +171,40 @@ def test_capped_drain_kill_mid_drain_resumes_exactly_once(
                              max_commits_per_trigger=2)
     assert _state(spark, rep) == _state(spark, src)
     assert V.list_refs(rep) == {}
+
+
+def test_uncapped_drain_pays_exactly_one_lifecycle(
+        spark, tmp_path, monkeypatch):
+    """BASELINE r11: the drain loop's caught-up check is metadata-only
+    — an UNCAPPED call builds the stream feed exactly once (one
+    availableNow lifecycle), while a capped call builds one feed per
+    bounded batch. Pinned by counting read_stream_changes
+    constructions through the loop."""
+    import mc_ns_data_pipeline_spark.streaming.table_source as TS
+
+    src, rep, ckpt, mark = _setup(spark, tmp_path)
+    for i in range(4, 8):
+        V.append_snapshot(_df(spark, [(i, f"v{i}")]), src)
+
+    calls = []
+    real = TS.read_stream_changes
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(TS, "read_stream_changes", counting)
+    run_stream_apply_changes(spark, src, rep, ckpt, "k",
+                             starting=mark)
+    assert len(calls) == 1          # uncapped: one lifecycle
+    assert _state(spark, rep) == _state(spark, src)
+
+    ckpt2 = str(tmp_path / "ckpt2")
+    rep2 = str(tmp_path / "rep2")
+    V.write_snapshot(V.read_snapshot(spark, src, mark), rep2)
+    calls.clear()
+    run_stream_apply_changes(spark, src, rep2, ckpt2, "k",
+                             starting=mark,
+                             max_commits_per_trigger=2)
+    assert len(calls) == 2          # ceil(4/2) bounded runs
+    assert _state(spark, rep2) == _state(spark, src)
