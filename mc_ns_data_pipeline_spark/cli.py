@@ -708,6 +708,52 @@ def cmd_txn_recover(args) -> int:
     return 0
 
 
+def cmd_cdc_apply(args) -> int:
+    """Drain a versioned table's change feed onto a replica — and,
+    with ``--view``, an incrementally-maintained aggregate view —
+    through the public capped runners
+    (streaming/incremental.py run_stream_apply_changes /
+    run_stream_matview). One invocation drains the backlog available
+    at call time to completion (capped backlogs as ⌈N/cap⌉
+    checkpointed batches) and exits; schedule it like the reference
+    schedules incremental_fetch.py. Re-running with the same
+    --checkpoint resumes exactly-once after any kill."""
+    spark = _session("cdc-apply")
+    if args.view:
+        if not (args.group_col and args.value_col):
+            raise SystemExit(
+                "cdc-apply: --view needs --group-col and --value-col")
+        from mc_ns_data_pipeline_spark.streaming.incremental import (
+            run_stream_matview,
+        )
+
+        run_stream_matview(
+            spark, args.source, args.replica, args.view,
+            args.checkpoint, args.key, args.group_col,
+            args.value_col, starting=args.starting,
+            maintenance_every=args.maintenance_every,
+            max_commits_per_trigger=args.max_commits_per_trigger,
+            max_files_per_trigger=args.max_files_per_trigger)
+    else:
+        from mc_ns_data_pipeline_spark.streaming.incremental import (
+            run_stream_apply_changes,
+        )
+
+        run_stream_apply_changes(
+            spark, args.source, args.replica, args.checkpoint,
+            args.key, starting=args.starting,
+            maintenance_every=args.maintenance_every,
+            max_commits_per_trigger=args.max_commits_per_trigger,
+            max_files_per_trigger=args.max_files_per_trigger)
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    print(f"cdc-apply: replica {args.replica} at "
+          f"{V.current_snapshot(args.replica)}"
+          + (f", view {args.view} at "
+             f"{V.current_snapshot(args.view)}" if args.view else ""))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mc_ns_data_pipeline_spark",
@@ -910,6 +956,43 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--check", action="store_true",
                     help="bind, print the URL, and exit")
     cs.set_defaults(fn=cmd_catalog_serve)
+
+    ca = sub.add_parser(
+        "cdc-apply",
+        help="drain a versioned table's change feed onto a replica "
+        "(and optionally an incrementally-maintained aggregate view) "
+        "exactly-once, with bounded per-batch admission "
+        "(streaming/incremental.py)")
+    ca.add_argument("--source", required=True,
+                    help="source versioned table directory")
+    ca.add_argument("--replica", required=True,
+                    help="replica versioned table directory "
+                    "(initialize it to the --starting snapshot first)")
+    ca.add_argument("--checkpoint", required=True,
+                    help="stream checkpoint dir (shared across runs "
+                    "= exactly-once resume)")
+    ca.add_argument("--key", required=True,
+                    help="the table's logical key column")
+    ca.add_argument("--starting", default="current",
+                    help="'current', 'genesis', or an explicit "
+                    "snapshot id (exclusive resume point)")
+    ca.add_argument("--view", default=None,
+                    help="also maintain this aggregate matview "
+                    "(g/n/sum_value) incrementally")
+    ca.add_argument("--group-col", default=None,
+                    help="view: group column")
+    ca.add_argument("--value-col", default=None,
+                    help="view: summed value column")
+    ca.add_argument("--max-commits-per-trigger", type=int, default=0,
+                    help="cap lineage commits admitted per batch "
+                    "(0 = unbounded; capped backlogs drain as "
+                    "ceil(N/cap) checkpointed batches)")
+    ca.add_argument("--max-files-per-trigger", type=int, default=0,
+                    help="cap pool files admitted per batch")
+    ca.add_argument("--maintenance-every", type=int, default=8,
+                    help="run threshold-gated optimize_table on the "
+                    "replica (and view) every N batches")
+    ca.set_defaults(fn=cmd_cdc_apply)
 
     tr = sub.add_parser(
         "txn-recover",

@@ -607,3 +607,40 @@ def test_table_merge_ref_cli(spark, tmp_path):
                  "--name", "audit"]) == 0
     assert {(r.k, r.v) for r in V.read_current(spark, table).collect()} \
         == {(1, "base"), (2, "staged"), (3, "direct")}
+
+
+def test_cdc_apply_cli(spark, tmp_path):
+    """The cdc-apply verb drains a capped backlog through the public
+    runner: replica ≡ source after one invocation, and a --view run
+    maintains the aggregate view too."""
+    from pyspark.sql import functions as F
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k int, g string, v double")
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    V.write_snapshot(df([(1, "a", 10.0), (2, "b", 20.0)]), src)
+    mark = V.current_snapshot(src)
+    V.write_snapshot(V.read_current(spark, src), rep)
+    V.append_snapshot(df([(3, "a", 30.0)]), src)
+    V.delete_keys_mor(spark, src, "k",
+                      df([(2, "b", 0.0)]).select("k"))
+    V.merge_snapshot_mor(spark, df([(1, "a", 11.0)]), src, "k")
+
+    assert main(["cdc-apply", "--source", src, "--replica", rep,
+                 "--checkpoint", ckpt, "--key", "k",
+                 "--starting", mark, "--view", view,
+                 "--group-col", "g", "--value-col", "v",
+                 "--max-commits-per-trigger", "1"]) == 0
+    got = {tuple(r) for r in V.read_current(spark, rep).collect()}
+    want = {tuple(r) for r in V.read_current(spark, src).collect()}
+    assert got == want == {(1, "a", 11.0), (3, "a", 30.0)}
+    vrows = {(r.g, r.n, float(r.sum_value)) for r in
+             V.read_current(spark, view).filter(F.col("n") > 0)
+             .collect()}
+    assert vrows == {("a", 2, 41.0)}
