@@ -17,6 +17,13 @@ The 100 TB claims to verify, all through the public
   replica ≡ source at the end.
 
 Usage: python scripts/stress_cdc_apply.py [WORK] [N_COMMITS] [CAP]
+       [--view]
+
+``--view`` drains through ``run_stream_matview`` instead: every batch
+additionally recovers retracted contributions from the replica's
+pre-batch state (broadcast bounded by the cap) and merges the
+aggregate view — the flatness claim then covers the full IVM path,
+and the view is checked ≡ the source's direct aggregate at the end.
 """
 
 from __future__ import annotations
@@ -30,15 +37,18 @@ import time
 
 def main() -> None:
     sys.path.insert(0, "/root/repo")
-    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress_cdc"
-    n_commits = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    argv = [a for a in sys.argv[1:] if a != "--view"]
+    with_view = "--view" in sys.argv[1:]
+    work = argv[0] if len(argv) > 0 else "/tmp/stress_cdc"
+    n_commits = int(argv[1]) if len(argv) > 1 else 60
+    cap = int(argv[2]) if len(argv) > 2 else 5
 
     from pyspark.sql import SparkSession
 
     from mc_ns_data_pipeline_spark.sinks import versioned as V
     from mc_ns_data_pipeline_spark.streaming.incremental import (
         run_stream_apply_changes,
+        run_stream_matview,
     )
 
     spark = (SparkSession.builder.master("local[8]")
@@ -49,6 +59,8 @@ def main() -> None:
     src = os.path.join(work, "src")
     rep = os.path.join(work, "rep")
     ckpt = os.path.join(work, "ckpt")
+
+    view = os.path.join(work, "view")
 
     def df(rows):
         return spark.createDataFrame(rows, "k int, v string") \
@@ -80,13 +92,22 @@ def main() -> None:
         if len(batch_times) == kill_at:
             raise RuntimeError("simulated kill mid-drain")
 
+    def run(hook):
+        if with_view:
+            run_stream_matview(
+                spark, src, rep, view, ckpt, "k", "v", "k",
+                starting=mark, maintenance_every=4,
+                max_commits_per_trigger=cap, on_batch=hook)
+        else:
+            run_stream_apply_changes(
+                spark, src, rep, ckpt, "k", starting=mark,
+                maintenance_every=4,
+                max_commits_per_trigger=cap, on_batch=hook)
+
     t0 = time.perf_counter()
     killed = False
     try:
-        run_stream_apply_changes(
-            spark, src, rep, ckpt, "k", starting=mark,
-            maintenance_every=4,
-            max_commits_per_trigger=cap, on_batch=on_batch)
+        run(on_batch)
     except Exception as e:  # the simulated kill surfaces here
         assert "simulated kill" in str(e), e
         killed = True
@@ -96,10 +117,7 @@ def main() -> None:
           flush=True)
     # resume: replays at most the one uncommitted batch, then
     # finishes the remaining capped batches
-    run_stream_apply_changes(
-        spark, src, rep, ckpt, "k", starting=mark,
-        maintenance_every=4, max_commits_per_trigger=cap,
-        on_batch=lambda bid, secs, b: batch_times.append(secs))
+    run(lambda bid, secs, b: batch_times.append(secs))
     dt = time.perf_counter() - t0
 
     want = {tuple(r) for r in V.read_current(spark, src).collect()}
@@ -114,11 +132,25 @@ def main() -> None:
           f"{expect_batches} batches (cap {cap}, +1 replayed after "
           f"kill) in {dt:6.1f} s wall incl. per-run lifecycles; "
           f"replica == source ({len(want)} rows)", flush=True)
-    print(f"per-batch apply: first-half median "
+    print(f"per-batch {'matview+apply' if with_view else 'apply'}: "
+          f"first-half median "
           f"{statistics.median(batch_times[:half]):5.2f} s, "
           f"second-half median "
           f"{statistics.median(batch_times[half:]):5.2f} s "
           f"(flat = O(batch), not O(replica history))", flush=True)
+    if with_view:
+        from pyspark.sql import functions as F
+        vw = {(r.g, r.n, str(r.sum_value)) for r in
+              V.read_current(spark, view).filter("n > 0").collect()}
+        direct = {(r.g, r.n, str(r.sum_value)) for r in
+                  V.read_current(spark, src)
+                  .groupBy(F.col("v").alias("g"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum(F.col("k").cast("decimal(18,4)"))
+                        .alias("sum_value")).collect()}
+        assert vw == direct, (len(vw), len(direct))
+        print(f"view == direct aggregate of source "
+              f"({len(vw)} groups)", flush=True)
     spark.stop()
 
 
