@@ -4828,6 +4828,171 @@ def x122_wire_group_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.shutdown()
 
 
+def x123_vacuum_retention(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """X123 — snapshot retention / vacuum semantics
+    (sinks/versioned.py vacuum_snapshots), oracle-checked end to end:
+    the count-based keep window, tag pinning, reference-counted pool
+    file reaping, and post-vacuum time travel — the expire-snapshots
+    contract every lakehouse scheduler runs nightly, until now
+    pytest-only surface.
+
+    Lineage on an orders quarter-slice (k, price): g1 = write k%3==0,
+    g2 = append k%3==1, tag "audit" at g2, g3 = compact (rewrites
+    g1/g2's files into one clustered file — the old files stay
+    referenced only by g1/g2's manifests), g4 = append k%3==2.
+
+    Vacuum #1 (keep=2): retains g3/g4 by count and g2 by tag — ONE
+    snapshot reaped (g1) and ZERO pool files (g1's files are all
+    shared forward into the tag-pinned g2: reference counting, not
+    age, decides). The tag still time-travels to the exact pre-
+    compaction state. Dropping the tag and vacuuming again reaps g2
+    and NOW its no-longer-referenced files go too — a positive file
+    count the first pass provably didn't touch. g3 remains readable
+    (count witness), g1's manifest is gone (history_reaped).
+
+    Scale: vacuum is manifest-metadata work — the retained set and
+    per-file reference counts come from the JSON manifests, never a
+    data scan; deletes are O(doomed files). The witness counts here
+    are O(1) driver reads."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price")))
+    table = os.path.join(_scratch_dir("x123_vac_"), "tbl")
+
+    g1 = V.write_snapshot(rows.filter(F.col("k") % 3 == 0), table)
+    g2 = V.append_snapshot(rows.filter(F.col("k") % 3 == 1), table)
+    V.tag_snapshot(table, "audit", g2)
+    g3 = V.compact_snapshot(spark, table, sort_col="k",
+                            target_files=1)
+    V.append_snapshot(rows.filter(F.col("k") % 3 == 2), table)
+
+    v1 = V.vacuum_snapshots(table, keep=2, min_age_seconds=None)
+    n_tagged = V.read_snapshot(spark, table, g2).count()
+    try:
+        V.read_snapshot(spark, table, g1).count()
+        history_reaped = False
+    except FileNotFoundError:
+        history_reaped = True
+    V.delete_ref(table, "audit")
+    v2 = V.vacuum_snapshots(table, keep=2, min_age_seconds=None)
+    n_compacted = V.read_snapshot(spark, table, g3).count()
+
+    return (
+        V.read_current(spark, table)
+        .agg(F.count(F.lit(1)).alias("n_rows_current"),
+             F.sum(F.col("price").cast("decimal(18,4)"))
+             .cast("double").alias("sum_price_current"))
+        .withColumn("n_rows_tagged",
+                    F.lit(int(n_tagged)).cast("long"))
+        .withColumn("n_rows_compacted",
+                    F.lit(int(n_compacted)).cast("long"))
+        .withColumn("snaps_reaped_first",
+                    F.lit(len(v1["snapshots"])).cast("long"))
+        .withColumn("files_reaped_first",
+                    F.lit(int(v1["files"])).cast("long"))
+        .withColumn("snaps_reaped_second",
+                    F.lit(len(v2["snapshots"])).cast("long"))
+        .withColumn("files_reaped_second_pos",
+                    F.lit(bool(v2["files"] > 0)))
+        .withColumn("history_reaped", F.lit(bool(history_reaped)))
+    )
+
+
+def x124_matview_minmax(spark: SparkSession, sf_dir: str
+                        ) -> DataFrame:
+    """X124 — incremental MIN/MAX view maintenance under deletes
+    (streaming/incremental.py matview_minmax_batch), the
+    NON-INVERTIBLE aggregate case x120's count/sum algebra can't
+    reach: a retraction may remove the very row that carried the
+    group's extremum, and the runner-up is unrecoverable from any
+    delta — the engine must recompute exactly the groups that lost a
+    row (from the batch's derived post-state) while insert-only
+    groups still merge their bounds monotonically with no base read.
+
+    Shape: replica = orders quarter-slice k%3∈{0,1} keyed by k,
+    grouped by o_custkey%35 (≈35 groups so both paths occur), valued
+    by o_totalprice; view seeded with n/sum/min/max. The same change
+    batch as x120 lands: inserts for k%3==2 (brand-new keys —
+    monotone path), key-only deletes for k%6==0 and a MOR upsert
+    moving k%6==4 to price+1000 (both remove an existing row —
+    recompute path; across 35 groups several deleted rows carry
+    their group's max, so a monotone-only implementation provably
+    hash-mismatches). The result is the view (n>0 groups); the
+    oracle states the final aggregate directly from orders.
+
+    Scale: O(batch keys) replica rows for the retraction deltas
+    (broadcast left-semi), O(rows of recomputed groups) for the
+    min/max rebuild — per-batch bounded when the feed is capped, and
+    partition-prunable when the replica is laid out by the group
+    column. Untouched groups are neither read nor written."""
+    import os
+
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+    from mc_ns_data_pipeline_spark.streaming.incremental import (
+        matview_minmax_batch,
+    )
+
+    root = _scratch_dir("x124_ivm_")
+    rep = os.path.join(root, "rep")
+    view = os.path.join(root, "view")
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = (orders.filter(F.col("o_orderkey") % 8 <= 1)
+            .select(F.col("o_orderkey").alias("k"),
+                    (F.col("o_custkey") % 35).cast("int").alias("g"),
+                    F.col("o_totalprice").alias("price")))
+    base = rows.filter(F.col("k") % 3 <= 1)
+    V.write_snapshot(base, rep)
+    V.write_snapshot(
+        base.groupBy("g")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("price").cast("decimal(18,4)"))
+              .alias("sum_value"),
+             F.min(F.col("price").cast("double")).alias("min_value"),
+             F.max(F.col("price").cast("double")).alias("max_value")),
+        view)
+
+    null_g = F.lit(None).cast("int").alias("g")
+    null_p = F.lit(None).cast("double").alias("price")
+    ev = (
+        rows.filter(F.col("k") % 3 == 2)
+        .select("k", "g", "price",
+                F.lit("insert").alias("_change_type"),
+                F.lit(2).cast("long").alias("_commit_gen"))
+        .unionByName(
+            rows.filter(F.col("k") % 6 == 0)
+            .select("k", null_g, null_p,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(3).cast("long").alias("_commit_gen")))
+        .unionByName(
+            rows.filter(F.col("k") % 6 == 4)
+            .select("k", null_g, null_p,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(4).cast("long").alias("_commit_gen")))
+        .unionByName(
+            rows.filter(F.col("k") % 6 == 4)
+            .select("k", "g",
+                    (F.col("price") + F.lit(1000.0)).alias("price"),
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(4).cast("long").alias("_commit_gen")))
+    )
+    matview_minmax_batch(spark, ev, rep, view, "k", "g", "price",
+                         "x124:view:0")
+    return (V.read_current(spark, view).filter(F.col("n") > 0)
+            .select(
+                "g", F.col("n").cast("long").alias("n"),
+                F.col("sum_value").cast("double").alias("sum_value"),
+                F.col("min_value").cast("double").alias("min_value"),
+                F.col("max_value").cast("double").alias("max_value"))
+            .orderBy("g"))
+
+
 EXT_QUERIES = {
     # --- DRIVER GATE WINDOW (registration order!) ---------------------
     # The external driver hash-checks the FIRST 50 names of the merged
@@ -4993,6 +5158,8 @@ EXT_QUERIES = {
     # new below the marker per rule 4 (r12 rotation candidates)
     "x121_wire_txn": x121_wire_txn,
     "x122_wire_group_pin": x122_wire_group_pin,
+    "x123_vacuum_retention": x123_vacuum_retention,
+    "x124_matview_minmax": x124_matview_minmax,
 }
 
 # ---------------------------------------------------------------------------
@@ -8559,3 +8726,51 @@ EXT_ORACLES["xs17_stream_change_feed"] = """
     ORDER BY 1
 """
 
+# x123: retained-state algebra from orders plus the deterministic
+# retention verdicts — one snapshot reaped per vacuum (g1, then the
+# untag-exposed g2), zero files while the tag pinned them, and a
+# positive file count once it stopped.
+EXT_ORACLES["x123_vacuum_retention"] = """
+    WITH s AS (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 8 <= 1
+    )
+    SELECT count(*)::BIGINT AS n_rows_current,
+           CAST(sum(CAST(price AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_price_current,
+           (SELECT count(*) FROM s WHERE k % 3 <= 1
+           )::BIGINT AS n_rows_tagged,
+           (SELECT count(*) FROM s WHERE k % 3 <= 1
+           )::BIGINT AS n_rows_compacted,
+           1::BIGINT AS snaps_reaped_first,
+           0::BIGINT AS files_reaped_first,
+           1::BIGINT AS snaps_reaped_second,
+           TRUE AS files_reaped_second_pos,
+           TRUE AS history_reaped
+    FROM s
+"""
+# x124: the final view stated directly from orders — base minus the
+# deleted keys, the upserted keys at price+1000, plus the inserts.
+EXT_ORACLES["x124_matview_minmax"] = """
+    WITH s AS (
+        SELECT o_orderkey AS k,
+               CAST(o_custkey % 35 AS INTEGER) AS g,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 8 <= 1
+    ), final AS (
+        SELECT k, g, price FROM s
+        WHERE k % 3 <= 1 AND k % 6 NOT IN (0, 4)
+        UNION ALL
+        SELECT k, g, price + 1000.0 FROM s WHERE k % 6 = 4
+        UNION ALL
+        SELECT k, g, price FROM s WHERE k % 3 = 2
+    )
+    SELECT g, count(*)::BIGINT AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_value,
+           CAST(min(price) AS DOUBLE) AS min_value,
+           CAST(max(price) AS DOUBLE) AS max_value
+    FROM final
+    GROUP BY g
+    ORDER BY g
+"""

@@ -1507,6 +1507,149 @@ def matview_delta_batch(spark: SparkSession, batch_df: DataFrame,
             net.unpersist()
 
 
+def matview_minmax_batch(spark: SparkSession, batch_df: DataFrame,
+                         replica: str, view: str, key: str,
+                         group_col: str, value_col: str,
+                         txn_id: str, net: DataFrame | None = None
+                         ) -> None:
+    """Maintain an aggregate view of (group_col → n, sum_value,
+    min_value, max_value) incrementally from one change-feed batch —
+    the NON-INVERTIBLE half of streaming IVM. count/sum retract
+    cleanly (matview_delta_batch), but a deleted or replaced row may
+    have CARRIED its group's min/max, and no delta can recover the
+    runner-up — the standard engine answer is the split this
+    implements:
+
+    * groups that LOSE a row this batch (a delete, or an insert that
+      replaces an existing key — either removal can have carried the
+      extremum) are RECOMPUTED from the batch's derived post-state;
+    * groups that only GAIN rows (inserts of brand-new keys, and the
+      gaining side of a key that moved groups) merge monotonically —
+      ``least``/``greatest`` of the old bound and the batch's, no
+      base read;
+    * untouched groups are neither read nor written.
+
+    The derived post-state is a pure function of the replica's
+    PRE-batch rows and the net batch actions (pre rows of the
+    recomputed groups minus touched keys, plus the batch's inserts
+    into those groups) — NOT a read of the applied replica — so the
+    crash/replay contract is matview_delta_batch's verbatim: commit
+    the view under ``txn_id`` (a replayed batch is stamp-skipped),
+    THEN apply the batch to the replica.
+
+    Scale: O(batch keys) replica rows via a broadcast left-semi for
+    the retraction deltas, plus O(rows of recomputed groups) for the
+    min/max rebuild — bounded per batch when the feed is capped
+    (max_commits_per_trigger) and partition-prunable when the replica
+    is laid out by ``group_col`` (set_partition_spec). Nothing is
+    rewritten; the view merge touches only changed groups.
+
+    ``net``: as in matview_delta_batch — pass the persisted
+    ``_net_actions`` relation to share the per-batch window shuffle
+    with apply_change_batch."""
+    from mc_ns_data_pipeline_spark.sinks import versioned as V
+
+    meta = ("_change_type", "_commit_gen", "_rn")
+    own_net = net is None
+    if own_net:
+        net = _net_actions(batch_df, key)
+        net.persist()
+    try:
+        ups = net.filter(F.col("_change_type") == "insert") \
+                 .drop(*meta)
+        keys = net.select(key)
+        pre_all = V.read_current(spark, replica)
+        pre_hit = (pre_all
+                   .join(F.broadcast(keys), key, "left_semi")
+                   .persist())  # O(batch keys) rows, read twice
+        try:
+            # count/sum deltas: every touched key retracts its
+            # pre-batch contribution, every net insert adds its own.
+            retr = pre_hit.select(F.col(group_col).alias("g"),
+                                  F.lit(-1).alias("dn"),
+                                  (-F.col(value_col)).alias("dv"))
+            add = ups.select(F.col(group_col).alias("g"),
+                             F.lit(1).alias("dn"),
+                             F.col(value_col).alias("dv"))
+            delta = (retr.unionByName(add)
+                     .groupBy("g")
+                     .agg(F.sum("dn").cast("long").alias("dn"),
+                          F.sum(F.col("dv").cast("decimal(18,4)"))
+                           .alias("dv")))
+            # losing side: groups whose pre-batch row is removed or
+            # replaced — any of them may have carried the extremum.
+            rgroups = (pre_hit.select(F.col(group_col).alias("g"))
+                       .distinct())
+            rg_k = rgroups.withColumnRenamed("g", group_col)
+            post_r = (pre_all
+                      .join(F.broadcast(rg_k), group_col,
+                            "left_semi")
+                      .join(F.broadcast(keys), key, "left_anti")
+                      .select(group_col, value_col)
+                      .unionByName(
+                          ups.join(F.broadcast(rg_k), group_col,
+                                   "left_semi")
+                          .select(group_col, value_col)))
+            rec = (post_r.groupBy(F.col(group_col).alias("g"))
+                   .agg(F.min(F.col(value_col).cast("double"))
+                        .alias("r_min"),
+                        F.max(F.col(value_col).cast("double"))
+                        .alias("r_max")))
+            # gaining side: the batch's own bounds, merged
+            # monotonically into groups that lost nothing.
+            mono = (ups.join(F.broadcast(rg_k), group_col,
+                             "left_anti")
+                    .groupBy(F.col(group_col).alias("g"))
+                    .agg(F.min(F.col(value_col).cast("double"))
+                         .alias("b_min"),
+                         F.max(F.col(value_col).cast("double"))
+                         .alias("b_max")))
+            upd = (delta
+                   .join(rgroups.withColumn("is_r", F.lit(True)),
+                         "g", "left")
+                   .join(rec, "g", "left")
+                   .join(mono, "g", "left"))
+            cur = (V.read_current(spark, view) if
+                   V.current_snapshot(view) is not None else
+                   spark.createDataFrame(
+                       [],
+                       f"g {delta.schema['g'].dataType.simpleString()}"
+                       ", n long, sum_value decimal(18,4)"
+                       ", min_value double, max_value double"))
+            is_r = F.coalesce(F.col("is_r"), F.lit(False))
+            # least/greatest skip NULLs (both engines), so a revived
+            # n=0 group (old bounds NULL) takes the batch bound.
+            new = (upd.join(cur, "g", "full_outer")
+                   .select(
+                       "g",
+                       (F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("dn"), F.lit(0)))
+                       .cast("long").alias("n"),
+                       (F.coalesce(F.col("sum_value"),
+                                   F.lit(0).cast("decimal(18,4)"))
+                        + F.coalesce(F.col("dv"),
+                                     F.lit(0).cast("decimal(18,4)")))
+                       .cast("decimal(18,4)").alias("sum_value"),
+                       F.when(is_r, F.col("r_min"))
+                       .otherwise(F.least("min_value", "b_min"))
+                       .cast("double").alias("min_value"),
+                       F.when(is_r, F.col("r_max"))
+                       .otherwise(F.greatest("max_value", "b_max"))
+                       .cast("double").alias("max_value"))
+                   .join(F.broadcast(delta.select("g")), "g",
+                         "left_semi"))  # touch only changed groups
+            if V.current_snapshot(view) is None:
+                V.write_snapshot(new, view, txn_id=txn_id)
+            else:
+                V.merge_snapshot_mor(spark, new, view, "g",
+                                     txn_id=txn_id)
+        finally:
+            pre_hit.unpersist()
+    finally:
+        if own_net:
+            net.unpersist()
+
+
 def run_stream_matview(spark: SparkSession, source: str,
                        replica: str, view: str,
                        checkpoint_dir: str, key: str,
@@ -1516,7 +1659,8 @@ def run_stream_matview(spark: SparkSession, source: str,
                        maintenance_every: int = 8,
                        max_commits_per_trigger: int = 0,
                        max_files_per_trigger: int = 0,
-                       on_batch=None) -> None:
+                       on_batch=None,
+                       minmax: bool = False) -> None:
     """CDC → (replica, aggregate view), both versioned tables: the
     change feed maintains a row-level REPLICA (apply_change_batch)
     and a group-level MATERIALIZED VIEW (matview_delta_batch) —
@@ -1528,6 +1672,13 @@ def run_stream_matview(spark: SparkSession, source: str,
     seeded here, before the stream starts, as the aggregate of that
     initial copy (deltas alone can't reconstruct the pre-stream
     contribution).
+
+    ``minmax=True`` widens the view with min_value/max_value — the
+    non-invertible aggregates — maintained by matview_minmax_batch:
+    groups that lose a row this batch are recomputed from the
+    batch's derived post-state, insert-only groups merge their
+    bounds monotonically (see that function for the contract and
+    the per-batch cost bound).
 
     Scale: per batch this reads O(batch keys) replica rows (broadcast
     left-semi; bloom/stat pruning applies), O(touched groups) view
@@ -1544,13 +1695,21 @@ def run_stream_matview(spark: SparkSession, source: str,
     from mc_ns_data_pipeline_spark.sinks import versioned as V
 
     if V.current_snapshot(view) is None:
+        aggs = [F.count("*").alias("n"),
+                F.sum(F.col(value_col).cast("decimal(18,4)"))
+                 .alias("sum_value")]
+        if minmax:
+            aggs += [F.min(F.col(value_col).cast("double"))
+                     .alias("min_value"),
+                     F.max(F.col(value_col).cast("double"))
+                     .alias("max_value")]
         V.write_snapshot(
             V.read_current(spark, replica)
             .groupBy(F.col(group_col).alias("g"))
-            .agg(F.count("*").alias("n"),
-                 F.sum(F.col(value_col).cast("decimal(18,4)"))
-                  .alias("sum_value")),
+            .agg(*aggs),
             view, txn_id=f"{app_id}:view:init")
+
+    view_batch = matview_minmax_batch if minmax else matview_delta_batch
 
     def _apply(b, bid):
         t0 = time.perf_counter()
@@ -1558,9 +1717,9 @@ def run_stream_matview(spark: SparkSession, source: str,
         net = _net_actions(b, key)
         net.persist()  # one window shuffle shared by both halves
         try:
-            matview_delta_batch(spark, b, replica, view, key,
-                                group_col, value_col,
-                                f"{app_id}:view:{bid}", net=net)
+            view_batch(spark, b, replica, view, key,
+                       group_col, value_col,
+                       f"{app_id}:view:{bid}", net=net)
             apply_change_batch(spark, b, replica, key,
                                f"{app_id}-{bid}", net=net)
         finally:
