@@ -29,6 +29,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+    # INT96 carries NO footer statistics (kills both parquet row-group
+    # skipping and the versioned sink's footer-stats commit fast path)
+    # and is the deprecated, fatter encoding (guide §6).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
@@ -121,10 +126,88 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
     sc._mcns_pyfiles_added = True
 
 
+_WORKER_PYC_DONE = False
+
+
+def _augment_zip_with_pyc(zip_path: str) -> None:
+    """Add a compiled ``.pyc`` entry beside every ``.py`` member of
+    ``zip_path`` (atomic tmp-write + rename; re-run replaces stale
+    bytecode). zipimport prefers the ``.pyc`` sibling and skips
+    validation for hash-based UNCHECKED pycs; an interpreter with a
+    different bytecode magic ignores them and falls back to source,
+    so the augmentation is always safe."""
+    import importlib._bootstrap_external as _be
+    import importlib.util as _iu
+    import zipfile
+
+    with zipfile.ZipFile(zip_path, "r") as zin:
+        names = set(zin.namelist())
+        marker = next((n for n in sorted(names)
+                       if n.endswith("/__init__.pyc")), None)
+        if marker is not None:
+            head = zin.read(marker)[:4]
+            if head == _iu.MAGIC_NUMBER:
+                return  # already augmented for this interpreter
+        tmp = f"{zip_path}.pyc-{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
+            for info in zin.infolist():
+                if info.filename.endswith(".pyc"):
+                    continue  # stale bytecode: regenerate below
+                data = zin.read(info.filename)
+                zout.writestr(info, data)
+                if not info.filename.endswith(".py"):
+                    continue
+                try:
+                    code = compile(
+                        data, os.path.join(zip_path, info.filename),
+                        "exec", dont_inherit=True)
+                except SyntaxError:
+                    continue  # source-only member stays importable
+                zout.writestr(info.filename + "c",
+                              bytes(_be._code_to_hash_pyc(
+                                  code, b"\x00" * 8, False)))
+    os.replace(tmp, zip_path)
+
+
+def ensure_worker_bytecode() -> None:
+    """Make spawned Python processes import pyspark from BYTECODE.
+
+    Executor workers, the pyspark daemon and — critically — the
+    Python-DataSource streaming offset runner (a FRESH process per
+    streaming query) all get ``$SPARK_HOME/python/lib/pyspark.zip``
+    FIRST on their PYTHONPATH (PythonUtils.sparkPythonPath), ahead of
+    any site-packages install. zipimport cannot use a filesystem
+    ``__pycache__``, so each spawn re-PARSES all of pyspark unless the
+    zip itself carries ``.pyc`` members: measured on this box, ``import
+    pyspark`` from the pristine zip costs 1.20 s vs 0.59 s once
+    augmented — ~0.6 s saved per process spawn, which is most of the
+    1.85 s/lifecycle Python-DataSource floor BASELINE.md round-10
+    measured (guide §4: the Python boundary is a per-process cost too,
+    not just per-row). One-time, idempotent per interpreter version,
+    atomic, and silently skipped when the zips are absent or
+    read-only. Disable with ``SPARK_GRAFT_NO_ZIP_PYC=1``."""
+    global _WORKER_PYC_DONE
+    if _WORKER_PYC_DONE or os.environ.get("SPARK_GRAFT_NO_ZIP_PYC"):
+        return
+    _WORKER_PYC_DONE = True  # one attempt per process either way
+    lib = os.path.join(os.environ.get("SPARK_HOME", ""), "python",
+                       "lib")
+    if not os.path.isdir(lib):
+        return
+    for name in sorted(os.listdir(lib)):
+        if not name.endswith(".zip"):
+            continue
+        try:
+            _augment_zip_with_pyc(os.path.join(lib, name))
+        except Exception:
+            continue  # best-effort: pristine zip keeps working
+
+
 def get_spark(app_name: str = "mc_ns_data_pipeline_spark",
               master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the session. `SPARK_GRAFT_CPUS` sets local parallelism."""
+    ensure_worker_bytecode()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"

@@ -2311,10 +2311,114 @@ def _publish(table: str, files: list[str], rows: int,
     return name
 
 
+def _footer_rows_and_stats(table: str, files: list[str],
+                           stats_cols: list[str] | None
+                           ) -> tuple[int, dict | None] | None:
+    """Commit-metadata fast path for ``_scan_new_files`` /
+    ``_count_pool_rows``: read the just-landed files' parquet FOOTERS
+    (kilobytes each, O(commit) files — the Iceberg commit shape)
+    instead of re-scanning the data with a second Spark job. Row
+    counts are exact by the format; per-column [min, max] come from
+    the footer statistics, which Spark's writer records UNTRUNCATED
+    (verified: 500-char string bounds round-trip exactly), so the
+    recorded bounds are value-identical to the data-scan path for
+    every supported type. Returns None — caller falls back to the
+    Spark scan — whenever any file/column leaves the provably-
+    identical envelope: decimal logical types (pyarrow cannot extract
+    their stats), INT96 timestamps (no stats in the format), or
+    missing min/max on a column that has non-null values. NaN bounds
+    and all-NULL columns are mapped to exactly the scan path's
+    ``_stat_bounds`` contract (unstatable → omitted; all-NULL →
+    ``[None, None]`` skippable)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with repo
+        return None
+    root = _data_root(table)
+    rows_total = 0
+    per_file: dict[str, dict] = {}
+    cols: list[str] | None = None
+    for name in files:
+        try:
+            md = pq.ParquetFile(os.path.join(root, name)).metadata
+        except Exception:
+            return None  # unreadable/remote: let Spark handle it
+        rows_total += md.num_rows
+        if not stats_cols:
+            continue
+        if cols is None:
+            # same filter as the scan path: requested columns present
+            # in the landed schema (all files of one landing share it);
+            # nested leaves never match a top-level stats col name
+            leaf_names = {md.row_group(0).column(i).path_in_schema
+                          for i in range(md.num_columns)} \
+                if md.num_row_groups else set()
+            if md.num_row_groups == 0:
+                sch = pq.ParquetFile(
+                    os.path.join(root, name)).schema_arrow
+                leaf_names = set(sch.names)
+            cols = [c for c in stats_cols if c in leaf_names]
+        if not cols:  # none present: the scan path returns bare {}
+            continue
+        entry: dict = {}
+        for c in cols:
+            lo = hi = None
+            nonnull = 0
+            for gi in range(md.num_row_groups):
+                rg = md.row_group(gi)
+                st = None
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    if col.path_in_schema == c:
+                        try:
+                            st = col.statistics
+                        except Exception:
+                            return None  # e.g. decimal: no fast stats
+                        break
+                if st is None:
+                    return None  # INT96 / statless writer: fall back
+                if st.num_values:
+                    nonnull += st.num_values
+                    if not st.has_min_max:
+                        return None  # scan would record bounds here
+                    try:  # .min/.max DECODE the stat: decimal & co.
+                        glo, ghi = st.min, st.max  # raise right here
+                    except Exception:
+                        return None
+                    lo = glo if lo is None or _stat_lt(glo, lo) else lo
+                    hi = ghi if hi is None or _stat_lt(hi, ghi) else hi
+            if nonnull == 0:
+                entry[c] = [None, None]  # all-NULL: skippable
+                continue
+            bounds = _stat_bounds(lo, hi)
+            if bounds is not None:  # NaN/unknown: omit, like the scan
+                entry[c] = bounds
+        per_file[name] = entry
+    if stats_cols and cols:
+        for name in files:  # zero-row files: provably matchless
+            per_file.setdefault(name, {c: [None, None] for c in cols})
+    return rows_total, (per_file if stats_cols is not None else None)
+
+
+def _stat_lt(a, b) -> bool:
+    """Ordering for footer min/max folding across row groups, matching
+    Spark's column ordering for the supported stat types (numerics,
+    strings codepoint-wise, dates/timestamps chronologically; bools).
+    Mixed/unorderable values punt to False — single-row-group files
+    (the common landing shape) never reach a comparison."""
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
 def _count_pool_rows(spark: SparkSession, table: str,
                      files: list[str]) -> int:
     if not files:
         return 0
+    fast = _footer_rows_and_stats(table, files, None)
+    if fast is not None:
+        return fast[0]
     root = _data_root(table)
     return spark.read.parquet(
         *(os.path.join(root, f) for f in files)).count()
@@ -2330,6 +2434,9 @@ def _scan_new_files(spark: SparkSession, table: str, files: list[str],
     never the table."""
     if not files:
         return 0, ({} if stats_cols else None)
+    fast = _footer_rows_and_stats(table, files, stats_cols)
+    if fast is not None:  # footer metadata: zero Spark jobs
+        return fast
     root = _data_root(table)
     df = spark.read.parquet(*(os.path.join(root, f) for f in files))
     cols = [c for c in (stats_cols or []) if c in df.columns]
@@ -4511,7 +4618,8 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
     root = _data_root(table)
     doomed_keys = spark.read.parquet(
         *(os.path.join(root, f) for f in del_files))
-    n_keys = doomed_keys.count()  # delete batches: small by design
+    # footer row count: the landed file IS the distinct key set
+    n_keys = _count_pool_rows(spark, table, del_files)
     if n_keys == 0:
         return base  # nothing to forget: current stays
 
