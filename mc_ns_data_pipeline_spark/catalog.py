@@ -101,6 +101,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     return ensure_fan_out(df) if fan_out else df
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a source table from its parquet FOOTERS —
+    driver-side metadata, no Spark job. Plans that only need the count
+    to pick a literal (a cluster-count knob, a witness constant) spend
+    one footer read instead of a count() job; the number is exact by
+    the format, identical to ``load_table(...).count()``."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")]
+             if os.path.isdir(path) else [path])
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so SQL-first plans can run."""

@@ -46,8 +46,17 @@ SCALE = 1_000_000
 
 def pagerank(edges: DataFrame, n_iters: int = 3,
              damping_pct: int = 85,
-             checkpoint_every: int = 6) -> DataFrame:
-    """PageRank over a directed edge list `(src, dst)` (string ids).
+             checkpoint_every: int = 6,
+             assume_distinct: bool = False) -> DataFrame:
+    """PageRank over a directed edge list `(src, dst)` (any id type —
+    joins and aggregates are cheaper on integral ids, so callers that
+    can map their nodes to longs should; see x60).
+
+    ``assume_distinct=True`` skips the defensive ``edges.distinct()``
+    (one full shuffle + dedup of the edge list) for callers whose edge
+    list is distinct BY CONSTRUCTION — e.g. a distinct pair set
+    unioned into two direction-disjoint halves (guide §2.4: a distinct
+    on data that is already unique is an accidental exchange).
 
     Returns (node_id, out_degree, rank) with `rank` a double in
     classic un-normalized PageRank units (sink-absorbing simplified
@@ -65,7 +74,9 @@ def pagerank(edges: DataFrame, n_iters: int = 3,
     The final round is never checkpointed; the caller's action
     materializes it.
     """
-    edges = edges.select("src", "dst").distinct()
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .unionByName(edges.select(F.col("dst").alias("node_id")))

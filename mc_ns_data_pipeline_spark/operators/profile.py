@@ -102,20 +102,69 @@ def profile_columns_checked(df: DataFrame,
     cols = columns or df.columns
     prof = profile_columns(df, cols, exact=False).withColumnRenamed(
         "n_distinct", "_est")
+    exacts = _exact_distincts(df, cols)
+    return (
+        prof.join(F.broadcast(exacts), "column_name", "left")
+        .select(
+            "column_name", "n_rows", "n_nulls",
+            F.coalesce(F.col("_exact"), F.lit(0)).alias("n_distinct"),
+            "min_value", "max_value",
+            (F.abs(F.col("_est")
+                   - F.coalesce(F.col("_exact"), F.lit(0)))
+             <= F.lit(5 * rsd)
+             * F.coalesce(F.col("_exact"), F.lit(0)))
+            .alias("within_tol"),
+        )
+        .orderBy("column_name")
+    )
+
+
+#: Types whose string rendering is INJECTIVE (two distinct values never
+#: render the same text), so a text-stacked distinct count equals the
+#: per-column one. Floats qualify after `+ 0.0` normalizes -0.0 (both
+#: Spark's aggregation keys and SQL equality treat ±0.0 as one value).
+_TEXT_DISTINCT_TYPES = (
+    T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    T.DoubleType, T.FloatType, T.DecimalType,
+)
+
+
+def _exact_distincts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column_name, _exact) for every profiled column in ONE pass
+    (r11: was k separate full-table aggregates): stack the columns
+    into (column_name, value_text) rows — `stack` plans as a Generate,
+    never a count-distinct Expand, so the x38 plan pin holds — and run
+    a single two-phase distinct aggregate grouped by column_name.
+    count_distinct ignores the NULLs stack emits for null cells,
+    matching the per-column counts exactly. Columns outside the
+    injective-text envelope (binary, nested) keep their own
+    full-table aggregate — exactness over speed."""
+    safe = [c for c in cols
+            if isinstance(df.schema[c].dataType, _TEXT_DISTINCT_TYPES)]
     exacts = None
+    if safe:
+        pairs = []
+        for c in safe:
+            v = F.col(c)
+            if isinstance(df.schema[c].dataType,
+                          (T.DoubleType, T.FloatType)):
+                v = v + F.lit(0.0)  # -0.0 -> +0.0; NaN stays one NaN
+            pairs += [F.lit(c), v.cast("string")]
+        stacked = (
+            df.select(*[p.alias(f"_stk{i}")
+                        for i, p in enumerate(pairs)])
+            .select(F.expr("stack({}, {}) AS (column_name, _v)".format(
+                len(safe),
+                ", ".join(f"`_stk{i}`" for i in range(2 * len(safe))))))
+        )
+        exacts = (stacked.groupBy("column_name")
+                  .agg(F.count_distinct(F.col("_v")).alias("_exact")))
     for c in cols:
+        if c in safe:
+            continue
         e = df.agg(
             F.count_distinct(F.col(c)).alias("_exact")
         ).select(F.lit(c).alias("column_name"), "_exact")
         exacts = e if exacts is None else exacts.unionByName(e)
-    return (
-        prof.join(F.broadcast(exacts), "column_name")
-        .select(
-            "column_name", "n_rows", "n_nulls",
-            F.col("_exact").alias("n_distinct"),
-            "min_value", "max_value",
-            (F.abs(F.col("_est") - F.col("_exact"))
-             <= F.lit(5 * rsd) * F.col("_exact")).alias("within_tol"),
-        )
-        .orderBy("column_name")
-    )
+    return exacts

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mc_ns_data_pipeline_spark.catalog import load_table
+from mc_ns_data_pipeline_spark.catalog import load_table, table_rows
 from mc_ns_data_pipeline_spark.functions.scalar import epoch_micros
 from mc_ns_data_pipeline_spark.functions.text import (
     BPE_PATTERN,
@@ -1271,7 +1271,8 @@ def x59_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // 1000)
+    # k from the footer row count (identical integer, zero Spark jobs)
+    k = max(8, table_rows(sf_dir, "embeddings") // 1000)
     cents = kmeans_codebook(emb, k=k, n_iters=2)
     assigned = assign_clusters(emb, cents)
     base = S.with_norm(emb).select("vec_id", "_v", "_norm")
@@ -1311,13 +1312,24 @@ def x60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # r11 optimization (guide §2.3, shuffle fewer bytes / cheaper
+    # keys): the iteration runs on LONG node ids — customer c maps to
+    # 2c, supplier s to 2s+1 (bijective, parity-tagged) — so the
+    # distinct, the per-round join and the contribution aggregate all
+    # hash/compare 8-byte longs instead of 6-10 char strings. The
+    # public 'c<id>'/'s<id>' node names are reconstructed AFTER the
+    # last round on the small rank vector; ranks are identical because
+    # the graph is isomorphic and the update is exact integer
+    # arithmetic. The two direction halves are parity-disjoint and
+    # `pairs` is already distinct, so the union needs no second
+    # distinct (assume_distinct — guide §2.4).
     pairs = (
         lineitem.join(
             orders, lineitem.l_orderkey == orders.o_orderkey
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -1326,7 +1338,16 @@ def x60_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return _sorted_small(pagerank(edges, n_iters=3), "node_id")
+    pr = pagerank(edges, n_iters=3, assume_distinct=True)
+    named = pr.select(
+        F.concat(
+            F.when(F.col("node_id") % 2 == 0, F.lit("c"))
+            .otherwise(F.lit("s")),
+            F.expr("node_id div 2").cast("string"),
+        ).alias("node_id"),
+        "out_degree", "rank",
+    )
+    return _sorted_small(named, "node_id")
 
 
 def x61_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4020,7 +4041,7 @@ def x114_group_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.append_snapshot(
         rows.filter(F.col("o_orderkey") % 1000 == 7)
         .withColumn("price", F.lit(-9.0)), a)
-    n_total = orders.count()
+    n_total = table_rows(sf_dir, "orders")  # footer count, no job
     isolated_ok = (
         mid_isolated
         and TC.read_group(spark, cat, "nightly",
@@ -4081,7 +4102,7 @@ def x115_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     TC.pin_current_group(cat, "reporting",
                          ["sales.orders", "sales.customer"])
     TC.register_views(spark, cat, group="reporting", prefix="x115_")
-    n_orders_at_pin = orders.count()
+    n_orders_at_pin = table_rows(sf_dir, "orders")  # footer count
 
     # the world moves AFTER registration: noise commit + group repin
     V.append_snapshot(
@@ -4139,10 +4160,11 @@ def x116_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_root)
     TC.register_views(spark, cat, snapshots={"sales.hist": snap_v1},
                       prefix="x116_")
+    n_orders = table_rows(sf_dir, "orders")  # footer count, no job
     time_travel_ok = (
-        spark.table("x116_sales_hist").count() == orders.count()
+        spark.table("x116_sales_hist").count() == n_orders
         and V.read_current(spark, t_root).count()
-        == orders.count() + 50)
+        == n_orders + 50)
 
     result = spark.sql("""
         SELECT o_orderstatus,

@@ -3569,18 +3569,19 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
     stats_cols = core.get("stats_cols")
     bloom_cols = core.get("bloom_cols")
     if affected:
-        affected_df = _read_live(
+        affected_df, _obs = _observed_count(_read_live(
             spark, table, hybrid,
             [os.path.join(root, f) for f in sorted(affected)],
-            parent_schema)
-        affected_rows = affected_df.count()
+            parent_schema))
         survivors = rewrite(affected_df)
     else:
-        affected_rows = 0
+        _obs = None
         survivors = rewrite(None)
     if survivors is None:  # nothing to rewrite AND nothing to add
         return parent
     new_files = _land_in_pool(survivors, table)
+    # observation collected by the landing write — no second read
+    affected_rows = int(_obs.get["rows"]) if _obs is not None else 0
     new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                           stats_cols)
     new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
@@ -3720,18 +3721,21 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
     # generation, so any MOR-deleted row it still carried would
     # escape its delete mask and resurrect.
     if affected_paths:
-        affected = _read_live(spark, table, parent_man,
-                              affected_paths, parent_schema)
-        affected_rows = affected.count()
+        affected, _obs = _observed_count(
+            _read_live(spark, table, parent_man,
+                       affected_paths, parent_schema))
         survivors = (
             affected
             .join(F.broadcast(keys), key, "left_anti")
             .unionByName(updates, allowMissingColumns=True)
         )
     else:
-        affected_rows = 0
+        _obs = None
         survivors = updates
     new_files = _land_in_pool(survivors, table)
+    # the landing write was the one action over `affected`: collect
+    # its row count from the observation, no second read
+    affected_rows = int(_obs.get["rows"]) if _obs is not None else 0
 
     # Row count maintained incrementally — metadata upkeep scans
     # only the touched files, never the whole table.
@@ -3773,6 +3777,20 @@ def merge_snapshot(spark: SparkSession, updates: DataFrame, table: str,
                         bloom_cols=parent_man.get("bloom_cols"),
                         file_seq=parent_man.get("file_seq"),
                         delete_files=parent_man.get("delete_files"))
+
+
+def _observed_count(df: DataFrame):
+    """Attach a row-count observation to ``df``: the count arrives as
+    a side effect of whatever single action later consumes the
+    returned frame (the COW landing write), so the separate
+    ``count()`` job — and its SECOND read of the affected files —
+    disappears (guide §1.2: one pass instead of two). Returns
+    ``(observed_df, observation)``; read ``int(obs.get["rows"])``
+    after the action."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
 def _mor_live_matches(spark: SparkSession, table: str,
@@ -3960,10 +3978,22 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     batch_keys = (spark.read.parquet(
         *(os.path.join(root, f) for f in new_files))
         .select(key).distinct().filter(F.col(key).isNotNull()))
-    del_files = _land_in_pool(batch_keys.coalesce(1), table)
+    # The delete-file landing and the live-match count are independent
+    # jobs over the same tiny key set — run them concurrently so the
+    # second job's tasks back-fill the first's tail (guide §2.6;
+    # ~0.2-0.3 s/commit of job overhead overlapped at local scale,
+    # idle-executor fill on a cluster).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_del = _pool.submit(
+            lambda: _land_in_pool(batch_keys.coalesce(1), table))
+        _f_matched = _pool.submit(
+            _mor_matched, spark, table, base_man, key, batch_keys)
+        del_files = _f_del.result()
+        matched = _f_matched.result()
     entries = [{"file": f, "key": key, "seq": None}
                for f in del_files]
-    matched = _mor_matched(spark, table, base_man, key, batch_keys)
 
     # ---- metadata publish: lease held briefly ----
     with table_lease(table, owner=f"merge_snapshot_mor:{key}",
@@ -4508,12 +4538,13 @@ def delete_keys_snapshot(spark: SparkSession, table: str, key: str,
     if not affected_paths:
         return parent  # nothing to forget: current stays
     stats_cols = parent_man.get("stats_cols")
-    affected = _read_live(spark, table, parent_man, affected_paths,
-                          parent_schema)  # schema'd + MOR-applied:
-    affected_rows = affected.count()      # see merge_snapshot
+    affected, _obs = _observed_count(
+        _read_live(spark, table, parent_man, affected_paths,
+                   parent_schema))  # schema'd + MOR-applied:
     survivors = affected.join(F.broadcast(doomed_keys), key,
-                              "left_anti")
+                              "left_anti")  # see merge_snapshot
     new_files = _land_in_pool(survivors, table)
+    affected_rows = int(_obs.get["rows"])  # collected by the landing
     new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                           stats_cols)
     new_blooms = _scan_blooms(
