@@ -122,6 +122,10 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
         root_dir=os.path.dirname(pkg_dir),
         base_dir=os.path.basename(pkg_dir),
     )
+    try:  # ship bytecode too: zipimport can't use __pycache__, so
+        _augment_zip_with_pyc(zpath)  # workers would re-parse the
+    except Exception:  # package on every fresh spawn (guide §4)
+        pass
     sc.addPyFile(zpath)
     sc._mcns_pyfiles_added = True
 

@@ -3890,7 +3890,9 @@ def _rebase_mor_matched(spark: SparkSession, table: str,
 def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
                        table: str, key: str,
                        txn_id: str | None = None,
-                       branch: str | None = None) -> str:
+                       branch: str | None = None,
+                       extra_mask_keys: DataFrame | None = None
+                       ) -> str:
     """Merge-on-read upsert: same answer as ``merge_snapshot`` (updated
     keys win, unmatched target rows survive), different physics — the
     update batch lands as NEW files and the OLD row versions are
@@ -3927,7 +3929,15 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     same contract as ``append_snapshot(branch=)``: invisible to table
     readers until ``publish_ref``; the mask's generation sequences
     inside the staged lineage, so the publish flips rows + mask as one
-    unit."""
+    unit.
+
+    ``extra_mask_keys`` widens the commit's equality-delete mask to
+    ALSO cover the given keys (one key column, same name) without
+    inserting replacement rows for them — upsert + delete as ONE
+    commit, one pointer flip (r11: the CDC apply_change_batch shape;
+    previously delete-then-upsert staged as two commits on a branch).
+    Row accounting counts live matches of the WHOLE mask, so `rows`
+    stays exact."""
     os.makedirs(table, exist_ok=True)
 
     def _head() -> str | None:
@@ -3966,6 +3976,11 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     new_rows, new_stats = _scan_new_files(spark, table, new_files,
                                           stats_cols)
     if new_rows == 0:
+        if extra_mask_keys is not None:
+            raise ValueError(
+                f"{table}: merge_snapshot_mor got an empty update "
+                "batch with extra_mask_keys — a mask-only commit is "
+                "delete_keys_mor's job; call that instead")
         return base  # empty batch: publish nothing (the landed
         # empty files are orphans for vacuum) — a dead mask entry
         # would force every reader onto the sequenced path and
@@ -3978,6 +3993,10 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     batch_keys = (spark.read.parquet(
         *(os.path.join(root, f) for f in new_files))
         .select(key).distinct().filter(F.col(key).isNotNull()))
+    if extra_mask_keys is not None:  # upsert+delete as one commit:
+        batch_keys = (batch_keys     # widen the mask, not the rows
+                      .unionByName(extra_mask_keys.select(key))
+                      .distinct().filter(F.col(key).isNotNull()))
     # The delete-file landing and the live-match count are independent
     # jobs over the same tiny key set — run them concurrently so the
     # second job's tasks back-fill the first's tail (guide §2.6;

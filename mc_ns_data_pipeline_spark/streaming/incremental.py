@@ -1250,19 +1250,22 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
     The documented consumer rule collapses it to a NET action per key
     (latest generation wins; at equal generation an insert beats the
     delete that retracted the old version — the MOR-upsert
-    retract+reinsert case), then stages BOTH sides on one branch —
-    deletes first, inserts second — and publishes with a single
-    pointer flip, so replica readers never observe the intermediate
-    deleted-but-not-reinserted state the reference's two-phase replace
-    exposes.
+    retract+reinsert case), then applies it as ONE MOR commit: the
+    net inserts land as new files and the equality-delete mask covers
+    EVERY touched key (``merge_snapshot_mor(extra_mask_keys=...)`` —
+    r11; previously delete-then-upsert staged as two commits on a
+    branch and published together). One commit is one pointer flip by
+    construction, so replica readers never observe the intermediate
+    deleted-but-not-reinserted state the reference's two-phase
+    replace exposes — and the per-batch commit cost halves. A
+    pure-delete batch is a plain ``delete_keys_mor``.
 
     Idempotent as a UNIT: replaying the whole batch (Spark replays
     the one batch a crash can leave uncommitted) re-derives the same
-    net action and re-applies delete-then-upsert, which reproduces
-    the identical replica state; a crash between the staged commits
-    leaves only an orphaned branch (re-staged from scratch on
-    replay), never a half-applied replica. That unit idempotence is
-    why neither staged commit needs a txn stamp.
+    net action and re-applies it — the replay's mask retracts the
+    first application's rows and the identical rows re-land, so the
+    net replica state is reproduced. That unit idempotence is why
+    the commit needs no txn stamp.
 
     ``net``: optionally the precomputed (and persisted)
     ``_net_actions(batch_df, key)`` relation — run_stream_matview
@@ -1285,21 +1288,17 @@ def apply_change_batch(spark: SparkSession, batch_df: DataFrame,
         kinds = {r["_change_type"]: r["n"] for r in
                  net.groupBy("_change_type")
                  .agg(F.count("*").alias("n")).collect()}
-        # re-stage from scratch: a replayed batch drops the orphaned
-        # branch a mid-apply crash may have left
+        # a pre-r11 (two-commit) crash may have left a staged branch
+        # under this batch's name: drop it — this apply supersedes it
         if branch in V.list_refs(replica):
             V.delete_ref(replica, branch)
-        staged = False
-        if kinds.get("delete"):
-            V.delete_keys_mor(spark, replica, key, dels,
-                              branch=branch)
-            staged = True
         if kinds.get("insert"):
-            V.merge_snapshot_mor(spark, ups, replica, key,
-                                 branch=branch)
-            staged = True
-        if staged:
-            V.publish_ref(replica, branch)
+            V.merge_snapshot_mor(
+                spark, ups, replica, key,
+                extra_mask_keys=(dels if kinds.get("delete")
+                                 else None))
+        elif kinds.get("delete"):
+            V.delete_keys_mor(spark, replica, key, dels)
     finally:
         if own_net:
             net.unpersist()

@@ -208,3 +208,39 @@ def test_uncapped_drain_pays_exactly_one_lifecycle(
                              max_commits_per_trigger=2)
     assert len(calls) == 2          # ceil(4/2) bounded runs
     assert _state(spark, rep2) == _state(spark, src)
+
+
+def test_apply_is_single_commit_with_widened_mask(spark, tmp_path):
+    """r11: a mixed insert+delete batch applies as ONE MOR commit —
+    the net inserts' files plus an equality-delete mask covering
+    every touched key — not two staged commits on a branch. Pins the
+    commit count, the mask width, and exact row accounting."""
+    src, rep, ckpt, mark = _setup(spark, tmp_path)
+    pre_snaps = len(V.list_snapshots(rep))
+    batch = spark.createDataFrame(
+        [(2, None, "delete", 2), (3, "c2", "insert", 3),
+         (4, "d", "insert", 3)],
+        "k int, v string, _change_type string, _commit_gen long")
+    apply_change_batch(spark, batch, rep, "k", "cdc_apply-0")
+    assert _state(spark, rep) == {(1, "a"), (3, "c2"), (4, "d")}
+    assert len(V.list_snapshots(rep)) == pre_snaps + 1  # ONE commit
+    man = V.read_manifest(rep, V.current_snapshot(rep))
+    assert man["rows"] == 3  # exact accounting through the wide mask
+    assert V.list_refs(rep) == {}  # no branch machinery involved
+
+
+def test_merge_mor_extra_mask_keys_contract(spark, tmp_path):
+    """merge_snapshot_mor(extra_mask_keys=...): the widened mask
+    deletes keys with no replacement rows, rows stays exact, and an
+    empty update batch with extra keys is refused loudly."""
+    t = str(tmp_path / "t")
+    V.write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    V.merge_snapshot_mor(
+        spark, _df(spark, [(3, "c2")]), t, "k",
+        extra_mask_keys=_df(spark, [(2, "x")]).select("k"))
+    assert _state(spark, t) == {(1, "a"), (3, "c2")}
+    assert V.read_manifest(t, V.current_snapshot(t))["rows"] == 2
+    with pytest.raises(ValueError, match="delete_keys_mor"):
+        V.merge_snapshot_mor(
+            spark, _df(spark, []).limit(0), t, "k",
+            extra_mask_keys=_df(spark, [(1, "y")]).select("k"))
