@@ -11,8 +11,9 @@ Execution shape (the part that must survive 100 TB):
 
 - Per iteration, the corpus is touched by exactly ONE map-only pass:
   cluster assignment is an argmin over k literal-inlined centroids
-  (`lit_vec`, one parsed expression per centroid — no join, no shuffle,
-  no Python). The only shuffle per iteration is the centroid update
+  (one literal array<struct> codebook scanned by transform/array_min —
+  no join, no shuffle, no Python, O(k) Catalyst tree). The only
+  shuffle per iteration is the centroid update
   aggregate, partial-aggregated map-side, so shuffle volume is
   `partitions x k x dim` — independent of corpus size.
 - The k x dim centroid matrix (the only iteration state) is collected
@@ -34,33 +35,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mc_ns_data_pipeline_spark.operators.similarity import dot, lit_vec
+from mc_ns_data_pipeline_spark.operators.similarity import dot
+
+
+def _cents_lit(cents: list[tuple[int, list[float], float]]) -> F.Column:
+    """The codebook as ONE literal array<struct<sv,cc,cid>> (the x57
+    lit_cb_m shape): scanning it with transform/array_min keeps the
+    Catalyst tree O(k) with a single shared lambda body instead of k
+    unrolled O(dim) branches — measured on x57 the unrolled form cost
+    ~26 s of pure analysis/codegen per training pass; ported here r11
+    (x52/x59 train one codebook per query, and every Lloyd round
+    re-plans with fresh literals). `{!r}` reprs round-trip doubles
+    exactly, so the literal values are bit-identical to F.lit."""
+    items = ",".join(
+        "named_struct('sv',array({}),'cc',{!r}D,'cid',{})".format(
+            ",".join(f"{float(x)!r}D" for x in vec), float(cc), int(cid)
+        )
+        for cid, vec, cc in cents
+    )
+    return F.expr(f"array({items})")
 
 
 def _best_struct(cents: list[tuple[int, list[float], float]]) -> F.Column:
     """argmin_{cent} round(||x||^2 - 2<x,c> + ||c||^2, 6), ties -> low id.
 
     struct(dist, cent_id) orders lexicographically, so array_min is the
-    smallest distance and, among equal distances, the lowest cluster id.
+    smallest distance and, among equal distances, the lowest cluster id
+    (array_min compares VALUES, so the result is identical to the
+    pre-r11 unrolled form — the lambda evaluates the same
+    xx - 2<x,c> + cc expansion, same `dot`, same rounding).
     """
     # `+ 0.0` normalizes a possible IEEE -0.0 (vector == centroid up to
     # FP error) to +0.0 so both engines format the value identically.
-    scored = F.array(*[
-        F.struct(
-            (
-                F.round(
-                    F.col("_xx")
-                    - F.lit(2.0) * dot(F.col("_v"), lit_vec(vec))
-                    + F.lit(float(cc)),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("dist"),
-            F.lit(int(cid)).alias("cent_id"),
+    return F.array_min(
+        F.transform(
+            _cents_lit(cents),
+            lambda c: F.struct(
+                (
+                    F.round(
+                        F.col("_xx")
+                        - F.lit(2.0) * dot(F.col("_v"), c["sv"])
+                        + c["cc"],
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("dist"),
+                c["cid"].alias("cent_id"),
+            ),
         )
-        for cid, vec, cc in cents
-    ])
-    return F.array_min(scored)
+    )
 
 
 def _best_cluster(cents: list[tuple[int, list[float], float]]) -> F.Column:
