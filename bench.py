@@ -108,13 +108,24 @@ def main() -> None:
         },
     }
     # Sidecar with the FULL result: the driver's BENCH_r{N}.json keeps
-    # only the last 2000 chars of stdout, which truncates the 127-entry
+    # only the last 2000 chars of stdout, which truncates the 158-entry
     # per-query map (VERDICT r3 #3 minor). The sidecar is the mechanical
-    # per-query record; commit it after a baseline run.
+    # per-query record. Default OUTSIDE the repo, suffixed by core
+    # count (VERDICT r11 #2: the in-repo default let every run —
+    # including the driver's loaded c8 rerun — clobber the committed
+    # quiet-run evidence in the worktree). To commit a baseline run,
+    # point SPARK_GRAFT_BENCH_SIDECAR at the repo file explicitly.
+    import tempfile
+
+    _sidecar_dir = os.path.join(tempfile.gettempdir(),
+                                "spark_graft_bench")
+    os.makedirs(_sidecar_dir, exist_ok=True)
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SIDECAR.json"),
+        os.path.join(_sidecar_dir,
+                     f"BENCH_SIDECAR_c{os.cpu_count()}"
+                     f"_{os.environ.get('SPARK_GRAFT_CPUS', 'na')}"
+                     ".json"),
     )
     with open(sidecar, "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)

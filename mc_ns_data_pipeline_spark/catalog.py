@@ -110,9 +110,26 @@ def table_rows(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
-    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
-              if f.endswith(".parquet")]
-             if os.path.isdir(path) else [path])
+    if os.path.isdir(path):
+        # Recurse like spark.read.parquet (partitioned layouts nest
+        # files under key=value dirs); skip hidden/metadata entries
+        # the reader also ignores (_SUCCESS, .crc, _temporary).
+        files = []
+        for root, dirs, names in os.walk(path):
+            dirs[:] = sorted(d for d in dirs
+                             if not d.startswith((".", "_")))
+            files += [os.path.join(root, f) for f in sorted(names)
+                      if f.endswith(".parquet")
+                      and not f.startswith((".", "_"))]
+    else:
+        files = [path]
+    if not files:
+        # load_table(...).count() would raise on an empty/missing
+        # table dir; silently returning 0 here would let a bad
+        # SPARK_GRAFT_SF_DIR feed wrong literals into plans (ADVICE
+        # r11) — fail the same way the Spark read would.
+        raise FileNotFoundError(
+            f"table_rows: no parquet files under {path!r}")
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 

@@ -46,7 +46,25 @@ def _cents_lit(cents: list[tuple[int, list[float], float]]) -> F.Column:
     ~26 s of pure analysis/codegen per training pass; ported here r11
     (x52/x59 train one codebook per query, and every Lloyd round
     re-plans with fresh literals). `{!r}` reprs round-trip doubles
-    exactly, so the literal values are bit-identical to F.lit."""
+    exactly, so the literal values are bit-identical to F.lit.
+
+    Non-finite components (NaN-carrying input vectors propagate into a
+    centroid mean) repr as `nan`/`inf`, which Spark SQL cannot parse —
+    those codebooks take the F.lit construction instead (same values,
+    larger Catalyst tree; ADVICE r11)."""
+    import math
+
+    if not all(math.isfinite(float(x))
+               for cid, vec, cc in cents
+               for x in list(vec) + [cc]):
+        return F.array(*[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in vec]).alias("sv"),
+                F.lit(float(cc)).alias("cc"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec, cc in cents
+        ])
     items = ",".join(
         "named_struct('sv',array({}),'cc',{!r}D,'cid',{})".format(
             ",".join(f"{float(x)!r}D" for x in vec), float(cc), int(cid)

@@ -37,6 +37,19 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # Driver/executor heap (local mode: ONE JVM plays both roles).
+    # Spark's legacy 1g default is not sized to a machine running 32
+    # concurrent tasks plus broadcast builds: measured r12, a full
+    # suite run on the 128 GiB sandbox died mid-bench with
+    # "Not enough memory to build and broadcast the table" while two
+    # commit jobs built broadcasts concurrently in the 1g heap
+    # (guide §5 — broadcasts live in driver memory; §7.4 signature).
+    # 8g is still conservative for the sandbox and leaves the rest to
+    # Python workers and the page cache; override per deployment with
+    # SPARK_GRAFT_DRIVER_MEM (a cluster submit sets its own
+    # driver/executor memory explicitly anyway).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                          "8g"),
 }
 
 
@@ -133,44 +146,117 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
 _WORKER_PYC_DONE = False
 
 
-def _augment_zip_with_pyc(zip_path: str) -> None:
+def _augment_zip_with_pyc(zip_path: str, out_path: str | None = None
+                          ) -> None:
     """Add a compiled ``.pyc`` entry beside every ``.py`` member of
     ``zip_path`` (atomic tmp-write + rename; re-run replaces stale
-    bytecode). zipimport prefers the ``.pyc`` sibling and skips
-    validation for hash-based UNCHECKED pycs; an interpreter with a
-    different bytecode magic ignores them and falls back to source,
-    so the augmentation is always safe."""
+    bytecode), writing to ``out_path`` when given (cache-copy mode)
+    or back in place. zipimport prefers the ``.pyc`` sibling and
+    skips validation for hash-based UNCHECKED pycs; an interpreter
+    with a different bytecode magic ignores them and falls back to
+    source, so the augmentation is always safe. The pycs embed the
+    REAL source hash (ADVICE r11) so external tooling that validates
+    them sees truthful metadata."""
     import importlib._bootstrap_external as _be
     import importlib.util as _iu
     import zipfile
 
-    with zipfile.ZipFile(zip_path, "r") as zin:
-        names = set(zin.namelist())
-        marker = next((n for n in sorted(names)
-                       if n.endswith("/__init__.pyc")), None)
-        if marker is not None:
-            head = zin.read(marker)[:4]
-            if head == _iu.MAGIC_NUMBER:
-                return  # already augmented for this interpreter
-        tmp = f"{zip_path}.pyc-{os.getpid()}.tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zout:
-            for info in zin.infolist():
-                if info.filename.endswith(".pyc"):
-                    continue  # stale bytecode: regenerate below
-                data = zin.read(info.filename)
-                zout.writestr(info, data)
-                if not info.filename.endswith(".py"):
-                    continue
-                try:
-                    code = compile(
-                        data, os.path.join(zip_path, info.filename),
-                        "exec", dont_inherit=True)
-                except SyntaxError:
-                    continue  # source-only member stays importable
-                zout.writestr(info.filename + "c",
-                              bytes(_be._code_to_hash_pyc(
-                                  code, b"\x00" * 8, False)))
-    os.replace(tmp, zip_path)
+    dest = out_path or zip_path
+    tmp = f"{dest}.pyc-{os.getpid()}.tmp"
+    try:
+        with zipfile.ZipFile(zip_path, "r") as zin:
+            if out_path is None:
+                names = set(zin.namelist())
+                marker = next((n for n in sorted(names)
+                               if n.endswith("/__init__.pyc")), None)
+                if marker is not None:
+                    head = zin.read(marker)[:4]
+                    if head == _iu.MAGIC_NUMBER:
+                        return  # already augmented, this interpreter
+            with zipfile.ZipFile(tmp, "w",
+                                 zipfile.ZIP_DEFLATED) as zout:
+                for info in zin.infolist():
+                    if info.filename.endswith(".pyc"):
+                        continue  # stale bytecode: regenerate below
+                    data = zin.read(info.filename)
+                    zout.writestr(info, data)
+                    if not info.filename.endswith(".py"):
+                        continue
+                    try:
+                        code = compile(
+                            data,
+                            os.path.join(dest, info.filename),
+                            "exec", dont_inherit=True)
+                    except SyntaxError:
+                        continue  # source-only member importable
+                    zout.writestr(
+                        info.filename + "c",
+                        bytes(_be._code_to_hash_pyc(
+                            code, _iu.source_hash(data), False)))
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):  # failed mid-write: no tmp litter
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+#: sitecustomize body dropped into the bytecode cache dir: every
+#: Python process whose PYTHONPATH carries the cache dir (Spark's
+#: worker/daemon/offset-runner spawns inherit it from the driver)
+#: imports this at startup, validates the cached zips against their
+#: SPARK_HOME sources (cheap os.stat), and inserts each cache zip on
+#: sys.path IMMEDIATELY BEFORE its pristine source — so `import
+#: pyspark` resolves to the bytecode-augmented copy without mutating
+#: the Spark install. A stale/mismatched cache entry is simply
+#: skipped (the pristine zip keeps working).
+_SITECUSTOMIZE = '''\
+"""spark-graft worker bytecode cache (see session.ensure_worker_\
+bytecode): shadow $SPARK_HOME/python/lib zips with pyc-augmented
+copies, keyed by source size+mtime. Safe no-op on any mismatch."""
+import json
+import os
+import sys
+
+def _activate():
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "manifest.json")) as fh:
+            entries = json.load(fh).get("zips", {})
+    except Exception:
+        return
+    for name, meta in entries.items():
+        cached = os.path.join(here, name)
+        src = meta.get("source")
+        try:
+            st = os.stat(src)
+            ok = (st.st_size == meta.get("size")
+                  and int(st.st_mtime_ns) == meta.get("mtime_ns")
+                  and os.path.exists(cached))
+        except OSError:
+            ok = False
+        if not ok:
+            continue
+        try:
+            i = sys.path.index(src)
+        except ValueError:
+            continue  # that install isn't on this path: don't shadow
+        if cached not in sys.path:
+            sys.path.insert(i, cached)
+
+_activate()
+del _activate
+'''
+
+
+def _bytecode_cache_dir() -> str:
+    import sys
+
+    return os.environ.get(
+        "SPARK_GRAFT_PYC_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "spark_graft",
+                     f"pyzips-{sys.implementation.cache_tag}"))
 
 
 def ensure_worker_bytecode() -> None:
@@ -181,15 +267,24 @@ def ensure_worker_bytecode() -> None:
     streaming query) all get ``$SPARK_HOME/python/lib/pyspark.zip``
     FIRST on their PYTHONPATH (PythonUtils.sparkPythonPath), ahead of
     any site-packages install. zipimport cannot use a filesystem
-    ``__pycache__``, so each spawn re-PARSES all of pyspark unless the
-    zip itself carries ``.pyc`` members: measured on this box, ``import
-    pyspark`` from the pristine zip costs 1.20 s vs 0.59 s once
-    augmented — ~0.6 s saved per process spawn, which is most of the
-    1.85 s/lifecycle Python-DataSource floor BASELINE.md round-10
-    measured (guide §4: the Python boundary is a per-process cost too,
-    not just per-row). One-time, idempotent per interpreter version,
-    atomic, and silently skipped when the zips are absent or
-    read-only. Disable with ``SPARK_GRAFT_NO_ZIP_PYC=1``."""
+    ``__pycache__``, so each spawn re-PARSES all of pyspark unless
+    the zip it imports carries ``.pyc`` members: measured r11,
+    ``import pyspark`` costs 1.20 s from the pristine zip vs 0.59 s
+    augmented — ~0.6 s saved per process spawn (guide §4: the Python
+    boundary is a per-process cost too, not just per-row).
+
+    Default mechanism (r12, ADVICE r11 / VERDICT r11 #9): augmented
+    COPIES of the zips are written once per interpreter to a local
+    cache dir (``SPARK_GRAFT_PYC_CACHE``, default
+    ``~/.cache/spark_graft/pyzips-<tag>``) together with a
+    ``sitecustomize.py`` that shadows each pristine zip on spawned
+    workers' sys.path after validating source size+mtime; the cache
+    dir rides the inherited ``PYTHONPATH``. $SPARK_HOME itself is
+    NEVER written to unless ``SPARK_GRAFT_ZIP_PYC_INPLACE=1``
+    explicitly opts into the r11 in-place rewrite (a persistent,
+    shared-install mutation — kept only for environments whose
+    spawn path strips PYTHONPATH). Disable everything with
+    ``SPARK_GRAFT_NO_ZIP_PYC=1``. Idempotent, atomic, best-effort."""
     global _WORKER_PYC_DONE
     if _WORKER_PYC_DONE or os.environ.get("SPARK_GRAFT_NO_ZIP_PYC"):
         return
@@ -198,13 +293,66 @@ def ensure_worker_bytecode() -> None:
                        "lib")
     if not os.path.isdir(lib):
         return
-    for name in sorted(os.listdir(lib)):
-        if not name.endswith(".zip"):
-            continue
+    zips = [n for n in sorted(os.listdir(lib)) if n.endswith(".zip")]
+    if not zips:
+        return
+    if os.environ.get("SPARK_GRAFT_ZIP_PYC_INPLACE"):
+        for name in zips:
+            try:
+                _augment_zip_with_pyc(os.path.join(lib, name))
+            except Exception:
+                continue  # best-effort: pristine zip keeps working
+        return
+    import importlib.util as _iu
+    import json
+
+    cache = _bytecode_cache_dir()
+    try:
+        os.makedirs(cache, exist_ok=True)
+        man_path = os.path.join(cache, "manifest.json")
         try:
-            _augment_zip_with_pyc(os.path.join(lib, name))
+            with open(man_path) as fh:
+                manifest = json.load(fh)
         except Exception:
-            continue  # best-effort: pristine zip keeps working
+            manifest = {}
+        if manifest.get("magic") != list(_iu.MAGIC_NUMBER):
+            manifest = {"magic": list(_iu.MAGIC_NUMBER), "zips": {}}
+        entries = manifest.setdefault("zips", {})
+        changed = False
+        for name in zips:
+            src = os.path.join(lib, name)
+            st = os.stat(src)
+            meta = entries.get(name)
+            if (meta and meta.get("source") == src
+                    and meta.get("size") == st.st_size
+                    and meta.get("mtime_ns") == int(st.st_mtime_ns)
+                    and os.path.exists(os.path.join(cache, name))):
+                continue  # cache entry current
+            _augment_zip_with_pyc(src, os.path.join(cache, name))
+            entries[name] = {"source": src, "size": st.st_size,
+                             "mtime_ns": int(st.st_mtime_ns)}
+            changed = True
+        site_py = os.path.join(cache, "sitecustomize.py")
+        if changed or not os.path.exists(site_py):
+            tmp = f"{man_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, man_path)
+            tmp2 = f"{site_py}.{os.getpid()}.tmp"
+            with open(tmp2, "w") as fh:
+                fh.write(_SITECUSTOMIZE)
+            os.replace(tmp2, site_py)
+        # expose to every process the JVM spawns (workers inherit the
+        # driver environment; PythonWorkerFactory appends the
+        # inherited PYTHONPATH after sparkPythonPath, and the
+        # sitecustomize does the front-of-path shadowing)
+        pp = os.environ.get("PYTHONPATH", "")
+        parts = pp.split(os.pathsep) if pp else []
+        if cache not in parts:
+            os.environ["PYTHONPATH"] = (
+                cache + (os.pathsep + pp if pp else ""))
+    except Exception:
+        pass  # best-effort: pristine zips keep working
 
 
 def get_spark(app_name: str = "mc_ns_data_pipeline_spark",

@@ -2152,6 +2152,110 @@ def _land_in_pool(df: DataFrame, table: str) -> list[str]:
     return names
 
 
+#: Byte budget for deriving a MOR commit's equality-delete mask on the
+#: DRIVER from the just-landed update files (guide §5: the driver may
+#: do O(KB-MB) metadata-sized work; a commit's mask is bounded by the
+#: batch, and the same key set is broadcast moments later anyway, so
+#: this adds no new scale risk). Above the budget — or for key types
+#: whose distinct semantics only Spark should decide (floats: NaN /
+#: -0.0 folding) — the distributed path runs unchanged. 0 disables.
+_DRIVER_LAND_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_DRIVER_LAND_BYTES", str(64 << 20)))
+
+
+def _land_arrow_in_pool(tbl, table: str, spark=None) -> list[str]:
+    """Land an in-driver ``pyarrow.Table`` as ONE immutable pool file —
+    the zero-Spark-job landing for KB-sized commit relations
+    (equality-delete masks, collected key sets). Same staging-dir +
+    uuid-move discipline (and therefore the same crash/vacuum
+    contract) as ``_land_in_pool``; codec follows the session's
+    parquet codec so driver-written files match Spark-written ones."""
+    import pyarrow.parquet as pq
+
+    codec = "snappy"  # Spark's spark.sql.parquet.compression.codec default
+    if spark is not None:
+        try:
+            codec = spark.conf.get(
+                "spark.sql.parquet.compression.codec") or codec
+        except Exception:
+            pass
+    staging = os.path.join(table, f"__staging-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging)
+    part = os.path.join(staging, "part-00000.parquet")
+    pq.write_table(tbl, part, compression=codec)
+    pool = _data_root(table)
+    os.makedirs(pool, exist_ok=True)
+    name = f"{uuid.uuid4().hex}.parquet"
+    shutil.move(part, os.path.join(pool, name))
+    shutil.rmtree(staging)
+    return [name]
+
+
+def _mask_type_ok(t) -> bool:
+    """Key types whose driver-side distinct provably matches Spark's
+    DISTINCT: exact-equality types. Floats are excluded (NaN grouping
+    and -0.0/+0.0 folding are engine decisions), as are nested /
+    dictionary-encoded shapes."""
+    import pyarrow as pa
+
+    return (pa.types.is_integer(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t) or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t) or pa.types.is_boolean(t)
+            or pa.types.is_date(t) or pa.types.is_timestamp(t)
+            or pa.types.is_decimal(t))
+
+
+def _driver_mask_from_files(spark: SparkSession, table: str,
+                            new_files: list[str], key: str,
+                            extra_mask_keys: DataFrame | None):
+    """MOR-merge mask fast path: derive the commit's equality-delete
+    mask (the update batch's distinct non-null keys) from the
+    just-landed files' key column ON THE DRIVER — the files are the
+    commit's own (O(batch) bytes, local), so a small batch needs no
+    second Spark job to read them, no distinct shuffle, and no write
+    job for the one-file mask. Returns ``(del_files,
+    batch_keys_df)`` or None to run the distributed path (budget
+    exceeded, float keys, unreadable files, arrow mismatch — every
+    exit is the unchanged slow path, mirroring
+    ``_footer_rows_and_stats``)."""
+    if _DRIVER_LAND_BYTES <= 0:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with repo
+        return None
+    root = _data_root(table)
+    paths = [os.path.join(root, f) for f in new_files]
+    try:
+        if sum(os.path.getsize(p) for p in paths) > _DRIVER_LAND_BYTES:
+            return None
+        cols = [pq.read_table(p, columns=[key]) for p in paths]
+    except Exception:
+        return None  # unreadable/remote/missing column: Spark path
+    typ = cols[0].schema.field(key).type
+    if not _mask_type_ok(typ):
+        return None
+    try:
+        arr = pa.concat_tables(cols).column(key).combine_chunks()
+        uniq = pc.unique(arr.drop_null())
+        if extra_mask_keys is not None:
+            # tiny by contract (the caller's delete-key set); one
+            # bounded collect replaces the union+distinct+write job
+            ex = (extra_mask_keys.select(key).toArrow()
+                  .column(key).combine_chunks().drop_null())
+            uniq = pc.unique(pa.concat_arrays(
+                [uniq, ex.cast(typ)]))
+        del_files = _land_arrow_in_pool(
+            pa.table({key: uniq}), table, spark)
+    except Exception:
+        return None
+    batch_keys = spark.read.parquet(
+        *(os.path.join(root, f) for f in del_files))
+    return del_files, batch_keys
+
+
 def _publish(table: str, files: list[str], rows: int,
              parent: str | None, reused: int,
              txn_id: str | None = None,
@@ -2385,8 +2489,13 @@ def _footer_rows_and_stats(table: str, files: list[str],
                         glo, ghi = st.min, st.max  # raise right here
                     except Exception:
                         return None
-                    lo = glo if lo is None or _stat_lt(glo, lo) else lo
-                    hi = ghi if hi is None or _stat_lt(hi, ghi) else hi
+                    try:
+                        lo = (glo if lo is None or _stat_lt(glo, lo)
+                              else lo)
+                        hi = (ghi if hi is None or _stat_lt(hi, ghi)
+                              else hi)
+                    except _UnorderableStats:
+                        return None  # can't prove covering bounds
             if nonnull == 0:
                 entry[c] = [None, None]  # all-NULL: skippable
                 continue
@@ -2400,16 +2509,28 @@ def _footer_rows_and_stats(table: str, files: list[str],
     return rows_total, (per_file if stats_cols is not None else None)
 
 
+class _UnorderableStats(Exception):
+    """Footer min/max values across row groups could not be ordered —
+    the fold cannot prove a covering [lo, hi], so the whole landing
+    must fall back to the Spark scan (ADVICE r11: silently keeping the
+    first group's bound could record a NON-covering range and wrongly
+    prune a file)."""
+
+
 def _stat_lt(a, b) -> bool:
     """Ordering for footer min/max folding across row groups, matching
     Spark's column ordering for the supported stat types (numerics,
     strings codepoint-wise, dates/timestamps chronologically; bools).
-    Mixed/unorderable values punt to False — single-row-group files
-    (the common landing shape) never reach a comparison."""
+    Mixed/unorderable values raise — ``_footer_rows_and_stats`` then
+    returns None and the caller re-derives bounds from a Spark scan,
+    the same safe exit every other envelope violation takes.
+    Single-row-group files (the common landing shape) never reach a
+    comparison."""
     try:
         return a < b
     except TypeError:
-        return False
+        raise _UnorderableStats(f"{type(a).__name__} vs "
+                                f"{type(b).__name__}") from None
 
 
 def _count_pool_rows(spark: SparkSession, table: str,
@@ -3550,7 +3671,11 @@ def _cow_rewrite_chunked(spark: SparkSession, table: str, core: dict,
     affected members tombstoned — commit metadata is O(chunks hit),
     never O(table). ``rewrite(affected_df)`` returns the replacement
     rows for the affected files' live rows (None = publish nothing new
-    beyond survivors).
+    beyond survivors). ``rewrite``'s output MUST be derived from the
+    ``affected_df`` it receives: the affected-row count is collected
+    as an Observation on that frame by the landing write
+    (``_observed_count``), so a plan built from anything else would
+    block the commit on ``obs.get`` forever instead of failing loudly.
 
     OPTIMISTIC (r6): the plan/locate/rewrite/land pipeline runs with
     NO lease held; the publish takes the lease briefly and, if the
@@ -3786,7 +3911,15 @@ def _observed_count(df: DataFrame):
     ``count()`` job — and its SECOND read of the affected files —
     disappears (guide §1.2: one pass instead of two). Returns
     ``(observed_df, observation)``; read ``int(obs.get["rows"])``
-    after the action."""
+    after the action.
+
+    CONTRACT (ADVICE r11): the action the caller runs MUST consume a
+    plan derived from the returned ``observed_df`` — ``obs.get``
+    blocks until the observed node executes, so a rewrite callback
+    (``_cow_rewrite_chunked``'s parameter) that builds its output
+    from anything else would hang the commit instead of failing
+    loudly. Every in-repo rewrite derives from ``affected_df``; keep
+    it that way."""
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -3988,29 +4121,37 @@ def merge_snapshot_mor(spark: SparkSession, updates: DataFrame,
     new_blooms = _scan_blooms(spark, table, new_files, bloom_cols,
                               updates.schema)
     # The mask: the batch's distinct keys, derived from the landed
-    # files (one pass over the caller's lineage — the write).
+    # files (one pass over the caller's lineage — the write). Small
+    # batches derive and land the mask ON THE DRIVER (r12, guide §5 —
+    # zero extra Spark jobs); larger ones keep the distributed path.
     root = _data_root(table)
-    batch_keys = (spark.read.parquet(
-        *(os.path.join(root, f) for f in new_files))
-        .select(key).distinct().filter(F.col(key).isNotNull()))
-    if extra_mask_keys is not None:  # upsert+delete as one commit:
-        batch_keys = (batch_keys     # widen the mask, not the rows
-                      .unionByName(extra_mask_keys.select(key))
-                      .distinct().filter(F.col(key).isNotNull()))
-    # The delete-file landing and the live-match count are independent
-    # jobs over the same tiny key set — run them concurrently so the
-    # second job's tasks back-fill the first's tail (guide §2.6;
-    # ~0.2-0.3 s/commit of job overhead overlapped at local scale,
-    # idle-executor fill on a cluster).
-    from concurrent.futures import ThreadPoolExecutor
+    fast_mask = _driver_mask_from_files(spark, table, new_files, key,
+                                        extra_mask_keys)
+    if fast_mask is not None:
+        del_files, batch_keys = fast_mask
+        matched = _mor_matched(spark, table, base_man, key,
+                               batch_keys)
+    else:
+        batch_keys = (spark.read.parquet(
+            *(os.path.join(root, f) for f in new_files))
+            .select(key).distinct().filter(F.col(key).isNotNull()))
+        if extra_mask_keys is not None:  # upsert+delete, one commit:
+            batch_keys = (batch_keys     # widen the mask, not the rows
+                          .unionByName(extra_mask_keys.select(key))
+                          .distinct().filter(F.col(key).isNotNull()))
+        # The delete-file landing and the live-match count are
+        # independent jobs over the same tiny key set — run them
+        # concurrently so the second job's tasks back-fill the
+        # first's tail (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _f_del = _pool.submit(
-            lambda: _land_in_pool(batch_keys.coalesce(1), table))
-        _f_matched = _pool.submit(
-            _mor_matched, spark, table, base_man, key, batch_keys)
-        del_files = _f_del.result()
-        matched = _f_matched.result()
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_del = _pool.submit(
+                lambda: _land_in_pool(batch_keys.coalesce(1), table))
+            _f_matched = _pool.submit(
+                _mor_matched, spark, table, base_man, key, batch_keys)
+            del_files = _f_del.result()
+            matched = _f_matched.result()
     entries = [{"file": f, "key": key, "seq": None}
                for f in del_files]
 
@@ -4659,17 +4800,30 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
     # Land the delete file FIRST, then derive everything else
     # (count, span, decrement join) from the landed kilobytes —
     # the caller's doomed lineage may be an expensive query and
-    # is evaluated exactly once, by the write. An empty batch
-    # leaves one orphan pool file (vacuum reaps it, same as a
-    # pre-flip crash) and publishes nothing.
-    del_files = _land_in_pool(
-        doomed.select(key).distinct()
-        .filter(F.col(key).isNotNull()).coalesce(1), table)
+    # is evaluated exactly once: by a bounded COLLECT on the fast
+    # path (the same key set is broadcast for the decrement count
+    # moments later, so driver residence is already this commit's
+    # contract — guide §5; the one-file write then happens driver-
+    # side with no Spark write job), or by the write on the
+    # fallback. An empty batch leaves one orphan pool file (vacuum
+    # reaps it, same as a pre-flip crash) and publishes nothing.
+    doomed_sel = (doomed.select(key).distinct()
+                  .filter(F.col(key).isNotNull()))
+    del_files = None
+    if _DRIVER_LAND_BYTES > 0:
+        try:
+            tbl = doomed_sel.toArrow()
+            del_files = _land_arrow_in_pool(tbl, table, spark)
+            n_keys = tbl.num_rows
+        except Exception:
+            del_files = None  # arrow-unsupported type etc.: write path
+    if del_files is None:
+        del_files = _land_in_pool(doomed_sel.coalesce(1), table)
+        # footer row count: the landed file IS the distinct key set
+        n_keys = _count_pool_rows(spark, table, del_files)
     root = _data_root(table)
     doomed_keys = spark.read.parquet(
         *(os.path.join(root, f) for f in del_files))
-    # footer row count: the landed file IS the distinct key set
-    n_keys = _count_pool_rows(spark, table, del_files)
     if n_keys == 0:
         return base  # nothing to forget: current stays
 

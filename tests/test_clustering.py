@@ -58,3 +58,32 @@ def test_kmeans_centroid_is_member_mean(spark, sf_dir):
     assert len(got) == len(exp) == 64
     for g, e in zip(got, exp):
         assert g["centroid_v"] == e["mean_v"], g["dim_idx"]
+
+
+def test_cents_lit_nonfinite_falls_back_to_lit(spark):
+    """A codebook carrying NaN/inf components (NaN-poisoned input
+    vectors propagate into centroid means) cannot be repr'd into SQL
+    (`nan`/`inf` do not parse) — _cents_lit must fall back to the
+    F.lit construction and evaluate to the same values (ADVICE r11)."""
+    import math
+
+    from mc_ns_data_pipeline_spark.operators import clustering as C
+
+    cents = [(0, [float("nan"), 1.5], 2.25),
+             (1, [float("inf"), -2.0], float("inf")),
+             (2, [0.5, 0.25], 0.3125)]
+    col = C._cents_lit(cents)
+    (row,) = spark.range(1).select(col.alias("cb")).collect()
+    got = row["cb"]
+    assert len(got) == 3
+    assert math.isnan(got[0]["sv"][0]) and got[0]["sv"][1] == 1.5
+    assert got[0]["cc"] == 2.25 and got[0]["cid"] == 0
+    assert math.isinf(got[1]["sv"][0]) and math.isinf(got[1]["cc"])
+    assert got[2]["sv"] == [0.5, 0.25] and got[2]["cid"] == 2
+
+    # finite codebooks keep the compact SQL-literal form and agree
+    # with the F.lit fallback value-for-value
+    fin = [(7, [1.25, -3.5], 13.8125)]
+    (a,) = spark.range(1).select(C._cents_lit(fin).alias("cb")).collect()
+    assert a["cb"][0]["sv"] == [1.25, -3.5]
+    assert a["cb"][0]["cc"] == 13.8125 and a["cb"][0]["cid"] == 7

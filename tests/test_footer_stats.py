@@ -130,3 +130,60 @@ def test_commit_stats_identical_through_write_snapshot(
     slow_stats = sorted(man_slow["stats"].values(),
                         key=lambda e: str(e))
     assert fast_stats == slow_stats
+
+
+def test_footer_folds_multi_row_group_stats(spark, tmp_path):
+    """A landed file with SEVERAL row groups folds per-group min/max
+    into covering file bounds (the bounds live in different groups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "tblrg")
+    os.makedirs(os.path.join(table, "data"))
+    name = "manual.parquet"
+    t = pa.table({"k": pa.array([5, 9, 1, 3], pa.int64()),
+                  "s": pa.array(["mm", "zz", "aa", "bb"])})
+    pq.write_table(t, os.path.join(table, "data", name),
+                   row_group_size=2)  # groups: [5,9|mm,zz] [1,3|aa,bb]
+    fast = V._footer_rows_and_stats(table, [name], ["k", "s"])
+    assert fast is not None
+    rows, stats = fast
+    assert rows == 4
+    assert stats[name]["k"] == [1, 9]
+    assert stats[name]["s"] == ["aa", "zz"]
+
+
+def test_footer_unorderable_stats_fall_back_to_scan(
+        spark, tmp_path, monkeypatch):
+    """When per-group stat values cannot be ordered, the fold must NOT
+    keep the first group's (possibly non-covering) bound — the whole
+    landing falls back to the Spark scan (ADVICE r11). Pre-fix, the
+    old `TypeError -> False` punt would have recorded k=[5, 9] here —
+    a bound that wrongly excludes rows 1 and 3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "tblux")
+    os.makedirs(os.path.join(table, "data"))
+    name = "manual.parquet"
+    t = pa.table({"k": pa.array([5, 9, 1, 3], pa.int64())})
+    pq.write_table(t, os.path.join(table, "data", name),
+                   row_group_size=2)
+
+    real_lt = V._stat_lt
+
+    def unorderable(a, b):
+        raise V._UnorderableStats("forced: mixed decoded types")
+
+    monkeypatch.setattr(V, "_stat_lt", unorderable)
+    assert V._footer_rows_and_stats(table, [name], ["k"]) is None
+    monkeypatch.setattr(V, "_stat_lt", real_lt)
+    # the public scan path still produces the covering bounds
+    rows, stats = V._scan_new_files(spark, table, [name], ["k"])
+    assert rows == 4 and stats[name]["k"] == [1, 9]
+
+
+def test_stat_lt_raises_on_unorderable():
+    with pytest.raises(V._UnorderableStats):
+        V._stat_lt(b"bytes", "str")
+    assert V._stat_lt(1, 2) and not V._stat_lt("b", "a")

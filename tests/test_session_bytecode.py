@@ -69,3 +69,93 @@ def test_augment_replaces_stale_magic(tmp_path):
         names = [n for n in z.namelist() if n.endswith(".pyc")]
         assert sorted(names) == ["toypkg/__init__.pyc",
                                  "toypkg/mod.pyc"]
+
+
+def _fake_spark_home(tmp_path):
+    import os
+
+    home = tmp_path / "sparkhome"
+    lib = home / "python" / "lib"
+    os.makedirs(lib)
+    zp = _make_zip(lib / "pyspark.zip")
+    return str(home), zp
+
+
+def test_cache_mode_leaves_spark_home_untouched(tmp_path, monkeypatch):
+    """Default (r12): augmented COPIES land in the cache dir; the
+    install's zips are byte-identical afterwards (VERDICT r11 #9)."""
+    import json
+    import os
+
+    from mc_ns_data_pipeline_spark import session as S
+
+    home, zp = _fake_spark_home(tmp_path)
+    cache = str(tmp_path / "cache")
+    monkeypatch.setenv("SPARK_HOME", home)
+    monkeypatch.setenv("SPARK_GRAFT_PYC_CACHE", cache)
+    monkeypatch.delenv("SPARK_GRAFT_ZIP_PYC_INPLACE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_NO_ZIP_PYC", raising=False)
+    monkeypatch.setattr(S, "_WORKER_PYC_DONE", False)
+    before = open(zp, "rb").read()
+    S.ensure_worker_bytecode()
+    assert open(zp, "rb").read() == before  # install NOT mutated
+    assert os.path.exists(os.path.join(cache, "pyspark.zip"))
+    assert os.path.exists(os.path.join(cache, "sitecustomize.py"))
+    man = json.load(open(os.path.join(cache, "manifest.json")))
+    assert man["zips"]["pyspark.zip"]["source"] == zp
+    with zipfile.ZipFile(os.path.join(cache, "pyspark.zip")) as z:
+        assert z.read("toypkg/__init__.pyc")[:4] == \
+            importlib.util.MAGIC_NUMBER
+    # cache dir exported for spawned workers
+    assert cache in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def test_cache_sitecustomize_shadows_pristine_zip(tmp_path,
+                                                  monkeypatch):
+    """A spawned process with the worker-shaped PYTHONPATH (pristine
+    zip first, cache dir after — PythonWorkerFactory's ordering) must
+    import from the CACHED bytecode zip via sitecustomize."""
+    import os
+    import subprocess
+    import sys
+
+    from mc_ns_data_pipeline_spark import session as S
+
+    home, zp = _fake_spark_home(tmp_path)
+    cache = str(tmp_path / "cache")
+    monkeypatch.setenv("SPARK_HOME", home)
+    monkeypatch.setenv("SPARK_GRAFT_PYC_CACHE", cache)
+    monkeypatch.delenv("SPARK_GRAFT_ZIP_PYC_INPLACE", raising=False)
+    monkeypatch.setattr(S, "_WORKER_PYC_DONE", False)
+    S.ensure_worker_bytecode()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([zp, cache])
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import toypkg; print(toypkg.__spec__.origin)"],
+        capture_output=True, text=True, env=env, check=True)
+    origin = out.stdout.strip()
+    assert origin.startswith(cache), origin
+    assert origin.endswith("__init__.pyc")
+    # stale cache (source zip rewritten): sitecustomize declines and
+    # the pristine source serves the import
+    _make_zip(zp)  # bumps mtime/size
+    out2 = subprocess.run(
+        [sys.executable, "-c",
+         "import toypkg; print(toypkg.__spec__.origin)"],
+        capture_output=True, text=True, env=env, check=True)
+    assert out2.stdout.strip().startswith(zp)
+
+
+def test_inplace_mode_still_available_by_optin(tmp_path, monkeypatch):
+    from mc_ns_data_pipeline_spark import session as S
+
+    home, zp = _fake_spark_home(tmp_path)
+    monkeypatch.setenv("SPARK_HOME", home)
+    monkeypatch.setenv("SPARK_GRAFT_ZIP_PYC_INPLACE", "1")
+    monkeypatch.delenv("SPARK_GRAFT_NO_ZIP_PYC", raising=False)
+    monkeypatch.setattr(S, "_WORKER_PYC_DONE", False)
+    S.ensure_worker_bytecode()
+    with zipfile.ZipFile(zp) as z:
+        assert z.read("toypkg/__init__.pyc")[:4] == \
+            importlib.util.MAGIC_NUMBER

@@ -27,22 +27,34 @@ def _df(spark, rows, schema="k int, v string"):
 
 
 class _Pause:
-    """Arm once: the NEXT _land_in_pool call signals `landed`, then
-    blocks until `resume` — later calls (other writers) pass through."""
+    """Arm once: the NEXT landing (Spark `_land_in_pool` OR the r12
+    driver-side `_land_arrow_in_pool` fast path) signals `landed`,
+    then blocks until `resume` — later calls (other writers) pass
+    through."""
 
     def __init__(self, monkeypatch):
         self.landed = threading.Event()
         self.resume = threading.Event()
         self._armed = True
         self._orig = V._land_in_pool
+        self._orig_arrow = V._land_arrow_in_pool
         monkeypatch.setattr(V, "_land_in_pool", self._land)
+        monkeypatch.setattr(V, "_land_arrow_in_pool", self._land_arrow)
 
-    def _land(self, df, table):
-        names = self._orig(df, table)
+    def _pause_point(self):
         if self._armed:
             self._armed = False
             self.landed.set()
             assert self.resume.wait(60), "resume never signalled"
+
+    def _land(self, df, table):
+        names = self._orig(df, table)
+        self._pause_point()
+        return names
+
+    def _land_arrow(self, tbl, table, spark=None):
+        names = self._orig_arrow(tbl, table, spark)
+        self._pause_point()
         return names
 
 
