@@ -964,6 +964,40 @@ def _gen_of(snapshot: str) -> int:
     return int(snapshot.split("-", 1)[0])
 
 
+def _read_mask_union_driver(spark: SparkSession, root: str, key: str,
+                            entries: list[dict]) -> DataFrame | None:
+    """The (__vt_dkey, __vt_dseq) union of one key column's delete
+    files as a DRIVER-LOCAL relation (LocalTableScan): pyarrow-read
+    the tiny mask files so the downstream broadcast build launches no
+    Spark scan job. None — caller unions via Spark, values identical
+    — when the files exceed the driver byte budget, are unreadable,
+    or carry types arrow can't concat (evolved key, exotic logical
+    type)."""
+    if _DRIVER_LAND_BYTES <= 0:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = [os.path.join(root, d["file"]) for d in entries]
+        if sum(os.path.getsize(p) for p in paths) > _DRIVER_LAND_BYTES:
+            return None
+        arrs, seqs = [], []
+        for d, p in zip(entries, paths):
+            col = pq.read_table(p, columns=[key]).column(key)
+            arr = col.combine_chunks()
+            arrs.append(arr)
+            seqs.append(pa.array([int(d["seq"])] * len(arr),
+                                 pa.int64()))
+        tbl = pa.table({
+            "__vt_dkey": pa.concat_arrays(arrs),
+            "__vt_dseq": pa.concat_arrays(seqs),
+        })
+        return spark.createDataFrame(tbl)
+    except Exception:
+        return None
+
+
 def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
                         man: dict, names: list[str]) -> DataFrame:
     """Mask rows hidden by the manifest's merge-on-read delete files.
@@ -1010,6 +1044,15 @@ def _apply_delete_files(spark: SparkSession, table: str, df: DataFrame,
         tgt.setdefault(d["key"], []).append(d)
 
     def union_keys(key: str, entries: list[dict]) -> DataFrame:
+        # Delete files are kilobytes by design (compaction clears
+        # them): within the driver byte budget, read them with
+        # pyarrow and hand the union to Spark as a LOCAL relation —
+        # the broadcast build then happens driver-side with no
+        # file-scan job per read (r12, guide §5). Over budget or on
+        # any arrow mismatch, the distributed union is unchanged.
+        local = _read_mask_union_driver(spark, root, key, entries)
+        if local is not None:
+            return local
         deld = None
         for d in entries:
             part = (
@@ -2247,12 +2290,17 @@ def _driver_mask_from_files(spark: SparkSession, table: str,
                   .column(key).combine_chunks().drop_null())
             uniq = pc.unique(pa.concat_arrays(
                 [uniq, ex.cast(typ)]))
-        del_files = _land_arrow_in_pool(
-            pa.table({key: uniq}), table, spark)
+        keys_tbl = pa.table({key: uniq})
+        del_files = _land_arrow_in_pool(keys_tbl, table, spark)
     except Exception:
         return None
-    batch_keys = spark.read.parquet(
-        *(os.path.join(root, f) for f in del_files))
+    try:
+        # LocalTableScan: the decrement count's broadcast build runs
+        # driver-side, no scan job over the just-written mask file
+        batch_keys = spark.createDataFrame(keys_tbl)
+    except Exception:
+        batch_keys = spark.read.parquet(
+            *(os.path.join(root, f) for f in del_files))
     return del_files, batch_keys
 
 
@@ -4809,21 +4857,30 @@ def delete_keys_mor(spark: SparkSession, table: str, key: str,
     # reaps it, same as a pre-flip crash) and publishes nothing.
     doomed_sel = (doomed.select(key).distinct()
                   .filter(F.col(key).isNotNull()))
-    del_files = None
+    del_files = doomed_keys = None
     if _DRIVER_LAND_BYTES > 0:
         try:
             tbl = doomed_sel.toArrow()
             del_files = _land_arrow_in_pool(tbl, table, spark)
             n_keys = tbl.num_rows
         except Exception:
-            del_files = None  # arrow-unsupported type etc.: write path
+            del_files = None  # arrow-unsupported type: write path
+        if del_files is not None:
+            try:
+                # LocalTableScan: downstream broadcast builds (the
+                # decrement count, span/bloom predicate collect) run
+                # driver-side, no scan job over the landed file
+                doomed_keys = spark.createDataFrame(tbl)
+            except Exception:
+                doomed_keys = None  # read the landed file below
     if del_files is None:
         del_files = _land_in_pool(doomed_sel.coalesce(1), table)
         # footer row count: the landed file IS the distinct key set
         n_keys = _count_pool_rows(spark, table, del_files)
     root = _data_root(table)
-    doomed_keys = spark.read.parquet(
-        *(os.path.join(root, f) for f in del_files))
+    if doomed_keys is None:
+        doomed_keys = spark.read.parquet(
+            *(os.path.join(root, f) for f in del_files))
     if n_keys == 0:
         return base  # nothing to forget: current stays
 
