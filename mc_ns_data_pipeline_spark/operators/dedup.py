@@ -832,17 +832,48 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     # materialize: the self-join below consumes the prefix twice, and
     # Spark plans are trees — without the lineage cut the df aggregate,
-    # join, and window would all run once PER SIDE.
+    # join, and window would all run once PER SIDE. The prefix carries
+    # (rk, n) — each token's 1-based rank in the doc's globally-sorted
+    # token list and the doc's set size — for the candidate-time
+    # filters below.
     prefix = _materialize(
         ranked.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= pref_len)
-        .select(id_col, "sh_id")
+        .select(id_col, "sh_id", "rk", "n")
     )
-    a = prefix.select(F.col(id_col).alias("doc_a"), "sh_id")
-    b = prefix.select(F.col(id_col).alias("doc_b"), "sh_id")
+    a = prefix.select(F.col(id_col).alias("doc_a"), "sh_id",
+                      F.col("rk").alias("rk_a"),
+                      F.col("n").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("doc_b"), "sh_id",
+                      F.col("rk").alias("rk_b"),
+                      F.col("n").alias("n_b"))
+    # Exactness-preserving candidate filters (r12, guide §3 — shrink
+    # the verified pair set, zero recall loss; the oracle still
+    # computes the unfiltered join):
+    # * LENGTH (AllPairs): J = |∩|/|∪| <= min(n)/max(n), so
+    #   min < t*max proves J < t. The -1e-9 slack keeps boundary
+    #   pairs (J == t exactly) when t*max rounds up in binary.
+    # * POSITIONAL (PPJoin-style): both docs' tokens are sorted under
+    #   the SAME global (df, sh_id) order, so for a shared token at
+    #   ranks (i, j): common tokens up to it number <= min(i, j) and
+    #   after it <= min(n_a-i, n_b-j) — an overlap upper bound that
+    #   holds for EVERY shared token. J >= t needs
+    #   |∩| >= t/(1+t)*(n_a+n_b); every shared-token row of a true
+    #   pair satisfies the bound, so filtering rows before the
+    #   distinct can only drop false candidates.
+    t = float(threshold)
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9))
+    ub = (F.least("rk_a", "rk_b")
+          + F.least(F.col("n_a") - F.col("rk_a"),
+                    F.col("n_b") - F.col("rk_b")))
     cands = (
         a.join(b, "sh_id")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.least("n_a", "n_b")
+                >= F.lit(t) * F.greatest("n_a", "n_b") - F.lit(1e-9))
+        .filter(ub >= alpha)
         .select("doc_a", "doc_b")
         .distinct()
     )

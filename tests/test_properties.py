@@ -783,3 +783,25 @@ def test_priority_sample_is_size_biased(spark, sf_dir):
     for r in sample[:10]:
         v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
         assert r["priority"] == r["weight"] * 4294967296 // (v + 1)
+
+
+def test_prefix_positional_filter_exact_other_thresholds(spark, sf_dir):
+    """The r12 length+positional candidate filters must preserve
+    exactness at thresholds whose required-overlap bound
+    t/(1+t)*(n_a+n_b) is not a friendly fraction (boundary-rounding
+    guard), not just at t=0.5."""
+    from mc_ns_data_pipeline_spark.catalog import load_table
+    from mc_ns_data_pipeline_spark.operators import dedup as D
+    from mc_ns_data_pipeline_spark.testing import canonicalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.7):
+        pref = D.prefix_jaccard_pairs(docs, threshold=t, k=3)
+        full = D.ngram_jaccard_pairs(
+            docs, threshold=t, max_shingle_df=None
+        ).select("doc_a", "doc_b", "jaccard")
+        got = canonicalize(pref.columns,
+                           [tuple(r) for r in pref.collect()])
+        exp = canonicalize(full.columns,
+                           [tuple(r) for r in full.collect()])
+        assert got == exp, t
